@@ -1,0 +1,107 @@
+"""SparkSession factory with cluster-ready defaults.
+
+Keeps the *intent* of the reference's session setup
+(``TransForm_Load_Yfinance.py:63-88``: AQE on, partition coalescing,
+skew-join handling, Kryo) but drops its single-node hardcodes
+(shuffle.partitions=4, Arrow disabled, 2g memory caps). Arrow is
+enabled — the Pandas-UDF paths depend on it.
+
+Two entry points:
+
+- :func:`get_spark` builds a session (used by tests / bench / CLI).
+- :func:`tune_session` applies runtime-settable configs to an
+  *existing* session (used by the query registry, because the
+  correctness driver passes in its own SparkSession).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe & beneficial on both a laptop and a 1000-executor
+# cluster. Anything machine-dependent (memory, shuffle partitions) is
+# parameterized instead.
+_CLUSTER_READY_DEFAULTS = {
+    # Adaptive execution: runtime re-planning, partition coalescing and
+    # skew-join splitting replace the reference's hand-tuned values.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    # Arrow ON (reference disabled it "for stability"; our pandas_udf /
+    # mapInPandas operators require it and it is 10-100x faster).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp rendering for oracle comparisons and
+    # cross-engine parity.
+    "spark.sql.session.timeZone": "UTC",
+    # Kryo, as the reference does (TransForm_Load_Yfinance.py:70).
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Parquet scan sizing (the reference used 64MB Mongo sample
+    # partitions; 128MB is the Parquet sweet spot).
+    "spark.sql.files.maxPartitionBytes": "128m",
+}
+
+# Runtime-settable subset (SQLConf) — applicable to a session we did not
+# create. Static configs (serializer) are excluded.
+_RUNTIME_TUNABLE = {
+    k: v
+    for k, v in _CLUSTER_READY_DEFAULTS.items()
+    if k.startswith("spark.sql.")
+}
+
+
+def default_parallelism() -> int:
+    """CPU budget: honor the driver's SPARK_GRAFT_CPUS, else all cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "full_docker_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with cluster-ready defaults.
+
+    ``master`` defaults to ``local[N]`` where N = SPARK_GRAFT_CPUS or
+    all cores; on a real cluster pass ``master=None`` and submit via
+    spark-submit (the builder then inherits the cluster master).
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf = dict(_CLUSTER_READY_DEFAULTS)
+    # Local default: one shuffle partition per core. On a cluster AQE
+    # coalescing makes the initial number far less sensitive; callers can
+    # raise it for 100TB inputs (rule of thumb: total-input / 128MB).
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-tunable engine defaults to an existing session.
+
+    Used by the query registry: the correctness driver owns the session,
+    so we set only SQLConf keys (all safely settable at runtime).
+    """
+    for k, v in _RUNTIME_TUNABLE.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A handful of sql configs can be static depending on build;
+            # never fail a query over a tuning knob.
+            pass
+    return spark
