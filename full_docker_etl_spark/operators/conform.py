@@ -43,18 +43,46 @@ class MissingRequiredColumns(ValueError):
     pass
 
 
-def _repaired(col: Column, dtype: T.DataType, default: object) -> Column:
-    cond = F.isnull(col)
+def _repaired(
+    col: Column, src_type: T.DataType, dtype: T.DataType, default: object
+) -> Column:
+    """Cast first, then repair, so values that *fail* the cast (e.g. the
+    string ``"abc"`` headed for DoubleType) also receive the typed
+    default — the reference guarantees missing/NaN/null → default
+    (``TransForm_Load_Yfinance.py:204-208``) and a cast-induced null is
+    exactly the "missing" case.
+
+    NaN handling is gated on where a NaN can actually exist:
+
+    - floating *target*: the casted value can be NaN (including a
+      string ``"NaN"`` cast to double) → check ``isnan(casted)``;
+    - floating *source* with a non-floating target (the reference's
+      Volume: double→long): NaN must be caught on the source column,
+      because Spark silently casts NaN to 0 for integral targets.
+    """
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a failed
+    # cast throws; the conform contract is "unparseable → default".
+    casted = col.try_cast(dtype)
+    cond = F.isnull(casted)
     if isinstance(dtype, _FLOATING):
-        cond = cond | F.isnan(col.cast("double"))
-    return F.when(cond, F.lit(default)).otherwise(col).cast(dtype)
+        cond = cond | F.isnan(casted.cast("double"))
+    elif isinstance(src_type, _FLOATING):
+        cond = cond | F.isnan(col)
+    return F.when(cond, F.lit(default)).otherwise(casted).cast(dtype)
 
 
 def conform_schema(df: DataFrame, spec: ConformSpec) -> DataFrame:
     """Apply renames, defaults, null/NaN repair, casts and key filters."""
     for old, new in spec.renames.items():
         if old in df.columns:
-            df = df.withColumnRenamed(old, new)
+            if new in df.columns and new != old:
+                # Rename target already present (e.g. input carries both
+                # "Stock Splits" and "Stock_Splits"): keep the existing
+                # target, drop the source, instead of creating duplicate
+                # column names that poison later selects.
+                df = df.drop(old)
+            else:
+                df = df.withColumnRenamed(old, new)
 
     missing_required = [c for c in spec.required if c not in df.columns]
     if missing_required:
@@ -62,12 +90,15 @@ def conform_schema(df: DataFrame, spec: ConformSpec) -> DataFrame:
             f"missing required columns: {missing_required}; have {df.columns}"
         )
 
+    src_types = {f.name: f.dataType for f in df.schema.fields}
     exprs: list[Column] = []
     seen = set()
     for name in df.columns:
         if name in spec.columns:
             dtype, default = spec.columns[name]
-            exprs.append(_repaired(F.col(name), dtype, default).alias(name))
+            exprs.append(
+                _repaired(F.col(name), src_types[name], dtype, default).alias(name)
+            )
         else:
             exprs.append(F.col(name))
         seen.add(name)
@@ -77,5 +108,8 @@ def conform_schema(df: DataFrame, spec: ConformSpec) -> DataFrame:
     out = df.select(*exprs)
 
     for key in spec.drop_null_keys:
-        out = out.filter(F.col(key).isNotNull())
+        # drop_null_keys is not `required`: a key column absent from the
+        # input is legal, and there is nothing to filter on.
+        if key in out.columns:
+            out = out.filter(F.col(key).isNotNull())
     return out

@@ -41,6 +41,8 @@ _CLUSTER_READY_DEFAULTS = {
     # Parquet scan sizing (the reference used 64MB Mongo sample
     # partitions; 128MB is the Parquet sweet spot).
     "spark.sql.files.maxPartitionBytes": "128m",
+    # Headless engine: no Spark UI server (faster startup, no port use).
+    "spark.ui.enabled": "false",
 }
 
 # Runtime-settable subset (SQLConf) — applicable to a session we did not
@@ -74,8 +76,19 @@ def get_spark(
     """
     cpus = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
-        master = f"local[{cpus}]"
+    if master is None:
+        # Only default to local[N] when no master is already configured.
+        # spark-submit communicates the cluster master via the
+        # spark.master conf/system property (NOT an env var), and an
+        # explicit builder.master() would override it — so probe the
+        # loaded defaults first to keep the documented cluster path
+        # (submit with --master, pass master=None here) working.
+        from pyspark import SparkConf
+
+        if not SparkConf(loadDefaults=True).contains("spark.master"):
+            master = os.environ.get(
+                "SPARK_MASTER", os.environ.get("MASTER", f"local[{cpus}]")
+            )
     if master:
         builder = builder.master(master)
 

@@ -11,9 +11,11 @@ partition-prune instead of the driver looping over namespaces.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Driver-generated synthetic tables (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -32,10 +34,47 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL). Detected from the footer of
+    one file so the fix is generic, not a per-table hardcode."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:  # engine still works for non-nanos data
+        return []
+    candidates = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    if not candidates:
+        return []
+    schema = pq.read_schema(candidates[0])
+    return [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if typ == pa.timestamp("ns")
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one Parquet table. Columnar scan → Catalyst gets predicate
-    pushdown + column pruning for free (SURVEY.md §4.1)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pushdown + column pruning for free (SURVEY.md §4.1).
+
+    TIMESTAMP(NANOS) columns (e.g. the testdata ``events.ts``) are
+    illegal to Spark's parquet reader; we read them as raw nanos longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild proper
+    timestamps at microsecond precision — the same truncation DuckDB's
+    ``epoch_us`` applies, so oracle comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nano_timestamp_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(
