@@ -1,0 +1,6 @@
+"""Query modules. Importing this package populates the registry
+(each module registers its queries at import time via @query)."""
+
+from full_docker_etl_spark.queries import (  # noqa: F401
+    flagship,
+)

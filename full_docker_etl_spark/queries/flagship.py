@@ -1,0 +1,166 @@
+"""Flagship: the multi-grain time-series aggregate (SURVEY.md §2 A1-A4,
+U1, F1-F4, F16, P6; reference ``TransForm_Load_Yfinance.py:212-342``).
+
+Mapped onto the testdata ``lineitem`` fact table: series =
+``l_returnflag`` (the reference's company_code), event time =
+``l_shipdate``, measures = quantity / extendedprice / discount / tax /
+revenue — the same avg/sum/max/min/stddev/count family the reference
+computes over OHLCV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_docker_etl_spark.operators.multigrain import (
+    GrainSpec,
+    aggregate_grain,
+    daily_grain,
+    multigrain_sql,
+)
+from full_docker_etl_spark.registry import query
+from full_docker_etl_spark.sources.catalog import load_table
+
+
+def _lineitem_spec() -> GrainSpec:
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return GrainSpec(
+        series="l_returnflag",
+        ts="l_shipdate",
+        measures={
+            "qty": F.col("l_quantity"),
+            "price": F.col("l_extendedprice"),
+            "disc": F.col("l_discount"),
+            "tax": F.col("l_tax"),
+            "rev": rev,
+        },
+        scales={"qty": 2, "price": 2, "disc": 2, "tax": 2, "rev": 4},
+        sum_measures=("qty", "rev"),
+        std_measures=("qty", "price", "disc", "rev"),
+    )
+
+
+# The same aggregate family in ANSI SQL (DuckDB oracle). Deterministic:
+# sums via DECIMAL, avg/stddev rounded (see registry.py docstring).
+_AGG_SQL = """
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_tax,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_rev,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_rev,
+  MAX(l_quantity)                          AS max_qty,
+  MAX(l_extendedprice)                     AS max_price,
+  MAX(l_discount)                          AS max_disc,
+  MAX(l_tax)                               AS max_tax,
+  MAX(l_extendedprice * (1.0 - l_discount)) AS max_rev,
+  MIN(l_quantity)                          AS min_qty,
+  MIN(l_extendedprice)                     AS min_price,
+  MIN(l_discount)                          AS min_disc,
+  MIN(l_tax)                               AS min_tax,
+  MIN(l_extendedprice * (1.0 - l_discount)) AS min_rev,
+  ROUND(STDDEV_SAMP(l_quantity), 4)        AS std_qty,
+  ROUND(STDDEV_SAMP(l_extendedprice), 4)   AS std_price,
+  ROUND(STDDEV_SAMP(l_discount), 4)        AS std_disc,
+  ROUND(STDDEV_SAMP(l_extendedprice * (1.0 - l_discount)), 4) AS std_rev,
+  COUNT(*)                                 AS row_count
+"""
+
+
+def _grain_oracle(fmt: str, suffix: str, grain: str) -> str:
+    return f"""
+      SELECT l_returnflag AS series,
+             strftime(l_shipdate, '{fmt}') AS period_key,
+             '{grain}' AS agg_type,
+             CAST(strftime(l_shipdate, '{fmt}') || '{suffix}' AS DATE) AS record_date,
+             {_AGG_SQL}
+      FROM lineitem
+      GROUP BY 1, 2
+    """
+
+
+@query(
+    "agg_daily",
+    oracle="""
+      SELECT DISTINCT
+             l_returnflag AS series,
+             strftime(l_shipdate, '%Y-%m-%d') AS period_key,
+             'day' AS agg_type,
+             l_quantity AS qty,
+             l_extendedprice AS price,
+             l_discount AS disc,
+             l_tax AS tax,
+             l_extendedprice * (1.0 - l_discount) AS rev
+      FROM lineitem
+    """,
+)
+def agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: daily grain = tagged projection + distinct
+    (``TransForm_Load_Yfinance.py:212-226``)."""
+    return daily_grain(load_table(spark, sf_dir, "lineitem"), _lineitem_spec())
+
+
+@query("agg_monthly", oracle=_grain_oracle("%Y-%m", "-01", "month"))
+def agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: monthly 21-aggregate hash-agg
+    (``TransForm_Load_Yfinance.py:232-249``)."""
+    return aggregate_grain(
+        load_table(spark, sf_dir, "lineitem"), _lineitem_spec(), "month"
+    )
+
+
+@query("agg_yearly", oracle=_grain_oracle("%Y", "-01-01", "year"))
+def agg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: yearly 21-aggregate hash-agg
+    (``TransForm_Load_Yfinance.py:276-293``)."""
+    return aggregate_grain(
+        load_table(spark, sf_dir, "lineitem"), _lineitem_spec(), "year"
+    )
+
+
+_MULTIGRAIN_AGGS = """
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+  CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_rev,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS row_count
+"""
+
+
+def _multigrain_query(date_fn) -> str:
+    """Shared GROUPING SETS text; ``date_fn(expr, fmt)`` renders the
+    engine's date-format call (Spark date_format vs DuckDB strftime)."""
+    return multigrain_sql(
+        "lineitem",
+        {
+            "series": "l_returnflag",
+            "day": date_fn("l_shipdate", "yyyy-MM-dd"),
+            "month": date_fn("l_shipdate", "yyyy-MM"),
+            "year": date_fn("l_shipdate", "yyyy"),
+            "values": "l_quantity, l_extendedprice, "
+            "l_extendedprice * (1.0 - l_discount) AS rev",
+            "aggs": _MULTIGRAIN_AGGS,
+        },
+    )
+
+
+_SPARK_FMT = {"yyyy-MM-dd": "yyyy-MM-dd", "yyyy-MM": "yyyy-MM", "yyyy": "yyyy"}
+_DUCK_FMT = {"yyyy-MM-dd": "%Y-%m-%d", "yyyy-MM": "%Y-%m", "yyyy": "%Y"}
+
+
+@query(
+    "agg_multigrain",
+    oracle=_multigrain_query(
+        lambda col, fmt: f"strftime({col}, '{_DUCK_FMT[fmt]}')"
+    ),
+)
+def agg_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/U1: day∪month∪year in ONE pass via GROUPING SETS — one scan +
+    one shuffle, vs. the reference's three groupBys + union
+    (``TransForm_Load_Yfinance.py:330-342``). At 100 TB this is the
+    dominant cost difference."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        _multigrain_query(lambda col, fmt: f"date_format({col}, '{_SPARK_FMT[fmt]}')")
+    )
