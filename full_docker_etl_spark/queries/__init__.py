@@ -3,4 +3,5 @@
 
 from full_docker_etl_spark.queries import (  # noqa: F401
     flagship,
+    surface,
 )
