@@ -1,0 +1,94 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference has no window functions; its closest analogues are a
+driver-side ``collect()[0][0]`` for latest-date
+(``dag_transform_load_yfinance_fixed.py:333``) and unordered
+skip/limit pagination. These are the idiomatic distributed forms, plus
+the analytic extensions (lag returns, moving averages, running totals)
+that the OHLCV table begs for.
+
+All orderings used for ranking MUST end in a unique tie-break key —
+determinism is part of each operator's contract here, not an
+afterthought.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _order(pairs: list[tuple[str, bool]]) -> list[Column]:
+    return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in pairs]
+
+
+def window_of(partition: list[str], order: list[tuple[str, bool]]) -> WindowSpec:
+    return Window.partitionBy(*partition).orderBy(*_order(order))
+
+
+def latest_per_group(
+    df: DataFrame, partition: list[str], order: list[tuple[str, bool]]
+) -> DataFrame:
+    """row_number()==1 per group — replaces the reference's collect-based
+    'latest date per stock'. No data leaves the executors."""
+    w = window_of(partition, order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rank_top_n(
+    df: DataFrame,
+    partition: list[str],
+    order: list[tuple[str, bool]],
+    n: int,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Top-N per group via row_number ≤ N (deterministic with a unique
+    tie-break in ``order``)."""
+    w = window_of(partition, order)
+    return df.withColumn(out_col, F.row_number().over(w)).where(F.col(out_col) <= n)
+
+
+def with_lag(
+    df: DataFrame,
+    col: str,
+    partition: list[str],
+    order: list[tuple[str, bool]],
+    out_col: str,
+    offset: int = 1,
+) -> DataFrame:
+    """lag() — the building block for period-over-period change /
+    daily-return analytics."""
+    return df.withColumn(
+        out_col, F.lag(F.col(col), offset).over(window_of(partition, order))
+    )
+
+
+def moving_agg(
+    df: DataFrame,
+    agg: Column,
+    partition: list[str],
+    order: list[tuple[str, bool]],
+    preceding: int,
+    out_col: str,
+) -> DataFrame:
+    """Rows-based moving aggregate over (preceding, current]."""
+    w = window_of(partition, order).rowsBetween(-preceding, 0)
+    return df.withColumn(out_col, agg.over(w))
+
+
+def running_total(
+    df: DataFrame,
+    col: Column,
+    partition: list[str],
+    order: list[tuple[str, bool]],
+    out_col: str,
+) -> DataFrame:
+    """Cumulative sum from the partition start. Pass a DECIMAL column
+    for cross-engine exactness (float running sums are engine-order
+    dependent)."""
+    w = window_of(partition, order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col, F.sum(col).over(w))

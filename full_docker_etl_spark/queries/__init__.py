@@ -3,5 +3,6 @@
 
 from full_docker_etl_spark.queries import (  # noqa: F401
     flagship,
+    joins_windows,
     surface,
 )

@@ -1,0 +1,331 @@
+"""Registered queries for joins (J1-J4), set ops (U1), and window
+functions (§2.5), bound to the testdata tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_docker_etl_spark.operators.joins import (
+    anti_probe,
+    broadcast_enrich,
+    semi_manifest,
+)
+from full_docker_etl_spark.operators.windows import (
+    latest_per_group,
+    moving_agg,
+    rank_top_n,
+    running_total,
+    with_lag,
+)
+from full_docker_etl_spark.registry import query
+from full_docker_etl_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------- joins
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+      SELECT r_name, n_name,
+             COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast hash join of small master dims onto the fact side —
+    replaces the reference's per-company literal smuggle
+    (``TransForm_Load_Yfinance.py:223-224,395-410``). The plan must
+    show BroadcastHashJoin (asserted in tests/test_plans.py)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    enriched = broadcast_enrich(
+        customer,
+        nation,
+        on=customer["c_nationkey"] == nation["n_nationkey"],
+    )
+    enriched = broadcast_enrich(
+        enriched, region, on=enriched["n_regionkey"] == region["r_regionkey"]
+    )
+    return enriched.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_acctbal"),
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left-anti dedup/insert-if-absent probe
+    (``extract_iqplus_news_dag.py:144``) — customers with no pending
+    ('P') orders. (Every customer has *some* order in the testdata, so
+    the unfiltered form would be an empty — i.e. vacuous — check.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    pending = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_probe(customer, pending, on="c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "join_semi",
+    oracle="""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi manifest join (the reference's pickle id-list
+    handoff, ``TransForm_Load_Yfinance.py:432-434``) — customers with
+    at least one open order."""
+    customer = load_table(spark, sf_dir, "customer")
+    manifest = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_manifest(customer, manifest, on="c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_equi",
+    oracle="""
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+                  AS DECIMAL(18,4)) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+    """,
+)
+def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: fact×fact equi-join + aggregate. Shuffles both sides on the
+    join key once; AQE handles skew splitting at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+      SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName of differently-ordered projections
+    (``TransForm_Load_Yfinance.py:330-340``)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "event_type", "value"
+    )
+    # deliberately different column order — unionByName must align it
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "value", "event_id", "event_type"
+    )
+    return clicks.unionByName(purchases)
+
+
+# -------------------------------------------------------------- windows
+
+
+@query(
+    "win_latest_per_group",
+    oracle="""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+      FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    """,
+)
+def win_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: latest order per customer — the distributed form of the
+    reference's ``collect()[0][0]`` latest-date
+    (``dag_transform_load_yfinance_fixed.py:333``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = latest_per_group(
+        orders, ["o_custkey"], [("o_orderdate", False), ("o_orderkey", False)]
+    )
+    return latest.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+_DAILY_REV = """
+  SELECT l_returnflag AS series,
+         strftime(l_shipdate, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+              AS DECIMAL(18,4)) AS sum_rev
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("series"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("sum_rev"))
+    )
+
+
+@query(
+    "win_lag_change",
+    oracle=f"""
+      SELECT series, day, sum_rev,
+             prev_rev,
+             CAST(sum_rev - prev_rev AS DECIMAL(18,4)) AS change
+      FROM (
+        SELECT series, day, sum_rev,
+               lag(sum_rev) OVER (PARTITION BY series ORDER BY day) AS prev_rev
+        FROM ({_DAILY_REV})
+      )
+    """,
+)
+def win_lag_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: lag-based day-over-day change (the daily-return analytic
+    the OHLCV table implies). DECIMAL arithmetic end-to-end → exact."""
+    daily = _daily_rev(spark, sf_dir)
+    lagged = with_lag(daily, "sum_rev", ["series"], [("day", True)], "prev_rev")
+    return lagged.select(
+        "series",
+        "day",
+        "sum_rev",
+        F.col("prev_rev").cast("decimal(18,4)").alias("prev_rev"),
+        (F.col("sum_rev") - F.col("prev_rev"))
+        .cast("decimal(18,4)")
+        .alias("change"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle=f"""
+      SELECT series, day, sum_rev,
+             CAST(SUM(sum_rev) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma7
+      FROM ({_DAILY_REV})
+      WINDOW w AS (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: 7-row moving average of daily revenue per series, as an
+    exact decimal moving sum ÷ frame count (ROUND(AVG(...)) over small
+    frames lands exactly on round-half boundaries where engines
+    disagree — same pitfall as the grain averages)."""
+    daily = _daily_rev(spark, sf_dir)
+    summed = moving_agg(
+        daily,
+        F.sum("sum_rev"),
+        ["series"],
+        [("day", True)],
+        preceding=6,
+        out_col="ma7_sum",
+    )
+    counted = moving_agg(
+        summed,
+        F.count(F.lit(1)),
+        ["series"],
+        [("day", True)],
+        preceding=6,
+        out_col="ma7_n",
+    )
+    return counted.select(
+        "series",
+        "day",
+        "sum_rev",
+        (F.col("ma7_sum").cast("double") / F.col("ma7_n")).alias("ma7"),
+    )
+
+
+@query(
+    "win_rank_topn",
+    oracle="""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn <= 3
+    """,
+)
+def win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: top-3 orders per customer — per-group top-k without any
+    global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rank_top_n(
+        orders,
+        ["o_custkey"],
+        [("o_totalprice", False), ("o_orderkey", True)],
+        3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+@query(
+    "win_running_total",
+    oracle="""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,2)) AS running_value
+      FROM events
+    """,
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: per-user running total over event time. DECIMAL running
+    sum → exact regardless of engine accumulation strategy."""
+    ev = load_table(spark, sf_dir, "events")
+    out = running_total(
+        ev,
+        F.col("value").cast("decimal(18,2)"),
+        ["user_id"],
+        [("ts", True), ("event_id", True)],
+        "running_value",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("running_value").cast("decimal(18,2)").alias("running_value"),
+    )
