@@ -3,6 +3,7 @@
 
 from full_docker_etl_spark.queries import (  # noqa: F401
     flagship,
+    functions_q,
     joins_windows,
     surface,
 )
