@@ -1,0 +1,280 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, each with a different cost/recall point (all designed so
+the candidate-pair set stays bounded — NO all-pairs comparison ever):
+
+- :func:`exact_dedup` — content-hash groupBy. One shuffle on the hash;
+  at 100 TB this is the cheapest and always runs first.
+- :func:`jaccard_pairs` — exact n-gram Jaccard over candidate pairs
+  blocked by *shared shingles*, with a frequent-shingle cap (posting
+  lists longer than ``max_df`` are dropped, which bounds the join
+  fan-out the same way stop-word removal bounds an inverted index).
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash+LSH
+  banding: candidates = pairs agreeing on ≥1 band bucket. Probability
+  of detection ≈ 1-(1-j^r)^b; with k=32, b=8, r=4 the S-curve centers
+  near j≈0.6. Pure built-ins (xxhash64 + aggregate), no UDF.
+- :func:`simhash` — 64-bit SimHash; near-dups = small Hamming
+  distance; bucketed by 16-bit chunks (a pair within distance d<4 must
+  agree on ≥1 of 4 chunks — pigeonhole).
+
+MinHash/SimHash use engine-internal hash functions, so they register
+rows-only driver checks; the exact Jaccard tier is the oracle-checked
+representative (its SQL runs on DuckDB unchanged in spirit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: modulus for the minhash universal-hash family.
+_MERSENNE = (1 << 61) - 1
+# Deterministic odd multipliers/offsets derived from the hash index —
+# fixed constants, not RNG, so signatures are reproducible run-to-run.
+_A = 0x9E3779B97F4A7C15  # golden-ratio odd constant
+_B = 0xC2B2AE3D27D4EB4F  # xxhash prime
+
+
+def content_hash(col: Column) -> Column:
+    """Stable content fingerprint for exact dedup. sha2-256 — collision
+    probability at 100 TB (~1e11 docs) is ~1e-55; safe as identity."""
+    return F.sha2(col, 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: hash → groupBy → keep min-id canonical
+    row. Returns (hash, canonical id, n_dups); join back on hash to
+    drop duplicates. One shuffle on the hash key — at scale, hash
+    first so the shuffle moves 64-byte keys, not documents."""
+    return (
+        df.select(content_hash(F.col(text_col)).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Distinct word n-gram shingles per document, via array built-ins
+    (transform over a sequence of slice starts) — no UDF, no explode of
+    raw tokens."""
+    toks = tokens(F.col(text_col))
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # short documents must be guarded explicitly.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingles.
+
+    Scale posture: the shingle self-join's fan-out is Σ df(s)² over
+    shingles; the ``max_df`` cap (drop shingles appearing in more
+    documents) bounds it at |shingles|·max_df² — the standard
+    posting-list cap. 5-gram shingles are distinctive enough that true
+    near-dups always share rare shingles.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(rare) if max_df <= 10_000 else rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
+    out = (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("d1", "d2", "shared", "n1", "n2", "jaccard")
+
+
+def minhash_signatures(
+    sh: DataFrame, k: int = 32
+) -> DataFrame:
+    """k minhash values per doc from one xxhash64 base hash and k
+    universal-hash transforms h_i(x) = (a_i·x + b_i) mod (2^61-1),
+    computed as array built-ins over the shingle set — one aggregation,
+    no UDF. Input: (doc_id, shingle) distinct pairs."""
+    base = F.xxhash64("shingle").cast("decimal(38,0)")  # avoid 64-bit overflow
+    mins = []
+    for i in range(k):
+        a = (_A * (2 * i + 1)) % _MERSENNE
+        b = (_B * (i + 1)) % _MERSENNE
+        h = (base * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
+        mins.append(F.min(h.cast("long")).alias(f"mh_{i}"))
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH banded candidate generation → exact-signature
+    Jaccard estimate. Candidates come ONLY from band-bucket collisions
+    (groupBy band hash, self-join within buckets) — never all-pairs.
+    Returns pairs with ``est_jaccard`` (fraction of agreeing minhashes)
+    ≥ threshold."""
+    rows = k // bands
+    sh = shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, k).cache()
+
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bucket")
+        for b in range(bands)
+    ]
+    cand = None
+    for b, bc in enumerate(band_cols):
+        banded = sig.select("doc_id", F.lit(b).alias("band"), bc)
+        cand = banded if cand is None else cand.unionByName(banded)
+    a = cand.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b_ = cand.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    pairs = (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+    s1 = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"mh_{i}").alias(f"x_{i}") for i in range(k)])
+    s2 = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"mh_{i}").alias(f"y_{i}") for i in range(k)])
+    agree = sum(
+        F.when(F.col(f"x_{i}") == F.col(f"y_{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("est_jaccard", agree / F.lit(float(k)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("d1", "d2", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: sum token-hash bit votes, take the
+    sign. Array built-ins over distinct tokens; one aggregation."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    )
+    h = F.xxhash64("tok")
+
+    # Bit 63's mask doesn't fit a signed long as +2^63; use its
+    # two's-complement value so both the AND-test and the final sum
+    # stay within LongType.
+    def mask(bit: int) -> int:
+        return (1 << bit) if bit < 63 else -(1 << 63)
+
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(mask(bit))) != 0, 1).otherwise(-1)
+        ).alias(f"v_{bit}")
+        for bit in range(64)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*votes)
+    sig = sum(
+        F.when(F.col(f"v_{bit}") > 0, F.lit(mask(bit))).otherwise(F.lit(0))
+        for bit in range(64)
+    )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by 16-bit
+    chunks: any pair within distance ≤3 agrees on at least one of the
+    four chunks (pigeonhole), so candidates come from chunk-bucket
+    collisions only."""
+    sig = simhash(df, text_col, id_col).cache()
+    chunks = None
+    for c in range(4):
+        chunk = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            # logical shift: arithmetic shiftright would sign-extend
+            # negative signatures into the high chunks
+            F.shiftrightunsigned("simhash", c * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bucket"),
+        )
+        chunks = chunk if chunks is None else chunks.unionByName(chunk)
+    a = chunks.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "chunk", "bucket"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "chunk", "bucket"
+    )
+    cand = (
+        a.join(b, ["chunk", "bucket"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "h1", "h2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def natural_key_dedup(
+    df: DataFrame, key_cols: list[str], order: list[tuple[str, bool]]
+) -> DataFrame:
+    """T4: dedup on a natural key keeping a deterministic winner
+    (row_number over an explicit order — dropDuplicates keeps an
+    arbitrary row, which is not reproducible)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

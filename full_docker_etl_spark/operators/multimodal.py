@@ -1,0 +1,85 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing here is real and tested — explicit output
+schemas (so Catalyst can prune around the Python stage), Arrow batch
+transfer, partition-preserving map. The actual byte decoding is a
+deterministic STUB (:func:`fake_decode_meta`): the image/audio codec
+libraries are not in this container. Swap ``fake_decode_meta`` for a
+PIL/ffmpeg call and nothing else changes — the batch shape, schema,
+and partitioning contract is the deliverable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def fake_decode_meta(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic decode STUB standing in for a real image decoder.
+
+    Derives (format, width, height) from the payload bytes so tests
+    have stable expectations. A production build replaces this one
+    function with e.g. ``PIL.Image.open(io.BytesIO(payload))``; callers
+    are unaffected.
+    """
+    if not payload:
+        raise NotImplementedError(
+            "empty payload: real decoder not available in this environment"
+        )
+    fmt = "png" if payload[0] % 2 == 0 else "jpeg"
+    width = 64 + (payload[0] % 8) * 16
+    height = 64 + (payload[-1] % 8) * 16
+    return fmt, width, height
+
+
+def decode_binary_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Extract typed metadata from a binary column via mapInPandas.
+
+    Arrow-batched: each pandas batch holds many rows, the Python
+    boundary is crossed once per batch (not per row), and the explicit
+    DECODED_SCHEMA lets upstream column pruning drop everything except
+    (id, payload) before the Python stage.
+    """
+    import hashlib
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[bin_col]
+            meta = [fake_decode_meta(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "format": [m[0] for m in meta],
+                    "width": pd.Series([m[1] for m in meta], dtype="int32"),
+                    "height": pd.Series([m[2] for m in meta], dtype="int32"),
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+def documents_as_binary(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Adapter for the testdata: treat document text bytes as an opaque
+    payload column, the way a real pipeline carries image bytes."""
+    return df.select(
+        F.col(id_col), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )

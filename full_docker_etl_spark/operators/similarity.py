@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force cosine top-k: the correctness
+  baseline. The dot product is a zip_with/aggregate fold (JVM
+  expressions, left-to-right — bit-deterministic), ranking is a
+  per-query row_number. Cost O(|Q|·|C|·dim): fine for bounded query
+  sets, the wrong tool for all-pairs at 100 TB.
+- :func:`hyperplane_lsh_topk` — the scale path: random-hyperplane LSH.
+  Sign-bit sketches against ``n_planes`` fixed pseudo-random
+  hyperplanes bucket the corpus; each query only scores its own
+  bucket (plus multi-probe neighbors at Hamming distance 1). Plane
+  coefficients are integer-arithmetic pseudo-randoms (no RNG state,
+  no libm) so sketches are reproducible everywhere.
+
+At cluster scale the corpus side is hash-partitioned by bucket —
+queries broadcast to their bucket's partitions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] in double — an ordered left fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k per query. The similarity is rounded
+    before ranking and tie-broken by corpus id, making the result set
+    deterministic and engine-portable."""
+    joined = queries.crossJoin(corpus).where(F.col(query_id) != F.col(corpus_id))
+    scored = joined.select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_digits).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
+def _plane_coeff(plane: int, dim_index: Column) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
+    integer arithmetic only (Knuth multiplicative hashing), identical on
+    any engine — no RNG state, no libm transcendentals."""
+    mixed = (dim_index + 1) * F.lit(2654435761) + F.lit((plane + 1) * 40503)
+    return ((mixed % 1000003) % 1000).cast("double") / 1000.0 - 0.5
+
+
+def sketch_bits(vec: Column, n_planes: int) -> Column:
+    """LSH sketch: bit p = sign(vec · plane_p), packed into a long."""
+    bits = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot_p = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda i: vec[i].cast("double") * _plane_coeff(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits = bits + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bits
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat ANN: partition the corpus into inverted lists by
+    nearest centroid, probe only the ``nprobe`` closest lists per
+    query, exact cosine within candidates.
+
+    Centroids here are a deterministic corpus sample (lowest ids) —
+    production swaps in k-means means without touching the flow. At
+    cluster scale the corpus is hash-partitioned by ``centroid``, so a
+    query touches nprobe/n_centroids of the data; assignment is a
+    broadcast join (centroid set is tiny by construction).
+    """
+    centroids = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(corpus_id).alias("centroid"),
+            F.col(corpus_vec).alias("cvec"),
+        )
+    )
+
+    def nearest(df, vec, id_out, n):
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            "*", cosine(F.col(vec), F.col("cvec")).alias("c_sim")
+        )
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("c_sim").desc(), F.col("centroid").asc()
+        )
+        return (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .where(F.col("c_rank") <= n)
+            .drop("cvec", "c_sim", "c_rank")
+        )
+
+    assigned = nearest(corpus, corpus_vec, corpus_id, 1)
+    probed = nearest(queries, query_vec, query_id, nprobe)
+    cand = probed.join(assigned, "centroid").where(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    scored = cand.select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 4).alias("cos_sim"),
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
+def hyperplane_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: score only corpus vectors whose sketch matches the
+    query's bucket or any 1-bit-flipped neighbor (multi-probe), then
+    exact cosine + top-k within candidates. Recall is tunable via
+    n_planes / probe radius; the candidate set is ~|C|/2^planes ·
+    (1+planes) instead of |C|."""
+    c = corpus.withColumn("bucket", sketch_bits(F.col(corpus_vec), n_planes))
+    q = queries.withColumn("qbucket", sketch_bits(F.col(query_vec), n_planes))
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    q = q.select(query_id, query_vec, F.explode(probes).alias("bucket"))
+    cand = q.join(c, "bucket").where(F.col(query_id) != F.col(corpus_id))
+    scored = cand.select(
+        query_id,
+        corpus_id,
+        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 4).alias("cos_sim"),
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting — all as JVM column
+expressions (no UDFs; these run over every document at 100 TB, so the
+hot path must stay in whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny function-word profiles per language. A real system ships proper
+# n-gram profiles; the *operator shape* (argmax over per-language
+# evidence counts computed as array intersections) is what scales.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "es": ("el", "la", "los", "que", "es", "y"),
+    "fr": ("le", "la", "les", "et", "est", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "不"),
+}
+
+STOPWORDS_EN = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+)
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def lang_scores(col: Column) -> list[Column]:
+    """Per-language evidence: count of tokens that are that language's
+    function words (array_intersect-free: size of filter)."""
+    toks = _tokens(col)
+    out = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        out.append(score.alias(f"score_{lang}"))
+    return out
+
+
+def lang_predict(score_cols: list[str]) -> Column:
+    """argmax with deterministic ties: highest score wins, first
+    language in sorted order breaks ties."""
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.lit("und")
+    for lang, c in zip(reversed(langs), reversed(score_cols)):
+        pred = F.when(F.col(c) == best, F.lit(lang)).otherwise(pred)
+    return F.when(best <= 0, F.lit("und")).otherwise(pred)
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the shape GPT-style tokenizers use before merges.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    # group index 0 = whole match (Spark defaults to group 1, which
+    # errors on group-free patterns)
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """The standard cheap quality signals (length, mean word length,
+    stopword density, punctuation density, alpha ratio)."""
+    toks = _tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_tok_len": (n_alpha.cast("double") / F.greatest(n_tok, F.lit(1))),
+        "stopword_ratio": (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))),
+        "punct_ratio": (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))),
+    }
+
+
+def quality_flag(feats: dict[str, Column]) -> Column:
+    """Gopher-style keep/drop heuristic over the cheap features."""
+    return (
+        (feats["n_tokens"] >= 10)
+        & (feats["mean_tok_len"] >= 2.0)
+        & (feats["mean_tok_len"] <= 12.0)
+        & (feats["punct_ratio"] <= 0.2)
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalization-invariant document fingerprint: md5 of the
+    lower-cased, whitespace-collapsed text. Robust to the formatting
+    jitter that defeats raw content hashes."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(norm)

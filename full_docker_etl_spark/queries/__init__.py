@@ -5,5 +5,6 @@ from full_docker_etl_spark.queries import (  # noqa: F401
     flagship,
     functions_q,
     joins_windows,
+    llm_q,
     surface,
 )

@@ -1,0 +1,350 @@
+"""Registered queries for the LLM-data-pipeline operators: dedup
+(exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force + LSH-bucketed ANN), text analysis, and multimodal
+metadata — over the ``documents`` / ``embeddings`` testdata tables.
+
+MinHash/SimHash/LSH use engine-internal hash functions (xxhash64), so
+they register rows-only checks; everything else is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_docker_etl_spark.operators import text as tx
+from full_docker_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    natural_key_dedup,
+    simhash_pairs,
+)
+from full_docker_etl_spark.operators.multimodal import (
+    decode_binary_meta,
+    documents_as_binary,
+)
+from full_docker_etl_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+    ivf_topk,
+)
+from full_docker_etl_spark.registry import query
+from full_docker_etl_spark.sources.catalog import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+      SELECT sha256(text) AS content_sha,
+             MIN(doc_id) AS canonical_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content hash → group → canonical min-id. One
+    shuffle on 64-byte keys, never on document bodies."""
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "dedup_jaccard",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+             FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-4, 0))) AS i) g),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+      shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+                 FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT d1, d2, shared, s1.n AS n1, s2.n AS n2,
+             CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard
+      FROM shared JOIN sizes s1 ON d1 = s1.doc_id
+                  JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.8
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 5-gram Jaccard ≥ 0.8, blocked by shared
+    rare shingles (posting-list cap bounds the join fan-out — no
+    all-pairs comparison at any scale)."""
+    return jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    )
+
+
+@query("dedup_minhash")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=32)+LSH(8 bands×4 rows) candidate pairs with estimated
+    Jaccard ≥ 0.5. Rows-only check (xxhash64 is engine-internal);
+    recall vs the exact-Jaccard tier is asserted in tests/test_llm.py."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=5, k=32, bands=8, threshold=0.5
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 3, candidates from 16-bit
+    chunk buckets (pigeonhole guarantees recall). Rows-only check."""
+    return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "dedup_natural_key",
+    oracle="""
+      SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    """,
+)
+def dedup_natural_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: ingest-time natural-key dedup with a deterministic winner
+    (reference probes find_one(title) per row,
+    ``extract_iqplus_news_dag.py:144``)."""
+    kept = natural_key_dedup(
+        _docs(spark, sf_dir), ["source", "lang"], [("doc_id", True)]
+    )
+    return kept.select("doc_id", "source", "lang")
+
+
+# -------------------------------------------------------- similarity
+
+
+_ANN_ORACLE = """
+  WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+             FROM embeddings WHERE vec_id < 10),
+  pairs AS (
+    SELECT qid, vec_id,
+           list_sum(list_transform(range(1, len(qvec)+1),
+             i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+           sqrt(list_sum(list_transform(qvec,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+    FROM q, embeddings WHERE vec_id <> qid
+  ),
+  ranked AS (
+    SELECT qid, vec_id, round(dot/(qn*cn), 4) AS cos_sim,
+           CAST(row_number() OVER (
+             PARTITION BY qid ORDER BY round(dot/(qn*cn), 4) DESC, vec_id)
+           AS INTEGER) AS rank
+    FROM pairs
+  )
+  SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_cosine_topk", oracle=_ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a bounded query set (vec_id < 10) —
+    the correctness baseline for ANN. Dot products are ordered folds
+    (zip_with + aggregate), rounded before ranking, tie-broken by id."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = embs.select("vec_id", "embedding")
+    return cosine_topk(queries, corpus, k=5)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: IVF-Flat — corpus partitioned into inverted
+    lists by nearest centroid, queries probe only the nprobe closest
+    lists, exact cosine within candidates. Rows-only check; recall vs
+    brute force is asserted in tests/test_llm.py."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = embs.select("vec_id", "embedding")
+    return ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative bucketing: random-hyperplane LSH + multi-probe.
+    Kept alongside IVF for corpora without cluster structure; on the
+    clustered testdata IVF recalls better (see tests/test_llm.py)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = embs.select("vec_id", "embedding")
+    return hyperplane_lsh_topk(queries, corpus, k=5, n_planes=8)
+
+
+@query(
+    "embed_norm",
+    oracle="""
+      SELECT vec_id, label,
+             CAST(len(embedding) AS INTEGER) AS dim,
+             round(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+      FROM embeddings
+    """,
+)
+def embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns as first-class data: array<float> embeddings
+    with typed metadata (dimension, L2 norm) — pure array built-ins."""
+    from full_docker_etl_spark.operators.similarity import _dot
+
+    e = F.col("embedding")
+    return _embs(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.size(e).alias("dim"),
+        F.round(F.sqrt(_dot(e, e)), 4).alias("l2_norm"),
+    )
+
+
+# ------------------------------------------------------ text analysis
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang in sorted(tx.LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(toks, t -> list_contains([{markers}], t)))"
+            f" AS INTEGER) AS score_{lang}"
+        )
+    langs = sorted(tx.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE "
+    for lang in langs:
+        pred += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+      WITH t AS (SELECT doc_id, lang,
+                        regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM t)
+      SELECT doc_id, lang AS lang_actual,
+             {', '.join(f'score_{lang}' for lang in langs)},
+             CASE WHEN {best} <= 0 THEN 'und' ELSE {pred} END AS lang_pred
+      FROM s
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by function-word evidence + deterministic argmax —
+    the operator shape of an n-gram language classifier, UDF-free."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *tx.lang_scores(F.col("text")),
+    )
+    score_cols = [f"score_{lang}" for lang in sorted(tx.LANG_MARKERS)]
+    return scored.withColumn("lang_pred", tx.lang_predict(score_cols))
+
+
+@query(
+    "text_quality",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS n_stop
+        FROM documents)
+      SELECT doc_id,
+             CAST(n_chars_m AS BIGINT) AS n_chars,
+             CAST(n_tok AS INTEGER) AS n_tokens,
+             CAST(n_alpha AS DOUBLE) / greatest(n_tok, 1) AS mean_tok_len,
+             CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) AS stopword_ratio,
+             CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) AS punct_ratio,
+             (n_tok >= 10
+              AND CAST(n_alpha AS DOUBLE) / greatest(n_tok, 1) >= 2.0
+              AND CAST(n_alpha AS DOUBLE) / greatest(n_tok, 1) <= 12.0
+              AND CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) <= 0.2) AS keep
+      FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: cheap per-doc signals + Gopher-style keep flag.
+    Ratios are int/int double divisions — exact cross-engine."""
+    docs = _docs(spark, sf_dir)
+    feats = tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_tok_len"].alias("mean_tok_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        tx.quality_flag(feats).alias("keep"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens
+      FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer run
+    counts (letter runs | digit runs | single symbols)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        tx.token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-invariant document fingerprint (md5 of lower-cased
+    whitespace-collapsed text)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# -------------------------------------------------------- multimodal
+
+
+@query("mm_decode_meta")
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads → typed metadata via
+    Arrow-batched mapInPandas with an explicit schema (decode itself is
+    a deterministic stub — codecs aren't in this container). Rows-only
+    check; schema/values pinned in tests/test_llm.py."""
+    payloads = documents_as_binary(_docs(spark, sf_dir))
+    return decode_binary_meta(payloads, "doc_id", "payload")
