@@ -1,0 +1,240 @@
+"""Registered queries for sinks (S9-S14), incremental refresh (T1-T5),
+and the streaming window family (§2.10/M6).
+
+Sink queries exercise a full write→read round trip inside the query
+(into a unique temp dir), so the driver's oracle compare certifies the
+STORED bytes, not just the in-memory frame.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_docker_etl_spark.registry import query
+from full_docker_etl_spark.sources.catalog import load_table
+from full_docker_etl_spark.sources.sinks import (
+    overwrite_partitions,
+    update_columns,
+    upsert_parquet,
+    write_table,
+)
+from full_docker_etl_spark.streaming.events import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def _tmp(name: str) -> str:
+    return tempfile.mkdtemp(prefix=f"fde_{name}_") + "/t"
+
+
+@query(
+    "sink_roundtrip",
+    oracle="""
+      SELECT o_orderstatus, strftime(o_orderdate, '%Y') AS yr,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      FROM orders GROUP BY 1, 2
+    """,
+)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: partitioned overwrite write + re-read. The oracle certifies
+    what came back OFF DISK (partition columns must round-trip types
+    and values)."""
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderstatus", F.date_format("o_orderdate", "yyyy").alias("yr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+    )
+    path = _tmp("roundtrip")
+    write_table(agg, path, partition_by=("yr",))
+    back = spark.read.parquet(path)
+    # partition columns come back as read-inferred strings here (they
+    # were strings going in); reorder to the declared shape
+    return back.select("o_orderstatus", "yr", "n", "total")
+
+
+@query(
+    "sink_partition_overwrite",
+    oracle="""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y') AS yr,
+             CASE WHEN strftime(o_orderdate, '%Y') = '1996'
+                  THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/S11: dynamic partition overwrite — refresh ONE year partition
+    (1996, values bumped by 10) and prove every other partition's bytes
+    are untouched."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        "o_totalprice",
+    )
+    path = _tmp("dynpart")
+    write_table(orders, path, partition_by=("yr",))
+    refresh = (
+        spark.read.parquet(path)
+        .where(F.col("yr") == "1996")
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    overwrite_partitions(refresh, path, ("yr",))
+    return spark.read.parquet(path).select("o_orderkey", "yr", "o_totalprice")
+
+
+@query(
+    "sink_upsert",
+    oracle="""
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'updated' ELSE 'original' END AS version
+      FROM orders
+    """,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/T5: keyed upsert (MERGE semantics on plain Parquet): 1997
+    orders arrive again with +100 totals; matched keys are replaced,
+    the rest survive. Applied TWICE — idempotency is part of the
+    contract."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    base = orders.withColumn("version", F.lit("original")).drop("o_orderdate")
+    path = _tmp("upsert")
+    write_table(base, path)
+    updates = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            F.lit("updated").alias("version"),
+        )
+    )
+    upsert_parquet(spark, path, updates, keys=["o_orderkey"])
+    upsert_parquet(spark, path, updates, keys=["o_orderkey"])  # idempotent
+    return spark.read.parquet(path)
+
+
+@query(
+    "incr_status_flag",
+    oracle="""
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN 'selesai' ELSE 'selesai' END AS status,
+             (event_type = 'error') AS was_pending
+      FROM events
+    """,
+)
+def incr_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/S13: status-flag incremental batch — seed a store where
+    'error' events are pending ('belum'), process exactly the pending
+    set, bulk-update their status ('selesai'), read back. After one
+    cycle everything is processed; was_pending records which rows the
+    incremental batch actually touched
+    (``transform_iqplus_news_dags.py:80-83,161-174``)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("belum"))
+        .otherwise(F.lit("selesai"))
+        .alias("status"),
+    )
+    path = _tmp("status")
+    write_table(ev, path)
+    store = spark.read.parquet(path)
+    pending = store.where(
+        (F.col("status") == "belum") | F.col("status").isNull()
+    )
+    processed = pending.select("event_id", F.lit("selesai").alias("status"))
+    update_columns(spark, path, processed, keys=["event_id"])
+    final = spark.read.parquet(path)
+    return final.select(
+        "event_id",
+        "status",
+        (F.col("event_type") == "error").alias("was_pending"),
+    )
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: 1-hour tumbling event-time windows. The SAME transform runs
+    incrementally under readStream+watermark (tests/test_streaming.py
+    proves stream==batch)."""
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+      WITH shifted AS (
+        SELECT unnest([ (epoch_us(ts) // 1800000000) * 1800,
+                        (epoch_us(ts) // 1800000000) * 1800 - 1800 ]) AS bucket_s,
+               value
+        FROM events
+      )
+      SELECT bucket_s, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM shifted GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: 1-hour windows sliding every 30 min — every event counted in
+    exactly two windows (oracle materializes both bucket starts)."""
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session",
+    oracle="""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+      marked AS (
+        SELECT user_id, t, value,
+               CASE WHEN lag(t) OVER w IS NULL
+                     OR t - lag(t) OVER w >= 600000000 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+      ),
+      sessions AS (
+        SELECT user_id, t, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+      )
+      SELECT MIN(t) AS session_start_us, user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: per-user 10-minute-gap session windows (oracle: classic
+    gaps-and-islands — a silence of >= the gap starts a new session,
+    matching session_window's half-open [start, last+gap))."""
+    return session_agg(load_table(spark, sf_dir, "events"), "10 minutes")

@@ -43,6 +43,10 @@ _CLUSTER_READY_DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "128m",
     # Headless engine: no Spark UI server (faster startup, no port use).
     "spark.ui.enabled": "false",
+    # Partition columns keep their written type on read-back: directory
+    # value re-inference would silently turn a string partition key
+    # ('yr=2001') into an int, breaking round-trip schema stability.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 # Runtime-settable subset (SQLConf) — applicable to a session we did not

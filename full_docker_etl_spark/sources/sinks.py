@@ -1,0 +1,128 @@
+"""Sinks (SURVEY.md §2.1 S9-S14, §2.10 T1/T5): partitioned Parquet
+writes with the reference's refresh semantics, distributed.
+
+Reference → here:
+
+- overwrite/append collection writes
+  (``TransForm_Load_Yfinance.py:322-324``) → :func:`write_table`
+- delete-then-reinsert full refresh (``extractyfinance.py:189-192``)
+  → ``mode="overwrite"`` (atomic at the table level)
+- per-entity refresh loops (``extractyfinance.py``'s one collection
+  per company) → :func:`overwrite_partitions` — DYNAMIC partition
+  overwrite: only the partitions present in the batch are replaced,
+  the rest of the 100 TB table is untouched
+- keyed upsert ``update_one(..., upsert=True)``
+  (``idx_extraction_script.py:348-352``) → :func:`upsert_parquet` —
+  read-merge-write on plain Parquet (a Delta/Iceberg ``MERGE INTO``
+  on a real deployment; same call shape)
+- bulk status updates (``transform_iqplus_news_dags.py:161-174``)
+  → :func:`update_columns` (an upsert that only touches columns)
+- pickle-manifest task handoff (``TransForm_Load_Yfinance.py:432-434``)
+  → :func:`write_manifest`/:func:`read_manifest` — a tiny Parquet
+  key-list in the warehouse instead of files on a shared volume
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """S9/S10: partitioned Parquet write. Batching, retries and
+    parallelism are Spark task machinery — the reference's hand-rolled
+    1000-row insert batches disappear."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: tuple[str, ...]
+) -> None:
+    """T1/S11: dynamic partition overwrite — replaces exactly the
+    partitions present in ``df``, leaving all others in place. This is
+    the per-entity daily refresh at scale: one job, touched partitions
+    only."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """Write-to-temp + atomic rename: Parquet can't be rewritten in
+    place while being read (self-overwrite reads its own deletes)."""
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def upsert_parquet(
+    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+) -> None:
+    """S12/T5: keyed upsert = anti-join out the matched keys, union the
+    updates, swap. Idempotent: re-running the same batch converges.
+
+    On a lake-format table this is ``MERGE INTO ... WHEN MATCHED UPDATE
+    WHEN NOT MATCHED INSERT`` with the same key columns; plain Parquet
+    gets the read-merge-swap equivalent."""
+    if not os.path.exists(path):
+        write_table(updates, path)
+        return
+    existing = spark.read.parquet(path)
+    keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
+    merged = keep.unionByName(updates)
+    _swap_write(spark, merged, path)
+
+
+def update_columns(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+) -> None:
+    """S13: bulk column update (status flags). ``changes`` carries the
+    key columns plus the columns to set; unspecified rows/columns are
+    untouched. Implemented as join + coalesce + swap."""
+    existing = spark.read.parquet(path)
+    value_cols = [c for c in changes.columns if c not in keys]
+    renamed = changes
+    for c in value_cols:
+        renamed = renamed.withColumnRenamed(c, f"__new_{c}")
+    joined = existing.join(renamed, on=keys, how="left")
+    out_cols = []
+    for c in existing.columns:
+        if c in value_cols:
+            out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    _swap_write(spark, joined.select(*out_cols), path)
+
+
+def write_manifest(spark: SparkSession, path: str, keys: DataFrame) -> None:
+    """S14: processed-keys manifest — the pickle-file handoff as a tiny
+    warehouse table consumable by a semi-join (J3)."""
+    keys.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,103 @@
+"""Structured Streaming over the events table (SURVEY.md §2.10, M6).
+
+The reference's incremental semantics are cron-driven batch loops
+(status flags, id-list handoffs — T1-T5). The idiomatic superset is
+event-time windowed aggregation with watermarks:
+
+- :func:`tumbling_agg` / :func:`sliding_agg` / :func:`session_agg`
+  are pure DataFrame transforms — the SAME function runs on a batch
+  frame (oracle-checkable) and on a streaming frame (incremental),
+  which is how Structured Streaming is meant to be used.
+- :func:`stream_events` wires a parquet-directory source →
+  watermark → windowed agg; tests drive it with Trigger.AvailableNow
+  into a memory sink and assert it matches the batch run bit-for-bit.
+
+Timestamps surface as epoch seconds/micros (bigint) for engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _bucket_start_s(window_col: str = "w") -> F.Column:
+    return (F.unix_micros(F.col(f"{window_col}.start")) / 1_000_000).cast("long")
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact decimal
+    sum. One shuffle on (window, event_type)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            _bucket_start_s().alias("bucket_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2
+    windows) — global per-window counts."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(_bucket_start_s().alias("bucket_s"), "n_events", "sum_value")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). A new session starts when
+    the inter-event gap reaches ``gap`` — [start, last+gap) half-open,
+    so an exactly-gap-sized silence splits."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    agg=tumbling_agg,
+    watermark: str = "2 hours",
+):
+    """readStream over a parquet directory with an event-time watermark
+    (late data beyond ``watermark`` is dropped; state for closed
+    windows is evicted — bounded memory at any scale)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    return agg(stream)
