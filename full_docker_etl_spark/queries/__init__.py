@@ -8,4 +8,5 @@ from full_docker_etl_spark.queries import (  # noqa: F401
     llm_q,
     sinks_streaming,
     surface,
+    xbrl_q,
 )
