@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at the target scale
+factor and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Env:
+    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[] core count (default: all)
+    BENCH_QUERIES       comma-separated subset (default: all)
+
+Each query is fully materialized via the noop sink (count() can skip
+work for wide results; noop writes every row). Timing excludes session
+startup; first a warm-up query primes the JVM/code cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from full_docker_etl_spark.registry import all_specs
+    from full_docker_etl_spark.session import default_parallelism, get_spark
+
+    cpus = default_parallelism()
+    spark = get_spark(app_name="bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_specs()
+    subset = os.environ.get("BENCH_QUERIES")
+    names = (
+        [n.strip() for n in subset.split(",") if n.strip()]
+        if subset
+        else sorted(specs)
+    )
+
+    # warm-up: prime JVM, codegen caches, and the file index of every
+    # table (first touch of a parquet path builds an InMemoryFileIndex —
+    # a per-session cost, not a per-query one)
+    from full_docker_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    specs["global_count"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failing query must not kill the bench
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,109 @@
+"""News/text transform path (SURVEY.md M5; reference
+``transform_iqplus_news_dags.py:56-176``): truncation cap, pluggable
+summarization, category derivation, word counts, nested metadata.
+
+The reference summarizes with BART per row on the driver's CPU. Here
+summarization is a *pluggable* Arrow-batched ``mapInPandas`` stage:
+``Summarizer`` is any callable ``list[str] -> list[str]`` with a
+per-executor model cache slot; the default :class:`LeadSummarizer` is
+a deterministic extractive lead-N stub (the model libraries are not in
+this container, and tests need reproducibility — SURVEY.md §7.3.4).
+Swapping in a transformer model changes ONE constructor argument, not
+the pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONTENT_CHAR_CAP = 50_000  # reference's sanity cap (:110-113)
+
+Summarizer = Callable[[list[str]], list[str]]
+
+
+class LeadSummarizer:
+    """Deterministic extractive stub: first ``n_words`` words + ' ...'.
+    Stands in for the reference's BART pipeline; per-executor
+    instantiation mirrors the reference's cached singleton model."""
+
+    def __init__(self, n_words: int = 20):
+        self.n_words = n_words
+
+    def __call__(self, texts: list[str]) -> list[str]:
+        out = []
+        for t in texts:
+            words = t.split()
+            head = " ".join(words[: self.n_words])
+            out.append(head + " ..." if len(words) > self.n_words else head)
+        return out
+
+
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("summary", T.StringType()),
+    ]
+)
+
+
+def summarize(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    summarizer_factory: Callable[[], Summarizer] = LeadSummarizer,
+) -> DataFrame:
+    """D4: batched summarization. The factory runs once per Python
+    worker (model load amortized over all its batches); batches cross
+    the Python boundary via Arrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = summarizer_factory()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "summary": model(list(pdf[text_col])),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, SUMMARY_SCHEMA)
+
+
+def derive_category(link: F.Column) -> F.Column:
+    """F12: category from the article link's path segment
+    (``transform_iqplus_news_dags.py:138-141``)."""
+    return (
+        F.when(link.contains("market_news"), F.lit("Market News"))
+        .when(link.contains("stock_news"), F.lit("Stock News"))
+        .otherwise(F.lit("General"))
+    )
+
+
+def transform_news(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    link_col: str,
+    summarizer_factory: Callable[[], Summarizer] = LeadSummarizer,
+) -> DataFrame:
+    """The full M5 transform: cap → summarize → category → word counts.
+    Returns flat columns (the reference's nested ``metadata``
+    sub-document is a reshape away — P15)."""
+    capped = df.withColumn(
+        text_col, F.substring(F.col(text_col), 1, CONTENT_CHAR_CAP)
+    )
+    summaries = summarize(capped, text_col, id_col, summarizer_factory)
+    out = capped.join(summaries, on=id_col)
+    return out.select(
+        F.col(id_col),
+        F.col(text_col).alias("original_content"),
+        "summary",
+        derive_category(F.col(link_col)).alias("category"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("content_words"),
+        F.size(F.split(F.trim(F.col("summary")), r"\s+")).alias("summary_words"),
+    )

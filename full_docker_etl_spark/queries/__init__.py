@@ -6,6 +6,7 @@ from full_docker_etl_spark.queries import (  # noqa: F401
     functions_q,
     joins_windows,
     llm_q,
+    pipelines_q,
     sinks_streaming,
     surface,
     xbrl_q,

@@ -34,10 +34,17 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_NANO_CACHE: dict[str, list[str]] = {}
+
+
 def _nano_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
     rejects outright (PARQUET_TYPE_ILLEGAL). Detected from the footer of
-    one file so the fix is generic, not a per-table hardcode."""
+    one file so the fix is generic, not a per-table hardcode. Cached per
+    path — footers are immutable for the testdata and re-probing costs
+    a pyarrow read per load."""
+    if path in _NANO_CACHE:
+        return _NANO_CACHE[path]
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -49,11 +56,13 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     if not candidates:
         return []
     schema = pq.read_schema(candidates[0])
-    return [
+    out = [
         name
         for name, typ in zip(schema.names, schema.types)
         if typ == pa.timestamp("ns")
     ]
+    _NANO_CACHE[path] = out
+    return out
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -101,5 +110,7 @@ def register_views(
 
 
 def list_tables(spark: SparkSession) -> list[str]:
-    """S15: collection/namespace listing → catalog listing."""
-    return [t.name for t in spark.catalog.listTables()]
+    """S15: collection/namespace listing → catalog listing. SHOW TABLES
+    is one JVM round trip; ``spark.catalog.listTables()`` resolves each
+    view's schema individually (a py4j call per table)."""
+    return [r.tableName for r in spark.sql("SHOW TABLES").collect()]
