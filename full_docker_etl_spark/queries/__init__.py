@@ -8,6 +8,7 @@ from full_docker_etl_spark.queries import (  # noqa: F401
     llm_q,
     pipelines_q,
     sinks_streaming,
+    sources_q,
     surface,
     xbrl_q,
 )

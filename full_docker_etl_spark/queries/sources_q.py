@@ -1,0 +1,126 @@
+"""Registered queries for file/REST sources (S1-S5): CSV round trip
+with explicit schema, binary landing dir + ZIP→XML extraction feeding
+the XBRL parser, and the distributed rate-limited fetch."""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_docker_etl_spark.operators.xbrl import financial_metrics, with_parsed_xbrl
+from full_docker_etl_spark.registry import query
+from full_docker_etl_spark.sources.catalog import load_table
+from full_docker_etl_spark.sources.files import (
+    STOCK_MASTER_SCHEMA,
+    extract_zip_xml,
+    read_binary_dir,
+    read_csv,
+)
+from full_docker_etl_spark.sources.rest import SyntheticFetcher, fetch_ohlcv
+
+
+@query(
+    "csv_scan",
+    oracle="""
+      SELECT 'C' || CAST(c_custkey AS VARCHAR) AS kode,
+             c_name AS nama_perusahaan,
+             c_mktsegment AS papan_pencatatan
+      FROM customer WHERE c_custkey < 200
+    """,
+)
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: stock-master CSV scan with an EXPLICIT schema (no
+    inference pass), via a write→read round trip (the testdata ships no
+    CSV). Missing schema columns surface as NULL, reference posture."""
+    # NB: an explicit CSV schema binds by POSITION, not header name —
+    # the file must carry every schema column in order (absent middle
+    # columns are written empty, read back as NULL).
+    master = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 200)
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("kode"),
+            F.col("c_name").alias("nama_perusahaan"),
+            F.lit(None).cast("date").alias("tanggal_pencatatan"),
+            F.lit(None).cast("long").alias("saham"),
+            F.col("c_mktsegment").alias("papan_pencatatan"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="fde_csv_") + "/master"
+    master.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(spark, path, STOCK_MASTER_SCHEMA)
+    return back.select("kode", "nama_perusahaan", "papan_pencatatan")
+
+
+def _make_zip_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Build a landing dir of XBRL instance zips from supplier rows
+    (driver-side: ~10 tiny files — ingestion fixtures, not data)."""
+    rows = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="fde_zips_")
+    for r in rows:
+        xml = (
+            '<xbrli:xbrl xmlns:xbrli="http://www.xbrl.org/2003/instance" '
+            'xmlns:idx-cor="http://www.idx.co.id/xbrl/taxonomy/2014-04-30/cor">'
+            f'<idx-cor:Equity contextRef="CurrentYearInstant">{r.s_acctbal}'
+            "</idx-cor:Equity>"
+            f'<idx-cor:Liabilities contextRef="CurrentYearInstant">{r.s_acctbal * 2}'
+            "</idx-cor:Liabilities></xbrli:xbrl>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("readme.txt", "ignore me")
+            zf.writestr("instance_report.xml", xml)
+        with open(os.path.join(d, f"report_{r.s_suppkey}.zip"), "wb") as f:
+            f.write(buf.getvalue())
+    return d
+
+
+@query("zip_xml_ingest")
+def zip_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5+D1: binaryFile landing dir → distributed in-memory unzip
+    (instance*.xml selection, traversal guard, encoding fallback) →
+    XBRL parse → metrics. The reference's Selenium download loop ends
+    at the same landing-dir boundary. Rows-only check (Python stages);
+    unzip edge cases pinned in tests/test_sources.py."""
+    landing = _make_zip_landing(spark, sf_dir)
+    binaries = read_binary_dir(spark, landing, glob="*.zip")
+    xmls = extract_zip_xml(binaries)
+    reports = xmls.where(F.col("xml").isNotNull()).select(
+        F.regexp_extract(F.col("source_path"), r"report_(\d+)\.zip", 1).alias(
+            "company_code"
+        ),
+        F.lit("2024").alias("year"),
+        F.lit("audit").alias("period"),
+        F.col("xml").alias("data"),
+    )
+    return financial_metrics(with_parsed_xbrl(reports, "data"))
+
+
+@query("rest_batch_fetch")
+def rest_batch_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the per-ticker REST fetch as a DISTRIBUTED mapInPandas over
+    the symbol table (deterministic synthetic fetcher in-container; a
+    real yfinance callable drops in unchanged). The reference fetches
+    951 tickers sequentially at ~10 s each — here lanes run in
+    parallel with the politeness pause kept per lane. Rows-only check;
+    determinism pinned in tests/test_sources.py."""
+    symbols = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.concat(F.lit("SYM"), F.col("s_suppkey").cast("string")).alias("symbol"))
+    )
+    ohlcv = fetch_ohlcv(symbols, fetcher_factory=SyntheticFetcher, parallelism=8)
+    return ohlcv.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("trade_date").alias("first_day"),
+        F.max("trade_date").alias("last_day"),
+        F.sum("volume").alias("total_volume"),
+    )

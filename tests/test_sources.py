@@ -1,0 +1,98 @@
+"""Edge-case tests for the file/REST sources: zip traversal guard,
+instance-entry selection, encoding fallback, corrupt archives, CSV
+explicit-schema behavior, and fetch determinism."""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+import zipfile
+
+from full_docker_etl_spark.sources.files import (
+    STOCK_MASTER_SCHEMA,
+    _decode,
+    _pick_instance,
+    extract_zip_xml,
+    read_binary_dir,
+    read_csv,
+)
+from full_docker_etl_spark.sources.rest import SyntheticFetcher, fetch_ohlcv
+
+
+def test_pick_instance_rules():
+    assert _pick_instance(["a.txt", "instance_x.xml", "other.xml"]) == "instance_x.xml"
+    assert _pick_instance(["report.XBRL"]) == "report.XBRL"
+    assert _pick_instance(["../evil.xml", "/abs.xml"]) is None  # traversal guard
+    assert _pick_instance(["sub/../x.xml"]) is None
+    assert _pick_instance(["notes.txt"]) is None
+
+
+def test_decode_fallback():
+    assert _decode("héllo".encode("utf-8")) == "héllo"
+    assert _decode("caf\xe9".encode("latin-1")) == "café"
+
+
+def _zip_bytes(entries: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, content in entries.items():
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+def test_extract_zip_xml_edges(spark):
+    d = tempfile.mkdtemp(prefix="zips_")
+    cases = {
+        "good.zip": _zip_bytes({"instance_a.xml": "<x>1</x>", "junk.txt": "no"}),
+        "latin.zip": None,  # built below with latin-1 bytes
+        "noxml.zip": _zip_bytes({"only.txt": "t"}),
+        "corrupt.zip": b"this is not a zip",
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("instance_l.xml", "caf\xe9 <x>2</x>".encode("latin-1"))
+    cases["latin.zip"] = buf.getvalue()
+    for name, data in cases.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(data)
+
+    out = {
+        os.path.basename(r.source_path): r
+        for r in extract_zip_xml(read_binary_dir(spark, d)).collect()
+    }
+    assert out["good.zip"].xml == "<x>1</x>"
+    assert out["good.zip"].entry_name == "instance_a.xml"
+    assert "café" in out["latin.zip"].xml
+    assert out["noxml.zip"].error == "no xml entry"
+    assert out["noxml.zip"].xml is None
+    assert out["corrupt.zip"].error and "zip" in out["corrupt.zip"].error.lower()
+
+
+def test_csv_explicit_schema_missing_columns(spark):
+    d = tempfile.mkdtemp(prefix="csv_") + "/m.csv"
+    with open(d, "w") as f:
+        f.write("kode,nama_perusahaan\nAALI,Astra Agro\nBBCA,Bank BCA\n")
+    df = read_csv(spark, d, STOCK_MASTER_SCHEMA)
+    rows = {r.kode: r for r in df.collect()}
+    assert rows["AALI"].nama_perusahaan == "Astra Agro"
+    assert rows["AALI"].saham is None  # absent column -> NULL, no error
+    assert df.schema["saham"].dataType.typeName() == "long"
+
+
+def test_fetch_is_deterministic_and_distributed(spark):
+    symbols = spark.createDataFrame([("AAA",), ("BBB",)], "symbol string")
+    a = fetch_ohlcv(symbols, parallelism=2).collect()
+    b = fetch_ohlcv(symbols, parallelism=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_sym = {}
+    for r in a:
+        per_sym.setdefault(r.symbol, []).append(r)
+    assert len(per_sym["AAA"]) == 30
+    assert {r.symbol for r in a} == {"AAA", "BBB"}
+    one = SyntheticFetcher()("AAA")
+    got = sorted(
+        [(r.trade_date, r.close) for r in per_sym["AAA"]]
+    )
+    want = sorted(zip(one["trade_date"], one["close"]))
+    assert got == want
