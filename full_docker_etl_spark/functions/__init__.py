@@ -1,5 +1,6 @@
 from full_docker_etl_spark.functions.scalars import (
     collapse_whitespace,
+    format_compact_id,
     format_rupiah,
     name_underscore,
     safe_div,
@@ -7,6 +8,7 @@ from full_docker_etl_spark.functions.scalars import (
 
 __all__ = [
     "collapse_whitespace",
+    "format_compact_id",
     "format_rupiah",
     "name_underscore",
     "safe_div",

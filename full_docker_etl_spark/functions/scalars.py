@@ -46,6 +46,27 @@ def name_underscore(col: Column) -> Column:
     return F.regexp_replace(col, r"\s+", "_")
 
 
+def format_compact_id(col: Column) -> Column:
+    """F21: Indonesian compact number rendering (the dashboard's
+    ``Intl.NumberFormat('id-ID', notation:'compact')``):
+    ``1234567`` → ``'1,2 jt'``; rb/jt/M/T = ribu/juta/miliar/triliun.
+    Positive HALF_UP and half-away-from-zero agree, so the rounding is
+    engine-portable on the absolute value."""
+
+    def fmt(scaled: Column) -> Column:
+        return F.translate(F.round(scaled, 1).cast("string"), ".", ",")
+
+    mag = F.abs(col)
+    sign = F.when(col < 0, F.lit("-")).otherwise(F.lit(""))
+    return (
+        F.when(mag >= 1e12, F.concat(sign, fmt(mag / 1e12), F.lit(" T")))
+        .when(mag >= 1e9, F.concat(sign, fmt(mag / 1e9), F.lit(" M")))
+        .when(mag >= 1e6, F.concat(sign, fmt(mag / 1e6), F.lit(" jt")))
+        .when(mag >= 1e3, F.concat(sign, fmt(mag / 1e3), F.lit(" rb")))
+        .otherwise(F.concat(sign, fmt(mag)))
+    )
+
+
 def collapse_whitespace(col: Column) -> Column:
     """F10: whitespace collapse + trim
     (``extract_iqplus_news_dag.py:96-97``)."""

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from full_docker_etl_spark.functions.scalars import (
     collapse_whitespace,
+    format_compact_id,
     format_rupiah,
     name_underscore,
     safe_div,
@@ -160,6 +161,51 @@ def fn_coalesce_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("missing_val"),
         F.get_json_object("props", "$.k").cast("double").alias("k_val"),
         F.floor("value").cast("int").alias("value_floor"),
+    )
+
+
+_COMPACT_CASE = """
+      CASE WHEN abs({x}) >= 1e12
+             THEN {sign} || translate(CAST(round(abs({x})/1e12, 1) AS VARCHAR), '.', ',') || ' T'
+           WHEN abs({x}) >= 1e9
+             THEN {sign} || translate(CAST(round(abs({x})/1e9, 1) AS VARCHAR), '.', ',') || ' M'
+           WHEN abs({x}) >= 1e6
+             THEN {sign} || translate(CAST(round(abs({x})/1e6, 1) AS VARCHAR), '.', ',') || ' jt'
+           WHEN abs({x}) >= 1e3
+             THEN {sign} || translate(CAST(round(abs({x})/1e3, 1) AS VARCHAR), '.', ',') || ' rb'
+           ELSE {sign} || translate(CAST(round(abs({x}), 1) AS VARCHAR), '.', ',')
+      END
+""".strip()
+
+
+def _compact(x: str) -> str:
+    sign = f"(CASE WHEN {x} < 0 THEN '-' ELSE '' END)"
+    return _COMPACT_CASE.format(x=x, sign=sign)
+
+
+@query(
+    "fn_compact",
+    oracle=f"""
+      SELECT o_orderkey,
+             {_compact('o_totalprice')} AS compact_raw,
+             {_compact('(o_totalprice * 10000.0)')} AS compact_big,
+             {_compact('(0.0 - o_totalprice * 10000000.0)')} AS compact_neg_t,
+             {_compact('(o_totalprice / 1000.0)')} AS compact_small
+      FROM orders
+    """,
+)
+def fn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21: id-ID compact number rendering (rb/jt/M/T) — the
+    dashboard's display formatting as engine columns; scaled variants
+    hit every magnitude branch including negatives."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        format_compact_id(p).alias("compact_raw"),
+        format_compact_id(p * 10000.0).alias("compact_big"),
+        format_compact_id(F.lit(0.0) - p * 10000000.0).alias("compact_neg_t"),
+        format_compact_id(p / 1000.0).alias("compact_small"),
     )
 
 
