@@ -2,6 +2,7 @@
 (each module registers its queries at import time via @query)."""
 
 from full_docker_etl_spark.queries import (  # noqa: F401
+    analytics_q,
     flagship,
     functions_q,
     joins_windows,

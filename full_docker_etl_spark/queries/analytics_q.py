@@ -1,0 +1,159 @@
+"""Aggregate/analytics surface beyond the reference's own usage —
+SURVEY.md §2.4 notes distinct-agg, approx-distinct, cube/rollup and
+friends are "free in Spark and will be exposed via the SQL surface";
+these queries are that exposure, oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from full_docker_etl_spark.registry import query
+from full_docker_etl_spark.sources.catalog import load_table
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+      SELECT o_orderstatus,
+             COUNT(DISTINCT o_custkey) AS n_customers,
+             COUNT(DISTINCT o_orderpriority) AS n_priorities,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — expand+two-phase agg under the hood;
+    the exact companion to approx_distinct below."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality
+    tool — fixed-size sketch, no expand, mergeable across partitions.
+    Rows-only (HLL estimates are engine-specific); accuracy vs the
+    exact count is asserted in tests/test_analytics.py."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: subtotal hierarchy (flag, flag+status, grand total) in
+    one pass — the explicit form of A4's hand-rolled multi-grain.
+    GROUPING() columns disambiguate NULL-as-subtotal from NULL data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+        )
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event-type counts as columns per user. Values are pinned
+    explicitly — an unpinned pivot runs a distinct scan first AND makes
+    the output schema data-dependent (both wrong at scale)."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition; rounded to absorb the last
+    ulp of the interpolation arithmetic). The approx companion at scale
+    is percentile_approx — same call shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest + count — the word-count shape over the corpus
+    (generator output feeds a partial-agg, so the exploded rows never
+    hit the shuffle at full width)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
