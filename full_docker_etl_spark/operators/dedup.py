@@ -131,17 +131,43 @@ def jaccard_pairs(
     return out.select("d1", "d2", "shared", "n1", "n2", "jaccard")
 
 
-def minhash_signatures(sh: DataFrame, k: int = 32) -> DataFrame:
-    """k minhash values per doc: the i-th hash function is xxhash64
-    seeded with i (an extra hashed column) — k independent 64-bit
-    hashes per shingle, entirely JVM-side. (A universal-hash family in
-    decimal(38) arithmetic is ~5x slower per row — ANSI mode forbids
-    wrapping long multiplication, and seeded xxhash64 is the idiomatic
-    escape.) Input: (doc_id, shingle) distinct pairs."""
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Distinct n-gram shingles as ONE array column per document —
+    the no-shuffle input shape for sketching (vs. the exploded
+    (doc, shingle) pairs the inverted-index join needs)."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.array_distinct(grams).alias("sh_arr")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 32) -> DataFrame:
+    """k minhash values per doc as PER-ROW array folds: the i-th hash
+    function is xxhash64 seeded with i; signature_i = array_min of the
+    seeded hashes over the shingle array. Zero shuffle — the
+    explode + 32-way-min groupBy formulation moves |docs|·|shingles|
+    rows through an exchange for the same result. (A universal-hash
+    family in decimal(38) arithmetic is ~5x slower per row — ANSI mode
+    forbids wrapping long multiplication, and seeded xxhash64 is the
+    idiomatic escape.) Input: (doc_id, sh_arr) from shingle_arrays."""
+    # NB: bind the seed via a closure, NOT a lambda default arg — a
+    # 2-ary lambda makes transform() pass the ELEMENT INDEX as the
+    # second argument, silently overriding the default and collapsing
+    # every hash function into the same one.
+    def seeded_min(i: int):
+        def h(s):
+            return F.xxhash64(s, F.lit(i))
+
+        return F.array_min(F.transform(F.col("sh_arr"), h)).alias(f"mh_{i}")
+
+    return docs.select("doc_id", *[seeded_min(i) for i in range(k)])
 
 
 def minhash_lsh_pairs(
@@ -159,8 +185,7 @@ def minhash_lsh_pairs(
     Returns pairs with ``est_jaccard`` (fraction of agreeing minhashes)
     ≥ threshold."""
     rows = k // bands
-    sh = shingles(df, text_col, id_col, n)
-    sig = minhash_signatures(sh, k).cache()
+    sig = minhash_signatures(shingle_arrays(df, text_col, id_col, n), k).cache()
 
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bucket")
@@ -196,11 +221,14 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: sum token-hash bit votes, take the
     sign. Array built-ins over distinct tokens; one aggregation."""
+    # Per-row array folds over pre-hashed tokens — zero shuffle (the
+    # explode + 64-vote groupBy formulation exchanges |docs|·|tokens|
+    # rows for the same signature).
     toks = F.array_distinct(tokens(F.col(text_col)))
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("harr"),
     )
-    h = F.xxhash64("tok")
 
     # Bit 63's mask doesn't fit a signed long as +2^63; use its
     # two's-complement value so both the AND-test and the final sum
@@ -208,18 +236,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     def mask(bit: int) -> int:
         return (1 << bit) if bit < 63 else -(1 << 63)
 
-    votes = [
-        F.sum(
-            F.when(h.bitwiseAND(F.lit(mask(bit))) != 0, 1).otherwise(-1)
-        ).alias(f"v_{bit}")
-        for bit in range(64)
-    ]
-    agg = exploded.groupBy("doc_id").agg(*votes)
+    def vote(bit: int):
+        m = mask(bit)
+
+        def step(acc, h):
+            return acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+
+        return F.aggregate(F.col("harr"), F.lit(0), step)
+
     sig = sum(
-        F.when(F.col(f"v_{bit}") > 0, F.lit(mask(bit))).otherwise(F.lit(0))
+        F.when(vote(bit) > 0, F.lit(mask(bit))).otherwise(F.lit(0))
         for bit in range(64)
     )
-    return agg.select("doc_id", sig.alias("simhash"))
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(

@@ -58,11 +58,16 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _make_zip_landing(spark: SparkSession, sf_dir: str) -> str:
-    """Build a landing dir of XBRL instance zips from supplier rows
-    (driver-side: ~10 tiny files — ingestion fixtures, not data)."""
+    """Build a landing dir of XBRL instance zips from supplier rows.
+    Driver-side file creation is an ingestion FIXTURE, so it is capped:
+    the distributed part under test (binaryFile scan → per-executor
+    unzip → parse) doesn't get more interesting with more tiny files,
+    it just serializes the driver."""
     rows = (
         load_table(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_acctbal")
+        .orderBy("s_suppkey")
+        .limit(64)
         .collect()
     )
     d = tempfile.mkdtemp(prefix="fde_zips_")

@@ -88,9 +88,14 @@ def fetch_ohlcv(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetch = fetcher_factory()
         for pdf in batches:
+            frames = []
             for sym in pdf[symbol_col]:
                 if pause_s:
                     time.sleep(pause_s)
-                yield fetch(sym)
+                frames.append(fetch(sym))
+            if frames:
+                # one Arrow batch per input batch — yielding per symbol
+                # floods the stream with tiny record batches
+                yield pd.concat(frames, ignore_index=True)
 
     return src.mapInPandas(run, OHLCV_SCHEMA)
