@@ -12,11 +12,19 @@ in the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from full_docker_etl_spark.registry import all_specs
+# Robust against being loaded from another working directory: the
+# engine package lives next to this file.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from full_docker_etl_spark.registry import all_specs  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
