@@ -11,6 +11,10 @@ from full_docker_etl_spark.operators.joins import (
     broadcast_enrich,
     semi_manifest,
 )
+from full_docker_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
 from full_docker_etl_spark.operators.windows import (
     latest_per_group,
     moving_agg,
@@ -328,4 +332,99 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.col("running_value").cast("decimal(18,2)").alias("running_value"),
+    )
+
+
+# ------------------------------------------------------------- temporal
+
+
+@query(
+    "join_asof",
+    oracle="""
+      WITH l AS (SELECT user_id, event_id, ts FROM events
+                 WHERE event_type = 'click'),
+           r AS (SELECT user_id, ts, MAX(value) AS last_purchase
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, r.last_purchase
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join (SURVEY.md §2.3 closing note): each click
+    event picks up the user's most recent purchase value at or before
+    it. Distributed as union + last-ignoring-nulls window — ONE shuffle
+    on the key, no inequality join, no per-key explosion; survives
+    100 TB because state per key is a single running value. Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["last_purchase"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "last_purchase",
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+      SELECT l.user_id, l.event_id,
+             COUNT(*) AS n_purch,
+             CAST(SUM(CAST(r.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS sum_purch
+      FROM (SELECT user_id, event_id, epoch_us(ts) AS t
+            FROM events WHERE event_type = 'click') l
+      JOIN (SELECT user_id, epoch_us(ts) AS t, value
+            FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id
+       AND r.t <= l.t AND r.t > l.t - 259200000000
+      GROUP BY 1, 2
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join: purchases in the trailing 3 days before
+    each click, per user, aggregated. Time-bucket blocking (1-day
+    buckets) turns the inequality join into an equi-join on
+    (key, bucket) with 4 probes per left row — candidates stay
+    proportional to the window instead of the whole per-key history,
+    which is what makes it survive a 100 TB event log."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pt"), "value"
+    )
+    joined = range_join_bucketed(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="t",
+        right_ts="pt",
+        window_us=3 * day_us,
+        bucket_us=day_us,
+    )
+    return joined.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).alias("n_purch"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_purch"),
     )

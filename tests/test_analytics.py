@@ -11,3 +11,44 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     for r in df.collect():
         err = abs(r.approx_customers - r.exact_customers) / max(r.exact_customers, 1)
         assert err <= 0.05, f"{r.o_orderstatus}: approx={r.approx_customers} exact={r.exact_customers}"
+
+
+# ------------------------------------------------------------- temporal
+
+
+def test_asof_join_semantics(spark):
+    """Equality ts matches; no prior right row yields null; latest of
+    several priors wins."""
+    from full_docker_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 20), ("b", 7)], "k string, lts int"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 15, 2.0), ("b", 8, 9.0)],
+        "k string, rts int, v double",
+    )
+    out = asof_join(left, right, "k", "lts", "rts", ["v"])
+    got = {(r["k"], r["lts"]): r["v"] for r in out.collect()}
+    assert got == {
+        ("a", 5): 1.0,   # equality matches (at-or-before)
+        ("a", 10): 1.0,  # rts=15 is in the future
+        ("a", 20): 2.0,  # latest prior wins
+        ("b", 7): None,  # no right row at or before
+    }
+
+
+def test_range_join_bucketed_nondivisible_window(spark):
+    """Bucket blocking must not lose matches when the window is not a
+    multiple of the bucket (worst case: match sits ceil(W/B)+1 buckets
+    back)."""
+    from full_docker_etl_spark.operators.temporal import range_join_bucketed
+
+    left = spark.createDataFrame([("a", 1000)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 751, 1), ("a", 750, 2), ("a", 1000, 3), ("a", 1001, 4)],
+        "k string, pt long, v int",
+    )
+    # window 250, bucket 100: (750, 1000] -> v in {1, 3}
+    out = range_join_bucketed(left, right, "k", "t", "pt", 250, 100)
+    assert sorted(r["v"] for r in out.collect()) == [1, 3]
