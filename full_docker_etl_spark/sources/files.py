@@ -59,16 +59,33 @@ def read_csv(
 
 
 def read_binary_dir(
-    spark: SparkSession, path: str, glob: str = "*.zip"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.zip",
+    files_per_partition: int | None = 16,
 ) -> DataFrame:
     """S4: a landing directory of scraped artifacts as (path, length,
-    content) rows. Partitioned by file — downstream extraction
-    parallelizes per file."""
-    return (
+    content) rows.
+
+    Partitioning: Spark's file source splits the listing up to
+    ``defaultParallelism`` even when the bytes fit one partition, so a
+    64-file fixture lands on 32 partitions — and every downstream
+    Python stage then forks a worker per partition (two per partition
+    when stages chain), which dominates wall time for small landings.
+    Bounding partitions to ``ceil(n_files / files_per_partition)``
+    amortizes worker startup over a meaningful batch of archives while
+    still yielding thousands of tasks at real scrape scale (100k+
+    archives). Pass ``None`` to keep Spark's own splitting."""
+    df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
     )
+    if files_per_partition:
+        n_files = len(df.inputFiles())
+        n_parts = max(1, -(-n_files // files_per_partition))
+        df = df.coalesce(n_parts)
+    return df
 
 
 ZIP_XML_SCHEMA = T.StructType(
