@@ -28,6 +28,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Shingling/sketching is CPU-bound per row, and a small parquet
+    table arrives as ONE scan partition — which serializes the whole
+    tier on one core. Spread such inputs to cluster parallelism before
+    the heavy array work (an explicit repartition(n), which AQE will
+    not coalesce back down). At real scale the scan already has ≥cores
+    partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def content_hash(col: Column) -> Column:
     """Stable content fingerprint for exact dedup. sha2-256 — collision
@@ -55,22 +67,12 @@ def tokens(col: Column) -> Column:
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
-    """Distinct word n-gram shingles per document, via array built-ins
-    (transform over a sequence of slice starts) — no UDF, no explode of
-    raw tokens."""
-    toks = tokens(F.col(text_col))
-    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
-    # short documents must be guarded explicitly.
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    """Distinct word n-gram shingles per document. Distinctness is
+    per-document, so it is enforced INSIDE the row (array_distinct
+    before explode) — the exploded-then-``.distinct()`` formulation
+    shuffles every (doc, 45-char shingle) pair for the same result."""
+    return shingle_arrays(df, text_col, id_col, n).select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -93,11 +95,18 @@ def jaccard_pairs(
     # Join/shuffle on a 64-bit shingle hash, not the ~45-char string:
     # smaller exchanges and cheaper comparisons. Collision risk over m
     # distinct shingles is ~m²/2^64 (≈1e-7 at 10^6 shingles) — shared
-    # counts are unaffected in practice. Cached: the frame feeds the
-    # df-filter, both join sides, and the size table.
+    # counts are unaffected in practice. The hash is applied INSIDE the
+    # per-doc array, so no string shingle ever leaves its source row —
+    # the first exchange already carries (doc_id, long). Cached: the
+    # frame feeds the df-filter, both join sides, and the size table.
     sh = (
-        shingles(df, text_col, id_col, n)
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        shingle_arrays(df, text_col, id_col, n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform("sh_arr", lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
         .cache()
     )
     rare = (
@@ -135,6 +144,7 @@ def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> Dat
     """Distinct n-gram shingles as ONE array column per document —
     the no-shuffle input shape for sketching (vs. the exploded
     (doc, shingle) pairs the inverted-index join needs)."""
+    df = _spread(df)
     toks = tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= n,
@@ -225,7 +235,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # explode + 64-vote groupBy formulation exchanges |docs|·|tokens|
     # rows for the same signature).
     toks = F.array_distinct(tokens(F.col(text_col)))
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("harr"),
     )
