@@ -28,17 +28,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Shingling/sketching is CPU-bound per row, and a small parquet
-    table arrives as ONE scan partition — which serializes the whole
-    tier on one core. Spread such inputs to cluster parallelism before
-    the heavy array work (an explicit repartition(n), which AQE will
-    not coalesce back down). At real scale the scan already has ≥cores
-    partitions and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Shingling/sketching is CPU-bound per row; a one-partition scan would
+# serialize the whole tier on one core (see operators/util.spread).
+from full_docker_etl_spark.operators.util import spread as _spread
 
 
 def content_hash(col: Column) -> Column:

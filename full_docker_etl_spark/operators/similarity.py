@@ -157,6 +157,58 @@ def ivf_topk(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS (the vector sibling of the
+    MinHash text tier): hyperplane sketches split into ``bands`` bucket
+    keys; candidate pairs come only from band-bucket collisions, then
+    an exact cosine filter. Near-identical vectors (θ≈0) agree on a
+    band with prob (1-θ/π)^(planes/bands) per band — ~99% overall at
+    cosine ≥0.98 — while random pairs collide at ~2^-(planes/bands).
+    Never all-pairs: candidate volume is Σ bucket² per band. Pairs are
+    generated id-only and vectors joined back for scoring, so the
+    band-union shuffle carries (id, long) rows, not vectors."""
+    from full_docker_etl_spark.operators.util import spread
+
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
+    sk = base.withColumn("sk", sketch_bits(F.col("vec"), n_planes)).cache()
+    banded = None
+    for b in range(bands):
+        part = sk.select(
+            "vid",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("sk", b * rows)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(F.col("vid").alias("d1"), "band", "bucket")
+    b_ = banded.select(F.col("vid").alias("d2"), "band", "bucket")
+    pairs = (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    v1 = sk.select(F.col("vid").alias("d1"), F.col("vec").alias("v1"))
+    v2 = sk.select(F.col("vid").alias("d2"), F.col("vec").alias("v2"))
+    return (
+        pairs.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 4))
+        .where(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", "cos_sim")
+    )
+
+
 def hyperplane_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

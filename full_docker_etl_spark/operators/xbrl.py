@@ -101,8 +101,13 @@ def _parse_xbrl_batch(xml: pd.Series) -> pd.Series:
 def with_parsed_xbrl(df: DataFrame, xml_col: str, out_col: str = "parsed_data") -> DataFrame:
     """D1: attach the parsed tag map. Arrow-batched (one Python
     crossing per batch); explicit MapType output keeps Catalyst able to
-    prune every other column around this stage."""
-    return df.withColumn(out_col, _parse_xbrl_batch(F.col(xml_col)))
+    prune every other column around this stage. The input is spread to
+    cluster parallelism first — XML parsing is CPU-bound per row, and
+    an AQE-coalesced (or single-file) upstream otherwise serializes the
+    whole parse on one worker."""
+    from full_docker_etl_spark.operators.util import spread
+
+    return spread(df).withColumn(out_col, _parse_xbrl_batch(F.col(xml_col)))
 
 
 def _tag(map_col: Column, metric: str) -> Column:

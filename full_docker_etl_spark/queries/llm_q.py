@@ -25,6 +25,7 @@ from full_docker_etl_spark.operators.multimodal import (
     documents_as_binary,
 )
 from full_docker_etl_spark.operators.similarity import (
+    cosine_pairs_lsh,
     cosine_topk,
     hyperplane_lsh_topk,
     ivf_topk,
@@ -178,6 +179,47 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = embs.select("vec_id", "embedding")
     return ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
+
+
+def planted_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata embeddings hold NO cosine near-dups (max pairwise
+    cosine ≈0.48), so the near-dup tier plants them: the first 200
+    vectors are unioned with ±1% deterministically-perturbed copies
+    (id + 1_000_000; per-dimension noise keyed by xxhash64(id, dim) —
+    reproducible on any engine, no RNG state)."""
+    embs = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    eps = lambda i: (
+        (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001)) - F.lit(1000)).cast(
+            "double"
+        )
+        / F.lit(100000.0)
+    )
+    pert = embs.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x.cast("double") * (F.lit(1.0) + eps(i))).cast("float"),
+        ).alias("embedding"),
+    )
+    return embs.unionByName(pert)
+
+
+@query("dedup_embedding")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.98) via banded
+    hyperplane-LSH blocking + exact cosine filter — the vector sibling
+    of the MinHash text tier; candidates only from band-bucket
+    collisions, never all-pairs. Runs over the planted near-dup frame
+    (see planted_near_dup_embeddings). Rows-only check; recall and
+    precision vs brute force pinned in tests/test_llm.py."""
+    frame = planted_near_dup_embeddings(spark, sf_dir)
+    return cosine_pairs_lsh(
+        frame, "vec_id", "embedding", threshold=0.98, n_planes=16, bands=2
+    )
 
 
 @query("ann_lsh_topk")

@@ -114,3 +114,33 @@ def test_multimodal_decode_schema_and_values(spark, docs):
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_bytes", "format", "width", "height", "checksum",
     ]
+
+
+def test_embedding_cosine_pairs_recall_and_precision(spark, sf_dir):
+    """LSH-banded cosine pairs must find ≥90% of the planted
+    near-dup pairs and report only pairs truly ≥ threshold."""
+    from full_docker_etl_spark.operators.similarity import cosine
+    from full_docker_etl_spark.queries.llm_q import (
+        dedup_embedding,
+        planted_near_dup_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    frame = planted_near_dup_embeddings(spark, sf_dir).cache()
+    a = frame.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("v1"))
+    b = frame.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("v2"))
+    brute = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 4))
+        .where(F.col("cos_sim") >= 0.98)
+    )
+    brute_pairs = {(r.d1, r.d2): r.cos_sim for r in brute.collect()}
+    assert len(brute_pairs) >= 150, "planting failed to create near-dups"
+
+    got = {(r.d1, r.d2): r.cos_sim for r in dedup_embedding(spark, sf_dir).collect()}
+    recall = len(set(got) & set(brute_pairs)) / len(brute_pairs)
+    assert recall >= 0.9, f"LSH pair recall {recall}"
+    for pair, c in got.items():
+        assert c >= 0.98  # exact-filter precision
+        if pair in brute_pairs:
+            assert brute_pairs[pair] == c
