@@ -67,3 +67,21 @@ def test_multigrain_single_scan(spark, sf_dir):
     # GROUPING SETS: one scan + Expand, not three unioned scans
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_temporal_joins_never_cartesian(spark, sf_dir):
+    """As-of = union + window (no join explosion at all); range join =
+    equi-join on (key, bucket) — neither may plan a cartesian or
+    broadcast-nested-loop join."""
+    for name in ("join_asof", "join_range"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir):
+    """The as-of formulation must not contain a join operator — its
+    only exchange is the window partitioning on the key."""
+    plan = plan_of(spark, sf_dir, "join_asof")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "Window" in plan, plan
