@@ -85,6 +85,42 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def stream_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """T5 streaming form: parquet-directory stream → foreachBatch keyed
+    upsert into a parquet target. Exactly-once end to end: the
+    checkpoint tracks which source files each epoch consumed, and
+    ``upsert_parquet`` is idempotent by key, so a batch replayed after
+    a failure converges instead of duplicating — the standard recipe
+    for exactly-once on a non-transactional sink. Returns the started
+    query (caller awaits termination; tests use AvailableNow)."""
+    from full_docker_etl_spark.sources.sinks import upsert_parquet
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Late duplicates within one micro-batch would make the upsert
+        # ambiguous — keep a deterministic winner per key first.
+        from full_docker_etl_spark.operators.dedup import natural_key_dedup
+
+        cleaned = natural_key_dedup(
+            batch_df, keys, [("ts", False)] if "ts" in batch_df.columns else [(keys[0], True)]
+        )
+        upsert_parquet(batch_df.sparkSession, target_path, cleaned, keys)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_events(
     spark: SparkSession,
     source_dir: str,

@@ -50,3 +50,47 @@ def test_stream_equals_batch(spark, sf_dir, events_dir):
     }
     assert streamed == batch
     shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_foreachbatch_upsert_exactly_once(spark, sf_dir):
+    """T5 streaming: micro-batches upsert into a parquet target by key.
+    Re-streaming overlapping data must converge (idempotence), and the
+    final table must hold exactly one latest row per key."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.streaming.events import stream_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="fde_ups_src_") + "/in"
+    target = tempfile.mkdtemp(prefix="fde_ups_tgt_") + "/out"
+
+    # batch 1: half the rows
+    ev.where("event_id % 2 = 0").write.mode("overwrite").parquet(src)
+    chk = tempfile.mkdtemp(prefix="fde_ups_chk_")
+    q = stream_upsert(spark, src, ev.schema, target, ["event_id"], chk)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(target).count()
+    assert n1 == ev.where("event_id % 2 = 0").count()
+
+    # batch 2: ALL rows, overlapping batch 1, with updated values
+    ev.withColumn("value", F.col("value") + 1000.0).write.mode("append").parquet(src)
+    q = stream_upsert(spark, src, ev.schema, target, ["event_id"], chk)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(target)
+    assert out.count() == ev.count()  # one row per key, no dups
+    assert out.groupBy("event_id").count().where("count > 1").count() == 0
+    # overlapping keys took the update (value shifted by +1000)
+    sample = out.where("event_id % 2 = 0").select(F.min("value")).first()[0]
+    assert sample >= 1000.0
+
+    # replaying the SAME source with a FRESH checkpoint converges
+    chk2 = tempfile.mkdtemp(prefix="fde_ups_chk2_")
+    q = stream_upsert(spark, src, ev.schema, target, ["event_id"], chk2)
+    q.awaitTermination(120)
+    again = spark.read.parquet(target)
+    assert again.count() == ev.count()
+    for d in (src, target, chk, chk2):
+        shutil.rmtree(d.rsplit("/", 1)[0] if d.endswith(("in", "out")) else d, ignore_errors=True)
