@@ -164,3 +164,30 @@ def agg_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _multigrain_query(lambda col, fmt: f"date_format({col}, '{_SPARK_FMT[fmt]}')")
     )
+
+
+@query(
+    "serve_materialized_grain",
+    oracle=f"""
+      SELECT * FROM (
+        {_multigrain_query(lambda col, fmt: f"strftime({col}, '{_DUCK_FMT[fmt]}')")}
+      ) WHERE agg_type = 'month'
+    """,
+)
+def serve_materialized_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4.2.2 / T1 serve path: the reference materializes each
+    grain into its own collection and points reads at it (the Load
+    stage is literally a table copy,
+    ``TransForm_Load_Yfinance.py:453-474``). Here ONE multigrain table
+    is written partitioned by ``agg_type``, and the serve-side read
+    filters on the partition column — a month query opens only the
+    month directory (PartitionFilters prune files before any row is
+    read; asserted in tests/test_plans.py). At 100 TB the agg table is
+    what interactive traffic hits; the fact table is never rescanned."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="fde_grain_") + "/agg"
+    agg_multigrain(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "agg_type"
+    ).parquet(path)
+    return spark.read.parquet(path).where(F.col("agg_type") == "month")

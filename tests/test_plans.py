@@ -85,3 +85,12 @@ def test_asof_join_single_shuffle_no_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_asof")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_materialized_grain_serve_prunes_partitions(spark, sf_dir):
+    """The serve-path month read must hit the partition column in
+    PartitionFilters (files pruned before any row is read)."""
+    plan = plan_of(spark, sf_dir, "serve_materialized_grain")
+    compact = plan.replace(" ", "")
+    assert "PartitionFilters" in plan, plan
+    assert "agg_type=month" in compact or "agg_type#" in compact, plan
