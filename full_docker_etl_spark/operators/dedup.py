@@ -225,7 +225,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sign. Array built-ins over distinct tokens; one aggregation."""
     # Per-row array folds over pre-hashed tokens — zero shuffle (the
     # explode + 64-vote groupBy formulation exchanges |docs|·|tokens|
-    # rows for the same signature).
+    # rows for the same signature). ONE fold with a 64-element
+    # vote-array accumulator: each token hash is visited once and
+    # contributes all 64 votes via zip_with — vs. 64 separate folds
+    # that each rescan the token array (64× the traversals and a much
+    # larger codegen unit).
     toks = F.array_distinct(tokens(F.col(text_col)))
     hashed = _spread(df).select(
         F.col(id_col).alias("doc_id"),
@@ -238,17 +242,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     def mask(bit: int) -> int:
         return (1 << bit) if bit < 63 else -(1 << 63)
 
-    def vote(bit: int):
-        m = mask(bit)
-
-        def step(acc, h):
-            return acc + F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
-
-        return F.aggregate(F.col("harr"), F.lit(0), step)
-
-    sig = sum(
-        F.when(vote(bit) > 0, F.lit(mask(bit))).otherwise(F.lit(0))
-        for bit in range(64)
+    masks = F.array(*[F.lit(mask(b)) for b in range(64)])
+    # The sign-taking lives in the fold's finish lambda, so the whole
+    # signature is ONE aggregate expression — referencing the vote
+    # array from a separate projection would let CollapseProject inline
+    # (and re-evaluate) the fold once per bit.
+    sig = F.aggregate(
+        F.col("harr"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+        lambda votes: F.aggregate(
+            F.zip_with(
+                votes,
+                masks,
+                lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, contrib: acc + contrib,
+        ),
     )
     return hashed.select("doc_id", sig.alias("simhash"))
 
