@@ -150,26 +150,40 @@ def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> Dat
     )
 
 
+def minhash_signature_array(docs: DataFrame, k: int = 32) -> DataFrame:
+    """k minhash values per doc as ONE per-row fold: the i-th hash
+    function is xxhash64 seeded with i; the accumulator is a k-element
+    running-min array, so every shingle is traversed once and
+    contributes to all k functions via zip_with. Zero shuffle — the
+    explode + k-way-min groupBy formulation moves |docs|·|shingles|
+    rows through an exchange, and the k-separate-array_min formulation
+    rescans the shingle array k times, for the same result. (A
+    universal-hash family in decimal(38) arithmetic is ~5x slower per
+    row — ANSI mode forbids wrapping long multiplication, and seeded
+    xxhash64 is the idiomatic escape.) Input: (doc_id, sh_arr) from
+    shingle_arrays. Output: (doc_id, sig array<long>); empty shingle
+    arrays yield max-long sentinels."""
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    max_long = (1 << 63) - 1
+    sig = F.aggregate(
+        F.col("sh_arr"),
+        F.array_repeat(F.lit(max_long), k),
+        lambda acc, s: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, F.xxhash64(s, i))
+        ),
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
 def minhash_signatures(docs: DataFrame, k: int = 32) -> DataFrame:
-    """k minhash values per doc as PER-ROW array folds: the i-th hash
-    function is xxhash64 seeded with i; signature_i = array_min of the
-    seeded hashes over the shingle array. Zero shuffle — the
-    explode + 32-way-min groupBy formulation moves |docs|·|shingles|
-    rows through an exchange for the same result. (A universal-hash
-    family in decimal(38) arithmetic is ~5x slower per row — ANSI mode
-    forbids wrapping long multiplication, and seeded xxhash64 is the
-    idiomatic escape.) Input: (doc_id, sh_arr) from shingle_arrays."""
-    # NB: bind the seed via a closure, NOT a lambda default arg — a
-    # 2-ary lambda makes transform() pass the ELEMENT INDEX as the
-    # second argument, silently overriding the default and collapsing
-    # every hash function into the same one.
-    def seeded_min(i: int):
-        def h(s):
-            return F.xxhash64(s, F.lit(i))
-
-        return F.array_min(F.transform(F.col("sh_arr"), h)).alias(f"mh_{i}")
-
-    return docs.select("doc_id", *[seeded_min(i) for i in range(k)])
+    """Column-per-function view of :func:`minhash_signature_array`
+    (mh_0..mh_{k-1}). Materialize (cache) the array form first if you
+    reference many columns — projection collapse otherwise inlines the
+    fold once per referenced column."""
+    arr = minhash_signature_array(docs, k)
+    return arr.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"mh_{i}") for i in range(k)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -187,7 +201,17 @@ def minhash_lsh_pairs(
     Returns pairs with ``est_jaccard`` (fraction of agreeing minhashes)
     ≥ threshold."""
     rows = k // bands
-    sig = minhash_signatures(shingle_arrays(df, text_col, id_col, n), k).cache()
+    # Docs with no shingles (< n tokens) have nothing to compare and
+    # would all share the sentinel signature — drop them up front.
+    # Cache the ARRAY signatures (one fold per row); the per-column
+    # view below then reads the cached array instead of re-running the
+    # fold per referenced column.
+    sig_arr = minhash_signature_array(
+        shingle_arrays(df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
+    ).cache()
+    sig = sig_arr.select(
+        "doc_id", *[F.element_at("sig", i + 1).alias(f"mh_{i}") for i in range(k)]
+    )
 
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bucket")
