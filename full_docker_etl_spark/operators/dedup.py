@@ -203,15 +203,18 @@ def minhash_lsh_pairs(
     rows = k // bands
     # Docs with no shingles (< n tokens) have nothing to compare and
     # would all share the sentinel signature — drop them up front.
-    # Cache the ARRAY signatures (one fold per row); the per-column
-    # view below then reads the cached array instead of re-running the
-    # fold per referenced column.
+    # Two cache layers, each materialized exactly once: the ARRAY
+    # signatures (so the k-hash fold runs once — the cache boundary
+    # stops CollapseProject from inlining it per referenced column),
+    # then the COLUMN view (so the band/verify reads below get pruned
+    # columnar access instead of deserializing the whole array per
+    # pass). Both are tiny: k longs per surviving doc.
     sig_arr = minhash_signature_array(
         shingle_arrays(df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
     ).cache()
     sig = sig_arr.select(
         "doc_id", *[F.element_at("sig", i + 1).alias(f"mh_{i}") for i in range(k)]
-    )
+    ).cache()
 
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bucket")
