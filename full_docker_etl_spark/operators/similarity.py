@@ -70,31 +70,65 @@ def cosine_topk(
     )
 
 
-def _plane_coeff(plane: int, dim_index: Column) -> Column:
+def _plane_coeff(plane, dim_index: Column) -> Column:
     """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
     integer arithmetic only (Knuth multiplicative hashing), identical on
-    any engine — no RNG state, no libm transcendentals."""
-    mixed = (dim_index + 1) * F.lit(2654435761) + F.lit((plane + 1) * 40503)
+    any engine — no RNG state, no libm transcendentals. ``plane`` may
+    be a Python int or a Column of plane indices."""
+    p1 = plane + 1 if isinstance(plane, int) else plane + F.lit(1)
+    mixed = (dim_index + 1) * F.lit(2654435761) + p1 * F.lit(40503)
     return ((mixed % 1000003) % 1000).cast("double") / 1000.0 - 0.5
 
 
-def sketch_bits(vec: Column, n_planes: int, table: int = 0) -> Column:
-    """LSH sketch: bit p = sign(vec · plane_p), packed into a long.
-    ``table`` offsets the plane family, giving independent sketches for
-    multi-table LSH."""
-    bits = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = table * n_planes + p
-        dot_p = F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda i: vec[i].cast("double") * _plane_coeff(plane, i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def sketch_bits_multi(vec: Column, n_planes: int, n_tables: int = 1) -> Column:
+    """``n_tables`` LSH sketches (bit p = sign(vec · plane_{t·P+p}),
+    packed into a long each) as ONE fold over the vector: the
+    accumulator carries all n_tables·n_planes running dot products, so
+    each dimension is visited once — versus one fold per plane, which
+    rescans the vector n_tables·n_planes times. The sign-taking packs
+    inside the fold's finish lambda (a separate projection would let
+    CollapseProject inline the fold per table). Returns
+    array<long>[n_tables]."""
+    total = n_tables * n_planes
+    plane_ids = F.array(*[F.lit(p) for p in range(total)])
+
+    def step(state, x):
+        # state = struct(i: dim index, dots: running dot products)
+        dots = F.zip_with(
+            state["dots"],
+            plane_ids,
+            lambda d, p: d + x.cast("double") * _plane_coeff(p, state["i"]),
         )
-        bits = bits + F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bits
+        return F.struct((state["i"] + 1).alias("i"), dots.alias("dots"))
+
+    def finish(state):
+        dots = state["dots"]
+        return F.array(
+            *[
+                sum(
+                    F.when(
+                        F.element_at(dots, t * n_planes + p + 1) >= 0,
+                        F.lit(1 << p).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for p in range(n_planes)
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.array_repeat(F.lit(0.0), total).alias("dots"),
+    )
+    return F.aggregate(vec, init, step, finish)
+
+
+def sketch_bits(vec: Column, n_planes: int, table: int = 0) -> Column:
+    """Single-table view of :func:`sketch_bits_multi` (plane family
+    ``table``), kept for the pair-blocking path."""
+    return F.element_at(
+        sketch_bits_multi(vec, n_planes, table + 1), table + 1
+    )
 
 
 def ivf_topk(
@@ -234,32 +268,35 @@ def hyperplane_lsh_topk(
     c = corpus.select(
         corpus_id,
         corpus_vec,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        sketch_bits(F.col(corpus_vec), n_planes, t).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(corpus_id, corpus_vec, "tb.tbl", F.col("tb.bkt").alias("bucket"))
-    probe_structs = []
-    for t in range(n_tables):
-        sb = sketch_bits(F.col(query_vec), n_planes, t)
-        probe_structs.append(F.struct(F.lit(t).alias("tbl"), sb.alias("bkt")))
-        probe_structs.extend(
-            F.struct(
-                F.lit(t).alias("tbl"),
-                sb.bitwiseXOR(F.lit(1 << p)).alias("bkt"),
-            )
-            for p in range(n_planes)
+        F.posexplode(
+            sketch_bits_multi(F.col(corpus_vec), n_planes, n_tables)
+        ).alias("tbl", "bucket"),
+    )
+    # query side: every table's own bucket plus its 1-bit-flipped
+    # neighbors (multi-probe), all from the one sketch array
+    q = (
+        queries.select(
+            query_id,
+            query_vec,
+            F.posexplode(
+                sketch_bits_multi(F.col(query_vec), n_planes, n_tables)
+            ).alias("tbl", "qbucket"),
         )
-    q = queries.select(
-        query_id, query_vec, F.explode(F.array(*probe_structs)).alias("tb")
-    ).select(query_id, query_vec, "tb.tbl", F.col("tb.bkt").alias("bucket"))
+        .select(
+            query_id,
+            query_vec,
+            "tbl",
+            F.explode(
+                F.array(
+                    F.col("qbucket"),
+                    *[
+                        F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    )
     cand = q.join(c, ["tbl", "bucket"]).where(F.col(query_id) != F.col(corpus_id))
     scored = cand.select(
         query_id,
