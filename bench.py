@@ -62,6 +62,12 @@ def main() -> int:
         except Exception as exc:  # a failing query must not kill the bench
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Operators cache intra-query intermediates (shingle tables,
+        # LSH signatures) and never unpersist — across 78 queries the
+        # accumulated cache pressures the JVM and skews late queries.
+        # Clear between queries so each is measured cold-cache and
+        # independent of its position in the run order.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
