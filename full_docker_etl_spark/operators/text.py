@@ -6,7 +6,7 @@ hot path must stay in whole-stage codegen).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny function-word profiles per language. A real system ships proper
@@ -103,3 +103,53 @@ def fingerprint(col: Column) -> Column:
     jitter that defeats raw content hashes."""
     norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return F.md5(norm)
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf:
+    ln((N+1)/(df+1)) + 1, sklearn's convention).
+
+    Shuffle inventory at scale: one exchange for per-doc term counts,
+    one for document frequencies (count-distinct by term collapses
+    map-side first because tf is already one row per (doc, term)), one
+    window for per-doc top-k; the corpus size N and the term→idf table
+    join back via broadcast-sized frames. Scores are rounded to 4
+    decimals BEFORE ranking so the top-k cut is engine-portable
+    (log() last-ulp jitter never reorders)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("doc_id", "term", "tf", "tfidf", "rn")
+    )

@@ -392,3 +392,80 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; schema/values pinned in tests/test_llm.py."""
     payloads = documents_as_binary(_docs(spark, sf_dir))
     return decode_binary_meta(payloads, "doc_id", "payload")
+
+
+# ------------------------------------------------- training-data prep
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+      WITH toks AS (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                    FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (SELECT doc_id, tf.term, tf,
+                        ROUND(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+                 FROM tf JOIN docfreq ON tf.term = docfreq.term CROSS JOIN n)
+      SELECT doc_id, term, tf, tfidf, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf). Scores rounded
+    before ranking so the cut is engine-portable; df/N join back as
+    broadcasts."""
+    from full_docker_etl_spark.operators.text import tf_idf
+
+    return tf_idf(_docs(spark, sf_dir), "text", "doc_id", top_k=5)
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test assignment from the
+    md5 hex prefix of the key — stable under corpus growth and task
+    retry (no RNG), identical on any engine that can md5. The
+    leak-free split invariant every training pipeline needs."""
+    from full_docker_etl_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "source", "split"
+    )
+
+
+@query(
+    "sample_quota_per_source",
+    oracle="""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn <= 20
+    """,
+)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (≤20 docs/source, deterministic keep
+    order) — the standard pretraining domain-rebalance. One shuffle on
+    source; a hot source still emits only the quota."""
+    from full_docker_etl_spark.operators.sampling import quota_per_group
+
+    capped = quota_per_group(
+        _docs(spark, sf_dir), ["source"], [("doc_id", True)], 20
+    )
+    return capped.select("doc_id", "source")
