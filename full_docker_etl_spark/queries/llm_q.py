@@ -60,12 +60,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
 
 
-@query(
-    "dedup_jaccard",
-    oracle="""
+def _jaccard_pairs_sql(rel: str) -> str:
+    """DuckDB SQL for 5-gram Jaccard ≥0.8 pairs over relation ``rel``
+    (must expose doc_id, text) — shared by the standalone pair query
+    and the end-to-end dedup pipeline oracle."""
+    return f"""
       WITH t AS (SELECT doc_id,
                         regexp_split_to_array(trim(text), '\\s+') AS toks
-                 FROM documents),
+                 FROM {rel}),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
              FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-4, 0))) AS i) g),
       rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
@@ -79,8 +81,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shared JOIN sizes s1 ON d1 = s1.doc_id
                   JOIN sizes s2 ON d2 = s2.doc_id
       WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.8
-    """,
-)
+    """
+
+
+@query("dedup_jaccard", oracle=_jaccard_pairs_sql("documents"))
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 5-gram Jaccard ≥ 0.8, blocked by shared
     rare shingles (posting-list cap bounds the join fan-out — no
@@ -469,3 +473,34 @@ def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), ["source"], [("doc_id", True)], 20
     )
     return capped.select("doc_id", "source")
+
+
+@query(
+    "dedup_pipeline",
+    oracle=f"""
+      WITH canon_ids AS (SELECT MIN(doc_id) AS doc_id
+                         FROM documents GROUP BY sha256(text)),
+      canon AS (SELECT d.doc_id, d.text, d.source, d.lang
+                FROM documents d JOIN canon_ids USING (doc_id)),
+      pairs AS ({_jaccard_pairs_sql("canon")})
+      SELECT doc_id, source, lang FROM canon
+      WHERE doc_id NOT IN (SELECT d2 FROM pairs)
+    """,
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup as a user runs it: exact tier first (cheap
+    hash groupBy keeps the min-id canonical of byte-identical copies),
+    then the near-dup tier over the survivors only, then a greedy
+    keep-lowest-id resolution (drop every d2 of a ≥0.8 Jaccard pair).
+    The tier ordering is the 100 TB cost structure: the exact tier
+    shrinks the corpus before any shingle work happens. Returns the
+    final keep list."""
+    docs = _docs(spark, sf_dir)
+    canon_ids = exact_dedup(docs, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    canon = docs.join(canon_ids, "doc_id")
+    pairs = jaccard_pairs(canon, "text", "doc_id", n=5, threshold=0.8, max_df=1000)
+    drops = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    kept = canon.join(drops, "doc_id", "left_anti")
+    return kept.select("doc_id", "source", "lang")
