@@ -153,3 +153,51 @@ def tf_idf(
         .where(F.col("rn") <= top_k)
         .select("doc_id", "term", "tf", "tfidf", "rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token windows (context-window
+    prep): chunk c covers tokens [1 + c·(chunk-overlap), …], the last
+    window may be short, and a document shorter than one window yields
+    exactly one chunk. Pure array built-ins — the windows are produced
+    INSIDE the row (sequence of starts → slice → concat), so the only
+    data movement is the final explode; nothing shuffles.
+
+    At 100 TB this is the shape you want: chunking is embarrassingly
+    row-parallel, and emitting (doc_id, chunk_id) keys up front lets
+    the downstream tokenize/embed stages partition on chunks, not
+    documents, which evens out long-document skew."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: sequence(1, 0) would be DESCENDING, not empty
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.size(toks) - s + F.lit(1)
+            ).alias("n_tokens"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_id", "c")
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.col("c.start").alias("start_token"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

@@ -504,3 +504,30 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = pairs.select(F.col("d2").alias("doc_id")).distinct()
     kept = canon.join(drops, "doc_id", "left_anti")
     return kept.select("doc_id", "source", "lang")
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             CAST((s - 1) // 16 AS INTEGER) AS chunk_id,
+             CAST(s AS INTEGER) AS start_token,
+             array_to_string(toks[s:s+23], ' ') AS chunk_text,
+             CAST(least(24, len(toks) - s + 1) AS INTEGER) AS n_tokens
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 8, 1), 16))
+              AS g(s)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 24-token windows, 8-token overlap.
+    Windows are built inside the row (sequence → slice → concat); the
+    only data movement is the explode. Every token is covered, the
+    last window may be short, sub-window docs yield one chunk."""
+    from full_docker_etl_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "text", "doc_id", chunk_tokens=24, overlap=8
+    )

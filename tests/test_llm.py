@@ -144,3 +144,25 @@ def test_embedding_cosine_pairs_recall_and_precision(spark, sf_dir):
         assert c >= 0.98  # exact-filter precision
         if pair in brute_pairs:
             assert brute_pairs[pair] == c
+
+
+def test_chunk_documents_edges(spark):
+    """Window boundaries: exact-fit doc → 1 chunk; one-over → 2 chunks
+    with overlap; sub-window doc → 1 short chunk; full coverage."""
+    from full_docker_etl_spark.operators.text import chunk_documents
+
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(1, n + 1))
+
+    df = spark.createDataFrame(
+        [(1, doc(24)), (2, doc(25)), (3, doc(3))], "doc_id int, text string"
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=24, overlap=8)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert sum(1 for k in rows if k[0] == 1) == 1
+    assert rows[(1, 0)].n_tokens == 24
+    assert sum(1 for k in rows if k[0] == 2) == 2
+    assert rows[(2, 1)].start_token == 17 and rows[(2, 1)].n_tokens == 9
+    # overlap: chunk 1 re-covers tokens 17..24
+    assert rows[(2, 1)].chunk_text.split()[0] == "t17"
+    assert rows[(3, 0)].n_tokens == 3 and rows[(3, 0)].chunk_text == "t1 t2 t3"
