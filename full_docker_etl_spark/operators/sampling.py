@@ -56,3 +56,28 @@ def quota_per_group(
         .where(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    shard_col,
+    order: list[tuple[str, bool]],
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Pack chunks into training sequences of ~``budget`` tokens,
+    in-order within shards (first-fit-in-order: a chunk joins the
+    sequence its running token count falls into, so a sequence can
+    overflow by at most one chunk — the standard streaming-packing
+    approximation).
+
+    Scale shape: packing is inherently sequential, so it is SHARDED —
+    the running sum windows over ``shard_col``, never globally; each
+    shard packs independently and in parallel. Returns the input plus
+    (seq_id) = (shard, bin)."""
+    w = Window.partitionBy(shard_col).orderBy(
+        *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col(token_col)).over(w)
+    bin_ = F.floor((cum - F.col(token_col)) / F.lit(budget))
+    return chunks.withColumn("seq_bin", bin_.cast("long"))

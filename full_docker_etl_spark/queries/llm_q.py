@@ -531,3 +531,53 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _docs(spark, sf_dir), "text", "doc_id", chunk_tokens=24, overlap=8
     )
+
+
+@query(
+    "sample_pack_sequences",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) // 16 AS INTEGER) AS chunk_id,
+               CAST(least(24, len(toks) - s + 1) AS INTEGER) AS n_tokens,
+               doc_id % 8 AS shard
+        FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 8, 1), 16))
+                AS g(s)
+      ),
+      binned AS (
+        SELECT shard,
+               (SUM(n_tokens) OVER (PARTITION BY shard
+                                    ORDER BY doc_id, chunk_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // 512 AS seq_bin,
+               n_tokens
+        FROM chunks
+      )
+      SELECT shard, seq_bin,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      FROM binned GROUP BY 1, 2
+    """,
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: chunk the corpus, then first-fit
+    chunks in-order into ~512-token sequences WITHIN 8 shards (packing
+    is inherently sequential, so the running sum windows per shard and
+    shards pack in parallel — never a global single-partition window).
+    Returns per-sequence chunk and token counts."""
+    from full_docker_etl_spark.operators.sampling import pack_chunks
+    from full_docker_etl_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        _docs(spark, sf_dir), "text", "doc_id", chunk_tokens=24, overlap=8
+    ).withColumn("shard", F.col("doc_id") % 8)
+    packed = pack_chunks(
+        chunks, "shard", [("doc_id", True), ("chunk_id", True)], "n_tokens", 512
+    )
+    return packed.groupBy("shard", "seq_bin").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+    )
