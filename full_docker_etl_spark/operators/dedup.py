@@ -101,13 +101,18 @@ def jaccard_pairs(
         )
         .cache()
     )
+    # The rare-shingle set is ~all distinct shingles (corpus-sized at
+    # 100 TB), so it must NOT be hinted broadcast — max_df caps how
+    # often a shingle may appear, not how many shingles exist. Both
+    # sides are already hash-partitioned by `sh` from the groupBy, and
+    # AQE still converts to broadcast at runtime when actually small.
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= max_df)
         .select("sh")
     )
-    sh = sh.join(F.broadcast(rare) if max_df <= 10_000 else rare, "sh")
+    sh = sh.join(rare, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col("doc_id").alias("d1"), "sh")

@@ -117,8 +117,10 @@ def tf_idf(
     Shuffle inventory at scale: one exchange for per-doc term counts,
     one for document frequencies (count-distinct by term collapses
     map-side first because tf is already one row per (doc, term)), one
-    window for per-doc top-k; the corpus size N and the term→idf table
-    join back via broadcast-sized frames. Scores are rounded to 4
+    window for per-doc top-k. The term→df join is NOT hinted broadcast
+    — the vocabulary is corpus-sized at 100 TB; AQE converts it to a
+    broadcast at runtime when it is actually small. Only the 1-row
+    corpus count is broadcast unconditionally. Scores are rounded to 4
     decimals BEFORE ranking so the top-k cut is engine-portable
     (log() last-ulp jitter never reorders)."""
     toks = df.select(
@@ -129,7 +131,7 @@ def tf_idf(
     n_docs = df.select(F.count(F.lit(1)).alias("n"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
