@@ -1,0 +1,89 @@
+"""Property tests for the training-data prep operators: chunking must
+be lossless, packing must respect its overflow bound, splits must
+partition the corpus with stable proportions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from full_docker_etl_spark.operators.sampling import hash_split, pack_chunks
+from full_docker_etl_spark.operators.text import chunk_documents
+from full_docker_etl_spark.sources.catalog import load_table
+
+CHUNK, OVERLAP = 24, 8
+
+
+def _varied_docs(spark):
+    """~120 docs with adversarial lengths: every boundary around the
+    chunk/step sizes plus a deterministic pseudo-random spread."""
+    lengths = list(range(1, 30)) + [CHUNK - 1, CHUNK, CHUNK + 1, 2 * CHUNK]
+    lengths += [((i * 37) % 300) + 1 for i in range(80)]
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(1, n + 1)))
+        for i, n in enumerate(lengths)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string"), {
+        i: n for i, n in enumerate(lengths)
+    }
+
+
+def test_chunking_is_lossless(spark):
+    """Dropping the first `overlap` tokens of every chunk after the
+    first reconstructs the document exactly — no token lost, none
+    duplicated, order preserved."""
+    df, lengths = _varied_docs(spark)
+    out = chunk_documents(df, "text", "doc_id", CHUNK, OVERLAP).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(lengths)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        rebuilt: list[str] = []
+        for k, r in enumerate(chunks):
+            toks = r.chunk_text.split()
+            assert len(toks) == r.n_tokens
+            rebuilt.extend(toks if k == 0 else toks[OVERLAP:])
+        expected = [f"d{doc_id}w{j}" for j in range(1, lengths[doc_id] + 1)]
+        assert rebuilt == expected, f"doc {doc_id} len {lengths[doc_id]}"
+
+
+def test_packing_overflow_bound(spark):
+    """First-fit-in-order: every packed sequence holds at most
+    budget + (max chunk - 1) tokens, bins are dense from 0, and chunk
+    order within a bin follows the declared order."""
+    budget = 100
+    df, _ = _varied_docs(spark)
+    chunks = chunk_documents(df, "text", "doc_id", CHUNK, OVERLAP).withColumn(
+        "shard", F.col("doc_id") % 4
+    )
+    packed = pack_chunks(
+        chunks, "shard", [("doc_id", True), ("chunk_id", True)], "n_tokens", budget
+    )
+    agg = packed.groupBy("shard", "seq_bin").agg(
+        F.sum("n_tokens").alias("tok"), F.count(F.lit(1)).alias("n")
+    )
+    rows = agg.collect()
+    max_chunk = CHUNK
+    for r in rows:
+        assert r.tok <= budget + max_chunk - 1, (r.shard, r.seq_bin, r.tok)
+    for shard in {r.shard for r in rows}:
+        bins = sorted(r.seq_bin for r in rows if r.shard == shard)
+        assert bins == list(range(len(bins))), f"shard {shard} bins not dense"
+
+
+def test_hash_split_partitions_corpus(spark, sf_dir):
+    """Every doc gets exactly one split; proportions land near
+    75/12.5/12.5; assignment depends only on the key (re-running on a
+    subset never reassigns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert 0.65 <= counts.get("train", 0) / total <= 0.85
+    # stability: the same keys in a filtered frame keep their split
+    sub = hash_split(docs.where("doc_id % 3 = 0"), "doc_id")
+    full = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r.doc_id] == r.split
