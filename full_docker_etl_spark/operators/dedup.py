@@ -355,3 +355,73 @@ def natural_key_dedup(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph by iterative
+    min-label propagation: every node repeatedly takes the minimum
+    label among itself and its neighbors until a fixpoint. Converges in
+    O(diameter) rounds — near-dup components are shallow (stars/small
+    cliques), so 2-3 rounds in practice; ``max_iter`` only guards
+    pathological chains.
+
+    Scale shape: each round is one self-join on the node key plus a
+    groupBy-min — both hash-partitioned on the same key, so AQE reuses
+    the partitioning; per-round driver work is a single convergence
+    count. This is the standard distributed CC formulation (hash-to-min)
+    — no driver-side union-find, no component ever materialized on one
+    machine. Returns (node, component) with component = min node id in
+    the component; deterministic, so it is oracle-checkable against a
+    recursive-CTE transitive closure."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # Iterative algorithms MUST truncate lineage each round —
+    # labels appears three times per iteration (neighbor join, merge,
+    # convergence check), so the logical plan otherwise grows ~3^rounds
+    # and the driver OOMs building plan trees long before any data
+    # does. localCheckpoint materializes AND cuts the plan; on a
+    # cluster with lineage-based recovery concerns, swap for
+    # checkpoint() with a checkpoint dir.
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -581,3 +581,33 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
     )
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+      WITH RECURSIVE pairs AS ({_jaccard_pairs_sql("documents")}),
+      sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION ALL
+              SELECT d2, d1 FROM pairs),
+      reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, w.r FROM sym s JOIN reach w ON s.dst = w.node
+      )
+      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the ≥0.8-Jaccard near-dup graph —
+    the exact duplicate-cluster resolution (transitive: a~b, b~c puts
+    a,c in one cluster even if a,c never paired). Distributed
+    min-label propagation, O(component diameter) rounds; the DuckDB
+    oracle computes the same labels via a recursive-CTE transitive
+    closure, so the iterative algorithm is value-checked end to end."""
+    from full_docker_etl_spark.operators.dedup import connected_components
+
+    pairs = jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    )
+    return connected_components(pairs)

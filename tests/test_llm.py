@@ -166,3 +166,21 @@ def test_chunk_documents_edges(spark):
     # overlap: chunk 1 re-covers tokens 17..24
     assert rows[(2, 1)].chunk_text.split()[0] == "t17"
     assert rows[(3, 0)].n_tokens == 3 and rows[(3, 0)].chunk_text == "t1 t2 t3"
+
+
+def test_connected_components_transitive(spark):
+    """Chain a-b-c collapses to one component (transitivity the greedy
+    pair-drop lacks); long chains converge within max_iter."""
+    from full_docker_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1 long, d2 long"
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "d1 long, d2 long"
+    )
+    got = {r.node: r.comp for r in connected_components(chain).collect()}
+    assert set(got.values()) == {1} and len(got) == 12
