@@ -141,25 +141,31 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     query_vec: str = "qvec",
     corpus_vec: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: partition the corpus into inverted lists by
     nearest centroid, probe only the ``nprobe`` closest lists per
     query, exact cosine within candidates.
 
-    Centroids here are a deterministic corpus sample (lowest ids) —
-    production swaps in k-means means without touching the flow. At
-    cluster scale the corpus is hash-partitioned by ``centroid``, so a
-    query touches nprobe/n_centroids of the data; assignment is a
-    broadcast join (centroid set is tiny by construction).
+    Default centroids are a deterministic corpus sample (lowest ids);
+    pass a (centroid, cvec) frame — e.g. from
+    :func:`kmeans_centroids` — to swap in trained centroids without
+    touching the flow. At cluster scale the corpus is hash-partitioned
+    by ``centroid``, so a query touches nprobe/n_centroids of the
+    data; assignment is a broadcast join (centroid set is tiny by
+    construction).
     """
-    centroids = (
-        corpus.orderBy(F.col(corpus_id).asc())
-        .limit(n_centroids)
-        .select(
-            F.col(corpus_id).alias("centroid"),
-            F.col(corpus_vec).alias("cvec"),
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(corpus_id).asc())
+            .limit(n_centroids)
+            .select(
+                F.col(corpus_id).alias("centroid"),
+                F.col(corpus_vec).alias("cvec"),
+            )
         )
-    )
+    else:
+        centroids = centroids.select("centroid", "cvec")
 
     def nearest(df, vec, id_out, n):
         scored = df.crossJoin(F.broadcast(centroids)).select(
@@ -311,3 +317,86 @@ def hyperplane_lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, built from DataFrame
+    ops: assignment is a broadcast join against the (tiny, k-row)
+    centroid set scored by cosine; the update step is a groupBy-mean
+    via element-wise array aggregation. Deterministic: init = the k
+    lowest-id vectors, ties in assignment break by centroid id.
+
+    Scale shape: per round, ONE pass over the corpus (broadcast
+    assignment + partial aggregation; the shuffle carries k·dim
+    partial sums per partition, not vectors). Lineage is truncated
+    every round (localCheckpoint) — iterative plans otherwise compound
+    and OOM the driver planning, not the executors. Returns
+    (centroid, cvec, n_members)."""
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col).asc()))
+            .alias("centroid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        scored = corpus.crossJoin(F.broadcast(centroids)).select(
+            id_col,
+            vec_col,
+            "centroid",
+            cosine(F.col(vec_col), F.col("cvec")).alias("c_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_sim").desc(), F.col("centroid").asc()
+        )
+        assigned = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select(id_col, vec_col, "centroid")
+        )
+        # Update step with the map-reduce shape: explode to
+        # (centroid, dim, x), sum with MAP-SIDE partial aggregation
+        # (k·dim partial sums leave each partition, never member
+        # vectors — collect_list of vectors would ship whole clusters
+        # to single reducers), then re-assemble the mean vector from
+        # the k·dim tiny rows.
+        parts = assigned.select(
+            "centroid", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        dim_sums = parts.groupBy("centroid", "pos").agg(
+            F.sum(F.col("x").cast("double")).alias("s")
+        )
+        counts = assigned.groupBy("centroid").agg(
+            F.count(F.lit(1)).alias("n_members")
+        )
+        new_centroids = (
+            dim_sums.groupBy("centroid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+            )
+            .select(
+                "centroid",
+                F.transform("ps", lambda e: e["s"]).alias("vsum"),
+            )
+            .join(counts, "centroid")
+            .select(
+                "centroid",
+                F.transform(
+                    "vsum", lambda s: (s / F.col("n_members")).cast("float")
+                ).alias("cvec"),
+                "n_members",
+            )
+            .localCheckpoint(eager=True)
+        )
+        centroids = new_centroids.select("centroid", "cvec", "n_members")
+    return centroids

