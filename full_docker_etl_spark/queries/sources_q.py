@@ -110,14 +110,34 @@ def zip_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return financial_metrics(with_parsed_xbrl(reports, "data"))
 
 
-@query("rest_batch_fetch")
+@query(
+    "rest_batch_fetch",
+    oracle="""
+      WITH syms AS (SELECT 'SYM' || CAST(s_suppkey AS VARCHAR) AS symbol
+                    FROM supplier),
+      seeds AS (SELECT symbol,
+                       list_sum(list_transform(range(1, length(symbol) + 1),
+                                i -> ascii(symbol[i]) * i)) % 997 AS seed
+                FROM syms),
+      days AS (SELECT symbol, seed, unnest(range(0, 30)) AS d FROM seeds)
+      SELECT symbol,
+             COUNT(*) AS n_days,
+             CAST('2024-01-01' AS DATE) AS first_day,
+             CAST('2024-01-30' AS DATE) AS last_day,
+             CAST(SUM(10000 + (seed * 31 + d * 17) % 5000) AS BIGINT)
+               AS total_volume
+      FROM days GROUP BY symbol
+    """,
+)
 def rest_batch_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: the per-ticker REST fetch as a DISTRIBUTED mapInPandas over
     the symbol table (deterministic synthetic fetcher in-container; a
     real yfinance callable drops in unchanged). The reference fetches
     951 tickers sequentially at ~10 s each — here lanes run in
-    parallel with the politeness pause kept per lane. Rows-only check;
-    determinism pinned in tests/test_sources.py."""
+    parallel with the politeness pause kept per lane. ORACLE-checked:
+    the synthetic fetcher is pure integer arithmetic, so DuckDB
+    re-derives every row's volume/date from the symbol alone — the
+    whole Python source stage is value-verified, not just counted."""
     symbols = (
         load_table(spark, sf_dir, "supplier")
         .select(F.concat(F.lit("SYM"), F.col("s_suppkey").cast("string")).alias("symbol"))
