@@ -89,13 +89,63 @@ def _make_zip_landing(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-@query("zip_xml_ingest")
+@query(
+    "zip_xml_ingest",
+    oracle="""
+      WITH s AS (SELECT s_suppkey, s_acctbal FROM supplier
+                 ORDER BY s_suppkey LIMIT 64),
+      m AS (
+        SELECT CAST(s_suppkey AS VARCHAR) AS company_code,
+               '2024' AS year, 'audit' AS period,
+               CAST(NULL AS VARCHAR) AS sector,
+               CAST(0.0 AS DOUBLE) AS revenue,
+               CAST(0.0 AS DOUBLE) AS cost_of_revenue,
+               CAST(0.0 AS DOUBLE) AS gross_profit,
+               CAST(0.0 AS DOUBLE) AS net_profit_loss,
+               CAST(0.0 AS DOUBLE) AS total_assets,
+               s_acctbal * 2 AS total_liabilities,
+               s_acctbal AS total_equity
+        FROM s
+      )
+      SELECT company_code, year, period, sector,
+             revenue, cost_of_revenue, gross_profit, net_profit_loss,
+             total_assets, total_liabilities, total_equity,
+             CASE WHEN total_equity <> 0
+                  THEN total_liabilities / total_equity END
+               AS debt_to_equity_ratio,
+             (CASE WHEN revenue < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(revenue) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(revenue) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS revenue_rupiah,
+             (CASE WHEN cost_of_revenue < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(cost_of_revenue) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(cost_of_revenue) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS cost_of_revenue_rupiah,
+             (CASE WHEN gross_profit < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(gross_profit) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(gross_profit) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS gross_profit_rupiah,
+             (CASE WHEN net_profit_loss < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(net_profit_loss) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(net_profit_loss) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS net_profit_loss_rupiah,
+             (CASE WHEN total_assets < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(total_assets) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(total_assets) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS total_assets_rupiah,
+             (CASE WHEN total_liabilities < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(total_liabilities) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(total_liabilities) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS total_liabilities_rupiah,
+             (CASE WHEN total_equity < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(total_equity) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(total_equity) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS total_equity_rupiah
+      FROM m
+    """,
+)
 def zip_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+S5+D1: binaryFile landing dir → distributed in-memory unzip
     (instance*.xml selection, traversal guard, encoding fallback) →
     XBRL parse → metrics. The reference's Selenium download loop ends
-    at the same landing-dir boundary. Rows-only check (Python stages);
-    unzip edge cases pinned in tests/test_sources.py."""
+    at the same landing-dir boundary. ORACLE-checked: the fixture
+    derives every metric from supplier rows in closed form, so DuckDB
+    re-derives the full output — binary scan, in-executor unzip, XML
+    parse, metrics, and Rupiah strings are all value-verified; unzip
+    edge cases additionally pinned in tests/test_sources.py."""
     landing = _make_zip_landing(spark, sf_dir)
     binaries = read_binary_dir(spark, landing, glob="*.zip")
     xmls = extract_zip_xml(binaries)

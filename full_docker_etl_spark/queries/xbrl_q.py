@@ -42,7 +42,10 @@ def synth_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
             "</idx-cor:RevenueFromContractsWithCustomers>"
             '<idx-cor:Liabilities contextRef="CurrentYearInstant">'
         ),
-        (F.col("rev") / F.lit(2.0)).cast("string"),
+        # rev*2 doubles the mantissa exponent only — exact in binary,
+        # so every currency value stays an exact 2-decimal and the
+        # Rupiah cents arithmetic can never hit a round-half tie
+        (F.col("rev") * F.lit(2.0)).cast("string"),
         F.lit("</idx-cor:Liabilities><idx-cor:Equity>"),
         (F.col("n") * F.lit(1000.0)).cast("string"),
         F.lit(
@@ -59,7 +62,54 @@ def synth_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("xbrl_metrics")
+@query(
+    "xbrl_metrics",
+    oracle="""
+      WITH agg AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS company_code,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_custkey
+      ),
+      m AS (
+        SELECT company_code, '2024' AS year, 'audit' AS period, 'S1' AS sector,
+               rev AS revenue,
+               CAST(0.0 AS DOUBLE) AS cost_of_revenue,
+               CAST(0.0 AS DOUBLE) AS gross_profit,
+               CAST(0.0 AS DOUBLE) AS net_profit_loss,
+               CAST(0.0 AS DOUBLE) AS total_assets,
+               rev * 2 AS total_liabilities,
+               CAST(n * 1000.0 AS DOUBLE) AS total_equity
+        FROM agg
+      )
+      SELECT company_code, year, period, sector,
+             revenue, cost_of_revenue, gross_profit, net_profit_loss,
+             total_assets, total_liabilities, total_equity,
+             total_liabilities / total_equity AS debt_to_equity_ratio,
+             (CASE WHEN revenue < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(revenue) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(revenue) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS revenue_rupiah,
+             (CASE WHEN cost_of_revenue < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(cost_of_revenue) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(cost_of_revenue) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS cost_of_revenue_rupiah,
+             (CASE WHEN gross_profit < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(gross_profit) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(gross_profit) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS gross_profit_rupiah,
+             (CASE WHEN net_profit_loss < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(net_profit_loss) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(net_profit_loss) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS net_profit_loss_rupiah,
+             (CASE WHEN total_assets < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(total_assets) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(total_assets) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS total_assets_rupiah,
+             (CASE WHEN total_liabilities < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(total_liabilities) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(total_liabilities) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS total_liabilities_rupiah,
+             (CASE WHEN total_equity < 0 THEN 'Rp -' ELSE 'Rp ' END)
+               || replace(format('{:,}', CAST(round(abs(total_equity) * 100) AS BIGINT) // 100), ',', '.')
+               || ',' || lpad(CAST(CAST(round(abs(total_equity) * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS total_equity_rupiah
+      FROM m
+    """,
+)
 def xbrl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1/F17/F18 + metrics + DER + Rupiah (M4): the full reports
     pipeline over synthesized instances. The decoy tags verify the
