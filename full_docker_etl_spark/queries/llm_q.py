@@ -388,12 +388,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------- multimodal
 
 
-@query("mm_decode_meta")
+@query(
+    "mm_decode_meta",
+    oracle="""
+      WITH b AS (SELECT doc_id, text,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                        hex(encode(text)) AS hx
+                 FROM documents),
+      v AS (SELECT doc_id, text, n_bytes,
+                   (strpos('0123456789ABCDEF', hx[1]) - 1) * 16
+                     + strpos('0123456789ABCDEF', hx[2]) - 1 AS b1,
+                   (strpos('0123456789ABCDEF', hx[length(hx)-1]) - 1) * 16
+                     + strpos('0123456789ABCDEF', hx[length(hx)]) - 1 AS b2
+            FROM b)
+      SELECT doc_id, n_bytes,
+             CASE WHEN b1 % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             CAST(64 + (b1 % 8) * 16 AS INTEGER) AS width,
+             CAST(64 + (b2 % 8) * 16 AS INTEGER) AS height,
+             md5(text) AS checksum
+      FROM v
+    """,
+)
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payloads → typed metadata via
     Arrow-batched mapInPandas with an explicit schema (decode itself is
-    a deterministic stub — codecs aren't in this container). Rows-only
-    check; schema/values pinned in tests/test_llm.py."""
+    a deterministic stub — codecs aren't in this container).
+    ORACLE-checked: the stub derives metadata from payload bytes, so
+    DuckDB re-derives it from the hex of the same bytes — the Python
+    stage's full output is value-verified (swap in a real codec and
+    this oracle is the one thing to drop)."""
     payloads = documents_as_binary(_docs(spark, sf_dir))
     return decode_binary_meta(payloads, "doc_id", "payload")
 
