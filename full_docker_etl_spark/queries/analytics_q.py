@@ -157,3 +157,18 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query("agg_approx_percentiles")
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile tool: percentile_approx (KLL-style sketch,
+    fixed memory, mergeable across partitions — the exact sort-based
+    percentile cannot hold a 100 TB group in memory). Rows-only (the
+    sketch's picks are engine-specific); relative error vs the exact
+    percentiles is pinned ≤1% in tests/test_analytics.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.9, 1000)").alias("p90"),
+        F.expr("percentile_approx(l_extendedprice, 0.99, 1000)").alias("p99"),
+    )

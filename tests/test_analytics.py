@@ -52,3 +52,16 @@ def test_range_join_bucketed_nondivisible_window(spark):
     # window 250, bucket 100: (750, 1000] -> v in {1, 3}
     out = range_join_bucketed(left, right, "k", "t", "pt", 250, 100)
     assert sorted(r["v"] for r in out.collect()) == [1, 3]
+
+
+def test_approx_percentiles_accuracy(spark, sf_dir):
+    """percentile_approx(accuracy=1000) must land within 1% of the
+    exact interpolated percentiles per group."""
+    specs = all_specs()
+    exact = {r.l_returnflag: r for r in specs["agg_percentiles"].fn(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r for r in specs["agg_approx_percentiles"].fn(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for g in exact:
+        for c in ("p50", "p90", "p99"):
+            e, a = float(exact[g][c]), float(approx[g][c])
+            assert abs(a - e) / max(abs(e), 1e-9) <= 0.01, (g, c, e, a)
