@@ -94,3 +94,58 @@ def test_stream_foreachbatch_upsert_exactly_once(spark, sf_dir):
     assert again.count() == ev.count()
     for d in (src, target, chk, chk2):
         shutil.rmtree(d.rsplit("/", 1)[0] if d.endswith(("in", "out")) else d, ignore_errors=True)
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_dir):
+    """Stream-static join: a streaming fact enriched against a static
+    dim (the reference's master-table lookup, done per micro-batch)
+    must equal the batch join. The static side is re-read per epoch by
+    Structured Streaming, so dim updates between batches are picked up
+    for free."""
+    from pyspark.sql import functions as F
+
+    d, schema = events_dir
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = spark.readStream.schema(schema).parquet(d)
+    enriched = (
+        stream.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+    )
+    chk = tempfile.mkdtemp(prefix="fde_enr_chk_")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.c_mktsegment: (r.n_events, str(r.sum_value))
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r.c_mktsegment: (r.n_events, str(r.sum_value))
+        for r in ev.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch and streamed
+    shutil.rmtree(chk, ignore_errors=True)
