@@ -403,6 +403,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("n_comp"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter over materialized data, not
+        # another join-and-recompute
         new_labels = (
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["src"], "left"
@@ -412,16 +415,12 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("prev_comp"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("comp") != F.col("prev_comp")).count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     return labels
