@@ -238,3 +238,33 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands — a silence of >= the gap starts a new session,
     matching session_window's half-open [start, last+gap))."""
     return session_agg(load_table(spark, sf_dir, "events"), "10 minutes")
+
+
+@query(
+    "stream_range_join",
+    oracle="""
+      SELECT l.user_id AS c_user,
+             l.event_id AS click_id,
+             r.event_id AS purchase_id,
+             epoch_us(l.ts) AS click_us,
+             epoch_us(r.ts) AS purchase_us,
+             r.value AS purchase_value
+      FROM events l JOIN events r
+        ON l.event_type = 'click' AND r.event_type = 'purchase'
+       AND l.user_id = r.user_id
+       AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL 3 DAY
+    """,
+)
+def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join executed in batch mode — the
+    SAME function runs on streaming frames (watermarked, state-bounded
+    by the two-sided time predicate; stream == batch equality is
+    pinned in tests/test_streaming.py). Here the driver oracle-checks
+    the join semantics on batch inputs."""
+    from full_docker_etl_spark.streaming.events import stream_stream_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return stream_stream_range_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )

@@ -137,3 +137,50 @@ def stream_events(
         .withWatermark("ts", watermark)
     )
     return agg(stream)
+
+
+def stream_stream_range_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "3 days",
+    watermark: str = "1 hour",
+):
+    """Stream-stream interval join: each click pairs with the same
+    user's purchases in the trailing ``window`` — the streaming form
+    of the batch range join. Both sides carry watermarks and the join
+    predicate bounds event time on BOTH ends, so the state store can
+    evict: a buffered purchase dies once the watermark passes
+    purchase_ts + window; an unmatched click dies at its watermark.
+    Without the two-sided time bound the state would grow forever —
+    that bound is what makes this run on an unbounded 100 TB/day
+    stream. Input frames may be batch OR streaming (same plan either
+    way; tests exploit that for stream==batch equality)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts <= click_ts AND
+            purchase_ts > click_ts - INTERVAL {window}
+            """
+        ),
+    )
+    return joined.select(
+        "c_user",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )

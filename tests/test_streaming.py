@@ -149,3 +149,45 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_dir):
     }
     assert streamed == batch and streamed
     shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_stream_range_join_equals_batch(spark, sf_dir):
+    """Two real file streams (clicks, purchases) interval-joined with
+    watermarks must produce exactly the batch join's pairs."""
+    from full_docker_etl_spark.streaming.events import stream_stream_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="fde_ssj_")
+    cdir, pdir = base + "/clicks", base + "/purch"
+    clicks_b = ev.where("event_type = 'click'")
+    purch_b = ev.where("event_type = 'purchase'")
+    # two files per side so each stream sees multiple input splits
+    clicks_b.where("event_id % 2 = 0").write.mode("overwrite").parquet(cdir)
+    clicks_b.where("event_id % 2 = 1").write.mode("append").parquet(cdir)
+    purch_b.write.mode("overwrite").parquet(pdir)
+
+    schema = ev.schema
+    cs = spark.readStream.schema(schema).parquet(cdir)
+    ps = spark.readStream.schema(schema).parquet(pdir)
+    out = stream_stream_range_join(cs, ps)
+    chk = tempfile.mkdtemp(prefix="fde_ssj_chk_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    }
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in stream_stream_range_join(clicks_b, purch_b).collect()
+    }
+    assert streamed == batch and streamed
+    for d in (base, chk):
+        shutil.rmtree(d, ignore_errors=True)
