@@ -653,7 +653,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     corpus = embs.select("vec_id", "embedding")
-    cents = kmeans_centroids(corpus, "embedding", "vec_id", k=16, max_iter=5)
+    cents = kmeans_centroids(corpus, "embedding", "vec_id", k=16, max_iter=3)
     return ivf_topk(
         queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=cents
     )
