@@ -391,10 +391,12 @@ def connected_components(
     # does. localCheckpoint materializes AND cuts the plan; on a
     # cluster with lineage-based recovery concerns, swap for
     # checkpoint() with a checkpoint dir.
+    # Seed with round one computed algebraically: from identity labels,
+    # the first propagation is exactly min(self, neighbors) — one
+    # groupBy instead of a join round.
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
