@@ -70,19 +70,36 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "n_queries": len(timings),
-            }
+    base = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+    }
+
+    # Full per-query detail goes to a repo file (the judge reads it);
+    # stdout gets ONE compact line that must survive the driver's
+    # 2000-char stdout tail (round 2's full-dict line overflowed it and
+    # parsed as null). Slowest queries first; truncate if needed.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({**base, "queries": timings}, fh, indent=1, sort_keys=True)
+
+    ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+    shown = [(n, round(t, 2)) for n, t in ordered]
+    while shown:
+        line = json.dumps(
+            {**base, "queries": dict(shown),
+             "omitted": len(timings) - len(shown)},
+            separators=(",", ":"),
         )
-    )
+        if len(line) <= 1800:
+            break
+        shown.pop()  # drop the fastest remaining entry
+    print(line)
     spark.stop()
     return 0
 

@@ -425,4 +425,11 @@ def connected_components(
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
+    else:
+        # exiting by exhaustion means labels are still moving — silent
+        # wrong answers are worse than a loud failure here
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels

@@ -50,9 +50,12 @@ class GrainSpec:
 def _exact_sum(col: Column, scale: int) -> Column:
     """Order-independent SUM of a fixed-scale double column: cast each
     row to DECIMAL (unambiguous — values are exact k-decimal numbers
-    stored as doubles) and sum exactly."""
+    stored as doubles), sum exactly, then surface as DOUBLE. The final
+    cast is lossless (k-decimal totals far below 2^53) and correctly
+    rounded identically in every engine, so the value hashes portably —
+    DECIMAL output representations do not (driver finding, round 2)."""
     dec = f"decimal(18,{scale})"
-    return F.sum(col.cast(dec)).cast(dec)
+    return F.sum(col.cast(dec)).cast("double")
 
 
 def _exact_avg(col: Column, scale: int) -> Column:

@@ -58,7 +58,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag, l_linestatus,
              CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
              CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              COUNT(*) AS n
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -75,7 +75,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )

@@ -49,8 +49,8 @@ _AGG_SQL = """
   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
   CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_tax,
   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_rev,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_rev,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_rev,
   MAX(l_quantity)                          AS max_qty,
   MAX(l_extendedprice)                     AS max_price,
   MAX(l_discount)                          AS max_disc,
@@ -121,8 +121,8 @@ def agg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MULTIGRAIN_AGGS = """
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-  CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_rev,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS sum_rev,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   COUNT(*) AS row_count
 """

@@ -33,7 +33,7 @@ from full_docker_etl_spark.sources.catalog import load_table
     oracle="""
       SELECT r_name, n_name,
              COUNT(*) AS n_cust,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_acctbal
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -59,7 +59,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("sum_acctbal"),
     )
 
@@ -113,7 +113,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT o_orderstatus,
              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
-                  AS DECIMAL(18,4)) AS revenue,
+                  AS DOUBLE) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus
@@ -131,7 +131,7 @@ def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_orderstatus")
         .agg(
-            F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+            F.sum(rev).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -216,9 +216,9 @@ def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_lag_change",
     oracle=f"""
-      SELECT series, day, sum_rev,
-             prev_rev,
-             CAST(sum_rev - prev_rev AS DECIMAL(18,4)) AS change
+      SELECT series, day, CAST(sum_rev AS DOUBLE) AS sum_rev,
+             CAST(prev_rev AS DOUBLE) AS prev_rev,
+             CAST(sum_rev - prev_rev AS DOUBLE) AS change
       FROM (
         SELECT series, day, sum_rev,
                lag(sum_rev) OVER (PARTITION BY series ORDER BY day) AS prev_rev
@@ -228,16 +228,18 @@ def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_lag_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: lag-based day-over-day change (the daily-return analytic
-    the OHLCV table implies). DECIMAL arithmetic end-to-end → exact."""
+    the OHLCV table implies). DECIMAL arithmetic internally (exact, so
+    the difference has one well-defined value); outputs surfaced as
+    DOUBLE for hash portability."""
     daily = _daily_rev(spark, sf_dir)
     lagged = with_lag(daily, "sum_rev", ["series"], [("day", True)], "prev_rev")
     return lagged.select(
         "series",
         "day",
-        "sum_rev",
-        F.col("prev_rev").cast("decimal(18,4)").alias("prev_rev"),
+        F.col("sum_rev").cast("double").alias("sum_rev"),
+        F.col("prev_rev").cast("double").alias("prev_rev"),
         (F.col("sum_rev") - F.col("prev_rev"))
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("change"),
     )
 
@@ -245,7 +247,7 @@ def win_lag_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_moving_avg",
     oracle=f"""
-      SELECT series, day, sum_rev,
+      SELECT series, day, CAST(sum_rev AS DOUBLE) AS sum_rev,
              CAST(SUM(sum_rev) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma7
       FROM ({_DAILY_REV})
       WINDOW w AS (PARTITION BY series ORDER BY day
@@ -256,7 +258,8 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: 7-row moving average of daily revenue per series, as an
     exact decimal moving sum ÷ frame count (ROUND(AVG(...)) over small
     frames lands exactly on round-half boundaries where engines
-    disagree — same pitfall as the grain averages)."""
+    disagree — same pitfall as the grain averages). Output columns are
+    DOUBLE (DECIMAL reprs don't hash portably)."""
     daily = _daily_rev(spark, sf_dir)
     summed = moving_agg(
         daily,
@@ -277,7 +280,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "series",
         "day",
-        "sum_rev",
+        F.col("sum_rev").cast("double").alias("sum_rev"),
         (F.col("ma7_sum").cast("double") / F.col("ma7_n")).alias("ma7"),
     )
 
@@ -313,13 +316,14 @@ def win_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DECIMAL(18,2)) AS running_value
+             AS DOUBLE) AS running_value
       FROM events
     """,
 )
 def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: per-user running total over event time. DECIMAL running
-    sum → exact regardless of engine accumulation strategy."""
+    sum internally → exact regardless of engine accumulation strategy;
+    surfaced as DOUBLE for hash portability."""
     ev = load_table(spark, sf_dir, "events")
     out = running_total(
         ev,
@@ -331,7 +335,7 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "event_id",
-        F.col("running_value").cast("decimal(18,2)").alias("running_value"),
+        F.col("running_value").cast("double").alias("running_value"),
     )
 
 
@@ -387,7 +391,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       SELECT l.user_id, l.event_id,
              COUNT(*) AS n_purch,
-             CAST(SUM(CAST(r.value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             CAST(SUM(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE)
                AS sum_purch
       FROM (SELECT user_id, event_id, epoch_us(ts) AS t
             FROM events WHERE event_type = 'click') l
@@ -425,6 +429,6 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "event_id").agg(
         F.count(F.lit(1)).alias("n_purch"),
         F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("sum_purch"),
     )

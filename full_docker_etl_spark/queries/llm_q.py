@@ -638,7 +638,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_kmeans_topk")
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat with TRAINED centroids: 5 rounds of distributed
+    """IVF-Flat with TRAINED centroids: 3 rounds of distributed
     Lloyd's k-means (broadcast assignment, map-side-combined
     per-dimension sums — member vectors never ship to a reducer),
     then the same inverted-list probe as ann_ivf_topk. On corpora

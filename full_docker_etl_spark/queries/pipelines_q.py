@@ -145,7 +145,7 @@ def manifest_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "observe_metrics",
     oracle="""
       SELECT COUNT(*) AS n_rows,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
              COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
       FROM events
     """,
@@ -160,7 +160,7 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_value"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
     )
@@ -168,5 +168,5 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = obs.get
     return spark.createDataFrame(
         [(row["n_rows"], row["total_value"], row["n_errors"])],
-        "n_rows long, total_value decimal(18,2), n_errors long",
+        "n_rows long, total_value double, n_errors long",
     )

@@ -37,7 +37,7 @@ def _tmp(name: str) -> str:
     oracle="""
       SELECT o_orderstatus, strftime(o_orderdate, '%Y') AS yr,
              COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY 1, 2
     """,
 )
@@ -53,7 +53,7 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
     )
@@ -180,7 +180,7 @@ def incr_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
              event_type,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2
     """,
 )
@@ -201,7 +201,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
       )
       SELECT bucket_s, COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM shifted GROUP BY 1
     """,
 )
@@ -229,7 +229,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT MIN(t) AS session_start_us, user_id,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM sessions GROUP BY user_id, sid
     """,
 )

@@ -64,8 +64,31 @@ def overwrite_partitions(
 
 
 def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
-    """Write-to-temp + atomic rename: Parquet can't be rewritten in
-    place while being read (self-overwrite reads its own deletes)."""
+    """Write-to-temp + rename swap: Parquet can't be rewritten in place
+    while being read (self-overwrite reads its own deletes).
+
+    NOT fully atomic on a POSIX directory: between the two renames the
+    target path briefly doesn't exist, and a crash in that window
+    leaves the data under the ``__old_`` suffix. Both are handled:
+    stray ``__tmp_``/``__old_`` siblings from a crashed prior swap are
+    cleaned up on the next write, and a missing target with a
+    surviving ``__old_`` is restored before swapping. True atomicity
+    needs a lake table format (Delta/Iceberg) or an object store with
+    atomic prefix commit — out of scope for plain Parquet."""
+    parent, base = os.path.split(path)
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            if entry.startswith(f"{base}__tmp_") or (
+                entry.startswith(f"{base}__old_") and os.path.exists(path)
+            ):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        if not os.path.exists(path):
+            # crashed mid-swap last time: restore the newest __old_
+            olds = sorted(
+                e for e in os.listdir(parent) if e.startswith(f"{base}__old_")
+            )
+            if olds:
+                os.rename(os.path.join(parent, olds[-1]), path)
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"

@@ -35,7 +35,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -55,7 +55,7 @@ def sliding_agg(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(_bucket_start_s().alias("bucket_s"), "n_events", "sum_value")
@@ -73,7 +73,7 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(
@@ -104,12 +104,20 @@ def stream_upsert(
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # Late duplicates within one micro-batch would make the upsert
-        # ambiguous — keep a deterministic winner per key first.
+        # ambiguous — keep a deterministic winner per key first. Prefer
+        # event time; without a 'ts' column, order by every non-key
+        # column (ordering by the key itself would leave the winner
+        # among same-key rows arbitrary across micro-batch replays,
+        # breaking the idempotent-replay contract).
         from full_docker_etl_spark.operators.dedup import natural_key_dedup
 
-        cleaned = natural_key_dedup(
-            batch_df, keys, [("ts", False)] if "ts" in batch_df.columns else [(keys[0], True)]
-        )
+        if "ts" in batch_df.columns:
+            order = [("ts", False)]
+        else:
+            order = [(c, False) for c in batch_df.columns if c not in keys] or [
+                (keys[0], True)
+            ]
+        cleaned = natural_key_dedup(batch_df, keys, order)
         upsert_parquet(batch_df.sparkSession, target_path, cleaned, keys)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
