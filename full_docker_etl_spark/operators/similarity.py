@@ -131,6 +131,61 @@ def sketch_bits(vec: Column, n_planes: int, table: int = 0) -> Column:
     )
 
 
+def _centroid_row(centroids: DataFrame) -> DataFrame:
+    """The whole centroid set as ONE row (array<struct<centroid,cvec>>)
+    — the broadcastable form for per-row argmax assignment. Sorted by
+    centroid id so the array layout (and explain output) is stable."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid", "cvec"))
+        ).alias("_cents")
+    )
+
+
+def assign_nearest(
+    df: DataFrame,
+    vec_col: str,
+    centroids: DataFrame,
+    n: int = 1,
+    out: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment as a PER-ROW expression, zero shuffle
+    of ``df``: the k-row centroid set is folded into a single
+    array<struct> row, broadcast (BroadcastNestedLoopJoin against one
+    row — no replication, no exchange of ``df``), and each row computes
+    its k cosines in one ``transform`` and takes the argmax in-row.
+
+    The previous formulation (crossJoin(broadcast(centroids)) →
+    Window.partitionBy(row id) → row_number()==1) materialized
+    |df|·k rows INCLUDING the vectors and hash-exchanged them just to
+    pick a per-row maximum — at corpus scale that exchange is the job.
+
+    Ties break by lowest centroid id (struct max over (c_sim, -id)),
+    matching the window form's (c_sim DESC, centroid ASC). Centroid
+    ids must be numeric. ``n`` > 1 returns the n nearest as one output
+    row each (in-row sort + slice + explode — still no exchange)."""
+    scored = df.crossJoin(F.broadcast(_centroid_row(centroids))).withColumn(
+        "_sc",
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["cvec"]).alias("c_sim"),
+                (-c["centroid"]).alias("_negid"),
+            ),
+        ),
+    )
+    if n == 1:
+        return scored.withColumn(
+            out, -F.array_max("_sc")["_negid"]
+        ).drop("_cents", "_sc")
+    top_n = F.slice(F.reverse(F.array_sort("_sc")), 1, n)
+    return (
+        scored.withColumn("_best", F.explode(top_n))
+        .withColumn(out, -F.col("_best")["_negid"])
+        .drop("_cents", "_sc", "_best")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -152,8 +207,8 @@ def ivf_topk(
     :func:`kmeans_centroids` — to swap in trained centroids without
     touching the flow. At cluster scale the corpus is hash-partitioned
     by ``centroid``, so a query touches nprobe/n_centroids of the
-    data; assignment is a broadcast join (centroid set is tiny by
-    construction).
+    data; assignment is :func:`assign_nearest` — a per-row argmax over
+    the broadcast centroid set, zero shuffle of the corpus.
     """
     if centroids is None:
         centroids = (
@@ -167,21 +222,8 @@ def ivf_topk(
     else:
         centroids = centroids.select("centroid", "cvec")
 
-    def nearest(df, vec, id_out, n):
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            "*", cosine(F.col(vec), F.col("cvec")).alias("c_sim")
-        )
-        w = Window.partitionBy(id_out).orderBy(
-            F.col("c_sim").desc(), F.col("centroid").asc()
-        )
-        return (
-            scored.withColumn("c_rank", F.row_number().over(w))
-            .where(F.col("c_rank") <= n)
-            .drop("cvec", "c_sim", "c_rank")
-        )
-
-    assigned = nearest(corpus, corpus_vec, corpus_id, 1)
-    probed = nearest(queries, query_vec, query_id, nprobe)
+    assigned = assign_nearest(corpus, corpus_vec, centroids, 1)
+    probed = assign_nearest(queries, query_vec, centroids, nprobe)
     cand = probed.join(assigned, "centroid").where(
         F.col(query_id) != F.col(corpus_id)
     )
@@ -327,13 +369,14 @@ def kmeans_centroids(
     max_iter: int = 10,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column, built from DataFrame
-    ops: assignment is a broadcast join against the (tiny, k-row)
-    centroid set scored by cosine; the update step is a groupBy-mean
-    via element-wise array aggregation. Deterministic: init = the k
-    lowest-id vectors, ties in assignment break by centroid id.
+    ops: assignment is :func:`assign_nearest` — a per-row argmax over
+    the broadcast (tiny, k-row) centroid set scored by cosine; the
+    update step is a groupBy-mean via element-wise array aggregation.
+    Deterministic: init = the k lowest-id vectors, ties in assignment
+    break by centroid id.
 
-    Scale shape: per round, ONE pass over the corpus (broadcast
-    assignment + partial aggregation; the shuffle carries k·dim
+    Scale shape: per round, ONE pass over the corpus with zero
+    corpus-side exchange in assignment (the only shuffle carries k·dim
     partial sums per partition, not vectors). Lineage is truncated
     every round (localCheckpoint) — iterative plans otherwise compound
     and OOM the driver planning, not the executors. Returns
@@ -350,20 +393,9 @@ def kmeans_centroids(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        scored = corpus.crossJoin(F.broadcast(centroids)).select(
-            id_col,
-            vec_col,
-            "centroid",
-            cosine(F.col(vec_col), F.col("cvec")).alias("c_sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("c_sim").desc(), F.col("centroid").asc()
-        )
-        assigned = (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") == 1)
-            .select(id_col, vec_col, "centroid")
-        )
+        assigned = assign_nearest(
+            corpus, vec_col, centroids.select("centroid", "cvec"), 1
+        ).select(id_col, vec_col, "centroid")
         # Update step with the map-reduce shape: explode to
         # (centroid, dim, x), sum with MAP-SIDE partial aggregation
         # (k·dim partial sums leave each partition, never member

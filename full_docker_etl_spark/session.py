@@ -36,6 +36,12 @@ _CLUSTER_READY_DEFAULTS = {
     # Deterministic timestamp rendering for oracle comparisons and
     # cross-engine parity.
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) columns read as plain
+    # TIMESTAMP (interpreted in the UTC session tz), not TIMESTAMP_NTZ:
+    # epoch-micros surfacing (unix_micros) rejects NTZ, and with a UTC
+    # session the two readings carry identical instants — which is also
+    # what DuckDB's epoch_us computes on naive parquet timestamps.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Kryo, as the reference does (TransForm_Load_Yfinance.py:70).
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # Parquet scan sizing (the reference used 64MB Mongo sample
