@@ -94,3 +94,37 @@ def test_materialized_grain_serve_prunes_partitions(spark, sf_dir):
     compact = plan.replace(" ", "")
     assert "PartitionFilters" in plan, plan
     assert "agg_type=month" in compact or "agg_type#" in compact, plan
+
+
+def test_centroid_assignment_no_corpus_shuffle(spark, sf_dir):
+    """IVF/k-means nearest-centroid assignment is a per-row argmax over
+    the broadcast centroid set: the corpus side must reach the
+    assignment with NO shuffle exchange (only a BroadcastExchange of
+    the one-row centroid array). A crossJoin+Window formulation would
+    show Exchange hashpartitioning here — at 100 TB that exchange of
+    |corpus|·k vector rows is the whole job."""
+    from full_docker_etl_spark.operators.similarity import assign_nearest
+    from full_docker_etl_spark.sources.catalog import load_table
+    import contextlib, io
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.limit(4).selectExpr("vec_id AS centroid", "embedding AS cvec")
+    out = assign_nearest(emb, "embedding", cents, 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for shuffle_marker in (
+        "Exchange hashpartitioning",
+        "Exchange rangepartitioning",
+        "Exchange SinglePartition",
+    ):
+        # the centroid side's own LIMIT may shuffle its 4 rows; the
+        # corpus side must not — so no corpus-cardinality exchange may
+        # appear downstream of the parquet scan. The BNLJ stream side
+        # is the corpus: assert the plan's join is BNLJ and the
+        # post-join section has no shuffle at all.
+        post_join = plan.split("BroadcastNestedLoopJoin")[-1]
+        assert shuffle_marker not in post_join, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
