@@ -288,7 +288,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_rank_topn",
     oracle="""
-      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (
                  PARTITION BY o_custkey

@@ -436,7 +436,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       scored AS (SELECT doc_id, tf.term, tf,
                         ROUND(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
                  FROM tf JOIN docfreq ON tf.term = docfreq.term CROSS JOIN n)
-      SELECT doc_id, term, tf, tfidf, rn FROM (
+      SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rn FROM (
         SELECT *, row_number() OVER (PARTITION BY doc_id
                                      ORDER BY tfidf DESC, term) AS rn
         FROM scored
@@ -571,11 +571,15 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS g(s)
       ),
       binned AS (
+        -- DuckDB widens window SUM(INTEGER) to HUGEINT; the value hash
+        -- is representation-sensitive across integer widths, so the
+        -- output column must be pinned to BIGINT to match Spark's LONG
+        -- (round-4 driver finding — values were identical).
         SELECT shard,
-               (SUM(n_tokens) OVER (PARTITION BY shard
+               CAST((SUM(n_tokens) OVER (PARTITION BY shard
                                     ORDER BY doc_id, chunk_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_tokens) // 512 AS seq_bin,
+                - n_tokens) // 512 AS BIGINT) AS seq_bin,
                n_tokens
         FROM chunks
       )

@@ -200,7 +200,7 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "paginate",
     oracle="""
-      SELECT rn, o_orderkey, o_totalprice FROM (
+      SELECT CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
         SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
                o_orderkey, o_totalprice
         FROM orders
