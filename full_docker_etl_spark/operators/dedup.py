@@ -14,8 +14,9 @@ the candidate-pair set stays bounded — NO all-pairs comparison ever):
   of detection ≈ 1-(1-j^r)^b; with k=32, b=8, r=4 the S-curve centers
   near j≈0.6. Pure built-ins (xxhash64 + aggregate), no UDF.
 - :func:`simhash` — 64-bit SimHash; near-dups = small Hamming
-  distance; bucketed by 16-bit chunks (a pair within distance d<4 must
-  agree on ≥1 of 4 chunks — pigeonhole).
+  distance; blocked by Manku-style block-combination keys (a pair
+  within distance d must agree on some (b-d)-of-b block subset —
+  pigeonhole; b is the corpus-size dial).
 
 MinHash/SimHash use engine-internal hash functions, so they register
 rows-only driver checks; the exact Jaccard tier is the oracle-checked
@@ -300,39 +301,87 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return hashed.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+def _simhash_blocked_candidates(
+    sig: DataFrame, max_hamming: int, n_blocks: int
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, bucketed by 16-bit
-    chunks: any pair within distance ≤3 agrees on at least one of the
-    four chunks (pigeonhole), so candidates come from chunk-bucket
-    collisions only."""
-    sig = simhash(df, text_col, id_col).cache()
-    chunks = None
-    for c in range(4):
-        chunk = sig.select(
+    """Candidate pairs from block-combination keys (Manku et al.,
+    WWW'07 §3): split the 64-bit signature into ``n_blocks``
+    nearly-equal bit blocks; a pair within Hamming distance d differs
+    in at most d blocks, so it AGREES on some (n_blocks - d)-block
+    subset — keying on every such combination catches it (pigeonhole,
+    zero false negatives). Key width is 64·(n_blocks-d)/n_blocks bits:
+    more blocks → more tables (C(b, b-d)) but exponentially fewer
+    random collisions per table — the corpus-size dial. Input must
+    carry (doc_id, simhash); output (d1, d2, h1, h2) distinct."""
+    from itertools import combinations
+
+    d, b = max_hamming, n_blocks
+    widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+    starts = [sum(widths[:i]) for i in range(b)]
+
+    def block(i: int) -> Column:
+        # logical shift: arithmetic shiftright would sign-extend
+        # negative signatures into the high blocks
+        return F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    keyed = None
+    for ci, combo in enumerate(combinations(range(b), b - d)):
+        cols = [block(i) for i in combo]
+        key = cols[0] if len(cols) == 1 else F.xxhash64(*cols)
+        part = sig.select(
             "doc_id",
             "simhash",
-            F.lit(c).alias("chunk"),
-            # logical shift: arithmetic shiftright would sign-extend
-            # negative signatures into the high chunks
-            F.shiftrightunsigned("simhash", c * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("bucket"),
+            F.lit(ci).alias("combo"),
+            key.alias("bucket"),
         )
-        chunks = chunk if chunks is None else chunks.unionByName(chunk)
-    a = chunks.select(
-        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "chunk", "bucket"
+        keyed = part if keyed is None else keyed.unionByName(part)
+    a = keyed.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "combo", "bucket"
     )
-    b = chunks.select(
-        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "chunk", "bucket"
+    b_ = keyed.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "combo", "bucket"
     )
-    cand = (
-        a.join(b, ["chunk", "bucket"])
+    return (
+        a.join(b_, ["combo", "bucket"])
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2", "h1", "h2")
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked by
+    block-combination keys (:func:`_simhash_blocked_candidates`).
+
+    ``n_blocks`` defaults to ``max_hamming + 1`` — the fewest tables
+    (one block per key, 64/(d+1)-bit keys). That is right when
+    |corpus| ≲ 2^(64/(d+1)); past it, random key collisions grow
+    quadratically, so RAISE n_blocks until the key width
+    64·(n_blocks-d)/n_blocks clears log2|corpus| plus safety margin —
+    e.g. d=3, n_blocks=6 gives C(6,3)=20 tables of ~32-bit keys,
+    comfortable at 10^9 docs. Recall is exact either way (pigeonhole —
+    a within-distance pair always shares a key); only the table count
+    and collision noise change."""
+    if max_hamming < 0 or max_hamming > 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    b = n_blocks if n_blocks is not None else max_hamming + 1
+    if b < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={b} cannot guarantee recall at max_hamming="
+            f"{max_hamming}: need at least max_hamming+1 blocks (pigeonhole)"
+        )
+    if b > 64:
+        raise ValueError(f"n_blocks must be <= 64, got {b}")
+    sig = simhash(df, text_col, id_col).cache()
+    cand = _simhash_blocked_candidates(sig, max_hamming, b)
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (
         cand.withColumn("hamming", hamming)
@@ -378,6 +427,10 @@ def connected_components(
     machine. Returns (node, component) with component = min node id in
     the component; deterministic, so it is oracle-checkable against a
     recursive-CTE transitive closure."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    from full_docker_etl_spark.operators.util import release_checkpoint
+
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
@@ -399,6 +452,8 @@ def connected_components(
         .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -422,6 +477,11 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("comp") != F.col("prev_comp")).count()
+        # this round is materialized; the previous round's label blocks
+        # are dead — release them so the loop holds ONE round of labels
+        # in storage, not every round since the session started
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.select("node", "comp")
         if changed == 0:
             break
@@ -432,4 +492,5 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter"
         )
+    release_checkpoint(sym)
     return labels

@@ -47,15 +47,34 @@ class GrainSpec:
     std_measures: tuple[str, ...] = ()
 
 
+def _sum_as_double(col: Column, scale: int) -> Column:
+    """Exact decimal SUM surfaced as DOUBLE, with the losslessness
+    precondition ENFORCED: the double surface is only exact below
+    2^53, so a total past that raises instead of silently rounding
+    (runtime check per GROUP, not per row — one branch on the final
+    aggregate value). NULL totals (empty/all-null groups) pass
+    through."""
+    total = F.sum(col.cast(f"decimal(18,{scale})"))
+    in_range = total.isNull() | (F.abs(total) <= F.lit(2**53))
+    return F.when(in_range, total.cast("double")).otherwise(
+        F.raise_error(
+            F.lit(
+                "multigrain sum exceeds 2^53: the DOUBLE surface would "
+                "round; widen the output type or pre-scale the measure"
+            )
+        )
+    )
+
+
 def _exact_sum(col: Column, scale: int) -> Column:
     """Order-independent SUM of a fixed-scale double column: cast each
     row to DECIMAL (unambiguous — values are exact k-decimal numbers
     stored as doubles), sum exactly, then surface as DOUBLE. The final
-    cast is lossless (k-decimal totals far below 2^53) and correctly
-    rounded identically in every engine, so the value hashes portably —
+    cast is lossless for k-decimal totals below 2^53 — enforced at
+    runtime by :func:`_sum_as_double` — and correctly rounded
+    identically in every engine, so the value hashes portably —
     DECIMAL output representations do not (driver finding, round 2)."""
-    dec = f"decimal(18,{scale})"
-    return F.sum(col.cast(dec)).cast("double")
+    return _sum_as_double(col, scale)
 
 
 def _exact_avg(col: Column, scale: int) -> Column:
@@ -64,8 +83,7 @@ def _exact_avg(col: Column, scale: int) -> Column:
     any engine) → one IEEE division by the count. Plain ROUND(AVG(x),k)
     is NOT portable here: 2-decimal inputs averaged over small counts
     land exactly on round-half boundaries, where engines disagree."""
-    dec = f"decimal(18,{scale})"
-    return F.sum(col.cast(dec)).cast("double") / F.count(F.lit(1))
+    return _sum_as_double(col, scale) / F.count(F.lit(1))
 
 
 def grain_aggs(spec: GrainSpec) -> list[Column]:

