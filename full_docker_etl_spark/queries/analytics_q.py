@@ -36,18 +36,35 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+      SELECT o_orderstatus,
+             COUNT(DISTINCT o_custkey) AS exact_customers,
+             TRUE AS within_bound
+      FROM orders GROUP BY 1
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB cardinality
     tool — fixed-size sketch, no expand, mergeable across partitions.
-    Rows-only (HLL estimates are engine-specific); accuracy vs the
-    exact count is asserted in tests/test_analytics.py."""
+
+    The HLL estimate itself is engine-specific, so the query surfaces a
+    VERDICT row instead: the exact count (portable) plus a boolean
+    asserting the estimate landed within 3·rsd of it. The oracle
+    expects ``TRUE`` — a drifting sketch flips the boolean and fails
+    the external hash compare, so the accuracy claim is now
+    driver-checked, not just pinned in tests."""
+    est = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.count_distinct("o_custkey")
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.count_distinct("o_custkey").alias("exact_customers"),
+            exact.alias("exact_customers"),
+            (
+                F.abs(est - exact) <= F.lit(3 * 0.02) * exact
+            ).alias("within_bound"),
         )
     )
 
@@ -159,16 +176,40 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentiles")
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             MIN(l_extendedprice) AS min_price,
+             MAX(l_extendedprice) AS max_price,
+             TRUE AS within_bound
+      FROM lineitem GROUP BY 1
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile tool: percentile_approx (KLL-style sketch,
     fixed memory, mergeable across partitions — the exact sort-based
-    percentile cannot hold a 100 TB group in memory). Rows-only (the
-    sketch's picks are engine-specific); relative error vs the exact
-    percentiles is pinned ≤1% in tests/test_analytics.py."""
+    percentile cannot hold a 100 TB group in memory).
+
+    The sketch's picks are engine-specific (and exact-percentile
+    INTERPOLATION rules differ between engines), so the query surfaces
+    a verdict row: portable exact anchors (count, min, max) plus one
+    boolean asserting every approx percentile sits within 1% of the
+    exact percentile — computed Spark-side, where both definitions
+    agree with themselves. The oracle expects ``TRUE``: sketch drift
+    fails the external hash compare. (The exact percentile here exists
+    only to judge the sketch; at 100 TB you'd sample-judge instead.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("p50"),
-        F.expr("percentile_approx(l_extendedprice, 0.9, 1000)").alias("p90"),
-        F.expr("percentile_approx(l_extendedprice, 0.99, 1000)").alias("p99"),
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    ]
+    checks = []
+    for p in (0.5, 0.9, 0.99):
+        approx = F.expr(f"percentile_approx(l_extendedprice, {p}, 1000)")
+        exact = F.expr(f"percentile(l_extendedprice, {p})")
+        checks.append(F.abs(approx - exact) <= F.lit(0.01) * F.abs(exact))
+    ok = checks[0] & checks[1] & checks[2]
+    return li.groupBy("l_returnflag").agg(*aggs, ok.alias("within_bound"))

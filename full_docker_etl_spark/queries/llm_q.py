@@ -104,10 +104,49 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_recall",
+    oracle=f"""
+      WITH pairs AS ({_jaccard_pairs_sql("documents")})
+      SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
+    """,
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash tier's recall bound as an externally-checked VERDICT
+    row: count the exact-Jaccard ≥0.8 pairs (the oracle recomputes
+    that count — portable), then assert ≥90% of them were also caught
+    by MinHash+LSH banding. The oracle expects recall_ok=TRUE, so a
+    sketch regression (bad seeding, banding bug) flips the boolean and
+    fails the driver's hash compare — upgrading the recall pin from
+    test-only to driver-checked evidence."""
+    docs = _docs(spark, sf_dir)
+    exact = jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    ).select("d1", "d2")
+    approx = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=5, k=32, bands=8, threshold=0.5
+    ).select("d1", "d2", F.lit(1).alias("_hit"))
+    return (
+        exact.join(approx, ["d1", "d2"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            "n_exact",
+            (F.col("n_found") >= F.lit(0.9) * F.col("n_exact")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming ≤ 3, candidates from 16-bit
-    chunk buckets (pigeonhole guarantees recall). Rows-only check."""
+    """SimHash-64 near-dup pairs at Hamming ≤ 3, candidates from
+    Manku-style block-combination buckets (pigeonhole guarantees
+    recall; the block count is the corpus-size dial). Rows-only
+    check."""
     return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
 
 
