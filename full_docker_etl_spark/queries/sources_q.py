@@ -199,3 +199,153 @@ def rest_batch_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("trade_date").alias("last_day"),
         F.sum("volume").alias("total_volume"),
     )
+
+
+def _xlsx_col_letters(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _xlsx_bytes(rows: list[list[object]]) -> bytes:
+    """A minimal real SpreadsheetML workbook: strings go through
+    sharedStrings (t="s"), ints inline as numbers, ``None`` cells are
+    OMITTED from the row (readers must gap-fill) — the three cell
+    shapes the emiten master exercises."""
+    from xml.sax.saxutils import escape
+
+    shared: list[str] = []
+    sidx: dict[str, int] = {}
+
+    def sref(s: str) -> int:
+        if s not in sidx:
+            sidx[s] = len(shared)
+            shared.append(s)
+        return sidx[s]
+
+    srows = []
+    for rn, row in enumerate(rows, start=1):
+        cs = []
+        for ci, v in enumerate(row):
+            if v is None:
+                continue
+            ref = f"{_xlsx_col_letters(ci)}{rn}"
+            if isinstance(v, str):
+                cs.append(f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>')
+            else:
+                cs.append(f'<c r="{ref}"><v>{v}</v></c>')
+        srows.append(f'<row r="{rn}">{"".join(cs)}</row>')
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f'<?xml version="1.0" encoding="UTF-8"?><worksheet {ns}>'
+        f'<sheetData>{"".join(srows)}</sheetData></worksheet>'
+    )
+    sst = (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<sst {ns} count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+_XLSX_HEADER = [
+    "No", "Kode", "Nama Perusahaan", "Tanggal Pencatatan", "Saham",
+    "Papan Pencatatan",
+]
+
+
+def _make_xlsx_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Two emiten-master workbooks from customer rows (bounded fixture,
+    same posture as the zip landing): Kode/Nama/Papan as shared
+    strings, Saham numeric, Tanggal omitted (gap cell), plus one
+    header-shaped junk row per file that the reader must drop."""
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 150)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="fde_xlsx_")
+    half = (len(rows) + 1) // 2
+    for fi, chunk in enumerate((rows[:half], rows[half:])):
+        data: list[list[object]] = [list(_XLSX_HEADER)]
+        for i, r in enumerate(chunk, start=1):
+            data.append(
+                [i, f"C{r.c_custkey}", r.c_name, None,
+                 int(r.c_custkey) * 1000, r.c_mktsegment]
+            )
+        # a row with an empty Kode — reference drops it (:41-43)
+        data.append([len(chunk) + 1, "", "GHOST CORP", None, 1, "Utama"])
+        with open(os.path.join(d, f"Daftar_Saham_{fi}.xlsx"), "wb") as f:
+            f.write(_xlsx_bytes(data))
+    return d
+
+
+@query(
+    "xlsx_scan",
+    oracle="""
+      SELECT 'C' || CAST(c_custkey AS VARCHAR) AS kode,
+             c_name AS nama_perusahaan,
+             CAST(NULL AS DATE) AS tanggal_pencatatan,
+             c_custkey * 1000 AS saham,
+             c_mktsegment AS papan_pencatatan
+      FROM customer WHERE c_custkey < 150
+    """,
+)
+def xlsx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the emiten-master XLSX path, end to end — binaryFile scan →
+    per-executor stdlib SpreadsheetML parse (shared strings, inline
+    numbers, gap cells) → the reference's row semantics (header skip,
+    positional columns, trim, non-empty Kode+Nama;
+    ``YFinanceController.php:17-54``)."""
+    from full_docker_etl_spark.sources.files import emiten_from_xlsx, read_xlsx
+
+    landing = _make_xlsx_landing(spark, sf_dir)
+    return emiten_from_xlsx(read_xlsx(spark, landing))

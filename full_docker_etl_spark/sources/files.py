@@ -6,8 +6,9 @@ Reference → here:
 - S1/S2: stock-master CSV/XLSX (``extractyfinance.py:99-104``,
   ``YFinanceController.php:17-54``) → :func:`read_csv` with an
   EXPLICIT schema — schema inference is a second full scan at 100 TB
-  and type drift is silent; the XLSX variant is the same table, so one
-  schema serves both.
+  and type drift is silent — and :func:`read_xlsx` +
+  :func:`emiten_from_xlsx`, a real distributed SpreadsheetML parse
+  (stdlib zip+XML inside mapInPandas; no external codec needed).
 - S4: scrape landing directory → :func:`read_binary_dir`
   (``binaryFile`` source: path, modificationTime, length, content).
 - S5: ZIP→XML extraction (``idx_extraction_script.py:234-302``) →
@@ -160,3 +161,169 @@ def extract_zip_xml(binaries: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binaries.select("path", "content").mapInPandas(run, ZIP_XML_SCHEMA)
+
+
+# ------------------------------------------------------------- XLSX (S2)
+#
+# The container ships no xlsx codec, but XLSX is just a zip of
+# SpreadsheetML parts — stdlib zipfile + ElementTree cover the
+# reference's whole usage (one master sheet of strings and numbers,
+# ``YFinanceController.php:17-54``). The parse runs INSIDE mapInPandas
+# over a binaryFile scan, so a directory of workbooks distributes
+# per-file across executors; the driver never touches payload bytes.
+
+XLSX_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("row_num", T.IntegerType()),
+        T.StructField("cells", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _col_index(ref: str) -> int | None:
+    """'BC23' → 54 (0-based). None when the cell carries no ref."""
+    letters = "".join(ch for ch in ref if ch.isalpha())
+    if not letters:
+        return None
+    i = 0
+    for ch in letters.upper():
+        i = i * 26 + (ord(ch) - ord("A") + 1)
+    return i - 1
+
+
+def _xlsx_shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    from xml.etree import ElementTree as ET
+
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []
+    root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    out = []
+    for si in root:
+        if _local(si.tag) != "si":
+            continue
+        # plain <t> or rich-text runs <r><t> — concatenate all <t>
+        out.append(
+            "".join(t.text or "" for t in si.iter() if _local(t.tag) == "t")
+        )
+    return out
+
+
+def _xlsx_parse_rows(blob: bytes) -> list[tuple[int, list[str]]]:
+    """All rows of the workbook's FIRST sheet as (row_num, cells);
+    cells are trimmed strings (reference trims every cell), gaps and
+    absent trailing cells read as '' via the fixed-width padding the
+    caller applies. Cell types: shared strings (t=s), inline strings
+    (t=inlineStr), booleans (t=b), raw numeric/str otherwise."""
+    import re as _re
+    from xml.etree import ElementTree as ET
+
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    sheets = sorted(
+        (n for n in zf.namelist() if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
+    )
+    if not sheets:
+        return []
+    shared = _xlsx_shared_strings(zf)
+    root = ET.fromstring(zf.read(sheets[0]))
+    rows: list[tuple[int, list[str]]] = []
+    for row in root.iter():
+        if _local(row.tag) != "row":
+            continue
+        rnum = int(row.get("r", str(len(rows) + 1)))
+        cells: dict[int, str] = {}
+        pos = -1
+        for c in row:
+            if _local(c.tag) != "c":
+                continue
+            ci = _col_index(c.get("r", ""))
+            pos = pos + 1 if ci is None else ci
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                val = "".join(
+                    tt.text or "" for tt in c.iter() if _local(tt.tag) == "t"
+                )
+            else:
+                v = next((ch for ch in c if _local(ch.tag) == "v"), None)
+                raw = (v.text or "") if v is not None else ""
+                if t == "s":
+                    try:
+                        val = shared[int(raw)]
+                    except (ValueError, IndexError):
+                        val = ""
+                elif t == "b":
+                    val = "TRUE" if raw.strip() == "1" else "FALSE"
+                else:
+                    val = raw
+            cells[pos] = val.strip()
+        width = max(cells) + 1 if cells else 0
+        rows.append((rnum, [cells.get(i, "") for i in range(width)]))
+    return rows
+
+
+def read_xlsx(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.xlsx",
+    files_per_partition: int | None = 16,
+) -> DataFrame:
+    """S2: distributed XLSX scan → (path, row_num, cells array<string>)
+    — one row per sheet row of each workbook's first sheet. Built on
+    the binaryFile source + an Arrow mapInPandas stdlib parse (master
+    workbooks are small; what scales is the NUMBER of files, and the
+    file list is what Spark partitions). Corrupt workbooks raise —
+    master-table ingestion must be loud, unlike the scrape landing
+    path where bad archives are expected."""
+    bins = read_binary_dir(spark, path, glob=glob,
+                           files_per_partition=files_per_partition)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "row_num": [], "cells": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for rnum, cells in _xlsx_parse_rows(bytes(content)):
+                    out["path"].append(p)
+                    out["row_num"].append(rnum)
+                    out["cells"].append(cells)
+            yield pd.DataFrame(out)
+
+    return bins.select("path", "content").mapInPandas(run, XLSX_ROWS_SCHEMA)
+
+
+def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
+    """The reference's emiten-master row semantics
+    (``YFinanceController.php:17-54``) over :func:`read_xlsx` output:
+    skip the header row, positional columns B..F → the
+    STOCK_MASTER_SCHEMA columns, every cell trimmed (done at parse),
+    keep only rows with ≥3 cells and non-empty Kode + Nama. Dates and
+    share counts arrive as display strings; try_cast keeps bad cells
+    NULL instead of failing the scan (ANSI mode throws on CAST)."""
+    from pyspark.sql import functions as F
+
+    def cell(i: int):
+        return F.element_at("cells", i + 1)
+
+    def nonempty(col):
+        return col.isNotNull() & (col != F.lit(""))
+
+    return (
+        rows.where(F.col("row_num") > 1)
+        .where(F.size("cells") >= 3)
+        .where(nonempty(cell(1)) & nonempty(cell(2)))
+        .select(
+            cell(1).alias("kode"),
+            cell(2).alias("nama_perusahaan"),
+            F.expr("try_cast(element_at(cells, 4) AS DATE)").alias(
+                "tanggal_pencatatan"
+            ),
+            F.expr("try_cast(element_at(cells, 5) AS BIGINT)").alias("saham"),
+            F.when(
+                nonempty(cell(5)), cell(5)
+            ).alias("papan_pencatatan"),
+        )
+    )

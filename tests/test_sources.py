@@ -96,3 +96,57 @@ def test_fetch_is_deterministic_and_distributed(spark):
     )
     want = sorted(zip(one["trade_date"], one["close"]))
     assert got == want
+
+
+def test_xlsx_parser_cell_shapes():
+    """The stdlib SpreadsheetML parse must handle shared strings,
+    rich-text runs, inline strings, booleans, gap cells (omitted refs),
+    ref-less cells (positional), and trim every value."""
+    from full_docker_etl_spark.sources.files import _xlsx_parse_rows
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sst = (
+        f'<sst {ns}><si><t> padded </t></si>'
+        "<si><r><t>rich</t></r><r><t> text</t></r></si></sst>"
+    )
+    sheet = (
+        f'<worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="C1" t="s"><v>1</v></c></row>'          # B1 omitted (gap)
+        '<row r="2"><c t="inlineStr"><is><t>inline</t></is></c>'
+        '<c><v>42</v></c><c t="b"><v>1</v></c></row>'  # no refs: positional
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows = dict(_xlsx_parse_rows(buf.getvalue()))
+    assert rows[1] == ["padded", "", "rich text"]
+    assert rows[2] == ["inline", "42", "TRUE"]
+
+
+def test_xlsx_emiten_row_semantics(spark):
+    """Reference semantics over parsed rows: header skipped, <3 cells
+    dropped, empty Kode/Nama dropped, try_cast keeps bad numerics
+    NULL."""
+    from full_docker_etl_spark.sources.files import emiten_from_xlsx
+
+    rows = spark.createDataFrame(
+        [
+            ("f", 1, ["No", "Kode", "Nama"]),                      # header
+            ("f", 2, ["1", "AALI", "Astra Agro", "2020-01-02", "190", "Utama"]),
+            ("f", 3, ["2", "", "No Code", "", "1", "Utama"]),      # empty Kode
+            ("f", 4, ["3", "BBCA"]),                               # <3 cells
+            ("f", 5, ["4", "TLKM", "Telkom", "not-a-date", "x", ""]),
+        ],
+        "path string, row_num int, cells array<string>",
+    )
+    got = {r.kode: r for r in emiten_from_xlsx(rows).collect()}
+    assert set(got) == {"AALI", "TLKM"}
+    import datetime
+    assert got["AALI"].tanggal_pencatatan == datetime.date(2020, 1, 2)
+    assert got["AALI"].saham == 190
+    assert got["TLKM"].tanggal_pencatatan is None    # try_cast, not throw
+    assert got["TLKM"].saham is None
+    assert got["TLKM"].papan_pencatatan is None      # empty → NULL
