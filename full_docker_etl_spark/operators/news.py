@@ -43,6 +43,66 @@ class LeadSummarizer:
         return out
 
 
+class BartSummarizer:
+    """The reference's transformer pipeline as a drop-in Summarizer
+    (``transform_iqplus_news_dags.py:33-54,115-135``): BART
+    (facebook/bart-large-cnn — a public Hugging Face model id),
+    token-precise truncation to the model's 1024 limit, then
+    deterministic (do_sample=False) summarization at max_length=150 /
+    min_length=50. Import-guarded: the model libraries are not in this
+    container, so construction raises ImportError with a clear message
+    — the engine, tests, and oracles all run on the deterministic
+    :class:`LeadSummarizer` default, and a deployment with
+    ``transformers`` installed swaps this in via the one
+    ``summarizer_factory`` argument. Instantiate per Python worker
+    (the factory contract): the model loads once per executor, exactly
+    like the reference's cached singleton."""
+
+    def __init__(
+        self,
+        model_name: str = "facebook/bart-large-cnn",
+        max_input_tokens: int = 1024,
+        max_length: int = 150,
+        min_length: int = 50,
+    ):
+        try:
+            from transformers import AutoTokenizer, pipeline
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "BartSummarizer needs the 'transformers' package (plus a "
+                "torch backend), which this environment does not ship; "
+                "use the default LeadSummarizer or install transformers"
+            ) from exc
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.pipe = pipeline(
+            "summarization", model=model_name, tokenizer=self.tokenizer,
+            device=-1,
+        )
+        self.max_input_tokens = max_input_tokens
+        self.max_length = max_length
+        self.min_length = min_length
+
+    def __call__(self, texts: list[str]) -> list[str]:  # pragma: no cover
+        # token-precise re-truncation (reference "layer 2"): encode with
+        # truncation so the model never sees more than its window
+        safe = [
+            self.tokenizer.decode(
+                self.tokenizer.encode(
+                    t, truncation=True, max_length=self.max_input_tokens
+                ),
+                skip_special_tokens=True,
+            )
+            for t in texts
+        ]
+        results = self.pipe(
+            safe,
+            max_length=self.max_length,
+            min_length=self.min_length,
+            do_sample=False,
+        )
+        return [r["summary_text"] for r in results]
+
+
 SUMMARY_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -150,3 +150,22 @@ def test_xlsx_emiten_row_semantics(spark):
     assert got["TLKM"].tanggal_pencatatan is None    # try_cast, not throw
     assert got["TLKM"].saham is None
     assert got["TLKM"].papan_pencatatan is None      # empty → NULL
+
+
+def test_bart_summarizer_import_guard():
+    """Without the transformers package the adapter must raise a clear
+    ImportError at construction (never mid-pipeline), and the default
+    Lead summarizer path must be unaffected."""
+    import pytest
+
+    from full_docker_etl_spark.operators.news import BartSummarizer, LeadSummarizer
+
+    try:
+        import transformers  # noqa: F401
+        has_transformers = True
+    except ImportError:
+        has_transformers = False
+    if not has_transformers:
+        with pytest.raises(ImportError, match="transformers"):
+            BartSummarizer()
+    assert LeadSummarizer(3)(["a b c d e"]) == ["a b c ..."]
