@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from full_docker_etl_spark.registry import query
 from full_docker_etl_spark.sources.catalog import load_table
 from full_docker_etl_spark.sources.sinks import (
+    VersionedTable,
     overwrite_partitions,
     update_columns,
     upsert_parquet,
@@ -133,6 +134,45 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert_parquet(spark, path, updates, keys=["o_orderkey"])
     upsert_parquet(spark, path, updates, keys=["o_orderkey"])  # idempotent
     return spark.read.parquet(path)
+
+
+@query(
+    "sink_versioned_merge",
+    oracle="""
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'updated' ELSE 'original' END AS version
+      FROM orders
+    """,
+)
+def sink_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/T5 with ATOMIC commits: the same MERGE semantics as
+    sink_upsert, but on a :class:`VersionedTable` — every commit
+    publishes a complete immutable snapshot via an os.replace pointer
+    swap, so readers never observe a missing or half-written table
+    (the gap _swap_write documents). Applied twice: idempotency and
+    snapshot GC are both part of the contract."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    base = orders.withColumn("version", F.lit("original")).drop("o_orderdate")
+    table = VersionedTable(_tmp("versioned"), keep_versions=2)
+    table.overwrite(base)
+    updates = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit("updated").alias("version"),
+    )
+    table.merge(updates, keys=["o_orderkey"])
+    table.merge(updates, keys=["o_orderkey"])  # idempotent
+    return table.read(spark)
 
 
 @query(

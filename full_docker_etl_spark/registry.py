@@ -63,6 +63,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "agg_approx_percentiles",
     "dedup_minhash_recall",
     "xlsx_scan",
+    "sink_versioned_merge",
     # last externally sampled in round 3; similarity/dedup/joins/windows
     # code has churned since
     "ann_cosine_topk",

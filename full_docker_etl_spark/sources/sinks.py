@@ -72,9 +72,10 @@ def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
     leaves the data under the ``__old_`` suffix. Both are handled:
     stray ``__tmp_``/``__old_`` siblings from a crashed prior swap are
     cleaned up on the next write, and a missing target with a
-    surviving ``__old_`` is restored before swapping. True atomicity
-    needs a lake table format (Delta/Iceberg) or an object store with
-    atomic prefix commit — out of scope for plain Parquet."""
+    surviving ``__old_`` is restored before swapping. For TRUE
+    atomicity on plain Parquet use :class:`VersionedTable` (pointer-
+    file commit); this in-place swap exists for consumers that must
+    read the path directly with ``spark.read.parquet``."""
     parent, base = os.path.split(path)
     if os.path.isdir(parent):
         for entry in os.listdir(parent):
@@ -142,6 +143,94 @@ def update_columns(
         else:
             out_cols.append(F.col(c))
     _swap_write(spark, joined.select(*out_cols), path)
+
+
+class VersionedTable:
+    """ATOMIC commits on plain Parquet via a pointer file — the piece
+    :func:`_swap_write` documents as missing. Layout::
+
+        <root>/_versions/v_<uuid>/   immutable snapshot directories
+        <root>/_CURRENT              text file naming the live version
+
+    A commit writes a NEW snapshot directory, then publishes it with
+    ``os.replace`` on the pointer — atomic on POSIX, so readers see
+    either the old complete version or the new complete version; there
+    is no window where the table is absent or half-written, and a
+    crash at any point leaves the pointer on the old snapshot. This is
+    the single-table core of what lake formats do with manifest files
+    (Delta's _delta_log / Iceberg's metadata pointer), minus
+    multi-writer coordination: concurrent WRITERS still need external
+    mutual exclusion (one writer per table — the reference's scheduler
+    already serializes per-entity jobs), last-pointer-write wins.
+
+    Old snapshots are retained for ``keep_versions`` commits so
+    in-flight readers of the previous version finish cleanly
+    (snapshot-isolation grace), then garbage-collected on later
+    commits."""
+
+    def __init__(self, root: str, keep_versions: int = 2):
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        self.root = root
+        self.keep = keep_versions
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._pointer) as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        return spark.read.parquet(
+            os.path.join(self.root, "_versions", version)
+        )
+
+    def overwrite(self, df: DataFrame) -> str:
+        """Commit ``df`` as the new table state. Returns the version id."""
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(self.root, "_versions", version)
+        df.write.mode("overwrite").parquet(vdir)
+        tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._pointer)  # the atomic publish
+        self._gc(exclude=version)
+        return version
+
+    def merge(self, updates: DataFrame, keys: list[str]) -> str:
+        """MERGE semantics (matched → replace, unmatched → insert) as
+        read-current → anti-join → union → atomic commit. Idempotent:
+        re-running the same batch converges to the same state."""
+        spark = updates.sparkSession
+        if not self.exists():
+            return self.overwrite(updates)
+        existing = self.read(spark)
+        keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
+        return self.overwrite(keep.unionByName(updates))
+
+    def _gc(self, exclude: str) -> None:
+        vroot = os.path.join(self.root, "_versions")
+        try:
+            versions = sorted(
+                (v for v in os.listdir(vroot) if v != exclude),
+                key=lambda v: os.path.getmtime(os.path.join(vroot, v)),
+            )
+        except FileNotFoundError:
+            return
+        # keep the newest (keep-1) besides current; drop the rest
+        for stale in versions[: max(0, len(versions) - (self.keep - 1))]:
+            shutil.rmtree(os.path.join(vroot, stale), ignore_errors=True)
 
 
 def write_manifest(spark: SparkSession, path: str, keys: DataFrame) -> None:

@@ -191,3 +191,44 @@ def test_stream_stream_range_join_equals_batch(spark, sf_dir):
     assert streamed == batch and streamed
     for d in (base, chk):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_versioned_table_atomic_commit_and_crash_safety(spark):
+    """The pointer file is the commit: a snapshot written WITHOUT the
+    pointer swap (a crashed commit) must be invisible; merges are
+    idempotent; GC keeps exactly keep_versions snapshots."""
+    import os
+    import tempfile
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="fde_vt_") + "/t"
+    t = VersionedTable(root, keep_versions=2)
+    assert not t.exists()
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    v1 = t.overwrite(base)
+    assert t.current_version() == v1
+
+    # simulate a crash mid-commit: snapshot dir written, pointer NOT
+    # swapped — readers must still see v1, and the next commit must
+    # not resurrect the orphan
+    orphan = os.path.join(root, "_versions", "v_deadbeef0000")
+    spark.createDataFrame([(9, "z")], "k int, v string").write.parquet(orphan)
+    assert t.current_version() == v1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+
+    up = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    t.merge(up, keys=["k"])
+    t.merge(up, keys=["k"])  # idempotent
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+    # retention: current + (keep-1) previous; older snapshots and the
+    # orphan are gone
+    versions = os.listdir(os.path.join(root, "_versions"))
+    assert len(versions) == 2
+    assert t.current_version() in versions
+    assert "v_deadbeef0000" not in versions
