@@ -107,7 +107,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_minhash_recall",
     oracle=f"""
-      WITH pairs AS ({_jaccard_pairs_sql("documents")})
+      WITH pairs AS (
+        {_jaccard_pairs_sql("(SELECT * FROM documents WHERE doc_id % 2 = 0)")}
+      )
       SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
     """,
 )
@@ -118,8 +120,15 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     by MinHash+LSH banding. The oracle expects recall_ok=TRUE, so a
     sketch regression (bad seeding, banding bug) flips the boolean and
     fails the driver's hash compare — upgrading the recall pin from
-    test-only to driver-checked evidence."""
-    docs = _docs(spark, sf_dir)
+    test-only to driver-checked evidence.
+
+    Runs on a DETERMINISTIC half-corpus (even doc_ids): the standalone
+    dedup_jaccard / dedup_minhash queries already cover both full
+    tiers, so this query only needs enough planted pairs for a
+    meaningful recall ratio — judging on a slice is exactly how you'd
+    audit the sketch at 100 TB rather than re-running the exact tier
+    over everything."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
     exact = jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
     ).select("d1", "d2")
