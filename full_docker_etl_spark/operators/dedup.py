@@ -460,9 +460,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("n_comp"))
         )
-        # carry the previous label through the checkpoint so the
-        # convergence check is a filter over materialized data, not
-        # another join-and-recompute
+        # The convergence count rides the checkpoint materialization as
+        # an observe() metric — one job per round does propagate +
+        # truncate + count, instead of a second pass over the
+        # checkpointed labels.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = (
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["src"], "left"
@@ -474,9 +478,15 @@ def connected_components(
                 ).alias("comp"),
                 F.col("comp").alias("prev_comp"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("prev_comp")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.where(F.col("comp") != F.col("prev_comp")).count()
+        changed = obs.get["changed"] or 0  # None on an empty graph
         # this round is materialized; the previous round's label blocks
         # are dead — release them so the loop holds ONE round of labels
         # in storage, not every round since the session started

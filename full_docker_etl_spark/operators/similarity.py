@@ -287,6 +287,19 @@ def ivf_topk(
     cand = probed.join(assigned, "centroid").where(
         F.col(query_id) != F.col(corpus_id)
     )
+    return _score_and_rank(cand, k, query_id, corpus_id, query_vec, corpus_vec)
+
+
+def _score_and_rank(
+    cand: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """Shared IVF tail: exact cosine over candidates (hoisted norms in
+    ``_qn``/``_cn``), dedup multi-probe hits, per-query top-k."""
     scored = cand.select(
         query_id,
         corpus_id,
@@ -304,6 +317,61 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def ivf_build_lists(
+    corpus: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """The IVF BUILD step at serving shape: assign every corpus vector
+    to its nearest centroid (zero-shuffle argmax) and WRITE the corpus
+    ``partitionBy("centroid")`` — the inverted lists become partition
+    directories. The row norm is precomputed into the lists, so the
+    serve path never touches corpus vectors except for one dot per
+    candidate. Rebuilding is a full refresh; on a lake table you'd
+    MERGE per-partition."""
+    assigned = assign_nearest(
+        corpus.withColumn("_cn", _norm(F.col(corpus_vec))),
+        corpus_vec,
+        centroids.select("centroid", "cvec"),
+        1,
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+
+def ivf_probe_lists(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The IVF SERVE step: probe the ``nprobe`` nearest lists per query
+    against the partitioned store from :func:`ivf_build_lists`. The
+    probe side is tiny (|Q|·nprobe rows) and broadcasts, so the join
+    DYNAMIC-PARTITION-PRUNES the corpus scan — only the probed
+    centroid directories are read at all (asserted in
+    tests/test_plans.py). At 1000 executors this is the difference
+    between scanning nprobe/n_centroids of 100 TB and scanning 100 TB."""
+    lists = spark.read.parquet(path)
+    probed = assign_nearest(
+        queries.withColumn("_qn", _norm(F.col(query_vec))),
+        query_vec,
+        centroids.select("centroid", "cvec"),
+        nprobe,
+    )
+    cand = F.broadcast(probed).join(lists, "centroid").where(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    return _score_and_rank(cand, k, query_id, corpus_id, query_vec, corpus_vec)
 
 
 def lsh_band_params(

@@ -233,6 +233,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
 
 
+@query("ann_ivf_serve")
+def ann_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at SERVING shape: the build step writes the corpus
+    partitioned by centroid (inverted lists = partition directories,
+    norms precomputed); the probe step broadcast-joins the tiny probe
+    set so the corpus scan dynamic-partition-prunes to the probed
+    lists only — the plan is asserted in tests/test_plans.py. Results
+    must equal the in-memory ivf_topk on the same centroids (pinned in
+    tests/test_llm.py). Rows-only check (assignment is
+    engine-specific)."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.similarity import (
+        ivf_build_lists,
+        ivf_probe_lists,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = embs.select("vec_id", "embedding")
+    cents = (
+        corpus.orderBy(F.col("vec_id").asc())
+        .limit(16)
+        .select(F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec"))
+    )
+    path = tempfile.mkdtemp(prefix="fde_ivf_") + "/lists"
+    ivf_build_lists(corpus, path, cents)
+    return ivf_probe_lists(spark, path, queries, cents, k=5, nprobe=4)
+
+
 def planted_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The testdata embeddings hold NO cosine near-dups (max pairwise
     cosine ≈0.48), so the near-dup tier plants them: the first 200

@@ -64,6 +64,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_minhash_recall",
     "xlsx_scan",
     "sink_versioned_merge",
+    "ann_ivf_serve",
     # last externally sampled in round 3; similarity/dedup/joins/windows
     # code has churned since
     "ann_cosine_topk",

@@ -266,3 +266,36 @@ def test_kmeans_centroids_deterministic_and_balanced(spark, embs):
         ).collect()
     }
     assert len(brute & km) / len(brute) >= 0.7
+
+
+def test_ivf_serve_matches_in_memory(spark, sf_dir):
+    """The partitioned serve path must return exactly the in-memory
+    ivf_topk results on the same centroids (same assignment, same
+    probes, same scoring — only the storage shape differs)."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.similarity import (
+        ivf_build_lists,
+        ivf_probe_lists,
+    )
+    from full_docker_etl_spark.sources.catalog import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = embs.select("vec_id", "embedding")
+    queries = embs.where(F.col("vec_id") < 10).selectExpr(
+        "vec_id AS qid", "embedding AS qvec"
+    )
+    cents = corpus.orderBy("vec_id").limit(16).selectExpr(
+        "vec_id AS centroid", "embedding AS cvec"
+    )
+    mem = {
+        (r.qid, r.vec_id): (r.cos_sim, r.rank)
+        for r in ivf_topk(queries, corpus, k=5, nprobe=4, centroids=cents).collect()
+    }
+    path = tempfile.mkdtemp(prefix="fde_ivfeq_") + "/lists"
+    ivf_build_lists(corpus, path, cents)
+    served = {
+        (r.qid, r.vec_id): (r.cos_sim, r.rank)
+        for r in ivf_probe_lists(spark, path, queries, cents, k=5, nprobe=4).collect()
+    }
+    assert served == mem

@@ -125,3 +125,37 @@ def test_centroid_assignment_no_corpus_shuffle(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_ivf_serve_dynamic_partition_pruning(spark, sf_dir):
+    """The IVF serve path must read ONLY the probed inverted lists:
+    the partitioned corpus scan carries a dynamic-pruning expression on
+    the centroid partition column, fed by the broadcast probe side."""
+    import tempfile
+    import contextlib, io
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.similarity import (
+        ivf_build_lists,
+        ivf_probe_lists,
+    )
+    from full_docker_etl_spark.sources.catalog import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = embs.select("vec_id", "embedding")
+    cents = corpus.orderBy("vec_id").limit(4).selectExpr(
+        "vec_id AS centroid", "embedding AS cvec"
+    )
+    path = tempfile.mkdtemp(prefix="fde_ivfplan_") + "/lists"
+    ivf_build_lists(corpus, path, cents)
+    queries = embs.where(F.col("vec_id") < 3).selectExpr(
+        "vec_id AS qid", "embedding AS qvec"
+    )
+    out = ivf_probe_lists(spark, path, queries, cents, k=3, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert out.count() > 0
