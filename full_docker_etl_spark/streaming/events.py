@@ -92,15 +92,22 @@ def stream_upsert(
     target_path: str,
     keys: list[str],
     checkpoint_dir: str,
+    versioned: bool = False,
 ):
     """T5 streaming form: parquet-directory stream → foreachBatch keyed
     upsert into a parquet target. Exactly-once end to end: the
-    checkpoint tracks which source files each epoch consumed, and
-    ``upsert_parquet`` is idempotent by key, so a batch replayed after
-    a failure converges instead of duplicating — the standard recipe
-    for exactly-once on a non-transactional sink. Returns the started
+    checkpoint tracks which source files each epoch consumed, and the
+    keyed merge is idempotent, so a batch replayed after a failure
+    converges instead of duplicating — the standard recipe for
+    exactly-once on a non-transactional sink. With ``versioned=True``
+    the target is a :class:`VersionedTable` at ``target_path`` and each
+    micro-batch commits ATOMICALLY (pointer swap): concurrent readers
+    see whole epochs only, never a mid-rewrite table — the
+    transactional-sink shape without a lake format. Returns the started
     query (caller awaits termination; tests use AvailableNow)."""
-    from full_docker_etl_spark.sources.sinks import upsert_parquet
+    from full_docker_etl_spark.sources.sinks import VersionedTable, upsert_parquet
+
+    vtable = VersionedTable(target_path) if versioned else None
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # Late duplicates within one micro-batch would make the upsert
@@ -118,7 +125,10 @@ def stream_upsert(
                 (keys[0], True)
             ]
         cleaned = natural_key_dedup(batch_df, keys, order)
-        upsert_parquet(batch_df.sparkSession, target_path, cleaned, keys)
+        if vtable is not None:
+            vtable.merge(cleaned, keys)
+        else:
+            upsert_parquet(batch_df.sparkSession, target_path, cleaned, keys)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (

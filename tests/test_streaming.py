@@ -232,3 +232,40 @@ def test_versioned_table_atomic_commit_and_crash_safety(spark):
     assert len(versions) == 2
     assert t.current_version() in versions
     assert "v_deadbeef0000" not in versions
+
+
+def test_stream_upsert_versioned_atomic_epochs(spark, sf_dir):
+    """versioned=True: every micro-batch is an ATOMIC VersionedTable
+    commit — after each epoch the pointer names a complete snapshot,
+    re-streaming overlapping data converges, and no mid-epoch state is
+    ever readable (the pointer only moves on os.replace)."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+    from full_docker_etl_spark.streaming.events import stream_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="fde_vups_src_") + "/in"
+    root = tempfile.mkdtemp(prefix="fde_vups_tgt_") + "/table"
+
+    ev.where("event_id % 2 = 0").write.mode("overwrite").parquet(src)
+    chk = tempfile.mkdtemp(prefix="fde_vups_chk_")
+    q = stream_upsert(spark, src, ev.schema, root, ["event_id"], chk,
+                      versioned=True)
+    q.awaitTermination(120)
+    t = VersionedTable(root)
+    assert t.read(spark).count() == ev.where("event_id % 2 = 0").count()
+
+    ev.withColumn("value", F.col("value") + 1000.0).write.mode("append").parquet(src)
+    q = stream_upsert(spark, src, ev.schema, root, ["event_id"], chk,
+                      versioned=True)
+    q.awaitTermination(120)
+    out = t.read(spark)
+    assert out.count() == ev.count()
+    assert out.groupBy("event_id").count().where("count > 1").count() == 0
+    assert out.where("event_id % 2 = 0").select(F.min("value")).first()[0] >= 1000.0
+    for d in (src, root, chk):
+        shutil.rmtree(d.rsplit("/", 1)[0] if d.endswith(("in", "table")) else d,
+                      ignore_errors=True)
