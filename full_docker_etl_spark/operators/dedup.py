@@ -321,9 +321,13 @@ def _simhash_blocked_candidates(
 
     def block(i: int) -> Column:
         # logical shift: arithmetic shiftright would sign-extend
-        # negative signatures into the high blocks
+        # negative signatures into the high blocks. A full-width block
+        # (b=1, i.e. max_hamming=0 exact matching) needs the all-ones
+        # mask, which only fits a signed long as -1 (two's complement
+        # — (1<<64)-1 overflows LongType).
+        mask = (1 << widths[i]) - 1 if widths[i] < 64 else -1
         return F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
+            F.lit(mask)
         )
 
     keyed = None

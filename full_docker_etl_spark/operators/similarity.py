@@ -395,6 +395,10 @@ def lsh_band_params(
     p_band = (1.0 - theta / math.pi) ** rows
     if p_band >= 1.0:
         return rows, 1
+    if p_band <= 0.0:
+        # threshold == -1: a band never agrees; the best the scheme can
+        # offer is every table it is allowed
+        return rows, max_bands
     need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
     return rows, min(max_bands, max(1, need))
 

@@ -213,24 +213,62 @@ def _xlsx_shared_strings(zf: zipfile.ZipFile) -> list[str]:
     return out
 
 
-def _xlsx_parse_rows(blob: bytes) -> list[tuple[int, list[str]]]:
-    """All rows of the workbook's FIRST sheet as (row_num, cells);
-    cells are trimmed strings (reference trims every cell), gaps and
-    absent trailing cells read as '' via the fixed-width padding the
-    caller applies. Cell types: shared strings (t=s), inline strings
-    (t=inlineStr), booleans (t=b), raw numeric/str otherwise."""
+def _xlsx_first_sheet(zf: zipfile.ZipFile) -> str | None:
+    """The workbook's first sheet BY TAB ORDER: workbook.xml's first
+    <sheet> r:id resolved through workbook.xml.rels. Sheet FILES keep
+    their original names when tabs are deleted/reordered, so
+    'lowest-numbered sheetN.xml' can silently pick a stale leftover —
+    that numeric sort is only the fallback for workbooks missing the
+    metadata parts."""
     import re as _re
     from xml.etree import ElementTree as ET
 
-    zf = zipfile.ZipFile(io.BytesIO(blob))
+    names = zf.namelist()
+    try:
+        rels_root = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        targets = {
+            r.get("Id"): r.get("Target")
+            for r in rels_root
+            if _local(r.tag) == "Relationship"
+        }
+        wb_root = ET.fromstring(zf.read("xl/workbook.xml"))
+        for el in wb_root.iter():
+            if _local(el.tag) != "sheet":
+                continue
+            rid = next(
+                (v for k, v in el.attrib.items() if k.rsplit("}", 1)[-1] == "id"),
+                None,
+            )
+            target = targets.get(rid)
+            if target:
+                target = target.lstrip("/")
+                cand = target if target.startswith("xl/") else f"xl/{target}"
+                if cand in names:
+                    return cand
+            break  # only the FIRST tab matters
+    except (KeyError, ET.ParseError):
+        pass
     sheets = sorted(
-        (n for n in zf.namelist() if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        (n for n in names if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
         key=lambda n: int(_re.search(r"(\d+)", n).group(1)),
     )
-    if not sheets:
+    return sheets[0] if sheets else None
+
+
+def _xlsx_parse_rows(blob: bytes) -> list[tuple[int, list[str]]]:
+    """All rows of the workbook's first sheet (tab order — see
+    :func:`_xlsx_first_sheet`) as (row_num, cells); cells are trimmed
+    strings (reference trims every cell), gaps read as ''. Cell types:
+    shared strings (t=s), inline strings (t=inlineStr), booleans
+    (t=b), raw numeric/str otherwise."""
+    from xml.etree import ElementTree as ET
+
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    sheet = _xlsx_first_sheet(zf)
+    if sheet is None:
         return []
     shared = _xlsx_shared_strings(zf)
-    root = ET.fromstring(zf.read(sheets[0]))
+    root = ET.fromstring(zf.read(sheet))
     rows: list[tuple[int, list[str]]] = []
     for row in root.iter():
         if _local(row.tag) != "row":
@@ -300,13 +338,15 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
     (``YFinanceController.php:17-54``) over :func:`read_xlsx` output:
     skip the header row, positional columns B..F → the
     STOCK_MASTER_SCHEMA columns, every cell trimmed (done at parse),
-    keep only rows with ≥3 cells and non-empty Kode + Nama. Dates and
-    share counts arrive as display strings; try_cast keeps bad cells
-    NULL instead of failing the scan (ANSI mode throws on CAST)."""
+    keep only rows with ≥3 cells and non-empty Kode + Nama. Cells are
+    read with ``get`` (0-based, NULL past the end — rows with only 3-5
+    cells are legal; ``element_at`` would THROW under ANSI), and dates
+    / share counts arrive as display strings so try_cast keeps bad
+    cells NULL instead of failing the scan."""
     from pyspark.sql import functions as F
 
     def cell(i: int):
-        return F.element_at("cells", i + 1)
+        return F.get("cells", i)
 
     def nonempty(col):
         return col.isNotNull() & (col != F.lit(""))
@@ -318,12 +358,8 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
         .select(
             cell(1).alias("kode"),
             cell(2).alias("nama_perusahaan"),
-            F.expr("try_cast(element_at(cells, 4) AS DATE)").alias(
-                "tanggal_pencatatan"
-            ),
-            F.expr("try_cast(element_at(cells, 5) AS BIGINT)").alias("saham"),
-            F.when(
-                nonempty(cell(5)), cell(5)
-            ).alias("papan_pencatatan"),
+            cell(3).try_cast("date").alias("tanggal_pencatatan"),
+            cell(4).try_cast("bigint").alias("saham"),
+            F.when(nonempty(cell(5)), cell(5)).alias("papan_pencatatan"),
         )
     )

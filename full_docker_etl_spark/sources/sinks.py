@@ -150,7 +150,8 @@ class VersionedTable:
     :func:`_swap_write` documents as missing. Layout::
 
         <root>/_versions/v_<uuid>/   immutable snapshot directories
-        <root>/_CURRENT              text file naming the live version
+        <root>/_CURRENT              retained history, newest first
+                                     (first line = the live version)
 
     A commit writes a NEW snapshot directory, then publishes it with
     ``os.replace`` on the pointer — atomic on POSIX, so readers see
@@ -178,12 +179,19 @@ class VersionedTable:
     def _pointer(self) -> str:
         return os.path.join(self.root, "_CURRENT")
 
-    def current_version(self) -> str | None:
+    def _history(self) -> list[str]:
+        """Published versions, newest first (the pointer file holds the
+        retained history, one version per line — still one atomic
+        os.replace per commit)."""
         try:
             with open(self._pointer) as fh:
-                return fh.read().strip() or None
+                return [ln.strip() for ln in fh if ln.strip()]
         except FileNotFoundError:
-            return None
+            return []
+
+    def current_version(self) -> str | None:
+        hist = self._history()
+        return hist[0] if hist else None
 
     def exists(self) -> bool:
         return self.current_version() is not None
@@ -201,11 +209,12 @@ class VersionedTable:
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.root, "_versions", version)
         df.write.mode("overwrite").parquet(vdir)
+        retained = [version] + self._history()[: self.keep - 1]
         tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            fh.write(version)
+            fh.write("\n".join(retained))
         os.replace(tmp, self._pointer)  # the atomic publish
-        self._gc(exclude=version)
+        self._gc(retained)
         return version
 
     def merge(self, updates: DataFrame, keys: list[str]) -> str:
@@ -219,17 +228,18 @@ class VersionedTable:
         keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
         return self.overwrite(keep.unionByName(updates))
 
-    def _gc(self, exclude: str) -> None:
+    def _gc(self, retained: list[str]) -> None:
+        """Delete every snapshot dir NOT in the retained history: aged
+        published versions AND orphans from crashed commits. Judging by
+        directory listing/mtime instead would let a crash orphan (never
+        published, but newest by mtime) evict the genuine previous
+        snapshot that in-flight readers may still be scanning."""
         vroot = os.path.join(self.root, "_versions")
         try:
-            versions = sorted(
-                (v for v in os.listdir(vroot) if v != exclude),
-                key=lambda v: os.path.getmtime(os.path.join(vroot, v)),
-            )
+            on_disk = os.listdir(vroot)
         except FileNotFoundError:
             return
-        # keep the newest (keep-1) besides current; drop the rest
-        for stale in versions[: max(0, len(versions) - (self.keep - 1))]:
+        for stale in set(on_disk) - set(retained):
             shutil.rmtree(os.path.join(vroot, stale), ignore_errors=True)
 
 

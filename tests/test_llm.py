@@ -299,3 +299,24 @@ def test_ivf_serve_matches_in_memory(spark, sf_dir):
         for r in ivf_probe_lists(spark, path, queries, cents, k=5, nprobe=4).collect()
     }
     assert served == mem
+
+
+def test_simhash_exact_match_blocking(spark):
+    """max_hamming=0 (exact 64-bit signature match) must work: the
+    single full-width block needs the all-ones mask as a signed long."""
+    base = " ".join(f"tok{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.d1, r.d2) for r in simhash_pairs(df, "text", "doc_id", max_hamming=0).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_band_params_degenerate_threshold():
+    from full_docker_etl_spark.operators.similarity import lsh_band_params
+
+    rows, bands = lsh_band_params(-1.0, 1000, max_bands=64)
+    assert bands == 64  # never agrees per band: offer every table
+    rows, bands = lsh_band_params(1.0, 1000)
+    assert bands == 1   # always agrees: one table suffices

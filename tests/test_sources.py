@@ -139,11 +139,18 @@ def test_xlsx_emiten_row_semantics(spark):
             ("f", 3, ["2", "", "No Code", "", "1", "Utama"]),      # empty Kode
             ("f", 4, ["3", "BBCA"]),                               # <3 cells
             ("f", 5, ["4", "TLKM", "Telkom", "not-a-date", "x", ""]),
+            # exactly 3 cells: legal (reference checks >=3) — reading
+            # columns 4-6 must yield NULL, never throw (ANSI element_at
+            # would abort the whole scan here)
+            ("f", 6, ["5", "BMRI", "Bank Mandiri"]),
         ],
         "path string, row_num int, cells array<string>",
     )
     got = {r.kode: r for r in emiten_from_xlsx(rows).collect()}
-    assert set(got) == {"AALI", "TLKM"}
+    assert set(got) == {"AALI", "TLKM", "BMRI"}
+    assert got["BMRI"].tanggal_pencatatan is None
+    assert got["BMRI"].saham is None
+    assert got["BMRI"].papan_pencatatan is None
     import datetime
     assert got["AALI"].tanggal_pencatatan == datetime.date(2020, 1, 2)
     assert got["AALI"].saham == 190
@@ -169,3 +176,37 @@ def test_bart_summarizer_import_guard():
         with pytest.raises(ImportError, match="transformers"):
             BartSummarizer()
     assert LeadSummarizer(3)(["a b c d e"]) == ["a b c ..."]
+
+
+def test_xlsx_first_sheet_by_tab_order():
+    """When workbook.xml's first tab points at sheet2.xml (sheet1.xml
+    is a stale leftover), the parser must read sheet2."""
+    from full_docker_etl_spark.sources.files import _xlsx_parse_rows
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+
+    def sheet_xml(text):
+        return (
+            f'<worksheet {ns}><sheetData><row r="1">'
+            f'<c r="A1" t="inlineStr"><is><t>{text}</t></is></c>'
+            "</row></sheetData></worksheet>"
+        )
+
+    wb = (
+        f'<workbook {ns} {rns}><sheets>'
+        '<sheet name="Live" sheetId="7" r:id="rId9"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml("stale"))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("live"))
+    assert _xlsx_parse_rows(buf.getvalue()) == [(1, ["live"])]
