@@ -203,3 +203,66 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Intra-document repetition: 1 − distinct/total word n-grams —
+    the standard boilerplate/spam signal (near-0 for natural prose,
+    →1 for looped templates). Pure in-row array expressions: the
+    n-gram list never leaves its row, zero shuffle. Documents shorter
+    than ``n`` tokens score 0.0 (nothing can repeat)."""
+    toks = F.split(F.trim(col), r"\s+")
+    # sequence(1, 0) DESCENDS in Spark, so the too-short case must be
+    # guarded out, not clamped (same shape as dedup.shingle_arrays)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents sharing any
+    word n-gram with a benchmark/test set — train/test overlap is the
+    classic silent evaluation corruption at pretraining scale. Returns
+    (doc_id, n_hits = number of DISTINCT benchmark n-grams the doc
+    contains) for contaminated docs only; anti-join the result to
+    clean the corpus.
+
+    Scale shape: the benchmark side is tiny next to a 100 TB corpus —
+    its distinct hashed n-grams groupBy down to one small frame that
+    AQE broadcasts into the probe join, so corpus shingles are never
+    exchanged; per-doc distinctness is enforced in-row (array_distinct
+    before the explode), and the only wide movement is (doc_id, hash)
+    pairs of actual hits."""
+    from full_docker_etl_spark.operators.dedup import shingle_arrays
+
+    bench_grams = (
+        shingle_arrays(benchmark, text_col, id_col, n)
+        .select(F.explode(F.transform("sh_arr", lambda s: F.xxhash64(s))).alias("sh"))
+        .distinct()
+    )
+    corpus_grams = shingle_arrays(corpus, text_col, id_col, n).select(
+        "doc_id",
+        F.explode(F.transform("sh_arr", lambda s: F.xxhash64(s))).alias("sh"),
+    )
+    return (
+        corpus_grams.join(bench_grams, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -741,3 +741,61 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=cents
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   [array_to_string(toks[i:i+1], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks) - 1, 0))]
+                     AS grams
+            FROM t)
+      SELECT doc_id,
+             CASE WHEN len(grams) > 0
+                  THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                   / len(grams), 4)
+                  ELSE 0.0 END AS rep_ratio
+      FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (1 − distinct/total word
+    bigrams) — the boilerplate/looped-template signal every corpus
+    quality filter carries; bigrams because the synthetic corpus's
+    natural repetition lives there (349/500 docs non-zero at sf0.01,
+    ~none at trigrams — a flat-zero column would verify nothing).
+    In-row array expressions only; zero shuffle."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", tx.repetition_ratio(F.col("text"), n=2).alias("rep_ratio")
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+             FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-4, 0))) AS i) g),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+      SELECT doc_id, COUNT(*) AS n_hits
+      FROM corp JOIN bench USING (shingle)
+      GROUP BY 1
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with
+    the held-out 'benchmark' slice (every 97th doc stands in for a
+    test set), with the count of distinct overlapping n-grams.
+    Anti-join the result to clean the corpus. The benchmark n-gram set
+    is tiny and broadcasts; corpus shingles never shuffle."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return tx.contamination_hits(corpus, bench, "text", "doc_id", n=5)

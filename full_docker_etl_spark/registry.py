@@ -65,6 +65,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "xlsx_scan",
     "sink_versioned_merge",
     "ann_ivf_serve",
+    "text_repetition",
+    "text_decontaminate",
     # last externally sampled in round 3; similarity/dedup/joins/windows
     # code has churned since
     "ann_cosine_topk",

@@ -320,3 +320,43 @@ def test_lsh_band_params_degenerate_threshold():
     assert bands == 64  # never agrees per band: offer every table
     rows, bands = lsh_band_params(1.0, 1000)
     assert bands == 1   # always agrees: one table suffices
+
+
+def test_contamination_hits_planted_overlap(spark):
+    """A corpus doc embedding a benchmark 5-gram must be flagged with
+    the right distinct-hit count; clean docs must not appear."""
+    from full_docker_etl_spark.operators.text import contamination_hits
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains both benchmark 5-grams (positions 1 and 2)
+            (10, "x alpha beta gamma delta epsilon zeta y"),
+            # contains exactly one (the first five tokens)
+            (11, "alpha beta gamma delta epsilon DIFFERENT tail here"),
+            (12, "completely unrelated text with no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in contamination_hits(corpus, bench, "text", "doc_id").collect()}
+    assert got == {10: 2, 11: 1}
+
+
+def test_repetition_ratio_values(spark):
+    from full_docker_etl_spark.operators.text import repetition_ratio
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),   # looped template: high
+            (2, "one two three four five six"),  # all distinct: 0.0
+            (3, "a b"),                        # shorter than n: 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.r for r in df.select("doc_id", repetition_ratio(F.col("text"), 3).alias("r")).collect()}
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert got[1] > 0.6  # 10 grams, 3 distinct -> 0.7
