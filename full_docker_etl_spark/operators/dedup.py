@@ -138,21 +138,29 @@ def jaccard_pairs(
     return out.select("d1", "d2", "shared", "n1", "n2", "jaccard")
 
 
-def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
-    """Distinct n-gram shingles as ONE array column per document —
-    the no-shuffle input shape for sketching (vs. the exploded
-    (doc, shingle) pairs the inverted-index join needs)."""
-    df = _spread(df)
-    toks = tokens(F.col(text_col))
-    grams = F.when(
+def word_ngrams(col: Column, n: int) -> Column:
+    """All word n-grams of a text column as one in-row array (with
+    duplicates — callers wanting shingles apply array_distinct).
+    Too-short documents yield an EMPTY array: the guard is a when(),
+    not a clamp, because ``sequence(1, 0)`` DESCENDS in Spark."""
+    toks = tokens(col)
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Distinct n-gram shingles as ONE array column per document —
+    the no-shuffle input shape for sketching (vs. the exploded
+    (doc, shingle) pairs the inverted-index join needs)."""
+    df = _spread(df)
     return df.select(
-        F.col(id_col).alias("doc_id"), F.array_distinct(grams).alias("sh_arr")
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("sh_arr"),
     )
 
 
@@ -456,6 +464,8 @@ def connected_components(
         .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     prev_ckpt = labels
     changed = -1
     for _ in range(max_iter):
@@ -468,8 +478,6 @@ def connected_components(
         # an observe() metric — one job per round does propagate +
         # truncate + count, instead of a second pass over the
         # checkpointed labels.
-        from pyspark.sql import Observation
-
         obs = Observation()
         new_labels = (
             labels.join(

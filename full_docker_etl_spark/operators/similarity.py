@@ -323,7 +323,6 @@ def ivf_build_lists(
     corpus: DataFrame,
     path: str,
     centroids: DataFrame,
-    corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> None:
     """The IVF BUILD step at serving shape: assign every corpus vector

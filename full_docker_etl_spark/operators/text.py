@@ -211,16 +211,9 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
     →1 for looped templates). Pure in-row array expressions: the
     n-gram list never leaves its row, zero shuffle. Documents shorter
     than ``n`` tokens score 0.0 (nothing can repeat)."""
-    toks = F.split(F.trim(col), r"\s+")
-    # sequence(1, 0) DESCENDS in Spark, so the too-short case must be
-    # guarded out, not clamped (same shape as dedup.shingle_arrays)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from full_docker_etl_spark.operators.dedup import word_ngrams
+
+    grams = word_ngrams(col, n)
     total = F.size(grams)
     return F.when(
         total > 0,

@@ -230,6 +230,10 @@ def _xlsx_first_sheet(zf: zipfile.ZipFile) -> str | None:
             r.get("Id"): r.get("Target")
             for r in rels_root
             if _local(r.tag) == "Relationship"
+            # only WORKSHEET relationships: the first tab can be a
+            # chartsheet, whose part holds no rows — resolving it
+            # would silently yield an empty scan
+            and (r.get("Type") or "").endswith("/worksheet")
         }
         wb_root = ET.fromstring(zf.read("xl/workbook.xml"))
         for el in wb_root.iter():
@@ -243,9 +247,10 @@ def _xlsx_first_sheet(zf: zipfile.ZipFile) -> str | None:
             if target:
                 target = target.lstrip("/")
                 cand = target if target.startswith("xl/") else f"xl/{target}"
-                if cand in names:
+                if cand in names and "/worksheets/" in cand:
                     return cand
-            break  # only the FIRST tab matters
+            # keep scanning: a chartsheet first tab falls through to
+            # the first WORKSHEET tab instead of returning None
     except (KeyError, ET.ParseError):
         pass
     sheets = sorted(

@@ -169,11 +169,17 @@ class VersionedTable:
     (snapshot-isolation grace), then garbage-collected on later
     commits."""
 
-    def __init__(self, root: str, keep_versions: int = 2):
+    def __init__(
+        self,
+        root: str,
+        keep_versions: int = 2,
+        orphan_grace_seconds: float = 3600.0,
+    ):
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         self.root = root
         self.keep = keep_versions
+        self.orphan_grace = orphan_grace_seconds
 
     @property
     def _pointer(self) -> str:
@@ -209,12 +215,13 @@ class VersionedTable:
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.root, "_versions", version)
         df.write.mode("overwrite").parquet(vdir)
-        retained = [version] + self._history()[: self.keep - 1]
+        history = self._history()
+        retained = [version] + history[: self.keep - 1]
         tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write("\n".join(retained))
         os.replace(tmp, self._pointer)  # the atomic publish
-        self._gc(retained)
+        self._gc(retained, aged=set(history) - set(retained))
         return version
 
     def merge(self, updates: DataFrame, keys: list[str]) -> str:
@@ -228,19 +235,37 @@ class VersionedTable:
         keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
         return self.overwrite(keep.unionByName(updates))
 
-    def _gc(self, retained: list[str]) -> None:
-        """Delete every snapshot dir NOT in the retained history: aged
-        published versions AND orphans from crashed commits. Judging by
-        directory listing/mtime instead would let a crash orphan (never
-        published, but newest by mtime) evict the genuine previous
-        snapshot that in-flight readers may still be scanning."""
+    def _gc(self, retained: list[str], aged: set[str]) -> None:
+        """Delete stale snapshot dirs. Two classes, different rules:
+        ``aged`` = versions this commit pushed out of the published
+        history — known-dead, deleted immediately. Everything else not
+        retained is an ORPHAN (a crashed commit's debris, or a
+        CONCURRENT writer's not-yet-published snapshot): deleted only
+        once older than ``orphan_grace_seconds``, so crash debris is
+        removed while a plausibly-in-flight write is left alone.
+        Judging by directory mtime alone would let a crash orphan
+        (newest by mtime) evict the genuine previous snapshot
+        in-flight readers may still be scanning; deleting every
+        unlisted dir immediately would tear a concurrent writer's
+        snapshot out from under it mid-write. (True multi-writer still
+        needs external mutual exclusion, as documented above.)"""
+        import time
+
         vroot = os.path.join(self.root, "_versions")
         try:
             on_disk = os.listdir(vroot)
         except FileNotFoundError:
             return
+        cutoff = time.time() - self.orphan_grace
         for stale in set(on_disk) - set(retained):
-            shutil.rmtree(os.path.join(vroot, stale), ignore_errors=True)
+            p = os.path.join(vroot, stale)
+            if stale not in aged:
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # plausibly an in-flight writer
+                except OSError:
+                    continue
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def write_manifest(spark: SparkSession, path: str, keys: DataFrame) -> None:

@@ -210,3 +210,27 @@ def test_xlsx_first_sheet_by_tab_order():
         zf.writestr("xl/worksheets/sheet1.xml", sheet_xml("stale"))
         zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("live"))
     assert _xlsx_parse_rows(buf.getvalue()) == [(1, ["live"])]
+
+    # first tab is a CHARTSHEET (no rows): the parser must fall through
+    # to the first WORKSHEET tab instead of returning an empty scan
+    wb2 = (
+        f'<workbook {ns} {rns}><sheets>'
+        '<sheet name="Chart" sheetId="1" r:id="rC"/>'
+        '<sheet name="Data" sheetId="2" r:id="rW"/></sheets></workbook>'
+    )
+    rels2 = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rC" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/chartsheet" Target="chartsheets/sheet1.xml"/>'
+        '<Relationship Id="rW" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb2)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels2)
+        zf.writestr("xl/chartsheets/sheet1.xml", f"<chartsheet {ns}/>")
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml("stale"))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("data"))
+    assert _xlsx_parse_rows(buf2.getvalue()) == [(1, ["data"])]

@@ -214,9 +214,15 @@ def test_versioned_table_atomic_commit_and_crash_safety(spark):
 
     # simulate a crash mid-commit: snapshot dir written, pointer NOT
     # swapped — readers must still see v1, and the next commit must
-    # not resurrect the orphan
+    # not resurrect the orphan. Backdate it past the orphan grace so
+    # GC treats it as crash debris, not an in-flight writer.
     orphan = os.path.join(root, "_versions", "v_deadbeef0000")
     spark.createDataFrame([(9, "z")], "k int, v string").write.parquet(orphan)
+    os.utime(orphan, (0, 0))
+    # a FRESH unpublished dir = possibly another writer mid-commit:
+    # must survive GC
+    inflight = os.path.join(root, "_versions", "v_cafecafe0000")
+    os.makedirs(inflight)
     assert t.current_version() == v1
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
 
@@ -226,12 +232,14 @@ def test_versioned_table_atomic_commit_and_crash_safety(spark):
     got = {r.k: r.v for r in t.read(spark).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
 
-    # retention: current + (keep-1) previous; older snapshots and the
-    # orphan are gone
+    # retention: current + (keep-1) previous; the aged-out published
+    # snapshot and the stale orphan are gone, the fresh in-flight dir
+    # survives
     versions = os.listdir(os.path.join(root, "_versions"))
-    assert len(versions) == 2
     assert t.current_version() in versions
     assert "v_deadbeef0000" not in versions
+    assert "v_cafecafe0000" in versions
+    assert len(versions) == 3  # current + previous + in-flight
 
 
 def test_stream_upsert_versioned_atomic_epochs(spark, sf_dir):
