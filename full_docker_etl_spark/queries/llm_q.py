@@ -298,11 +298,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH blocking + exact cosine filter — the vector sibling
     of the MinHash text tier; candidates only from band-bucket
     collisions, never all-pairs. Runs over the planted near-dup frame
-    (see planted_near_dup_embeddings). Rows-only check; recall and
-    precision vs brute force pinned in tests/test_llm.py."""
+    (see planted_near_dup_embeddings) with band geometry SIZED FROM
+    THE CORPUS via lsh_band_params — the same call shape that holds at
+    10^9 vectors. Rows-only check; recall and precision vs brute
+    force pinned in tests/test_llm.py."""
     frame = planted_near_dup_embeddings(spark, sf_dir)
+    n_corpus = 2 * frame.where(F.col("vec_id") < 1_000_000).count()
     return cosine_pairs_lsh(
-        frame, "vec_id", "embedding", threshold=0.98, n_planes=16, bands=2
+        frame, "vec_id", "embedding", threshold=0.98, corpus_size=n_corpus
     )
 
 
