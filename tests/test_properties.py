@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for pure scheme-level invariants
+— no SparkSession needed, so hundreds of cases run in milliseconds:
+
+- LSH band sizing must satisfy its own recall formula and key-width
+  floor for ANY threshold/corpus size.
+- Excel column-letter encoding must round-trip.
+- The Manku block-combination scheme's pigeonhole guarantee must hold
+  for arbitrary signatures and Hamming budgets (simulated bit-exactly
+  in Python with the same widths/starts arithmetic as the Spark
+  expressions in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    threshold=st.floats(min_value=0.0, max_value=0.9999),
+    size=st.integers(min_value=1, max_value=10**12),
+)
+def test_lsh_band_params_invariants(threshold, size):
+    from full_docker_etl_spark.operators.similarity import lsh_band_params
+
+    rows, bands = lsh_band_params(threshold, size, target_recall=0.95)
+    assert rows >= max(8, math.ceil(math.log2(max(size, 2))))
+    assert 1 <= bands <= 64
+    p_band = (1 - math.acos(threshold) / math.pi) ** rows
+    recall = 1 - (1 - p_band) ** bands
+    # either the target is met, or the scheme honestly maxed out
+    assert recall >= 0.95 or bands == 64
+
+
+@settings(max_examples=200, deadline=None)
+@given(i=st.integers(min_value=0, max_value=10_000))
+def test_xlsx_column_letters_roundtrip(i):
+    from full_docker_etl_spark.queries.sources_q import _xlsx_col_letters
+    from full_docker_etl_spark.sources.files import _col_index
+
+    letters = _xlsx_col_letters(i)
+    assert letters.isalpha() and letters.isupper()
+    assert _col_index(f"{letters}17") == i
+
+
+def _block_keys(sig: int, d: int, b: int) -> set:
+    """Python mirror of dedup._simhash_blocked_candidates' keying:
+    b near-equal blocks of the 64-bit signature, one key per
+    (b-d)-block combination."""
+    widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+    starts = [sum(widths[:i]) for i in range(b)]
+    blocks = [
+        (sig >> starts[i]) & ((1 << widths[i]) - 1) for i in range(b)
+    ]
+    return {
+        (ci, tuple(blocks[i] for i in combo))
+        for ci, combo in enumerate(combinations(range(b), b - d))
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 64) - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=63), max_size=6, unique=True),
+    d=st.integers(min_value=0, max_value=6),
+    extra=st.integers(min_value=0, max_value=4),
+)
+def test_manku_blocking_pigeonhole_recall(sig, flips, d, extra):
+    """A pair within Hamming distance d MUST share at least one
+    (b-d)-block combination key for every legal block count
+    b in [d+1, d+1+extra] — zero false negatives, any geometry."""
+    other = sig
+    for bit in flips:
+        other ^= 1 << bit
+    hamming = bin(sig ^ other).count("1")
+    b = d + 1 + extra
+    if hamming <= d:
+        assert _block_keys(sig, d, b) & _block_keys(other, d, b)
