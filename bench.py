@@ -51,6 +51,12 @@ def main() -> int:
 
     register_views(spark, sf_dir)
     specs["global_count"].fn(spark, sf_dir).count()
+    # also prime the Python worker pool + Arrow serialization path:
+    # the first pandas_udf/mapInPandas stage otherwise pays worker
+    # fork + import cost inside whichever timed query hits it first
+    spark.range(cpus, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -771,8 +771,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter carries; bigrams because the synthetic corpus's
     natural repetition lives there (349/500 docs non-zero at sf0.01,
     ~none at trigrams — a flat-zero column would verify nothing).
-    In-row array expressions only; zero shuffle."""
-    return _docs(spark, sf_dir).select(
+    In-row array expressions only; the explicit spread exists because
+    the docs table arrives as ONE scan partition at test scale and the
+    CPU-bound gram work would otherwise serialize on a single core."""
+    from full_docker_etl_spark.operators.util import spread
+
+    return spread(_docs(spark, sf_dir)).select(
         "doc_id", tx.repetition_ratio(F.col("text"), n=2).alias("rep_ratio")
     )
 
