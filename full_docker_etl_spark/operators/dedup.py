@@ -381,7 +381,17 @@ def simhash_pairs(
     e.g. d=3, n_blocks=6 gives C(6,3)=20 tables of ~32-bit keys,
     comfortable at 10^9 docs. Recall is exact either way (pigeonhole —
     a within-distance pair always shares a key); only the table count
-    and collision noise change."""
+    and collision noise change.
+
+    The table count is C(n_blocks, n_blocks-d) and each table is a
+    unioned plan branch, so it grows combinatorially past the useful
+    range (d=3, n_blocks=35 → 6545 branches — a driver-side plan
+    explosion long before any data moves). Raising n_blocks only needs
+    to widen keys past log2|corpus|, which a handful of extra blocks
+    achieves; anything needing >512 tables is a mis-dial, so that's
+    the hard cap."""
+    import math
+
     if max_hamming < 0 or max_hamming > 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     b = n_blocks if n_blocks is not None else max_hamming + 1
@@ -392,6 +402,15 @@ def simhash_pairs(
         )
     if b > 64:
         raise ValueError(f"n_blocks must be <= 64, got {b}")
+    n_tables = math.comb(b, b - max_hamming)
+    if n_tables > 512:
+        raise ValueError(
+            f"n_blocks={b} with max_hamming={max_hamming} needs "
+            f"C({b},{b - max_hamming})={n_tables} blocking tables (union "
+            "branches) — a plan explosion. Key width grows like "
+            "64·(n_blocks-d)/n_blocks, so a few blocks past d+1 already "
+            "clears any realistic corpus; keep the table count <= 512"
+        )
     sig = simhash(df, text_col, id_col).cache()
     cand = _simhash_blocked_candidates(sig, max_hamming, b)
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
@@ -468,51 +487,64 @@ def connected_components(
 
     prev_ckpt = labels
     changed = -1
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("comp").alias("n_comp"))
-        )
-        # The convergence count rides the checkpoint materialization as
-        # an observe() metric — one job per round does propagate +
-        # truncate + count, instead of a second pass over the
-        # checkpointed labels.
-        obs = Observation()
-        new_labels = (
-            labels.join(
-                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+    converged = False
+    # try/finally so the FAILURE paths (non-convergence raise, or any
+    # mid-round error) also release the round's checkpoints — without
+    # it the symmetrized edges and the last label round stay pinned in
+    # executor storage for the rest of the session.
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("n_comp"))
             )
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
-                ).alias("comp"),
-                F.col("comp").alias("prev_comp"),
+            # The convergence count rides the checkpoint
+            # materialization as an observe() metric — one job per
+            # round does propagate + truncate + count, instead of a
+            # second pass over the checkpointed labels.
+            obs = Observation()
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels["node"] == neighbor_min["src"], "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                    ).alias("comp"),
+                    F.col("comp").alias("prev_comp"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("comp") != F.col("prev_comp")).cast("long")
+                    ).alias("changed"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("comp") != F.col("prev_comp")).cast("long")
-                ).alias("changed"),
+            changed = obs.get["changed"] or 0  # None on an empty graph
+            # this round is materialized; the previous round's label
+            # blocks are dead — release them so the loop holds ONE
+            # round of labels in storage, not every round since the
+            # session started
+            release_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
+            labels = new_labels.select("node", "comp")
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # exiting by exhaustion means labels are still moving —
+            # silent wrong answers are worse than a loud failure here
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing); raise max_iter"
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = obs.get["changed"] or 0  # None on an empty graph
-        # this round is materialized; the previous round's label blocks
-        # are dead — release them so the loop holds ONE round of labels
-        # in storage, not every round since the session started
-        release_checkpoint(prev_ckpt)
-        prev_ckpt = new_labels
-        labels = new_labels.select("node", "comp")
-        if changed == 0:
-            break
-    else:
-        # exiting by exhaustion means labels are still moving — silent
-        # wrong answers are worse than a loud failure here
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter"
-        )
-    release_checkpoint(sym)
+    finally:
+        release_checkpoint(sym)
+        if not converged:
+            # the caller gets an exception, not the labels frame —
+            # its checkpoint blocks would leak
+            release_checkpoint(prev_ckpt)
     return labels

@@ -161,12 +161,24 @@ def _centroid_row(centroids: DataFrame) -> DataFrame:
     so assignment needs neither centroid norms nor the row norm:
     argmax_c dot(v, c/|c|) = argmax_c cosine(v, c) because |v| is a
     positive constant across the candidates. Sorted by centroid id so
-    the array layout (and the index tie-break below) is stable."""
-    unit = centroids.select(
-        "centroid",
-        F.transform(
-            "cvec", lambda x: x.cast("double") / _norm(F.col("cvec"))
-        ).alias("uvec"),
+    the array layout (and the index tie-break below) is stable.
+
+    The norm is hoisted to a COLUMN before the transform — inside the
+    lambda it would be re-folded once per element (O(dim²) per
+    centroid). Zero-norm centroids are DROPPED: 0/0 would make a NaN
+    unit vector, and NaN sorts greatest in Spark, so such a centroid
+    would win every argmax; cosine against the zero vector is
+    undefined anyway, so excluding it from the candidate set is the
+    only assignment that means anything."""
+    unit = (
+        centroids.withColumn("_cnorm", _norm(F.col("cvec")))
+        .where(F.col("_cnorm") > 0)
+        .select(
+            "centroid",
+            F.transform(
+                "cvec", lambda x: x.cast("double") / F.col("_cnorm")
+            ).alias("uvec"),
+        )
     )
     return unit.agg(
         F.array_sort(
@@ -577,6 +589,16 @@ def kmeans_centroids(
     (centroid, cvec, n_members)."""
     from full_docker_etl_spark.operators.util import release_checkpoint
 
+    # Degenerate vectors poison the update step silently: an EMPTY
+    # embedding emits no posexplode rows (the member joins a cluster in
+    # assignment but vanishes from both sums and counts), and a NULL
+    # element is counted by count() but skipped by sum() — either way
+    # the reported means/membership drift with no error. Filter them
+    # up front; they carry no geometry to cluster on anyway.
+    corpus = corpus.where(
+        (F.size(F.col(vec_col)) > 0)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -609,11 +631,17 @@ def kmeans_centroids(
             F.sum(F.col("x").cast("double")).alias("s"),
             F.count(F.lit(1)).alias("cnt"),
         )
+        # n_members = the pos-0 count: every surviving member (filtered
+        # non-empty above) contributes exactly one pos-0 row, so this
+        # is the true membership; max(cnt) over positions would let a
+        # ragged corpus over- or under-state it per dimension.
         new_centroids = (
             dim_sums.groupBy("centroid")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
-                F.max("cnt").alias("n_members"),
+                F.max(F.when(F.col("pos") == 0, F.col("cnt"))).alias(
+                    "n_members"
+                ),
             )
             .select(
                 "centroid",

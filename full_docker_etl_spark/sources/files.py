@@ -345,9 +345,17 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
     STOCK_MASTER_SCHEMA columns, every cell trimmed (done at parse),
     keep only rows with ≥3 cells and non-empty Kode + Nama. Cells are
     read with ``get`` (0-based, NULL past the end — rows with only 3-5
-    cells are legal; ``element_at`` would THROW under ANSI), and dates
-    / share counts arrive as display strings so try_cast keeps bad
-    cells NULL instead of failing the scan."""
+    cells are legal; ``element_at`` would THROW under ANSI), and share
+    counts arrive as display strings so try_cast keeps bad cells NULL
+    instead of failing the scan.
+
+    Dates handle BOTH storage forms real workbooks use: a date-styled
+    cell is stored as a bare NUMERIC SERIAL (days since the 1900-epoch
+    anchor 1899-12-30, Excel's own rule including its leap-year bug
+    offset), which try_cast('date') would silently null; a
+    text-formatted cell arrives as a display string. A bare-integer
+    cell is therefore read as a serial, anything else falls through to
+    the string date parse."""
     from pyspark.sql import functions as F
 
     def cell(i: int):
@@ -356,6 +364,13 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
     def nonempty(col):
         return col.isNotNull() & (col != F.lit(""))
 
+    def excel_date(col):
+        serial = F.when(col.rlike(r"^\d{1,7}$"), col).try_cast("int")
+        return F.when(
+            serial.isNotNull(),
+            F.date_add(F.to_date(F.lit("1899-12-30")), serial),
+        ).otherwise(col.try_cast("date"))
+
     return (
         rows.where(F.col("row_num") > 1)
         .where(F.size("cells") >= 3)
@@ -363,7 +378,7 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
         .select(
             cell(1).alias("kode"),
             cell(2).alias("nama_perusahaan"),
-            cell(3).try_cast("date").alias("tanggal_pencatatan"),
+            excel_date(cell(3)).alias("tanggal_pencatatan"),
             cell(4).try_cast("bigint").alias("saham"),
             F.when(nonempty(cell(5)), cell(5)).alias("papan_pencatatan"),
         )

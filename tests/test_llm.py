@@ -102,6 +102,10 @@ def test_simhash_block_combinations_same_pairs_wider_keys(spark, docs):
 
     with pytest.raises(ValueError):
         simhash_pairs(docs, "text", "doc_id", max_hamming=3, n_blocks=3)
+    # C(35,32)=6545 union branches is a driver-side plan explosion —
+    # the dial must refuse, not melt
+    with pytest.raises(ValueError, match="plan explosion"):
+        simhash_pairs(docs, "text", "doc_id", max_hamming=3, n_blocks=35)
 
 
 def test_lsh_band_params_scale_with_corpus():

@@ -143,16 +143,20 @@ def test_xlsx_emiten_row_semantics(spark):
             # columns 4-6 must yield NULL, never throw (ANSI element_at
             # would abort the whole scan here)
             ("f", 6, ["5", "BMRI", "Bank Mandiri"]),
+            # date-styled cell: Excel stores a NUMERIC SERIAL (days
+            # since 1899-12-30) — 43832 = 2020-01-02
+            ("f", 7, ["6", "ASII", "Astra Intl", "43832", "100", "Utama"]),
         ],
         "path string, row_num int, cells array<string>",
     )
     got = {r.kode: r for r in emiten_from_xlsx(rows).collect()}
-    assert set(got) == {"AALI", "TLKM", "BMRI"}
+    assert set(got) == {"AALI", "TLKM", "BMRI", "ASII"}
     assert got["BMRI"].tanggal_pencatatan is None
     assert got["BMRI"].saham is None
     assert got["BMRI"].papan_pencatatan is None
     import datetime
     assert got["AALI"].tanggal_pencatatan == datetime.date(2020, 1, 2)
+    assert got["ASII"].tanggal_pencatatan == datetime.date(2020, 1, 2)
     assert got["AALI"].saham == 190
     assert got["TLKM"].tanggal_pencatatan is None    # try_cast, not throw
     assert got["TLKM"].saham is None
