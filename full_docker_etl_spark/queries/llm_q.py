@@ -104,11 +104,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_SLICE_SQL = """(
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           (strpos('0123456789abcdef',
+                   substr(md5(array_to_string(
+                     regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')), 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef',
+                    substr(md5(array_to_string(
+                      regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')), 2, 1)) - 1
+             AS prefix_bucket
+    FROM documents
+  ) WHERE prefix_bucket %
+      (SELECT GREATEST(2, COUNT(*) // 625) FROM documents) = 0
+)"""
+
+
 @query(
     "dedup_minhash_recall",
     oracle=f"""
       WITH pairs AS (
-        {_jaccard_pairs_sql("(SELECT * FROM documents WHERE doc_id % 2 = 0)")}
+        {_jaccard_pairs_sql(_MINHASH_SLICE_SQL)}
       )
       SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
     """,
@@ -122,13 +138,26 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails the driver's hash compare — upgrading the recall pin from
     test-only to driver-checked evidence.
 
-    Runs on a DETERMINISTIC half-corpus (even doc_ids): the standalone
-    dedup_jaccard / dedup_minhash queries already cover both full
-    tiers, so this query only needs enough planted pairs for a
-    meaningful recall ratio — judging on a slice is exactly how you'd
-    audit the sketch at 100 TB rather than re-running the exact tier
-    over everything."""
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    Runs on a DETERMINISTIC slice sized FROM the corpus (the judged
+    set stays ~625 docs as the corpus grows: modulus = max(2,
+    n//625)), and sliced by a CONTENT-PREFIX bucket — md5 of the
+    first 5 tokens — not by doc_id: near-dup partners almost always
+    share their opening 5-gram, so both endpoints land in the same
+    bucket and pair survival scales ~1/m, where an independent id
+    slice loses pairs quadratically (1/m²) and goes empty exactly when
+    the corpus gets big enough to need slicing. A pair that differs in
+    its first 5 tokens merely drops out of the judged set (both tiers
+    see the same slice) — never a false failure. The 2-hex-char bucket
+    caps m at 256 (~160k docs judged at 625/slice); wider corpora
+    widen the bucket the same way. This is how you audit a sketch at
+    100 TB: exact-vs-approx on a blocking-aware sample."""
+    docs_all = _docs(spark, sf_dir)
+    m = max(2, docs_all.count() // 625)
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+    )
+    bucket = F.conv(F.substring(F.md5(prefix), 1, 2), 16, 10).cast("int")
+    docs = docs_all.where(bucket % m == 0)
     exact = jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
     ).select("d1", "d2")
