@@ -145,6 +145,45 @@ def update_columns(
     _swap_write(spark, joined.select(*out_cols), path)
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` into ``dst`` with HARDLINKS (same inodes, no data
+    copied); falls back to copy2 per file if the filesystem refuses
+    links (e.g. a cross-device move)."""
+    for base, _dirs, files in os.walk(src):
+        rel = os.path.relpath(base, src)
+        tdir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tdir, exist_ok=True)
+        for f in files:
+            s, t = os.path.join(base, f), os.path.join(tdir, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+
+
+def _link_missing_partitions(src: str, dst: str, depth: int) -> None:
+    """Hardlink every ``col=value`` partition leaf directory (``depth``
+    levels of nesting) present in snapshot ``src`` but absent from the
+    fresh write at ``dst`` — the untouched partitions of a scoped
+    merge. Works off the directory layout the writer just produced, so
+    no partition-value escaping rules are ever re-implemented: a
+    partition was rewritten iff the new write created its directory."""
+
+    def rec(rel: str, level: int) -> None:
+        d = os.path.join(src, rel) if rel else src
+        if level == depth:
+            target = os.path.join(dst, rel)
+            if not os.path.exists(target):
+                _link_tree(d, target)
+            return
+        for entry in os.listdir(d):
+            if "=" in entry and os.path.isdir(os.path.join(d, entry)):
+                rec(os.path.join(rel, entry) if rel else entry, level + 1)
+
+    if depth > 0:
+        rec("", 0)
+
+
 class VersionedTable:
     """ATOMIC commits on plain Parquet via a pointer file — the piece
     :func:`_swap_write` documents as missing. Layout::
@@ -167,19 +206,33 @@ class VersionedTable:
     Old snapshots are retained for ``keep_versions`` commits so
     in-flight readers of the previous version finish cleanly
     (snapshot-isolation grace), then garbage-collected on later
-    commits."""
+    commits.
+
+    ``partition_by`` makes commits PARTITION-SCOPED: snapshots are
+    written ``partitionBy(cols)`` and :meth:`merge` rewrites ONLY the
+    partitions the update batch touches — every other partition's data
+    files are HARDLINKED from the previous snapshot into the new one
+    (same inodes, zero bytes copied or rewritten). This is the
+    reference's per-(year, period) upsert shape
+    (``idx_extraction_script.py:348-352``) and the only merge shape
+    that survives 100 TB: without it a 1-row upsert rewrites the whole
+    table. Hardlinks are safe because snapshots are immutable —
+    GC's rmtree only unlinks, so shared files live until the last
+    snapshot referencing them is collected."""
 
     def __init__(
         self,
         root: str,
         keep_versions: int = 2,
         orphan_grace_seconds: float = 3600.0,
+        partition_by: tuple[str, ...] = (),
     ):
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         self.root = root
         self.keep = keep_versions
         self.orphan_grace = orphan_grace_seconds
+        self.partition_by = tuple(partition_by)
 
     @property
     def _pointer(self) -> str:
@@ -212,9 +265,21 @@ class VersionedTable:
 
     def overwrite(self, df: DataFrame) -> str:
         """Commit ``df`` as the new table state. Returns the version id."""
+        return self._commit(df)
+
+    def _commit(self, df: DataFrame, link_from: str | None = None) -> str:
+        """Write ``df`` as a new snapshot (partitioned when configured),
+        optionally hardlink every partition directory present in
+        ``link_from`` but absent from the fresh write (the untouched
+        partitions of a scoped merge), then publish atomically."""
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.root, "_versions", version)
-        df.write.mode("overwrite").parquet(vdir)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(vdir)
+        if link_from is not None:
+            _link_missing_partitions(link_from, vdir, len(self.partition_by))
         history = self._history()
         retained = [version] + history[: self.keep - 1]
         tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
@@ -227,13 +292,50 @@ class VersionedTable:
     def merge(self, updates: DataFrame, keys: list[str]) -> str:
         """MERGE semantics (matched → replace, unmatched → insert) as
         read-current → anti-join → union → atomic commit. Idempotent:
-        re-running the same batch converges to the same state."""
+        re-running the same batch converges to the same state.
+
+        On a PARTITIONED table the merge is partition-scoped: only the
+        partitions present in ``updates`` are read (partition-pruned
+        scan), merged and rewritten; every untouched partition is
+        hardlinked from the current snapshot. Requires partition
+        columns ⊆ ``keys`` — then a key can never move between
+        partitions, so pruning by the updates' partition values is
+        exhaustive (a matched row always lives in a partition the
+        batch names)."""
         spark = updates.sparkSession
         if not self.exists():
             return self.overwrite(updates)
-        existing = self.read(spark)
+        if not self.partition_by:
+            existing = self.read(spark)
+            keep = existing.join(
+                updates.select(*keys), on=keys, how="left_anti"
+            )
+            return self._commit(keep.unionByName(updates))
+        missing = set(self.partition_by) - set(keys)
+        if missing:
+            raise ValueError(
+                "partition-scoped merge requires partition columns to be "
+                f"part of the merge key (missing: {sorted(missing)}); "
+                "otherwise a matched key could live in a partition the "
+                "update batch never names and the prune would miss it"
+            )
+        affected = updates.select(*self.partition_by).distinct().collect()
+        if any(v is None for row in affected for v in row):
+            raise ValueError(
+                "partition-scoped merge got a NULL partition value; null "
+                "keys cannot address a partition directory"
+            )
+        pred = F.lit(False)
+        for row in affected:
+            clause = F.lit(True)
+            for c in self.partition_by:
+                clause = clause & (F.col(c) == F.lit(row[c]))
+            pred = pred | clause
+        current = self.current_version()
+        cur_dir = os.path.join(self.root, "_versions", current)
+        existing = self.read(spark).where(pred)
         keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
-        return self.overwrite(keep.unionByName(updates))
+        return self._commit(keep.unionByName(updates), link_from=cur_dir)
 
     def _gc(self, retained: list[str], aged: set[str]) -> None:
         """Delete stale snapshot dirs. Two classes, different rules:

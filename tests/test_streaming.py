@@ -242,6 +242,68 @@ def test_versioned_table_atomic_commit_and_crash_safety(spark):
     assert len(versions) == 3  # current + previous + in-flight
 
 
+def test_versioned_table_partition_scoped_merge(spark):
+    """A partitioned merge must rewrite ONLY the touched partitions:
+    untouched partitions' data files in the new snapshot are the SAME
+    INODES as the previous snapshot's (hardlinked, zero bytes copied),
+    the touched partition is freshly written, results equal the
+    unpartitioned merge, and GC of the old snapshot must not tear
+    shared files out of the live one."""
+    import os
+    import tempfile
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    def part_inodes(vdir):
+        out = {}
+        for base, _dirs, files in os.walk(vdir):
+            rel = os.path.relpath(base, vdir)
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.setdefault(rel, set()).add(
+                        os.stat(os.path.join(base, f)).st_ino
+                    )
+        return out
+
+    root = tempfile.mkdtemp(prefix="fde_vtp_") + "/t"
+    t = VersionedTable(root, keep_versions=2, partition_by=("yr",))
+    base = spark.createDataFrame(
+        [(1, "1996", "a"), (2, "1997", "b"), (3, "1998", "c"), (4, "1997", "d")],
+        "k int, yr string, v string",
+    )
+    v1 = t.overwrite(base)
+    v1_inodes = part_inodes(os.path.join(root, "_versions", v1))
+    assert set(v1_inodes) == {"yr=1996", "yr=1997", "yr=1998"}
+
+    up = spark.createDataFrame(
+        [(2, "1997", "B"), (5, "1997", "e")], "k int, yr string, v string"
+    )
+    # partition col missing from the merge key must refuse loudly
+    with pytest.raises(ValueError, match="partition columns"):
+        t.merge(up, keys=["k"])
+    v2 = t.merge(up, keys=["k", "yr"])
+    v2_inodes = part_inodes(os.path.join(root, "_versions", v2))
+    # untouched partitions: identical inodes (linked, not rewritten)
+    assert v2_inodes["yr=1996"] == v1_inodes["yr=1996"]
+    assert v2_inodes["yr=1998"] == v1_inodes["yr=1998"]
+    # touched partition: freshly written files
+    assert v2_inodes["yr=1997"].isdisjoint(v1_inodes["yr=1997"])
+    got = {r.k: (r.yr, r.v) for r in t.read(spark).collect()}
+    assert got == {
+        1: ("1996", "a"), 2: ("1997", "B"), 3: ("1998", "c"),
+        4: ("1997", "d"), 5: ("1997", "e"),
+    }
+
+    # second merge ages v1 out of retention (keep_versions=2) — its
+    # rmtree only unlinks, so the shared 1996/1998 files must survive
+    # in the live snapshot
+    t.merge(up, keys=["k", "yr"])  # idempotent, and triggers GC of v1
+    assert v1 not in os.listdir(os.path.join(root, "_versions"))
+    got = {r.k: (r.yr, r.v) for r in t.read(spark).collect()}
+    assert got[1] == ("1996", "a") and got[3] == ("1998", "c")
+    assert got[2] == ("1997", "B") and got[5] == ("1997", "e")
+
+
 def test_stream_upsert_versioned_atomic_epochs(spark, sf_dir):
     """versioned=True: every micro-batch is an ATOMIC VersionedTable
     commit — after each epoch the pointer names a complete snapshot,
