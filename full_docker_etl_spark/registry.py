@@ -45,68 +45,88 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-5 window: first the queries whose code
-# or oracle changed this round (the round-4 hash-fail
-# sample_pack_sequences on its fixed oracle, the rewritten similarity /
-# dedup iteration paths, the re-cast rn oracles), then the 38 queries
-# whose last external sample predates the round-4/5 changes. Names
-# absent from this list keep their registration (import) order after
-# it; names listed but not registered are ignored, so the list can
-# never drop a query.
+# everything every round. Round-6 window: first the queries whose code
+# or oracle changed since the round-5 sample (the four new ANN/embedding
+# recall verdict rows, the slice-judged sketch verdicts, the
+# partition-scoped VersionedTable merge, and everything downstream of
+# the dedup/similarity/xlsx hardening), then the family last externally
+# sampled on round-4 code (filters / sinks / streams / agg grains /
+# xbrl / ingestion), so no query's external evidence goes two rounds
+# stale. Names absent from this list keep their registration (import)
+# order after it; names listed but not registered are ignored, so the
+# list can never drop a query.
 _SAMPLE_ORDER: tuple[str, ...] = (
-    # changed this round — need fresh driver evidence first
-    "sample_pack_sequences",
-    "ann_ivf_kmeans_topk",
-    "dedup_components",
-    "paginate",
-    "agg_approx_distinct",
+    # -- tier 1: changed since the round-5 sample; need evidence on new code
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "dedup_embedding_recall",
     "agg_approx_percentiles",
     "dedup_minhash_recall",
-    "xlsx_scan",
     "sink_versioned_merge",
-    "ann_ivf_serve",
-    "text_repetition",
-    "text_decontaminate",
-    # last externally sampled in round 3; similarity/dedup/joins/windows
-    # code has churned since
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding",
-    "dedup_exact",
+    "xlsx_scan",
+    "dedup_simhash",
+    "dedup_components",
     "dedup_jaccard",
     "dedup_minhash",
-    "dedup_natural_key",
+    "dedup_embedding",
     "dedup_pipeline",
-    "dedup_simhash",
-    "embed_norm",
-    "fn_coalesce_cast",
-    "fn_compact",
-    "fn_dates",
-    "fn_rupiah",
-    "fn_safe_div",
-    "fn_strings",
-    "fn_to_json",
-    "join_anti",
-    "join_asof",
-    "join_broadcast",
-    "join_equi",
-    "join_range",
-    "join_semi",
-    "mm_decode_meta",
-    "sample_hash_split",
-    "sample_quota_per_source",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_tfidf",
-    "text_tokens",
-    "union_by_name",
-    "win_lag_change",
-    "win_latest_per_group",
-    "win_moving_avg",
-    "win_rank_topn",
-    "win_running_total",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_ivf_serve",
+    "ann_lsh_topk",
+    "ann_cosine_topk",
+    # -- tier 2: last externally sampled on round-4 code
+    "xbrl_metrics",
+    "agg_daily",
+    "agg_monthly",
+    "agg_yearly",
+    "agg_multigrain",
+    "serve_materialized_grain",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_pivot",
+    "agg_percentiles",
+    "explode_tokens",
+    "filter_eq",
+    "filter_range",
+    "filter_contains_ci",
+    "filter_or_search",
+    "filter_in",
+    "filter_pending",
+    "point_lookup",
+    "nested_reshape",
+    "sort_topk",
+    "topk_by_value",
+    "limit_one",
+    "global_count",
+    "distinct_values",
+    "column_max",
+    "group_counts",
+    "word_counts",
+    "catalog_tables",
+    "csv_scan",
+    "zip_xml_ingest",
+    "rest_batch_fetch",
+    "conform_schema",
+    "news_transform",
+    "manifest_semi_join",
+    "observe_metrics",
+    "sink_roundtrip",
+    "sink_partition_overwrite",
+    "sink_upsert",
+    "incr_status_flag",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_range_join",
+    "text_chunk_windows",
+    # -- tier 3 (implicit): everything sampled green on round-5 code and
+    # untouched since (fn_* / join_* / win_* / text_* / sample_* /
+    # paginate / union / embed_norm / mm_decode_meta / agg_approx_distinct
+    # / text_repetition / text_decontaminate / dedup_exact /
+    # dedup_natural_key / sample_pack_sequences) follows in registration
+    # order and rotates back into the window next round.
 )
 
 
