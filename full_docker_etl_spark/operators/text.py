@@ -227,6 +227,45 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# PII patterns kept to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backreferences) so the exact same strings run on
+# Spark's JVM regex AND the DuckDB/RE2 oracle with identical matches.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{3,10}", "<PHONE>"),
+)
+
+
+def pii_scrub(col: Column) -> dict[str, Column]:
+    """PII redaction for training corpora: mask emails, IPv4 addresses
+    and international phone numbers with typed placeholder tokens, and
+    count what was masked (the counts feed the per-source PII-rate
+    dashboards that decide whether a crawl slice is usable at all).
+
+    Pure JVM regexp built-ins — ``regexp_count`` + chained
+    ``regexp_replace`` — so the scrub runs inside whole-stage codegen
+    over every document; at 100 TB this is a map-only pass with zero
+    shuffle and nothing leaves the row. Email is scrubbed FIRST: its
+    local/domain parts can contain dotted digit runs that the IPv4
+    pattern would otherwise tear in half, while the placeholders
+    themselves (``<EMAIL>`` etc.) match no later pattern, so the chain
+    order is confluent for the remaining two.
+
+    Returns named columns: ``n_<kind>`` match counts (pre-scrub) and
+    ``clean_text``. Deliberately regex-only — names/addresses need NER
+    models (an Arrow-UDF stage like operators/news.py summarize), but
+    the structured kinds here are the standard regex tier every
+    pretraining pipeline runs first."""
+    out: dict[str, Column] = {}
+    clean = col
+    for kind, pat, token in PII_PATTERNS:
+        out[f"n_{kind}"] = F.regexp_count(col, F.lit(pat))
+        clean = F.regexp_replace(clean, pat, token)
+    out["clean_text"] = clean
+    return out
+
+
 def contamination_hits(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -120,6 +120,22 @@ _MINHASH_SLICE_SQL = """(
 )"""
 
 
+def _judge_slice(docs_all: DataFrame) -> DataFrame:
+    """The deterministic content-prefix judge slice (Spark mirror of
+    ``_MINHASH_SLICE_SQL``): ~625 docs whose opening-5-token md5
+    bucket is 0 mod max(2, n//625). Blocking-aware — near-dup partners
+    share their opening 5-gram, so both endpoints survive slicing
+    together (pair survival ~1/m, not 1/m²). Shared by every sketch
+    verdict that needs an exact-vs-approx judgment bounded at any
+    corpus size."""
+    m = max(2, docs_all.count() // 625)
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
+    )
+    bucket = F.conv(F.substring(F.md5(prefix), 1, 2), 16, 10).cast("int")
+    return docs_all.where(bucket % m == 0)
+
+
 @query(
     "dedup_minhash_recall",
     oracle=f"""
@@ -151,13 +167,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps m at 256 (~160k docs judged at 625/slice); wider corpora
     widen the bucket the same way. This is how you audit a sketch at
     100 TB: exact-vs-approx on a blocking-aware sample."""
-    docs_all = _docs(spark, sf_dir)
-    m = max(2, docs_all.count() // 625)
-    prefix = F.concat_ws(
-        " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
-    )
-    bucket = F.conv(F.substring(F.md5(prefix), 1, 2), 16, 10).cast("int")
-    docs = docs_all.where(bucket % m == 0)
+    docs = _judge_slice(_docs(spark, sf_dir))
     exact = jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
     ).select("d1", "d2")
@@ -186,6 +196,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall; the block count is the corpus-size dial). Rows-only
     check."""
     return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "dedup_simhash_recall",
+    oracle=f"""
+      SELECT COUNT(*) AS n_docs, TRUE AS pigeonhole_ok
+      FROM {_MINHASH_SLICE_SQL}
+    """,
+)
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash tier's PIGEONHOLE GUARANTEE as an externally-checked
+    VERDICT row. Unlike the MinHash verdict (a measured floor vs the
+    exact-Jaccard tier), SimHash's block-combination blocking makes an
+    exact mathematical promise: every pair within Hamming distance
+    ``max_hamming`` shares at least one blocking key, so candidate
+    recall against TRUE Hamming-≤3 pairs must be exactly 100%. This
+    query brute-forces the truth set on the deterministic judge slice
+    (~625 docs → ~195k signature pairs, a few KB each — bounded at any
+    corpus size, which is why the slice exists) and asserts the
+    blocked tier found every one. n_docs is the portable count (the
+    oracle recomputes the slice size); a decomposition bug — wrong
+    shift, sign-extended block, dropped combination — flips the
+    boolean and fails the driver's hash compare. A Jaccard-based floor
+    would be wrong here: SimHash approximates cosine on term
+    frequencies, and measured recall of Jaccard-0.8 pairs at
+    hamming≤3 is only ~0.14 on this corpus — the blocking guarantee,
+    not Jaccard recall, is the invariant this tier actually offers."""
+    from full_docker_etl_spark.operators.dedup import simhash
+
+    docs = _judge_slice(_docs(spark, sf_dir))
+    sig = simhash(docs, "text", "doc_id")
+    left = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    right = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    truth = (
+        left.join(F.broadcast(right), F.col("d1") < F.col("d2"))
+        .where(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 3)
+        .select("d1", "d2")
+    )
+    found = simhash_pairs(docs, "text", "doc_id", max_hamming=3).select(
+        "d1", "d2", F.lit(1).alias("_hit")
+    )
+    verdict = truth.join(found, ["d1", "d2"], "left").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("_hit").alias("n_found"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(verdict).select(
+        "n_docs",
+        (F.col("n_found") == F.col("n_true")).alias("pigeonhole_ok"),
+    )
 
 
 @query(
@@ -292,6 +352,55 @@ def ann_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="fde_ivf_") + "/lists"
     ivf_build_lists(corpus, path, cents)
     return ivf_probe_lists(spark, path, queries, cents, k=5, nprobe=4)
+
+
+@query(
+    "ann_ivf_serve_consistency",
+    oracle="""
+      SELECT CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+                  AS BIGINT) AS n_serve,
+             TRUE AS serve_ok
+    """,
+)
+def ann_ivf_serve_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-path equivalence pin as an externally-checked
+    VERDICT row: the partition-pruned on-disk probe
+    (``ivf_probe_lists``) must return EXACTLY the rows of the
+    in-memory ``ivf_topk`` on the same centroids — same (qid, vec_id,
+    cos_sim, rank) quadruples, none missing, none extra. Previously
+    this equivalence lived only in pytest; a serve-path regression
+    (stale norms in the lists, a pruning bug dropping a probed
+    partition, rank drift) now flips ``serve_ok`` — or changes
+    ``n_serve`` off the oracle's k×|queries| count — and fails the
+    driver's hash compare. n_serve is portable: both paths must fill
+    all k slots for every query at these SFs."""
+    serve = ann_ivf_serve(spark, sf_dir).select(
+        "qid", "vec_id", "cos_sim", "rank"
+    )
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
+    cents = (
+        corpus.orderBy(F.col("vec_id").asc())
+        .limit(16)
+        .select(F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec"))
+    )
+    mem = ivf_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=cents
+    ).select("qid", "vec_id", "cos_sim", "rank")
+    s = serve.withColumn("_s", F.lit(1))
+    m = mem.withColumn("_m", F.lit(1))
+    return (
+        s.join(m, ["qid", "vec_id", "cos_sim", "rank"], "full_outer")
+        .agg(
+            F.count("_s").alias("n_serve"),
+            F.count(F.when(F.col("_s").isNull() | F.col("_m").isNull(), 1)).alias(
+                "n_mismatch"
+            ),
+        )
+        .select(
+            F.col("n_serve").cast("long").alias("n_serve"),
+            (F.col("n_mismatch") == 0).alias("serve_ok"),
+        )
+    )
 
 
 @query(
@@ -619,6 +728,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", tx.fingerprint(F.col("text")).alias("fp")
     )
+
+
+_EMAIL_PAT, _IP_PAT, _PHONE_PAT = (p for _, p, _ in tx.PII_PATTERNS)
+
+# Synthetic documents carry no PII, so the scrub query PLANTS one
+# deterministic email + IPv4 + phone per doc (the
+# planted_near_dup_embeddings pattern: both engines construct the same
+# input, so effectiveness is value-checked, not assumed).
+_PII_PLANT_SQL = """
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.7 call +62-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+"""
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+      WITH planted AS ({_PII_PLANT_SQL}),
+      scrubbed AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(text, '{_IP_PAT}')) AS INTEGER) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{_PHONE_PAT}')) AS INTEGER) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                 '{_IP_PAT}', '<IP>', 'g'),
+                 '{_PHONE_PAT}', '<PHONE>', 'g') AS clean_text
+        FROM planted
+      )
+      SELECT doc_id, n_email, n_ipv4, n_phone, clean_text,
+             NOT (regexp_matches(clean_text, '{_EMAIL_PAT}')
+                  OR regexp_matches(clean_text, '{_IP_PAT}')
+                  OR regexp_matches(clean_text, '{_PHONE_PAT}')) AS pii_free
+      FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (operators/text.py pii_scrub):
+    mask emails / IPv4s / phones with typed placeholders, count each
+    kind, and assert the scrubbed text is residue-free. The patterns
+    live in the Java-regex ∩ RE2 common subset so the DuckDB oracle
+    value-checks every masked byte and every count — the scrub is
+    PROVEN effective per row (``pii_free``), not spot-checked. Pure
+    regexp built-ins: a zero-shuffle map-only pass at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".0.7 call +62-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    cols = tx.pii_scrub(F.col("text"))
+    scrubbed = planted.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_phone"].alias("n_phone"),
+        cols["clean_text"].alias("clean_text"),
+    )
+    residue = (
+        F.regexp_like(F.col("clean_text"), F.lit(_EMAIL_PAT))
+        | F.regexp_like(F.col("clean_text"), F.lit(_IP_PAT))
+        | F.regexp_like(F.col("clean_text"), F.lit(_PHONE_PAT))
+    )
+    return scrubbed.select("*", (~residue).alias("pii_free"))
 
 
 # -------------------------------------------------------- multimodal

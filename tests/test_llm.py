@@ -364,3 +364,57 @@ def test_repetition_ratio_values(spark):
     got = {r.doc_id: r.r for r in df.select("doc_id", repetition_ratio(F.col("text"), 3).alias("r")).collect()}
     assert got[2] == 0.0 and got[3] == 0.0
     assert got[1] > 0.6  # 10 grams, 3 distinct -> 0.7
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from full_docker_etl_spark.operators.text import pii_scrub
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c%d@sub.example.co.uk then 192.168.0.1 done"),
+            (2, "call +62-555-0042 or +1-800-12345678 today"),
+            (3, "two mails x@y.io z@w.ai and ip 10.0.0.7"),
+            (4, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    cols = pii_scrub(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            cols["n_email"].alias("n_email"),
+            cols["n_ipv4"].alias("n_ipv4"),
+            cols["n_phone"].alias("n_phone"),
+            cols["clean_text"].alias("clean"),
+        ).collect()
+    }
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 1, 0)
+    assert got[1].clean == "mail <EMAIL> then <IP> done"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 2)
+    assert got[2].clean == "call <PHONE> or <PHONE> today"
+    assert (got[3].n_email, got[3].n_ipv4) == (2, 1)
+    assert got[3].clean == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    assert got[4].clean == "nothing sensitive here at all"
+
+
+def test_simhash_pigeonhole_exact_on_slice(spark, docs):
+    """The blocked candidate set must contain EVERY true hamming<=3
+    pair (pigeonhole) — the same invariant dedup_simhash_recall pins
+    externally, checked here on the full fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import simhash, simhash_pairs
+
+    sig = simhash(docs, "text", "doc_id")
+    left = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    right = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    truth = (
+        left.join(F.broadcast(right), F.col("d1") < F.col("d2"))
+        .where(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 3)
+        .select("d1", "d2")
+    )
+    found = simhash_pairs(docs, "text", "doc_id", max_hamming=3).select("d1", "d2")
+    missing = truth.exceptAll(found).count()
+    assert missing == 0, f"pigeonhole violated: {missing} true pairs unblocked"

@@ -238,3 +238,28 @@ def test_xlsx_first_sheet_by_tab_order():
         zf.writestr("xl/worksheets/sheet1.xml", sheet_xml("stale"))
         zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("data"))
     assert _xlsx_parse_rows(buf2.getvalue()) == [(1, ["data"])]
+
+
+def test_bart_summarizer_real_model_smoke(spark):
+    """Conditional evidence for the real-model path: runs only when
+    the environment opts in (FDE_BART_SMOKE=1) AND transformers is
+    importable — the adapter then must produce non-empty summaries
+    through the same mapInPandas stage the stub uses. Skips cleanly
+    everywhere else (this container ships no transformers/torch)."""
+    import os
+
+    import pytest
+
+    if os.environ.get("FDE_BART_SMOKE") != "1":
+        pytest.skip("real-model smoke is opt-in: set FDE_BART_SMOKE=1")
+    pytest.importorskip("transformers")
+
+    from full_docker_etl_spark.operators.news import BartSummarizer, summarize
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["spark distributes the summarization batches"] * 30))],
+        "doc_id long, text string",
+    )
+    out = summarize(df, "text", "doc_id", summarizer_factory=BartSummarizer)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].summary.strip()
