@@ -81,3 +81,37 @@ def pack_chunks(
     cum = F.sum(F.col(token_col)).over(w)
     bin_ = F.floor((cum - F.col(token_col)) / F.lit(budget))
     return chunks.withColumn("seq_bin", bin_.cast("long"))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: str,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch needs
+    the corpus in a fresh pseudo-random order, reproducible under task
+    retry and identical across engines — so the permutation key is
+    md5(seed || key), never rand() or an engine-private hash. Change
+    ``seed`` per epoch for a fresh order.
+
+    Scale shape: a literal global sort of 100 TB is one giant
+    range-partitioned sort whose only consumer reads the output
+    serially — the wrong shape. Training readers consume SHARDS, so
+    the shuffle is sharded too: the hash key routes each row to one of
+    ``n_shards`` shards (uniform by construction), and ordering is
+    imposed WITHIN each shard by a per-shard window — n_shards
+    independent sorts that parallelize perfectly and stream straight
+    into per-shard writers. Returns the input plus (shard, pos); pos
+    is the row's deterministic position within its shard."""
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__key").asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__key")
+    )

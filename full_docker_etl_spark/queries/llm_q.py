@@ -919,6 +919,39 @@ def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_epoch_shuffle",
+    oracle="""
+      SELECT doc_id, shard, pos FROM (
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                    AS INTEGER) AS pos
+        FROM (
+          SELECT doc_id,
+                 md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k,
+                 CAST(CAST(('0x' || substr(
+                        md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 8 AS INTEGER) AS shard
+          FROM documents
+        )
+      )
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.py
+    epoch_shuffle): the training-order permutation as md5(seed||key)
+    routing into 8 shards with per-shard positions — reproducible
+    under task retry and portable (no rand(), no engine-private hash),
+    which is exactly why the oracle can value-check the entire
+    permutation. Per-shard windows, never one global sort: the
+    100 TB shape is n_shards independent ordered writers."""
+    from full_docker_etl_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        _docs(spark, sf_dir), "doc_id", seed="epoch0", n_shards=8
+    ).select("doc_id", "shard", "pos")
+
+
+@query(
     "dedup_pipeline",
     oracle=f"""
       WITH canon_ids AS (SELECT MIN(doc_id) AS doc_id

@@ -11,6 +11,7 @@ import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from full_docker_etl_spark.operators.xbrl import financial_metrics, with_parsed_xbrl
 from full_docker_etl_spark.registry import query
@@ -20,6 +21,7 @@ from full_docker_etl_spark.sources.files import (
     extract_zip_xml,
     read_binary_dir,
     read_csv,
+    read_jsonl,
 )
 from full_docker_etl_spark.sources.rest import SyntheticFetcher, fetch_ohlcv
 
@@ -55,6 +57,60 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     master.write.mode("overwrite").option("header", True).csv(path)
     back = read_csv(spark, path, STOCK_MASTER_SCHEMA)
     return back.select("kode", "nama_perusahaan", "papan_pencatatan")
+
+
+_JSONL_BAD_LINES = ('{"doc_id": oops}', "not json at all")
+
+
+@query(
+    "jsonl_scan",
+    oracle=f"""
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS INTEGER) AS n_chars,
+             FALSE AS is_corrupt,
+             CAST(NULL AS VARCHAR) AS corrupt_payload
+      FROM documents
+      UNION ALL
+      SELECT NULL, NULL, NULL, NULL, TRUE, '{_JSONL_BAD_LINES[0].replace("'", "''")}'
+      UNION ALL
+      SELECT NULL, NULL, NULL, NULL, TRUE, '{_JSONL_BAD_LINES[1]}'
+    """,
+)
+def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL crawl-dump ingestion (sources/files.py read_jsonl): a
+    write→read round trip of the documents table as JSON lines (the
+    testdata ships no JSONL) PLUS two planted malformed lines. The
+    scan uses an explicit schema (no inference pass) and PERMISSIVE
+    corrupt-record capture, so every broken line surfaces as a
+    quarantine row (``is_corrupt``, original payload preserved) while
+    good lines parse fully — both routes value-checked by the oracle.
+    The fixture write and the scan are both distributed; the corrupt
+    lines ride a 2-row text append, not a driver loop."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = tempfile.mkdtemp(prefix="fde_jsonl_") + "/dump"
+    docs.write.mode("overwrite").json(path)
+    spark.createDataFrame(
+        [(line,) for line in _JSONL_BAD_LINES], "value string"
+    ).coalesce(1).write.mode("append").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    back = read_jsonl(spark, path, schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+        F.col("_corrupt").alias("corrupt_payload"),
+    )
 
 
 def _make_zip_landing(spark: SparkSession, sf_dir: str) -> str:

@@ -60,6 +60,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
+    "jsonl_scan",
+    "sample_epoch_shuffle",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",

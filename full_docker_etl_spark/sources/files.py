@@ -59,6 +59,37 @@ def read_csv(
     )
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """JSONL (one JSON object per line) scan with an EXPLICIT schema —
+    the standard landing format for crawl dumps and LLM training
+    corpora. Never schema-inferred: inference is a full extra pass
+    over the data (at 100 TB, a second 100 TB read before the first
+    useful byte). JSON lines split cleanly on newlines, so the scan
+    parallelizes per HDFS block exactly like CSV.
+
+    PERMISSIVE mode with a named corrupt-record column: a malformed
+    line lands intact in ``corrupt_col`` (its other fields NULL)
+    instead of killing the job or silently vanishing — at crawl scale
+    some fraction of lines is ALWAYS broken, and dropping them
+    silently biases the corpus while failing hard wastes the whole
+    pass. Callers split on ``corrupt_col IS NULL`` and route the bad
+    lines to a quarantine sink."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .json(path)
+    )
+
+
 def read_binary_dir(
     spark: SparkSession,
     path: str,

@@ -263,3 +263,31 @@ def test_bart_summarizer_real_model_smoke(spark):
     out = summarize(df, "text", "doc_id", summarizer_factory=BartSummarizer)
     rows = out.collect()
     assert len(rows) == 1 and rows[0].summary.strip()
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """Good lines parse fully; malformed lines land intact in the
+    corrupt column with all schema fields NULL — never dropped, never
+    a job failure."""
+    from pyspark.sql import types as T
+
+    from full_docker_etl_spark.sources.files import read_jsonl
+
+    p = tmp_path / "dump"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "garbage line\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, "name": broken}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    rows = read_jsonl(spark, str(p), schema).collect()
+    good = {r.id: r.name for r in rows if r._corrupt is None}
+    bad = sorted(r._corrupt for r in rows if r._corrupt is not None)
+    assert good == {1: "ok", 2: "also ok"}
+    assert bad == ["garbage line", '{"id": 3, "name": broken}']
+    assert all(r.id is None and r.name is None
+               for r in rows if r._corrupt is not None)

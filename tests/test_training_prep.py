@@ -87,3 +87,29 @@ def test_hash_split_partitions_corpus(spark, sf_dir):
     full = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
     for r in sub.select("doc_id", "split").collect():
         assert full[r.doc_id] == r.split
+
+
+def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
+    """Every row keeps exactly one (shard, pos) slot; positions are
+    dense 1..n per shard; a different seed yields a different order;
+    the same seed is bit-stable across invocations."""
+    from full_docker_etl_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    a = epoch_shuffle(docs, "doc_id", seed="e1", n_shards=4)
+    assert a.count() == n
+    # dense positions per shard
+    per_shard = a.groupBy("shard").agg(
+        F.count("*").alias("c"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    ).collect()
+    assert len(per_shard) == 4          # all shards populated
+    for r in per_shard:
+        assert (r.mn, r.mx) == (1, r.c)
+        assert r.c > n // 16            # roughly uniform routing
+    # determinism: same seed → identical assignment
+    b = epoch_shuffle(docs, "doc_id", seed="e1", n_shards=4)
+    assert a.exceptAll(b).count() == 0
+    # seed sensitivity: a new epoch reorders
+    c = epoch_shuffle(docs, "doc_id", seed="e2", n_shards=4)
+    assert a.exceptAll(c).count() > 0
