@@ -95,6 +95,13 @@ def epoch_shuffle(
     md5(seed || key), never rand() or an engine-private hash. Change
     ``seed`` per epoch for a fresh order.
 
+    ``key_col`` must be UNIQUE (it is the whole sort key after the
+    hash): duplicate keys share a sort key, making their relative pos
+    engine- and retry-dependent — which breaks the reproducibility
+    contract. Epoch shuffling runs after dedup/canonicalization in any
+    real pipeline, where the doc id is unique by construction; run
+    exact_dedup/natural_key_dedup first if yours is not.
+
     Scale shape: a literal global sort of 100 TB is one giant
     range-partitioned sort whose only consumer reads the output
     serially — the wrong shape. Training readers consume SHARDS, so

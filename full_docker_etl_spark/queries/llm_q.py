@@ -107,32 +107,39 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SLICE_SQL = """(
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
-           (strpos('0123456789abcdef',
-                   substr(md5(array_to_string(
-                     regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')), 1, 1)) - 1) * 16
-           + strpos('0123456789abcdef',
-                    substr(md5(array_to_string(
-                      regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')), 2, 1)) - 1
-             AS prefix_bucket
-    FROM documents
+           CAST(('0x' || substr(md5(array_to_string(
+                  regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')), 1, 8))
+                AS BIGINT) AS prefix_bucket
+    FROM documents WHERE text IS NOT NULL
   ) WHERE prefix_bucket %
-      (SELECT GREATEST(2, COUNT(*) // 625) FROM documents) = 0
+      (SELECT GREATEST(2, COUNT(*) // 625)
+       FROM documents WHERE text IS NOT NULL) = 0
 )"""
 
 
 def _judge_slice(docs_all: DataFrame) -> DataFrame:
     """The deterministic content-prefix judge slice (Spark mirror of
-    ``_MINHASH_SLICE_SQL``): ~625 docs whose opening-5-token md5
+    ``_MINHASH_SLICE_SQL`` — keep the two in lockstep, the driver
+    compares them value-by-value): ~625 docs whose opening-5-token md5
     bucket is 0 mod max(2, n//625). Blocking-aware — near-dup partners
     share their opening 5-gram, so both endpoints survive slicing
     together (pair survival ~1/m, not 1/m²). Shared by every sketch
     verdict that needs an exact-vs-approx judgment bounded at any
-    corpus size."""
+    corpus size.
+
+    Two cross-engine traps this mirrors explicitly: NULL text rows are
+    EXCLUDED on both sides (Spark's concat_ws would fold a NULL token
+    array to '' while SQL propagates NULL — the one place the two
+    engines disagree); and the bucket is 8 hex chars (32 bits, ~4B
+    buckets), so the modulus never outgrows the bucket range — a
+    2-hex bucket silently degenerates past m=256 (~160k docs) and the
+    slice starts growing as n/256 again."""
+    docs_all = docs_all.where(F.col("text").isNotNull())
     m = max(2, docs_all.count() // 625)
     prefix = F.concat_ws(
         " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
     )
-    bucket = F.conv(F.substring(F.md5(prefix), 1, 2), 16, 10).cast("int")
+    bucket = F.conv(F.substring(F.md5(prefix), 1, 8), 16, 10).cast("long")
     return docs_all.where(bucket % m == 0)
 
 
@@ -295,16 +302,23 @@ _ANN_ORACLE = """
 """
 
 
+def _first_k_centroids(corpus: DataFrame, k: int = 16) -> DataFrame:
+    """The deterministic centroid set shared by the IVF build, probe,
+    and consistency-verdict queries — ONE definition so the serving
+    path and its in-memory baseline can never silently diverge."""
+    return (
+        corpus.orderBy(F.col("vec_id").asc())
+        .limit(k)
+        .select(F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec"))
+    )
+
+
 @query("ann_cosine_topk", oracle=_ANN_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a bounded query set (vec_id < 10) —
     the correctness baseline for ANN. Dot products are ordered folds
     (zip_with + aggregate), rounded before ranking, tie-broken by id."""
-    embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    corpus = embs.select("vec_id", "embedding")
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
     return cosine_topk(queries, corpus, k=5)
 
 
@@ -314,11 +328,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists by nearest centroid, queries probe only the nprobe closest
     lists, exact cosine within candidates. Rows-only check; recall vs
     brute force is asserted in tests/test_llm.py."""
-    embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    corpus = embs.select("vec_id", "embedding")
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
     return ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
 
 
@@ -339,16 +349,8 @@ def ann_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_probe_lists,
     )
 
-    embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    corpus = embs.select("vec_id", "embedding")
-    cents = (
-        corpus.orderBy(F.col("vec_id").asc())
-        .limit(16)
-        .select(F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec"))
-    )
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
+    cents = _first_k_centroids(corpus)
     path = tempfile.mkdtemp(prefix="fde_ivf_") + "/lists"
     ivf_build_lists(corpus, path, cents)
     return ivf_probe_lists(spark, path, queries, cents, k=5, nprobe=4)
@@ -378,11 +380,7 @@ def ann_ivf_serve_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id", "cos_sim", "rank"
     )
     queries, corpus = _ann_query_corpus(spark, sf_dir)
-    cents = (
-        corpus.orderBy(F.col("vec_id").asc())
-        .limit(16)
-        .select(F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec"))
-    )
+    cents = _first_k_centroids(corpus)
     mem = ivf_topk(
         queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=cents
     ).select("qid", "vec_id", "cos_sim", "rank")
@@ -578,11 +576,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply, recall ≈0.55 on this corpus vs ≈0.3 single-table). Kept
     alongside IVF for corpora without cluster structure; on the
     clustered testdata IVF recalls better (see tests/test_llm.py)."""
-    embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    corpus = embs.select("vec_id", "embedding")
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
     return hyperplane_lsh_topk(queries, corpus, k=5, n_planes=8)
 
 

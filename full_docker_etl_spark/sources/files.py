@@ -381,12 +381,13 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
     instead of failing the scan.
 
     Dates handle BOTH storage forms real workbooks use: a date-styled
-    cell is stored as a bare NUMERIC SERIAL (days since the 1900-epoch
-    anchor 1899-12-30, Excel's own rule including its leap-year bug
-    offset), which try_cast('date') would silently null; a
-    text-formatted cell arrives as a display string. A bare-integer
-    cell is therefore read as a serial, anything else falls through to
-    the string date parse."""
+    cell is stored as a bare NUMERIC SERIAL (1900-epoch days: anchor
+    1899-12-30 for serials >= 61, 1899-12-31 for serials < 60 —
+    Excel's phantom 1900-02-29 occupies serial 60, which maps to NULL
+    like any other unparseable cell), which try_cast('date') would
+    silently null; a text-formatted cell arrives as a display string.
+    A bare-integer cell is therefore read as a serial, anything else
+    falls through to the string date parse."""
     from pyspark.sql import functions as F
 
     def cell(i: int):
@@ -397,10 +398,23 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
 
     def excel_date(col):
         serial = F.when(col.rlike(r"^\d{1,7}$"), col).try_cast("int")
-        return F.when(
-            serial.isNotNull(),
-            F.date_add(F.to_date(F.lit("1899-12-30")), serial),
-        ).otherwise(col.try_cast("date"))
+        # The 1899-12-30 anchor bakes in Excel's phantom 1900-02-29
+        # (serial 60), which is only correct for serials >= 61.
+        # Serials 1-59 (dates before 1900-03-01) anchor at 1899-12-31,
+        # and serial 60 itself names a nonexistent date — NULL, the
+        # same treatment try_cast gives any other unparseable cell.
+        return (
+            F.when(
+                serial >= 61,
+                F.date_add(F.to_date(F.lit("1899-12-30")), serial),
+            )
+            .when(
+                serial.isNotNull() & (serial != 60),
+                F.date_add(F.to_date(F.lit("1899-12-31")), serial),
+            )
+            .when(serial == 60, F.lit(None).cast("date"))
+            .otherwise(col.try_cast("date"))
+        )
 
     return (
         rows.where(F.col("row_num") > 1)

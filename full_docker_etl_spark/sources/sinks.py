@@ -319,21 +319,28 @@ class VersionedTable:
                 "otherwise a matched key could live in a partition the "
                 "update batch never names and the prune would miss it"
             )
-        affected = updates.select(*self.partition_by).distinct().collect()
-        if any(v is None for row in affected for v in row):
+        touched = updates.select(*self.partition_by).distinct()
+        null_pred = touched[self.partition_by[0]].isNull()
+        for c in self.partition_by[1:]:
+            null_pred = null_pred | touched[c].isNull()
+        if touched.where(null_pred).count():
             raise ValueError(
                 "partition-scoped merge got a NULL partition value; null "
                 "keys cannot address a partition directory"
             )
-        pred = F.lit(False)
-        for row in affected:
-            clause = F.lit(True)
-            for c in self.partition_by:
-                clause = clause & (F.col(c) == F.lit(row[c]))
-            pred = pred | clause
         current = self.current_version()
         cur_dir = os.path.join(self.root, "_versions", current)
-        existing = self.read(spark).where(pred)
+        # Prune via a broadcast semi-join on the batch's distinct
+        # partition tuples: O(1) plan size however many partitions the
+        # batch touches, and the partitioned scan prunes files through
+        # dynamic partition pruning. (A driver-side OR-of-AND literal
+        # chain gives static pruning but grows the expression tree per
+        # touched partition — catalyst analysis blows up at a
+        # thousands-partition batch, the same plan-explosion class the
+        # simhash table cap guards against.)
+        existing = self.read(spark).join(
+            F.broadcast(touched), on=list(self.partition_by), how="left_semi"
+        )
         keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
         return self._commit(keep.unionByName(updates), link_from=cur_dir)
 

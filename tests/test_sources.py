@@ -146,11 +146,21 @@ def test_xlsx_emiten_row_semantics(spark):
             # date-styled cell: Excel stores a NUMERIC SERIAL (days
             # since 1899-12-30) — 43832 = 2020-01-02
             ("f", 7, ["6", "ASII", "Astra Intl", "43832", "100", "Utama"]),
+            # pre-1900-03-01 serials anchor differently (Excel's
+            # phantom 1900-02-29 sits at serial 60): 59 = 1900-02-28,
+            # 61 = 1900-03-01, 60 itself = nonexistent date → NULL
+            ("f", 8, ["7", "OLD1", "Pre-Leap", "59", "1", "Utama"]),
+            ("f", 9, ["8", "OLD2", "Phantom", "60", "1", "Utama"]),
+            ("f", 10, ["9", "OLD3", "Post-Leap", "61", "1", "Utama"]),
         ],
         "path string, row_num int, cells array<string>",
     )
     got = {r.kode: r for r in emiten_from_xlsx(rows).collect()}
-    assert set(got) == {"AALI", "TLKM", "BMRI", "ASII"}
+    assert set(got) == {"AALI", "TLKM", "BMRI", "ASII", "OLD1", "OLD2", "OLD3"}
+    import datetime as _dt
+    assert got["OLD1"].tanggal_pencatatan == _dt.date(1900, 2, 28)
+    assert got["OLD2"].tanggal_pencatatan is None
+    assert got["OLD3"].tanggal_pencatatan == _dt.date(1900, 3, 1)
     assert got["BMRI"].tanggal_pencatatan is None
     assert got["BMRI"].saham is None
     assert got["BMRI"].papan_pencatatan is None
