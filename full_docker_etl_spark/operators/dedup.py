@@ -548,3 +548,114 @@ def connected_components(
             # its checkpoint blocks would leak
             release_checkpoint(prev_ckpt)
     return labels
+
+
+def _band_rows(sig_arr: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows from array signatures — one explode
+    of an in-row band array; input must be MATERIALIZED (parquet or
+    cache), or projection collapse re-inlines the k-hash fold into
+    every band's bucket hash."""
+    rows = k // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_arr.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_store_build(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    k: int = 32,
+    bands: int = 8,
+) -> None:
+    """Build the PERSISTENT MinHash sketch store for INCREMENTAL dedup:
+    at 100 TB you dedup each arriving batch against the corpus, never
+    the corpus against itself again — so the corpus side's signatures
+    and band buckets are computed once and stored, and each batch pays
+    only its own sketching plus a bucket join. Writes
+    ``<path>/sigs`` (doc_id, sig) and ``<path>/bands`` (doc_id, band,
+    bucket). The bands table is what the probe joins — slim 24-byte
+    rows, bands·|corpus| of them; the sigs table is fetched only for
+    candidate verification. Append new batches' sketches after
+    admitting them (same fold, same seeds — signatures are engine-
+    deterministic)."""
+    sig_arr = minhash_signature_array(
+        shingle_arrays(df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
+    )
+    sig_arr.write.mode("overwrite").parquet(path + "/sigs")
+    stored = df.sparkSession.read.parquet(path + "/sigs")
+    _band_rows(stored, k, bands).write.mode("overwrite").parquet(path + "/bands")
+
+
+def minhash_probe_store(
+    new_df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a :func:`minhash_store_build` store with a NEW batch:
+    candidate pairs are (batch × store) band-bucket collisions plus
+    (batch × batch) — store × store pairs are NEVER regenerated, which
+    is the entire point of incrementality. Ids must be disjoint from
+    the store's (new docs are new). Returns (d1, d2, d1_in_store,
+    est_jaccard ≥ threshold) with d1 the store-or-earlier side.
+
+    Scale shape: the only wide movement is the bucket join on
+    (band, bucket) keys — the batch side is tiny, the store side
+    arrives pre-sketched from parquet, and verification joins fetch
+    signatures for candidates only."""
+    spark = new_df.sparkSession
+    new_sig = minhash_signature_array(
+        shingle_arrays(new_df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
+    ).cache()
+    store_sig = spark.read.parquet(path + "/sigs")
+    store_bands = spark.read.parquet(path + "/bands")
+    new_bands = _band_rows(new_sig, k, bands)
+    left = store_bands.select(
+        F.col("doc_id").alias("d1"), "band", "bucket", F.lit(True).alias("d1_in_store")
+    ).unionByName(
+        new_bands.select(
+            F.col("doc_id").alias("d1"), "band", "bucket",
+            F.lit(False).alias("d1_in_store"),
+        )
+    )
+    right = new_bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("d1_in_store") | (F.col("d1") < F.col("d2")))
+        .select("d1", "d2", "d1_in_store")
+        .distinct()
+    )
+    s1 = store_sig.unionByName(new_sig).select(
+        F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")
+    )
+    s2 = new_sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    agree = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("est_jaccard", agree / F.lit(float(k)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("d1", "d2", "d1_in_store", "est_jaccard")
+    )

@@ -196,6 +196,70 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_recall",
+    oracle=f"""
+      WITH pairs AS (
+        {_jaccard_pairs_sql(_MINHASH_SLICE_SQL)}
+      )
+      SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+      FROM pairs WHERE d1 % 10 = 0 OR d2 % 10 = 0
+    """,
+)
+def dedup_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup at serving shape, as a driver-checked verdict
+    row: at 100 TB you never re-dedup the corpus against itself — each
+    arriving batch probes a PERSISTED MinHash sketch store
+    (operators/dedup.py minhash_store_build / minhash_probe_store:
+    batch×store and batch×batch candidates only, store×store never
+    regenerated). Here the judge slice splits 10%-batch / 90%-store,
+    the store's signatures and band buckets are built and written to
+    parquet, the batch probes them, and recall is judged against the
+    exact-Jaccard ≥0.8 pairs touching the batch — whose count the
+    oracle recomputes (portable), with the ≥90% floor as the
+    hash-checked boolean. A store-format, probe-join, or fold
+    regression flips the row red."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.dedup import (
+        minhash_probe_store,
+        minhash_store_build,
+    )
+
+    docs = _judge_slice(_docs(spark, sf_dir))
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    store = docs.where(F.col("doc_id") % 10 != 0)
+    path = tempfile.mkdtemp(prefix="fde_mhstore_") + "/store"
+    minhash_store_build(store, path, "text", "doc_id")
+    found = (
+        minhash_probe_store(batch, path, "text", "doc_id", threshold=0.5)
+        .select(
+            F.least("d1", "d2").alias("d1"),
+            F.greatest("d1", "d2").alias("d2"),
+            F.lit(1).alias("_hit"),
+        )
+        .distinct()
+    )
+    exact = (
+        jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000)
+        .where((F.col("d1") % 10 == 0) | (F.col("d2") % 10 == 0))
+        .select("d1", "d2")
+    )
+    return (
+        exact.join(found, ["d1", "d2"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            "n_exact",
+            (F.col("n_found") >= F.lit(0.9) * F.col("n_exact")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 3, candidates from

@@ -62,6 +62,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_pii_scrub",
     "jsonl_scan",
     "sample_epoch_shuffle",
+    "dedup_incremental_recall",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",

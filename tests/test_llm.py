@@ -418,3 +418,35 @@ def test_simhash_pigeonhole_exact_on_slice(spark, docs):
     found = simhash_pairs(docs, "text", "doc_id", max_hamming=3).select("d1", "d2")
     missing = truth.exceptAll(found).count()
     assert missing == 0, f"pigeonhole violated: {missing} true pairs unblocked"
+
+
+def test_minhash_store_probe_equals_batch_restricted_full_pairs(
+    spark, docs, tmp_path
+):
+    """The incremental probe must generate EXACTLY the full
+    MinHash-LSH pairs that touch the batch (same buckets, same
+    estimate), and never a store×store pair."""
+    from full_docker_etl_spark.operators.dedup import (
+        minhash_probe_store,
+        minhash_store_build,
+    )
+
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = docs.where(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "store")
+    minhash_store_build(store, path, "text", "doc_id")
+    rows = minhash_probe_store(
+        batch, path, "text", "doc_id", threshold=0.5
+    ).collect()
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert rows, "probe found nothing — fixture should contain near-dups"
+    assert all(r.d2 in batch_ids for r in rows)          # d2 is always new
+    assert all(r.d1_in_store == (r.d1 not in batch_ids) for r in rows)
+    got = {(min(r.d1, r.d2), max(r.d1, r.d2), r.est_jaccard) for r in rows}
+    full = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    expected = {
+        (min(r.d1, r.d2), max(r.d1, r.d2), r.est_jaccard)
+        for r in full
+        if r.d1 in batch_ids or r.d2 in batch_ids
+    }
+    assert got == expected

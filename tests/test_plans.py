@@ -159,3 +159,21 @@ def test_ivf_serve_dynamic_partition_pruning(spark, sf_dir):
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan
     assert out.count() > 0
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """The scrub is a pure row-local regexp pass: the plan must contain
+    NO exchange of any kind — at 100 TB this query is one map stage."""
+    plan = plan_of(spark, sf_dir, "text_pii_scrub")
+    assert "Exchange" not in plan, plan
+
+
+def test_epoch_shuffle_is_sharded_not_global_sort(spark, sf_dir):
+    """The permutation must shuffle ONCE on the shard key for the
+    per-shard windows — never compile to a global range-partitioned
+    sort (one giant serial sort at 100 TB) or a single-partition
+    window."""
+    plan = plan_of(spark, sf_dir, "sample_epoch_shuffle")
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
