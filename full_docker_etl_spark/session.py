@@ -107,6 +107,29 @@ def get_spark(
     # coalescing makes the initial number far less sensitive; callers can
     # raise it for 100TB inputs (rule of thumb: total-input / 128MB).
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    # LOCAL MODE ONLY: the driver JVM *is* the executor, and two of the
+    # launcher's defaults starve a long many-query session. (1) Driver
+    # memory defaults to 1g — 32 task threads on a 1 GB heap GC-thrash;
+    # give it a machine-derived heap (capped: a huge heap just lengthens
+    # GC regions for small local data). (2) ReservedCodeCacheSize
+    # defaults to ~240 MB total; 100+ distinct whole-stage-codegen'd
+    # queries fill it, the JIT shuts off ("CodeCache is full. Compiler
+    # has been disabled"), and every later query runs interpreted —
+    # measured as the same query 3x slower at the end of a long suite
+    # than in isolation. CodeCacheFlushing keeps old compiled stages
+    # evictable. On a cluster (master != local) memory and JVM options
+    # come from spark-submit and this never fires.
+    if master and master.startswith("local"):
+        try:
+            ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            heap_gb = max(2, min(8, ram // (8 * 1024**3)))
+            conf.setdefault("spark.driver.memory", f"{heap_gb}g")
+        except (ValueError, OSError):  # pragma: no cover - exotic OS
+            pass
+        conf.setdefault(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -120,9 +120,13 @@ def test_centroid_assignment_no_corpus_shuffle(spark, sf_dir):
     # Exchange SinglePartition of k rows — the only exchange allowed).
     # (A split-after-the-join-node check is NOT enough: in formatted
     # explain the corpus scan's detail block prints BEFORE the join's,
-    # so a corpus-side Exchange would hide in the earlier text.)
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "Exchange rangepartitioning" not in plan, plan
+    # so a corpus-side Exchange would hide in the earlier text. And
+    # formatted mode prints partitioning inside the Exchange node's
+    # detail block — "Arguments: hashpartitioning(...)" — so the
+    # "Exchange hashpartitioning" spelling would NEVER appear and the
+    # check would pass vacuously; match the bare partitioning names.)
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "Window" not in plan, plan
 
@@ -174,6 +178,9 @@ def test_epoch_shuffle_is_sharded_not_global_sort(spark, sf_dir):
     sort (one giant serial sort at 100 TB) or a single-partition
     window."""
     plan = plan_of(spark, sf_dir, "sample_epoch_shuffle")
-    assert "Exchange rangepartitioning" not in plan, plan
+    # formatted mode prints the partitioning in the Exchange node's
+    # detail block ("Arguments: hashpartitioning(...)"), not as
+    # "Exchange hashpartitioning" — match the bare partitioning names.
+    assert "rangepartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("hashpartitioning") == 1, plan
