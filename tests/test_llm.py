@@ -450,3 +450,44 @@ def test_minhash_store_probe_equals_batch_restricted_full_pairs(
         if r.d1 in batch_ids or r.d2 in batch_ids
     }
     assert got == expected
+
+
+def test_pii_scrub_idempotent_and_lossless_on_clean_text(spark):
+    """Scrubbing is IDEMPOTENT (placeholders match no pattern, so a
+    second pass is a no-op) and the identity on already-clean text —
+    the properties that make it safe to re-run over a partially
+    processed corpus."""
+    from full_docker_etl_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io from 10.1.2.3 call +62-555-0042 end"),
+            (2, "plain sentence with digits 123 and dots a.b. here"),
+        ],
+        "doc_id long, text string",
+    )
+    once = df.select(
+        "doc_id", pii_scrub(F.col("text"))["clean_text"].alias("text")
+    )
+    twice = once.select(
+        "doc_id", pii_scrub(F.col("text"))["clean_text"].alias("text")
+    )
+    assert once.exceptAll(twice).count() == 0
+    r2 = {r.doc_id: r.text for r in once.collect()}
+    assert r2[2] == "plain sentence with digits 123 and dots a.b. here"
+
+
+def test_epoch_shuffle_more_shards_than_rows(spark):
+    """n_shards above the row count must still yield dense per-shard
+    positions (some shards simply stay empty) — the degenerate-corpus
+    guard for shard-count autotuning."""
+    from full_docker_etl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    out = epoch_shuffle(df, "doc_id", seed="e", n_shards=64).collect()
+    assert len(out) == 5
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in per_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
