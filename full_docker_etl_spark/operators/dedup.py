@@ -363,12 +363,33 @@ def _simhash_blocked_candidates(
     )
 
 
+def simhash_blocks_for_corpus(corpus_size: int, max_hamming: int = 3) -> int:
+    """Corpus-sized ``n_blocks`` dial (the SimHash analogue of
+    lsh_band_params): the fewest blocks whose key width
+    64·(b-d)/b clears log2(corpus) + 8 bits of safety margin, so
+    random key collisions stay ~O(corpus) instead of quadratic.
+    Respects the 512-table cap; recall is pigeonhole-exact for any
+    returned value. Examples at d=3: ≤160k docs → b=4 (16-bit keys,
+    4 tables); 10^7 → b=5 (10 tables); 10^9 → b=6 (20 tables)."""
+    import math
+
+    d = max_hamming
+    need = math.log2(max(corpus_size, 2)) + 8
+    for b in range(d + 1, 65):
+        if math.comb(b, b - d) > 512:
+            return b - 1
+        if 64 * (b - d) / b >= need:
+            return b
+    return 64
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked by
     block-combination keys (:func:`_simhash_blocked_candidates`).
@@ -379,9 +400,12 @@ def simhash_pairs(
     quadratically, so RAISE n_blocks until the key width
     64·(n_blocks-d)/n_blocks clears log2|corpus| plus safety margin —
     e.g. d=3, n_blocks=6 gives C(6,3)=20 tables of ~32-bit keys,
-    comfortable at 10^9 docs. Recall is exact either way (pigeonhole —
-    a within-distance pair always shares a key); only the table count
-    and collision noise change.
+    comfortable at 10^9 docs. Pass ``corpus_size`` to have
+    :func:`simhash_blocks_for_corpus` pick that value automatically
+    (the same call shape as cosine_pairs_lsh's corpus-sized banding).
+    Recall is exact either way (pigeonhole — a within-distance pair
+    always shares a key); only the table count and collision noise
+    change.
 
     The table count is C(n_blocks, n_blocks-d) and each table is a
     unioned plan branch, so it grows combinatorially past the useful
@@ -394,7 +418,10 @@ def simhash_pairs(
 
     if max_hamming < 0 or max_hamming > 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    b = n_blocks if n_blocks is not None else max_hamming + 1
+    if n_blocks is None and corpus_size is not None:
+        b = simhash_blocks_for_corpus(corpus_size, max_hamming)
+    else:
+        b = n_blocks if n_blocks is not None else max_hamming + 1
     if b < max_hamming + 1:
         raise ValueError(
             f"n_blocks={b} cannot guarantee recall at max_hamming="

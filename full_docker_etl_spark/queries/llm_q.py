@@ -263,10 +263,16 @@ def dedup_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 3, candidates from
-    Manku-style block-combination buckets (pigeonhole guarantees
-    recall; the block count is the corpus-size dial). Rows-only
+    Manku-style block-combination buckets. The block count is SIZED
+    FROM THE CORPUS (simhash_blocks_for_corpus — key width tracks
+    log2|corpus|, so collision noise stays linear at any scale);
+    recall is pigeonhole-exact for every dial value, and the guarantee
+    itself is driver-checked by dedup_simhash_recall. Rows-only
     check."""
-    return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+    docs = _docs(spark, sf_dir)
+    return simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, corpus_size=docs.count()
+    )
 
 
 @query(

@@ -111,7 +111,13 @@ def upsert_parquet(
 
     On a lake-format table this is ``MERGE INTO ... WHEN MATCHED UPDATE
     WHEN NOT MATCHED INSERT`` with the same key columns; plain Parquet
-    gets the read-merge-swap equivalent."""
+    gets the read-merge-swap equivalent.
+
+    Scale note: this rewrites the WHOLE table per batch — fine for the
+    dimension/master tables it serves, wrong for large fact tables
+    (a 1-row upsert at 100 TB rewrites 100 TB). For those use
+    :class:`VersionedTable` with ``partition_by``: its merge rewrites
+    only the partitions the batch touches and hardlinks the rest."""
     if not os.path.exists(path):
         write_table(updates, path)
         return

@@ -80,3 +80,23 @@ def test_manku_blocking_pigeonhole_recall(sig, flips, d, extra):
     b = d + 1 + extra
     if hamming <= d:
         assert _block_keys(sig, d, b) & _block_keys(other, d, b)
+
+
+@given(n=st.integers(min_value=2, max_value=10**12), d=st.integers(min_value=1, max_value=8))
+@settings(max_examples=200, deadline=None)
+def test_simhash_blocks_for_corpus_invariants(n, d):
+    """The auto-dial must always return a pigeonhole-valid block count
+    within the table cap, with key width covering the corpus whenever
+    the cap allows it."""
+    import math
+
+    from full_docker_etl_spark.operators.dedup import simhash_blocks_for_corpus
+
+    b = simhash_blocks_for_corpus(n, d)
+    assert d + 1 <= b <= 64
+    assert math.comb(b, b - d) <= 512
+    width = 64 * (b - d) / b
+    # either the width covers log2(n)+8, or the very next b would
+    # break the table cap (width is monotone in b)
+    if width < math.log2(max(n, 2)) + 8:
+        assert math.comb(b + 1, b + 1 - d) > 512
