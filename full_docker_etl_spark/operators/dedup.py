@@ -214,7 +214,6 @@ def minhash_lsh_pairs(
     (groupBy band hash, self-join within buckets) — never all-pairs.
     Returns pairs with ``est_jaccard`` (fraction of agreeing minhashes)
     ≥ threshold."""
-    rows = k // bands
     # Docs with no shingles (< n tokens) have nothing to compare and
     # would all share the sentinel signature — drop them up front.
     # Two cache layers, each materialized exactly once: the ARRAY
@@ -230,14 +229,11 @@ def minhash_lsh_pairs(
         "doc_id", *[F.element_at("sig", i + 1).alias(f"mh_{i}") for i in range(k)]
     ).cache()
 
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("bucket")
-        for b in range(bands)
-    ]
-    cand = None
-    for b, bc in enumerate(band_cols):
-        banded = sig.select("doc_id", F.lit(b).alias("band"), bc)
-        cand = banded if cand is None else cand.unionByName(banded)
+    # Band buckets come from the ONE shared definition (_band_rows) —
+    # the incremental store/probe path banks on byte-identical buckets
+    # with this function, and two hand-kept copies of the row-group
+    # hash would desynchronize silently (symptom: recall collapse).
+    cand = _band_rows(sig_arr, k, bands)
     a = cand.select(F.col("doc_id").alias("d1"), "band", "bucket")
     b_ = cand.select(F.col("doc_id").alias("d2"), "band", "bucket")
     pairs = (
@@ -369,8 +365,11 @@ def simhash_blocks_for_corpus(corpus_size: int, max_hamming: int = 3) -> int:
     64·(b-d)/b clears log2(corpus) + 8 bits of safety margin, so
     random key collisions stay ~O(corpus) instead of quadratic.
     Respects the 512-table cap; recall is pigeonhole-exact for any
-    returned value. Examples at d=3: ≤160k docs → b=4 (16-bit keys,
-    4 tables); 10^7 → b=5 (10 tables); 10^9 → b=6 (20 tables)."""
+    returned value. Examples at d=3 (executed, not estimated):
+    160k docs → b=5 (~25-bit keys, 10 tables); 10^7 → b=6 (32-bit
+    keys, 20 tables); 10^9 → b=8 (40-bit keys, 56 tables) — the +8-bit
+    margin buys keyspace ~256× the corpus, i.e. ~0.4% of docs in a
+    shared random bucket."""
     import math
 
     d = max_hamming
@@ -399,8 +398,9 @@ def simhash_pairs(
     |corpus| ≲ 2^(64/(d+1)); past it, random key collisions grow
     quadratically, so RAISE n_blocks until the key width
     64·(n_blocks-d)/n_blocks clears log2|corpus| plus safety margin —
-    e.g. d=3, n_blocks=6 gives C(6,3)=20 tables of ~32-bit keys,
-    comfortable at 10^9 docs. Pass ``corpus_size`` to have
+    e.g. d=3, n_blocks=6 gives C(6,3)=20 tables of 32-bit keys, right
+    for ~10^7 docs with margin (at 10^9 the auto-dial picks b=8:
+    40-bit keys, 56 tables). Pass ``corpus_size`` to have
     :func:`simhash_blocks_for_corpus` pick that value automatically
     (the same call shape as cosine_pairs_lsh's corpus-sized banding).
     Recall is exact either way (pigeonhole — a within-distance pair
@@ -618,13 +618,22 @@ def minhash_store_build(
     rows, bands·|corpus| of them; the sigs table is fetched only for
     candidate verification. Append new batches' sketches after
     admitting them (same fold, same seeds — signatures are engine-
-    deterministic)."""
+    deterministic). The sketch parameters (n, k, bands) are persisted
+    in ``<path>/_meta.json`` and VALIDATED at probe time: sketches
+    with different parameters are incomparable, and a mismatch would
+    otherwise fail silently (NULL-padded zip folds, disjoint bucket
+    spaces) as zero candidates — admitting every duplicate."""
+    import json
+    import os
+
     sig_arr = minhash_signature_array(
         shingle_arrays(df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
     )
     sig_arr.write.mode("overwrite").parquet(path + "/sigs")
     stored = df.sparkSession.read.parquet(path + "/sigs")
     _band_rows(stored, k, bands).write.mode("overwrite").parquet(path + "/bands")
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n": n, "k": k, "bands": bands}, fh)
 
 
 def minhash_probe_store(
@@ -640,15 +649,41 @@ def minhash_probe_store(
     """Probe a :func:`minhash_store_build` store with a NEW batch:
     candidate pairs are (batch × store) band-bucket collisions plus
     (batch × batch) — store × store pairs are NEVER regenerated, which
-    is the entire point of incrementality. Ids must be disjoint from
-    the store's (new docs are new). Returns (d1, d2, d1_in_store,
-    est_jaccard ≥ threshold) with d1 the store-or-earlier side.
+    is the entire point of incrementality. Returns (d1, d2,
+    d1_in_store, est_jaccard ≥ threshold) with d1 the
+    store-or-earlier side. Sketch parameters must match the store's —
+    validated against its ``_meta.json`` (a mismatch would fail
+    SILENTLY as zero candidates otherwise). A batch id that already
+    exists in the store (a retried/re-delivered batch after partial
+    admission) never emits the degenerate self-pair — (X, X) is
+    excluded so a retry cannot make a document "a duplicate of
+    itself" and get it dropped.
 
     Scale shape: the only wide movement is the bucket join on
     (band, bucket) keys — the batch side is tiny, the store side
     arrives pre-sketched from parquet, and verification joins fetch
-    signatures for candidates only."""
+    signatures for candidates only. The batch's signatures are cached
+    for the returned plan's lifetime; a long-lived session probing
+    many batches should unpersist between batches (the bench's
+    persistent-RDD sweep, or ``spark.catalog.clearCache()``) after
+    materializing each result."""
+    import json
+    import os
+
     spark = new_df.sparkSession
+    try:
+        with open(os.path.join(path, "_meta.json")) as fh:
+            meta = json.load(fh)
+    except FileNotFoundError:
+        meta = None  # pre-metadata store: caller owns parameter discipline
+    if meta is not None and meta != {"n": n, "k": k, "bands": bands}:
+        raise ValueError(
+            f"sketch-parameter mismatch: store at {path} was built with "
+            f"{meta}, probe called with "
+            f"{{'n': {n}, 'k': {k}, 'bands': {bands}}} — sketches with "
+            "different parameters are incomparable (the probe would "
+            "silently return zero candidates)"
+        )
     new_sig = minhash_signature_array(
         shingle_arrays(new_df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
     ).cache()
@@ -666,6 +701,7 @@ def minhash_probe_store(
     right = new_bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
     pairs = (
         left.join(right, ["band", "bucket"])
+        .where(F.col("d1") != F.col("d2"))
         .where(F.col("d1_in_store") | (F.col("d1") < F.col("d2")))
         .select("d1", "d2", "d1_in_store")
         .distinct()

@@ -120,16 +120,32 @@ def get_spark(
     # evictable. On a cluster (master != local) memory and JVM options
     # come from spark-submit and this never fires.
     if master and master.startswith("local"):
+        from pyspark import SparkConf
+
+        # setdefault protects the caller's extra_conf, but NOT
+        # spark-defaults.conf — builder confs are passed as --conf and
+        # silently override the properties file. Honor both layers:
+        # skip the heap default when the user configured one anywhere,
+        # and MERGE (not replace) user extraJavaOptions with ours.
+        loaded = SparkConf(loadDefaults=True)
         try:
             ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-            heap_gb = max(2, min(8, ram // (8 * 1024**3)))
-            conf.setdefault("spark.driver.memory", f"{heap_gb}g")
+            heap_gb = min(8, ram // (8 * 1024**3))
+            # On small machines (<16 GiB) the stock 1g default is the
+            # right call — autosizing up would overcommit the box.
+            if heap_gb >= 2 and not loaded.contains("spark.driver.memory"):
+                conf.setdefault("spark.driver.memory", f"{heap_gb}g")
         except (ValueError, OSError):  # pragma: no cover - exotic OS
             pass
-        conf.setdefault(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
-        )
+        user_opts = loaded.get("spark.driver.extraJavaOptions", "")
+        if "ReservedCodeCacheSize" not in user_opts:
+            conf.setdefault(
+                "spark.driver.extraJavaOptions",
+                (
+                    user_opts
+                    + " -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+                ).strip(),
+            )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

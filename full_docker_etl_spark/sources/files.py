@@ -409,10 +409,12 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
                 F.date_add(F.to_date(F.lit("1899-12-30")), serial),
             )
             .when(
-                serial.isNotNull() & (serial != 60),
+                (serial >= 1) & (serial != 60),
                 F.date_add(F.to_date(F.lit("1899-12-31")), serial),
             )
-            .when(serial == 60, F.lit(None).cast("date"))
+            # serials 60 (phantom 1900-02-29) and 0 (Excel's '1900-01-00',
+            # an empty date coerced to a number) name nonexistent dates
+            .when(serial.isNotNull(), F.lit(None).cast("date"))
             .otherwise(col.try_cast("date"))
         )
 

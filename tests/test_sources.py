@@ -152,15 +152,21 @@ def test_xlsx_emiten_row_semantics(spark):
             ("f", 8, ["7", "OLD1", "Pre-Leap", "59", "1", "Utama"]),
             ("f", 9, ["8", "OLD2", "Phantom", "60", "1", "Utama"]),
             ("f", 10, ["9", "OLD3", "Post-Leap", "61", "1", "Utama"]),
+            # serial 0 = Excel's '1900-01-00' (empty date coerced to a
+            # number) — a nonexistent date, NULL like serial 60
+            ("f", 11, ["10", "OLD0", "Zero", "0", "1", "Utama"]),
         ],
         "path string, row_num int, cells array<string>",
     )
     got = {r.kode: r for r in emiten_from_xlsx(rows).collect()}
-    assert set(got) == {"AALI", "TLKM", "BMRI", "ASII", "OLD1", "OLD2", "OLD3"}
+    assert set(got) == {
+        "AALI", "TLKM", "BMRI", "ASII", "OLD1", "OLD2", "OLD3", "OLD0",
+    }
     import datetime as _dt
     assert got["OLD1"].tanggal_pencatatan == _dt.date(1900, 2, 28)
     assert got["OLD2"].tanggal_pencatatan is None
     assert got["OLD3"].tanggal_pencatatan == _dt.date(1900, 3, 1)
+    assert got["OLD0"].tanggal_pencatatan is None
     assert got["BMRI"].tanggal_pencatatan is None
     assert got["BMRI"].saham is None
     assert got["BMRI"].papan_pencatatan is None
