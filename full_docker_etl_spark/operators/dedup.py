@@ -722,3 +722,29 @@ def minhash_probe_store(
         .where(F.col("est_jaccard") >= threshold)
         .select("d1", "d2", "d1_in_store", "est_jaccard")
     )
+
+
+def minhash_store_append(df: DataFrame, path: str, text_col: str, id_col: str) -> None:
+    """Admit a batch into an existing sketch store: append its
+    signatures and band buckets using the STORE'S OWN parameters
+    (read from ``_meta.json`` — the caller cannot desynchronize them).
+    This is the write half of the incremental loop: probe → drop
+    duplicates → append the admitted remainder; the next batch then
+    sees this one as part of the corpus. Parquet append only —
+    snapshots of the store itself can ride a VersionedTable when
+    atomic cutover between store versions is needed."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    sig = minhash_signature_array(
+        shingle_arrays(df, text_col, id_col, meta["n"]).where(
+            F.size("sh_arr") > 0
+        ),
+        meta["k"],
+    ).cache()
+    sig.write.mode("append").parquet(path + "/sigs")
+    _band_rows(sig, meta["k"], meta["bands"]).write.mode("append").parquet(
+        path + "/bands"
+    )

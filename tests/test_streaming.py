@@ -339,3 +339,113 @@ def test_stream_upsert_versioned_atomic_epochs(spark, sf_dir):
     for d in (src, root, chk):
         shutil.rmtree(d.rsplit("/", 1)[0] if d.endswith(("in", "table")) else d,
                       ignore_errors=True)
+
+
+def test_streaming_incremental_dedup_against_sketch_store(spark):
+    """The full incremental-dedup serving loop under Structured
+    Streaming: each micro-batch probes the persisted MinHash store,
+    drops docs near-duplicating the admitted corpus, admits the rest
+    and APPENDS their sketches — so later batches dedup against
+    earlier ones. Must converge to the same admitted set as the
+    sequential batch-by-batch run."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import (
+        minhash_probe_store,
+        minhash_store_append,
+        minhash_store_build,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    # batch b carries doc ids 100b..100b+9; ids ending in 0-4 are
+    # near-copies of seed docs (one trailing token differs), the rest
+    # unique
+    for b in range(3):
+        for i in range(10):
+            doc_id = 100 * b + i
+            if i < 5:
+                text = f"{base} shared{i} tail{b}"     # near-dup family i
+            else:
+                # fully disjoint vocabulary: no shingle shared with any
+                # seed or family (a shared prefix would sit near the
+                # detection threshold and flake)
+                text = " ".join(f"w{doc_id}_{j}" for j in range(12))
+            rows.append((doc_id, text, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string, batch int")
+
+    seeds = spark.createDataFrame(
+        [(1000 + i, f"{base} shared{i} tailseed") for i in range(5)],
+        "doc_id long, text string",
+    )
+    src = tempfile.mkdtemp(prefix="fde_sdedup_src_")
+    for b in range(3):
+        df.where(F.col("batch") == b).drop("batch").write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_pipeline(store_root):
+        minhash_store_build(seeds, store_root, "text", "doc_id")
+        admitted = []
+
+        def apply_batch(batch_df, epoch_id):
+            batch_df = batch_df.cache()
+            dup_ids = (
+                minhash_probe_store(
+                    batch_df, store_root, "text", "doc_id", threshold=0.5
+                )
+                .select(F.col("d2").alias("doc_id"))
+                .distinct()
+            )
+            keep = batch_df.join(dup_ids, "doc_id", "left_anti").cache()
+            admitted.extend(r.doc_id for r in keep.select("doc_id").collect())
+            minhash_store_append(keep, store_root, "text", "doc_id")
+            batch_df.unpersist()
+            keep.unpersist()
+
+        chk = tempfile.mkdtemp(prefix="fde_sdedup_chk_")
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return set(admitted)
+
+    streamed = run_pipeline(tempfile.mkdtemp(prefix="fde_sdedup_a_") + "/s")
+
+    # sequential reference: same probe/admit loop, explicit batches
+    ref_store = tempfile.mkdtemp(prefix="fde_sdedup_b_") + "/s"
+    minhash_store_build(seeds, ref_store, "text", "doc_id")
+    expected = set()
+    for b in range(3):
+        batch_df = df.where(F.col("batch") == b).drop("batch")
+        dup_ids = (
+            minhash_probe_store(
+                batch_df, ref_store, "text", "doc_id", threshold=0.5
+            )
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+        )
+        keep = batch_df.join(dup_ids, "doc_id", "left_anti").cache()
+        expected |= {r.doc_id for r in keep.select("doc_id").collect()}
+        minhash_store_append(keep, ref_store, "text", "doc_id")
+        keep.unpersist()
+
+    # The hard pin: streaming and sequential runs admit the SAME set
+    # (deterministic hashes, same batch order). Family members collide
+    # with their seeds at J≈0.78 — above the banding S-curve but with
+    # a small deterministic per-pair miss rate (1-(1-J^4)^8 ≈ 0.975),
+    # so require most (not all) of the 15 family docs dropped; unique
+    # docs must ALL be admitted.
+    assert streamed == expected
+    unique_ids = {100 * b + i for b in range(3) for i in range(5, 10)}
+    assert unique_ids <= streamed
+    family_admitted = streamed - unique_ids
+    assert len(family_admitted) <= 3, family_admitted
