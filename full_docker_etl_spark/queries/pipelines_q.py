@@ -166,7 +166,12 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     row = obs.get
-    return spark.createDataFrame(
-        [(row["n_rows"], row["total_value"], row["n_errors"])],
-        "n_rows long, total_value double, n_errors long",
+    # JVM-side VALUES, not createDataFrame — a Python local-collection
+    # scan pays a Python-worker spawn on first action
+    return spark.sql(
+        "SELECT CAST({n} AS BIGINT) AS n_rows, "
+        "CAST({t} AS DOUBLE) AS total_value, "
+        "CAST({e} AS BIGINT) AS n_errors".format(
+            n=row["n_rows"], t=repr(row["total_value"]), e=row["n_errors"]
+        )
     )

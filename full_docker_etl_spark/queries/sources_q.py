@@ -97,9 +97,15 @@ def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="fde_jsonl_") + "/dump"
     docs.write.mode("overwrite").json(path)
-    spark.createDataFrame(
-        [(line,) for line in _JSONL_BAD_LINES], "value string"
-    ).coalesce(1).write.mode("append").text(path)
+    # JVM-side VALUES, not createDataFrame: a Python local-collection
+    # scan spawns a Python worker for its first action (~seconds of
+    # fixed cost for 2 rows)
+    bad_values = ", ".join(
+        "('" + line.replace("'", "''") + "')" for line in _JSONL_BAD_LINES
+    )
+    spark.sql(f"SELECT value FROM VALUES {bad_values} AS t(value)").coalesce(
+        1
+    ).write.mode("append").text(path)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

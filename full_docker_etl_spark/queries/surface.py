@@ -315,13 +315,20 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S15: namespace listing → catalog listing (``api/app.py:19,30``)."""
-    from full_docker_etl_spark.sources.catalog import TESTDATA_TABLES, register_views
+    """S15: namespace listing → catalog listing (``api/app.py:19,30``).
+    Lists via ``list_tables`` (one SHOW TABLES round trip) —
+    ``spark.catalog.listTables()`` resolves every view's schema with a
+    py4j call per table, which is exactly the per-entity chatter this
+    operator exists to replace."""
+    from full_docker_etl_spark.sources.catalog import (
+        TESTDATA_TABLES,
+        list_tables,
+        register_views,
+    )
 
     register_views(spark, sf_dir)
-    listed = [
-        t.name
-        for t in spark.catalog.listTables()
-        if t.name in TESTDATA_TABLES
-    ]
-    return spark.createDataFrame([(n,) for n in sorted(listed)], "table_name string")
+    listed = [t for t in list_tables(spark) if t in TESTDATA_TABLES]
+    values = ", ".join(f"('{n}')" for n in sorted(listed))
+    # JVM-side VALUES, not createDataFrame — a Python local-collection
+    # scan pays a Python-worker spawn on first action
+    return spark.sql(f"SELECT table_name FROM VALUES {values} AS t(table_name)")
