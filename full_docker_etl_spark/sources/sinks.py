@@ -326,29 +326,50 @@ class VersionedTable:
                 "update batch never names and the prune would miss it"
             )
         touched = updates.select(*self.partition_by).distinct()
-        null_pred = touched[self.partition_by[0]].isNull()
-        for c in self.partition_by[1:]:
-            null_pred = null_pred | touched[c].isNull()
-        if touched.where(null_pred).count():
+        # Static partition pruning needs literal values, so collect the
+        # touched tuples — BOUNDED: past the cap we skip the static
+        # prune (a batch touching >10k partitions is rewriting most of
+        # the table anyway) rather than grow the plan or the driver.
+        cap = 10_000
+        touched_rows = touched.limit(cap + 1).collect()
+        if any(v is None for row in touched_rows for v in row):
             raise ValueError(
                 "partition-scoped merge got a NULL partition value; null "
                 "keys cannot address a partition directory"
             )
         current = self.current_version()
         cur_dir = os.path.join(self.root, "_versions", current)
-        # Prune via a broadcast semi-join on the batch's distinct
-        # partition tuples: O(1) plan size however many partitions the
-        # batch touches, and the partitioned scan prunes files through
-        # dynamic partition pruning. (A driver-side OR-of-AND literal
-        # chain gives static pruning but grows the expression tree per
-        # touched partition — catalyst analysis blows up at a
-        # thousands-partition batch, the same plan-explosion class the
-        # simhash table cap guards against.)
-        existing = self.read(spark).join(
-            F.broadcast(touched), on=list(self.partition_by), how="left_semi"
-        )
+        existing = self._scoped_read(spark, touched, touched_rows, cap)
         keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
         return self._commit(keep.unionByName(updates), link_from=cur_dir)
+
+    def _scoped_read(
+        self, spark: SparkSession, touched: DataFrame, touched_rows, cap: int
+    ) -> DataFrame:
+        """The merge's partition-pruned view of the current snapshot.
+        Two-layer prune. (1) STATIC, per-column isin of the touched
+        values — ONE In-expression per partition column (never an
+        OR-of-AND chain that grows the catalyst tree per partition),
+        pushed into the scan's PartitionFilters so untouched
+        partitions' files are never opened (plan-pinned in
+        tests/test_plans.py). Per-column isin is the cartesian
+        superset of the touched tuples — safe (a superset only reads
+        extra) and exact after layer 2. (2) EXACT, a broadcast
+        semi-join on the full tuples. A semi-join alone is NOT enough:
+        dynamic partition pruning does not fire for a broadcast
+        left-semi against a local tuple set (verified on the physical
+        plan — the scan showed isnotnull-only PartitionFilters), so
+        without the static layer every merge would scan the whole
+        table."""
+        existing = self.read(spark)
+        if len(touched_rows) <= cap:
+            for c in self.partition_by:
+                existing = existing.where(
+                    F.col(c).isin(sorted({row[c] for row in touched_rows}))
+                )
+        return existing.join(
+            F.broadcast(touched), on=list(self.partition_by), how="left_semi"
+        )
 
     def _gc(self, retained: list[str], aged: set[str]) -> None:
         """Delete stale snapshot dirs. Two classes, different rules:

@@ -184,3 +184,31 @@ def test_epoch_shuffle_is_sharded_not_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_versioned_merge_scoped_read_prunes_partitions(spark, tmp_path):
+    """The merge's snapshot read must carry the touched partition
+    values in the scan's PartitionFilters (static prune — untouched
+    partitions' files never opened). DPP does NOT fire for the
+    broadcast left-semi layer alone, so this static layer is the only
+    thing standing between a merge and a full table scan."""
+    import contextlib, io
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"), partition_by=("yr",))
+    base = spark.createDataFrame(
+        [(i, str(1990 + i % 5), "v") for i in range(50)],
+        "k int, yr string, v string",
+    )
+    t.overwrite(base)
+    touched = spark.sql("SELECT yr FROM VALUES ('1992'), ('1994') AS t(yr)")
+    pruned = t._scoped_read(spark, touched, touched.collect(), cap=10_000)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "IN (1992,1994)" in pf[0].replace(" ", " "), plan
