@@ -332,7 +332,15 @@ class VersionedTable:
         # the table anyway) rather than grow the plan or the driver.
         cap = 10_000
         touched_rows = touched.limit(cap + 1).collect()
-        if any(v is None for row in touched_rows for v in row):
+        has_null = any(v is None for row in touched_rows for v in row)
+        if not has_null and len(touched_rows) > cap:
+            # the limit() subset is arbitrary — past the cap a NULL
+            # could hide in the uncollected remainder; check the frame
+            null_pred = touched[self.partition_by[0]].isNull()
+            for c in self.partition_by[1:]:
+                null_pred = null_pred | touched[c].isNull()
+            has_null = bool(touched.where(null_pred).take(1))
+        if has_null:
             raise ValueError(
                 "partition-scoped merge got a NULL partition value; null "
                 "keys cannot address a partition directory"
