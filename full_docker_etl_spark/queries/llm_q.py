@@ -34,6 +34,9 @@ from full_docker_etl_spark.registry import query
 from full_docker_etl_spark.sources.catalog import load_table
 
 
+_EMAIL_PAT, _IP_PAT, _PHONE_PAT = (p for _, p, _ in tx.PII_PATTERNS)
+
+
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
@@ -170,10 +173,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice loses pairs quadratically (1/m²) and goes empty exactly when
     the corpus gets big enough to need slicing. A pair that differs in
     its first 5 tokens merely drops out of the judged set (both tiers
-    see the same slice) — never a false failure. The 2-hex-char bucket
-    caps m at 256 (~160k docs judged at 625/slice); wider corpora
-    widen the bucket the same way. This is how you audit a sketch at
-    100 TB: exact-vs-approx on a blocking-aware sample."""
+    see the same slice) — never a false failure. The 8-hex-char bucket
+    (32 bits) keeps the modulus inside the bucket range at any
+    realistic corpus size (see _judge_slice). This is how you audit a
+    sketch at 100 TB: exact-vs-approx on a blocking-aware sample."""
     docs = _judge_slice(_docs(spark, sf_dir))
     exact = jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
@@ -558,6 +561,86 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_curate",
+    oracle=f"""
+      WITH canon_ids AS (SELECT MIN(doc_id) AS doc_id
+                         FROM documents GROUP BY sha256(text)),
+      canon AS (SELECT d.doc_id, d.text, d.lang
+                FROM documents d JOIN canon_ids USING (doc_id)),
+      feats AS (
+        SELECT doc_id, lang, text,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               length(text) AS n_chars_m
+        FROM canon),
+      kept AS (
+        SELECT * FROM feats
+        WHERE n_tok >= 10
+          AND CAST(n_alpha AS DOUBLE)/greatest(n_tok,1) BETWEEN 2.0 AND 12.0
+          AND CAST(n_punct AS DOUBLE)/greatest(n_chars_m,1) <= 0.2),
+      pii AS (
+        SELECT *,
+               len(regexp_extract_all(text, '{_EMAIL_PAT}'))
+               + len(regexp_extract_all(text, '{_IP_PAT}'))
+               + len(regexp_extract_all(text, '{_PHONE_PAT}')) AS n_pii
+        FROM kept),
+      sp AS (
+        SELECT *,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= 'b'
+                      THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('c','d')
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM pii)
+      SELECT split, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_pii) AS BIGINT) AS n_pii
+      FROM sp GROUP BY split, lang
+    """,
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE curation pipeline — the operators composed the way
+    a real pretraining-data run chains them: exact-dedup to canonical
+    docs → Gopher-style quality gate → PII census → leak-free hash
+    split → per-(split, lang) corpus accounting. Every stage is the
+    same registered operator the standalone queries pin, so the
+    composition itself is what's under test here — and the whole chain
+    stays in one declarative plan: scan → map-only features/flags →
+    ONE shuffle for the dedup groupBy and ONE for the final stats
+    (the split/quality/PII stages add no exchange). The oracle
+    recomputes the entire pipeline in SQL, value-checking the
+    composition end to end."""
+    docs = _docs(spark, sf_dir)
+    canon_ids = exact_dedup(docs, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    canon = docs.join(canon_ids, "doc_id")
+    feats = tx.quality_features(F.col("text"))
+    kept = canon.where(tx.quality_flag(feats)).select(
+        "doc_id", "lang", "text", feats["n_tokens"].alias("n_tok")
+    )
+    scrub = tx.pii_scrub(F.col("text"))
+    with_pii = kept.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        (scrub["n_email"] + scrub["n_ipv4"] + scrub["n_phone"]).alias("n_pii"),
+    )
+    from full_docker_etl_spark.operators.sampling import hash_split
+
+    return (
+        hash_split(with_pii, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_pii").cast("long").alias("n_pii"),
+        )
+    )
+
+
 def _ann_query_corpus(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10).select(
@@ -793,8 +876,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tx.fingerprint(F.col("text")).alias("fp")
     )
 
-
-_EMAIL_PAT, _IP_PAT, _PHONE_PAT = (p for _, p, _ in tx.PII_PATTERNS)
 
 # Synthetic documents carry no PII, so the scrub query PLANTS one
 # deterministic email + IPv4 + phone per doc (the

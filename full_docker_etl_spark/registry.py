@@ -63,6 +63,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "jsonl_scan",
     "sample_epoch_shuffle",
     "dedup_incremental_recall",
+    "pipeline_curate",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
