@@ -57,6 +57,30 @@ def main() -> int:
     spark.range(cpus, numPartitions=cpus).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # and prime the heavyweight JVM operator classes on a tiny range:
+    # the session's first ObjectHashAggregate (percentile), KLL /
+    # HLL sketch, count-distinct expand, window, and shuffled-join
+    # stages each pay one-time JIT + codegen-compilation cost.
+    # Without this the cost lands on whichever query alphabetically
+    # reaches that operator first (observed: 5-12 s attributed to
+    # sub-second agg_* queries). Data-independent by construction.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    warm = spark.range(100_000, numPartitions=cpus).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v"
+    )
+    warm.groupBy("k").agg(
+        F.expr("percentile(v, array(0.5, 0.9))"),
+        F.expr("percentile_approx(v, 0.5, 100)"),
+        F.approx_count_distinct("v"),
+        F.count_distinct("v"),
+        F.sum(F.col("v").cast("decimal(18,2)")),
+    ).count()
+    warm.select(
+        F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    ).count()
+    warm.join(warm.groupBy("k").count(), "k").count()
 
     timings: dict[str, float] = {}
     for name in names:
