@@ -12,6 +12,9 @@ no `rand()` (which breaks task retry determinism):
 - :func:`quota_per_group` — cap rows per group (per-source /
   per-domain quotas, the standard pretraining rebalance) with a
   deterministic keep-order.
+- :func:`temperature_mix` — temperature-based domain reweighting
+  (sample sources ∝ countᵅ), the GPT-3/PaLM-style mixing knob, as
+  deterministic hash-thinning.
 """
 
 from __future__ import annotations
@@ -55,6 +58,64 @@ def quota_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= quota)
         .drop("__rn")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float,
+    seed: str = "mix0",
+) -> DataFrame:
+    """Temperature-based domain mixing: keep a deterministic subsample
+    whose per-group sizes are ∝ n_gᵅ (``alpha`` = 1 keeps the natural
+    mix, → 0 flattens toward uniform across groups) — the standard
+    pretraining corpus-reweighting dial, downsampling-only (no
+    replacement, no row duplication).
+
+    Per-group keep rate r_g = (n_g / min_n)^(α-1), so the smallest
+    group keeps 100% and expected kept counts are min_n^(1-α) · n_gᵅ.
+    A row survives iff u(row) < r_g where u is the uniform-[0,1) value
+    from the first 8 hex digits of md5(seed:key) — no rand(), so the
+    sample is identical across engines, task retries, and epochs, and
+    a document's fate never changes as OTHER groups grow (only its own
+    group's count moves its rate).
+
+    Scale shape: ONE map-side-combined count aggregation over the
+    corpus (#groups rows out), rates derived on that tiny frame (a
+    global window over #groups rows, fine because domains number in
+    the hundreds, not millions), broadcast back, and the thinning
+    itself is a map-local hash compare — the corpus is never shuffled.
+    The rate is rounded to 6 decimals and compared in exact integer
+    u-space (floor(r·2³²); ×2³² is a power-of-two scale, exact in
+    binary) so the keep decision is bit-reproducible cross-engine.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_all = Window.partitionBy()
+    thr = F.floor(
+        F.round(
+            F.pow(F.col("__n") / F.min("__n").over(w_all), F.lit(alpha - 1.0)),
+            6,
+        )
+        * F.lit(4294967296.0)
+    ).cast("long")
+    rates = counts.select(group_col, thr.alias("__thr"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(u < F.col("__thr"))
+        .drop("__thr")
     )
 
 

@@ -1042,6 +1042,40 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_temperature_mix",
+    oracle="""
+      WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
+                      GROUP BY lang),
+      rates AS (
+        SELECT lang,
+               CAST(FLOOR(ROUND(POW(CAST(n AS DOUBLE)
+                                      / (SELECT MIN(n) FROM counts),
+                                    -0.5), 6)
+                          * 4294967296) AS BIGINT) AS thr
+        FROM counts)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN rates r USING (lang)
+      WHERE CAST(('0x' || substr(
+                    md5('mix0:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) < thr
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (α = 0.5 over ``lang``, whose
+    corpus distribution is skewed ~3:1 toward en): per-group keep rate
+    (n_g/min_n)^(α-1) hash-thins the over-represented groups so kept
+    counts are ∝ n_g^α — the GPT-3/PaLM corpus-reweighting dial,
+    downsampling-only and RNG-free. The oracle recomputes count →
+    rate → integer-u-space hash compare row for row, so the driver
+    value-checks every kept doc_id, not just the group totals."""
+    from full_docker_etl_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _docs(spark, sf_dir), "lang", "doc_id", alpha=0.5
+    ).select("doc_id", "lang")
+
+
+@query(
     "sample_quota_per_source",
     oracle="""
       SELECT doc_id, source FROM (

@@ -113,3 +113,40 @@ def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
     # seed sensitivity: a new epoch reorders
     c = epoch_shuffle(docs, "doc_id", seed="e2", n_shards=4)
     assert a.exceptAll(c).count() > 0
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
+    """α=0.5 on the lang-skewed corpus: the smallest group survives
+    intact, kept counts track min_n^(1-α)·n^α within binomial noise,
+    the sample is a subset, deterministic, and α=1 is the identity."""
+    import math
+
+    import pytest
+
+    from full_docker_etl_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_by = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    min_n = min(n_by.values())
+    out = temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+    kept = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # smallest group keeps 100% (rate = 1)
+    smallest = min(n_by, key=n_by.get)
+    assert kept[smallest] == n_by[smallest]
+    # kept ∝ n^α within ~4 binomial sigmas
+    for lang, n in n_by.items():
+        rate = (n / min_n) ** -0.5
+        exp = n * rate
+        sigma = math.sqrt(n * rate * (1 - rate)) if rate < 1 else 0.0
+        assert abs(kept.get(lang, 0) - exp) <= 4 * sigma + 1, (lang, kept, exp)
+    # subset of the input, never duplicated
+    assert out.count() == out.select("doc_id").distinct().count()
+    assert out.join(docs, ["doc_id", "lang"], "left_anti").count() == 0
+    # deterministic across invocations
+    again = temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+    assert out.exceptAll(again).count() == 0
+    # α=1 keeps the natural mix untouched
+    ident = temperature_mix(docs, "lang", "doc_id", alpha=1.0)
+    assert ident.count() == docs.count()
+    with pytest.raises(ValueError):
+        temperature_mix(docs, "lang", "doc_id", alpha=0.0)
