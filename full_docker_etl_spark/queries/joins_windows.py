@@ -138,6 +138,74 @@ def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_star_revenue",
+    oracle="""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey  = o_orderkey
+      JOIN customer ON o_custkey   = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup (TPC-H Q5 shape): two chained FACT
+    joins under selective dimension and date predicates, revenue per
+    nation. The declared plan leaves Catalyst the full optimization
+    menu, and the plan test pins what it must choose: the date range
+    PUSHED to the orders scan (prunes before any join), dims joined as
+    BroadcastHashJoin for the BOUNDED dims (nation/region: 25/5 rows
+    at any SF, hinted explicitly), and no Cartesian anywhere. The
+    customer join is deliberately NOT hinted — customer scales with
+    the corpus, so the optimizer must pick: auto-broadcast under the
+    10 MB threshold at test SF, shuffle join at 100 TB where it no
+    longer fits. What remains is the unavoidable data motion of a
+    star scan — fact-key shuffles plus the final 25-key group — with
+    the region filter transitively shrinking the customer side before
+    lineitem is ever touched."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cust_dim = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+    ).select("c_custkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
     "union_by_name",
     oracle="""
       SELECT event_id, event_type, value FROM events WHERE event_type = 'click'

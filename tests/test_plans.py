@@ -212,3 +212,17 @@ def test_versioned_merge_scoped_read_prunes_partitions(spark, tmp_path):
     plan = buf.getvalue()
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "IN (1992,1994)" in pf[0].replace(" ", " "), plan
+
+
+def test_star_revenue_plan_shape(spark, sf_dir):
+    """Q5-shaped star query: date range pushed to the orders scan,
+    bounded dims (nation/region) broadcast, no Cartesian product."""
+    plan = plan_of(spark, sf_dir, "join_star_revenue")
+    flat = plan.replace(" ", "")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan
+    # the o_orderdate range predicate must reach the parquet scan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in flat, plan
+    # region filter pushed too (shrinks the dim before the join)
+    assert "In(r_name" in flat, plan
