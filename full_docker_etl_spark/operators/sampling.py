@@ -119,6 +119,80 @@ def temperature_mix(
     )
 
 
+def temperature_upsample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float,
+    seed: str = "mix0",
+    max_repeat: int = 16,
+    rep_col: str = "rep",
+) -> DataFrame:
+    """The upsampling companion to :func:`temperature_mix`: reach the
+    ∝ n_gᵅ mix by REPEATING under-represented groups instead of
+    dropping the over-represented one — the "N epochs over the small
+    high-quality corpus" recipe. Rates are normalized to the LARGEST
+    group (r_g = (n_g / max_n)^(α-1) ≥ 1, so the dominant group stays
+    at exactly 1×): each row emits floor(r_g) copies plus one more iff
+    u(row) < frac(r_g), with u the same md5-derived uniform as
+    temperature_mix — deterministic, engine-portable, retry-stable.
+
+    Output carries ``rep_col`` (1..k) so replicas are distinguishable
+    downstream (epoch shuffling and packing need distinct keys).
+
+    Scale shape: same as temperature_mix — one count agg, tiny
+    broadcast, and the replication itself is a map-local
+    explode(sequence(...)), no shuffle. Row blow-up is bounded by
+    (max_n/min_n)^(1-α); ``max_repeat`` guards the pathological case
+    (a tiny junk domain silently exploding the corpus) by raising
+    instead of emitting — cap the domain list or raise α if it fires.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_all = Window.partitionBy()
+    rate = F.round(
+        F.pow(F.col("__n") / F.max("__n").over(w_all), F.lit(alpha - 1.0)), 6
+    )
+    rates = counts.select(
+        F.col(group_col),
+        F.floor(rate).cast("int").alias("__base"),
+        F.floor((rate - F.floor(rate)) * F.lit(4294967296.0))
+        .cast("long")
+        .alias("__fthr"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # guard lives IN the plan (no eager extra pass, cannot be pruned:
+    # it's a branch of the expression every output row evaluates)
+    n_rep = F.when(
+        F.col("__base") >= max_repeat,
+        F.raise_error(
+            F.concat(
+                F.lit("temperature_upsample: group "),
+                F.col(group_col).cast("string"),
+                F.lit(
+                    f" would be repeated >={max_repeat}x (bound "
+                    "(max_n/min_n)^(1-alpha)); raise alpha, drop the "
+                    "tiny group, or raise max_repeat"
+                ),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("__base") + F.when(u < F.col("__fthr"), 1).otherwise(0))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn(rep_col, F.explode(F.sequence(F.lit(1), n_rep)))
+        .drop("__base", "__fthr")
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     shard_col,

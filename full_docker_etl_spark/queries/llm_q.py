@@ -1076,6 +1076,47 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_temperature_upsample",
+    oracle="""
+      WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
+                      GROUP BY lang),
+      rates AS (
+        SELECT lang,
+               CAST(FLOOR(r) AS INTEGER) AS base,
+               CAST(FLOOR((r - FLOOR(r)) * 4294967296) AS BIGINT) AS fthr
+        FROM (SELECT lang,
+                     ROUND(POW(CAST(n AS DOUBLE)
+                                 / (SELECT MAX(n) FROM counts),
+                               -0.5), 6) AS r
+              FROM counts)),
+      expanded AS (
+        SELECT d.doc_id, d.lang,
+               base + CASE WHEN CAST(('0x' || substr(
+                              md5('mix0:' || CAST(d.doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) < fthr
+                           THEN 1 ELSE 0 END AS reps
+        FROM documents d JOIN rates USING (lang))
+      SELECT doc_id, lang,
+             CAST(unnest(generate_series(1, reps)) AS INTEGER) AS rep
+      FROM expanded
+    """,
+)
+def sample_temperature_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsampling form of temperature mixing (α = 0.5 over lang):
+    under-represented languages are REPEATED toward the ∝ n^α mix —
+    floor(rate) deterministic copies plus one hash-gated extra — while
+    the dominant language stays at exactly 1×. Replicas carry a rep
+    ordinal so downstream shuffling/packing sees distinct keys. The
+    oracle rebuilds count → rate → per-row repeat count → unnest, so
+    the driver value-checks every emitted replica."""
+    from full_docker_etl_spark.operators.sampling import temperature_upsample
+
+    return temperature_upsample(
+        _docs(spark, sf_dir), "lang", "doc_id", alpha=0.5
+    ).select("doc_id", "lang", "rep")
+
+
+@query(
     "sample_quota_per_source",
     oracle="""
       SELECT doc_id, source FROM (

@@ -58,6 +58,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _SAMPLE_ORDER: tuple[str, ...] = (
     # -- tier 1: changed since the round-5 sample; need evidence on new code
     "sample_temperature_mix",
+    "sample_temperature_upsample",
     "join_star_revenue",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",

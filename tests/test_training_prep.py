@@ -150,3 +150,39 @@ def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
     assert ident.count() == docs.count()
     with pytest.raises(ValueError):
         temperature_mix(docs, "lang", "doc_id", alpha=0.0)
+
+
+def test_temperature_upsample_repeats_toward_uniform(spark, sf_dir):
+    """α=0.5 upsampling: dominant group stays exactly 1×, small groups
+    emit n·rate copies within binomial noise, replicas are ordinal-
+    distinct, the run is deterministic, and the blow-up guard raises
+    in-plan when a group would exceed max_repeat."""
+    import math
+
+    import pytest
+
+    from full_docker_etl_spark.operators.sampling import temperature_upsample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_by = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    max_n = max(n_by.values())
+    out = temperature_upsample(docs, "lang", "doc_id", alpha=0.5)
+    kept = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    biggest = max(n_by, key=n_by.get)
+    assert kept[biggest] == n_by[biggest]          # dominant group: 1×
+    for lang, n in n_by.items():
+        rate = (n / max_n) ** -0.5
+        frac = rate - math.floor(rate)
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(kept[lang] - n * rate) <= 4 * sigma + 1, (lang, kept[lang], n * rate)
+    # replicas are distinct (doc_id, rep) pairs, rep dense from 1
+    assert out.count() == out.select("doc_id", "rep").distinct().count()
+    assert out.agg(F.min("rep")).first()[0] == 1
+    # deterministic
+    again = temperature_upsample(docs, "lang", "doc_id", alpha=0.5)
+    assert out.exceptAll(again).count() == 0
+    # in-plan guard: max_repeat=1 must raise once a group needs ≥1 extra
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="temperature_upsample"):
+        temperature_upsample(docs, "lang", "doc_id", alpha=0.5, max_repeat=1).count()
