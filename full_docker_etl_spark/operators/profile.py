@@ -1,0 +1,92 @@
+"""Single-pass table profiling (the ANALYZE/data-quality census every
+engine needs before curation decisions): per-column null counts,
+cardinality, bounds, and string length stats — over ANY DataFrame, in
+exactly ONE scan.
+
+Scale shape: every statistic is an ordinary aggregate, so the whole
+profile is one map-side-combined aggregation producing a SINGLE row;
+the per-column reshape is `inline(array(struct(...)))` over that one
+row — no union of re-computed branches (a naive `union` of per-column
+projections would re-run the aggregation once per column), no second
+pass, no shuffle beyond the one 1-row agg exchange. Cardinality is
+computed BOTH ways: HyperLogLog++ (the fixed-memory 100 TB tool) and
+exact COUNT(DISTINCT) beside it with a within-3·rsd verdict boolean —
+at real scale drop the exact side and keep the sketch (the exact
+count-distincts are what make this single pass expand k-fold; the
+sketch-only profile stays a plain one-pass agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df`` in one scan.
+
+    Returns one row per column:
+    ``col_name, col_type, n_rows, n_nulls, n_distinct, approx_ok,
+    min_num, max_num, min_str, max_str, avg_len`` — numeric bounds as
+    doubles (null for non-numerics), lexical bounds and rounded mean
+    length for strings (null otherwise), ``approx_ok`` = the HLL
+    estimate landed within 3·rsd of the exact cardinality.
+    """
+    types = dict(df.dtypes)
+    cols = columns or df.columns
+    unknown = [c for c in cols if c not in types]
+    if unknown:
+        raise ValueError(f"profile_columns: no such columns {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__nda"),
+        ]
+        if types[c] in _NUMERIC:
+            aggs += [
+                F.min(c).cast("double").alias(f"{c}__min_num"),
+                F.max(c).cast("double").alias(f"{c}__max_num"),
+            ]
+        elif types[c] == "string":
+            aggs += [
+                F.min(c).alias(f"{c}__min_str"),
+                F.max(c).alias(f"{c}__max_str"),
+                F.round(F.avg(F.length(c)), 4).alias(f"{c}__avg_len"),
+            ]
+    row = df.agg(*aggs)
+
+    def _field(c: str, suffix: str, dtype: str, alias: str):
+        name = f"{c}__{suffix}"
+        if f"{c}__{suffix}" in row.columns:
+            return F.col(name).cast(dtype).alias(alias)
+        return F.lit(None).cast(dtype).alias(alias)
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(types[c]).alias("col_type"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (
+                F.abs(F.col(f"{c}__nda") - F.col(f"{c}__nd"))
+                <= F.lit(3.0 * rsd) * F.col(f"{c}__nd")
+            ).alias("approx_ok"),
+            _field(c, "min_num", "double", "min_num"),
+            _field(c, "max_num", "double", "max_num"),
+            _field(c, "min_str", "string", "min_str"),
+            _field(c, "max_str", "string", "max_str"),
+            _field(c, "avg_len", "double", "avg_len"),
+        )
+        for c in cols
+    ]
+    return row.select(F.inline(F.array(*structs)))

@@ -223,3 +223,46 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         checks.append(F.abs(approx - exact) <= F.lit(0.01) * F.abs(exact))
     ok = checks[0] & checks[1] & checks[2]
     return li.groupBy("l_returnflag").agg(*aggs, ok.alias("within_bound"))
+
+
+def _profile_col_sql(col: str, typ: str) -> str:
+    num = typ != "string"
+    return f"""
+      SELECT '{col}' AS col_name, '{typ}' AS col_type,
+             COUNT(*) AS n_rows,
+             COUNT(*) - COUNT({col}) AS n_nulls,
+             COUNT(DISTINCT {col}) AS n_distinct,
+             TRUE AS approx_ok,
+             {f"CAST(MIN({col}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"} AS min_num,
+             {f"CAST(MAX({col}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"} AS max_num,
+             {f"MIN({col})" if not num else "CAST(NULL AS VARCHAR)"} AS min_str,
+             {f"MAX({col})" if not num else "CAST(NULL AS VARCHAR)"} AS max_str,
+             {f"ROUND(AVG(LENGTH({col})), 4)" if not num else "CAST(NULL AS DOUBLE)"} AS avg_len
+      FROM documents"""
+
+
+_PROFILE_COLS = [
+    ("doc_id", "bigint"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+]
+
+
+@query(
+    "profile_table",
+    oracle=" UNION ALL ".join(_profile_col_sql(c, t) for c, t in _PROFILE_COLS),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table profile census in ONE scan (the ANALYZE/data-quality
+    step before any curation decision): per-column type, null count,
+    exact + HLL cardinality with a within-3·rsd verdict boolean,
+    numeric bounds, lexical bounds, mean string length. The pivoted
+    hardcoded col_type literals double as a schema-drift tripwire —
+    a column type change fails the external hash compare, not just a
+    local test. The reshape is inline(array(struct)) over the single
+    aggregated row, so the corpus is never re-scanned per column."""
+    from full_docker_etl_spark.operators.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "documents"))

@@ -60,6 +60,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_temperature_mix",
     "sample_temperature_upsample",
     "join_star_revenue",
+    "profile_table",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

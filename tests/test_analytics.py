@@ -69,3 +69,29 @@ def test_approx_percentiles_accuracy(spark, sf_dir):
     for g, r in approx.items():
         assert r.within_bound, (g, r)
         assert r.n > 0 and r.min_price <= r.max_price
+
+
+def test_profile_columns_one_row_per_column_with_nulls(spark):
+    """Profiler over a frame with nulls and mixed types: counts line
+    up, non-applicable stat slots are null, unknown columns raise."""
+    import pytest
+
+    from full_docker_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (3, "c", None), (4, "a", 1.0)],
+        "id int, s string, v double",
+    )
+    prof = {r.col_name: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in prof.values())
+    assert prof["s"].n_nulls == 1 and prof["v"].n_nulls == 1
+    assert prof["s"].n_distinct == 2          # nulls don't count
+    assert prof["id"].min_num == 1.0 and prof["id"].max_num == 4.0
+    assert prof["id"].min_str is None and prof["id"].avg_len is None
+    assert prof["s"].min_str == "a" and prof["s"].max_str == "c"
+    assert prof["s"].min_num is None
+    assert prof["v"].min_num == 1.0 and prof["v"].max_num == 4.0
+    assert all(r.approx_ok for r in prof.values())
+    with pytest.raises(ValueError, match="no such columns"):
+        profile_columns(df, columns=["nope"])

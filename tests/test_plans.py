@@ -226,3 +226,12 @@ def test_star_revenue_plan_shape(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in flat, plan
     # region filter pushed too (shrinks the dim before the join)
     assert "In(r_name" in flat, plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The whole-table profile must read the corpus exactly once —
+    the per-column reshape must not re-run the aggregation."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "profile_table")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
