@@ -80,6 +80,30 @@ def moving_agg(
     return df.withColumn(out_col, agg.over(w))
 
 
+def time_range_agg(
+    df: DataFrame,
+    agg: Column,
+    partition: list[str],
+    ts_col: str,
+    days: int,
+    out_col: str,
+) -> DataFrame:
+    """Time-RANGE moving aggregate: the frame is every row whose
+    timestamp falls in the trailing ``days`` window of the CURRENT
+    row's timestamp — value-based ``rangeBetween``, not row counts, so
+    irregular gaps (weekends, missing days, bursts) are handled by the
+    frame definition itself instead of a fragile rows-offset guess.
+    Same shuffle shape as any window (one exchange on the partition
+    key); the range frame is evaluated with a sliding pointer over the
+    sorted partition, not by re-scanning the window per row."""
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return df.withColumn(out_col, agg.over(w))
+
+
 def running_total(
     df: DataFrame,
     col: Column,

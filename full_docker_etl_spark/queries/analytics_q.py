@@ -266,3 +266,33 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from full_docker_etl_spark.operators.profile import profile_columns
 
     return profile_columns(load_table(spark, sf_dir, "documents"))
+
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "agg_unpivot",
+    oracle=" UNION ALL ".join(
+        f"""
+      SELECT l_returnflag, '{m}' AS metric,
+             CAST(SUM(CAST({m} AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             COUNT({m}) AS n
+      FROM lineitem GROUP BY l_returnflag"""
+        for m in _MEASURES
+    ),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of agg_pivot: the four lineitem
+    measures become (metric, value) rows, then aggregate per
+    (returnflag, metric). Compiles to ONE scan + Expand (plan-tested),
+    not four unioned scans — the wide→long reshape every
+    metrics-warehouse export needs, at a single pass's cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"], _MEASURES, "metric", "value"
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count("value").alias("n"),
+    )

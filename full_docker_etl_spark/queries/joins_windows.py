@@ -407,6 +407,44 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "win_time_range",
+    oracle="""
+      SELECT o_orderkey, o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS spend_30d
+      FROM orders
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 extension: VALUE-based time-range window — each order's
+    trailing 30-day spend per customer. Unlike the rows-based moving
+    frames, the frame is defined on the time axis itself
+    (rangeBetween over epoch seconds ≡ RANGE INTERVAL 30 DAY), so
+    order-date gaps produce the correct frame rather than a fixed row
+    count's guess. DECIMAL inside the frame sum for engine-exactness;
+    ties on a same-day pair are frame-PEERS in both engines, so the
+    result needs no tie-break to hash identically."""
+    from full_docker_etl_spark.operators.windows import time_range_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = time_range_agg(
+        orders,
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+        ["o_custkey"],
+        "o_orderdate",
+        days=30,
+        out_col="spend_30d",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("spend_30d").cast("double").alias("spend_30d"),
+    )
+
+
 # ------------------------------------------------------------- temporal
 
 

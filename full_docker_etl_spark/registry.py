@@ -61,6 +61,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_temperature_upsample",
     "join_star_revenue",
     "profile_table",
+    "agg_unpivot",
+    "win_time_range",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

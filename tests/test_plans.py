@@ -235,3 +235,12 @@ def test_profile_is_single_scan(spark, sf_dir):
 
     plan = plan_of(spark, sf_dir, "profile_table")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_unpivot_is_single_scan_expand(spark, sf_dir):
+    """unpivot must compile to one scan + Expand, not four unions."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "agg_unpivot")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan, plan
