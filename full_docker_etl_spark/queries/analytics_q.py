@@ -296,3 +296,59 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         F.count("value").alias("n"),
     )
+
+
+@query(
+    "audit_referential",
+    oracle="""
+      SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_child,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders->customer', COUNT(*),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      FROM orders
+      UNION ALL
+      SELECT 'customer->nation', COUNT(*),
+             (SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+      FROM customer
+    """,
+)
+def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census (the data-quality companion to
+    profile_table): orphan counts per declared FK edge via LEFT ANTI
+    joins — the distributed form of 'which children have no parent'.
+    Scale shape: each edge is one anti-join on its key — the child
+    side ships only the key column, the nation probe broadcasts, and
+    a 100 TB fact never materializes matches (anti stops at first
+    hit). Zero rows means every edge is clean; the counts are pinned
+    by the oracle either way."""
+    tables = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("lineitem", "orders", "customer", "nation")
+    }
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for fk, child, ck, parent, pk in edges:
+        c = tables[child].select(ck)
+        p = tables[parent].select(pk)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(F.lit(fk).alias("fk"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

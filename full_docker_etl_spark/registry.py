@@ -63,6 +63,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "profile_table",
     "agg_unpivot",
     "win_time_range",
+    "audit_referential",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
