@@ -90,3 +90,63 @@ def profile_columns(
         for c in cols
     ]
     return row.select(F.inline(F.array(*structs)))
+
+
+def histogram_equi_width(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: bucket index
+    floor((x - min) / width) with the max value clamped into the last
+    bucket. Two aggregations total: one tiny (min, max) pass whose
+    single row broadcasts back, then the bucketing groupBy — the
+    standard ANALYZE shape (at 100 TB you run it once per ingest and
+    persist the result, you don't re-derive bounds per query).
+    Returns (bucket, lo, hi, n) with deterministic double bounds.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    bounds = df.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    # constant column → width 0 → x/0 is Inf/NaN under IEEE doubles;
+    # everything belongs in bucket 0 by definition
+    bucket = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(col).cast("double") - F.col("__lo")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("__lo2"),
+            F.first("__hi").alias("__hi2"),
+        )
+        .select(
+            "bucket",
+            F.round(
+                F.col("__lo2")
+                + F.col("bucket") * (F.col("__hi2") - F.col("__lo2")) / n_buckets,
+                4,
+            ).alias("lo"),
+            F.round(
+                F.col("__lo2")
+                + (F.col("bucket") + 1)
+                * (F.col("__hi2") - F.col("__lo2"))
+                / n_buckets,
+                4,
+            ).alias("hi"),
+            "n",
+        )
+    )

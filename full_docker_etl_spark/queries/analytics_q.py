@@ -352,3 +352,34 @@ def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "profile_histogram",
+    oracle="""
+      WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+                 FROM lineitem),
+      bucketed AS (
+        SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20))
+                          AS INTEGER), 19) AS bucket, lo, hi
+        FROM lineitem, b WHERE l_extendedprice IS NOT NULL)
+      SELECT bucket,
+             ROUND(lo + bucket * (hi - lo) / 20, 4) AS lo,
+             ROUND(lo + (bucket + 1) * (hi - lo) / 20, 4) AS hi,
+             COUNT(*) AS n
+      FROM bucketed GROUP BY bucket, lo, hi
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of lineitem prices — the
+    distribution census beside profile_table's scalar stats. Bounds
+    from one tiny (min,max) agg broadcast back; bucketing is a
+    map-local floor + one groupBy on ≤20 keys. Bucket EDGES are
+    rounded for display; bucket MEMBERSHIP is computed on raw doubles
+    identically in both engines (same IEEE arithmetic), so the counts
+    hash-match without a tolerance."""
+    from full_docker_etl_spark.operators.profile import histogram_equi_width
+
+    return histogram_equi_width(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", 20
+    )

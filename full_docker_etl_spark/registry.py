@@ -64,6 +64,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "agg_unpivot",
     "win_time_range",
     "audit_referential",
+    "profile_histogram",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

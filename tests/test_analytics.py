@@ -95,3 +95,27 @@ def test_profile_columns_one_row_per_column_with_nulls(spark):
     assert all(r.approx_ok for r in prof.values())
     with pytest.raises(ValueError, match="no such columns"):
         profile_columns(df, columns=["nope"])
+
+
+def test_histogram_counts_and_edges(spark):
+    """All non-null rows land in exactly one bucket; the max value is
+    clamped into the last bucket; a constant column degenerates to one
+    bucket 0; nulls are excluded."""
+    import pytest
+
+    from full_docker_etl_spark.operators.profile import histogram_equi_width
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "v double"
+    )
+    h = {r.bucket: r for r in histogram_equi_width(df, "v", 10).collect()}
+    assert sum(r.n for r in h.values()) == 100
+    assert set(h) == set(range(10))
+    assert all(h[b].n == 10 for b in range(9))
+    assert h[9].n == 10                       # 90..99 incl. clamped max
+    assert h[0].lo == 0.0 and h[9].hi == 99.0
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    ch = histogram_equi_width(const, "v", 10).collect()
+    assert len(ch) == 1 and ch[0].bucket == 0 and ch[0].n == 2
+    with pytest.raises(ValueError):
+        histogram_equi_width(df, "v", 0)
