@@ -325,3 +325,61 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click"),
         ev.where(F.col("event_type") == "purchase"),
     )
+
+
+@query(
+    "sink_versioned_compact",
+    oracle="""
+      SELECT COUNT(*) AS n_rows,
+             TRUE AS lossless,
+             TRUE AS within_budget,
+             TRUE AS time_travel_ok
+      FROM orders
+    """,
+)
+def sink_versioned_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE + TIME TRAVEL on the versioned lake table, verdict-row
+    checked: orders land partitioned by year across many small files
+    (a deliberately fragmented 8-task write), compact() rewrites every
+    over-budget partition to one file behind the same atomic pointer
+    swap, and the booleans the oracle pins assert (a) the compacted
+    snapshot is row-identical to the pre-compact snapshot read via
+    time travel, (b) every partition is now within the file budget
+    (filesystem-counted), (c) the pre-compact version is still
+    readable at its own id. Small files are the silent 100 TB cost —
+    this is the maintenance op that keeps the scoped-merge table
+    scannable."""
+    import os
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        "o_totalprice",
+    )
+    table = VersionedTable(
+        _tmp("vcompact"), keep_versions=2, partition_by=("yr",)
+    )
+    v1 = table.overwrite(orders.repartition(8))
+    v2 = table.compact(spark, max_files_per_partition=1)
+    cur = table.read(spark)
+    old = table.read(spark, version=v1)
+    lossless = (
+        cur.exceptAll(old).limit(1).count() == 0
+        and old.exceptAll(cur).limit(1).count() == 0
+    )
+    vdir = os.path.join(table.root, "_versions", v2)
+    per_part = [
+        sum(f.endswith(".parquet") for f in os.listdir(os.path.join(vdir, d)))
+        for d in os.listdir(vdir)
+        if d.startswith("yr=")
+    ]
+    within = bool(per_part) and max(per_part) <= 1
+    travel_ok = table.versions() == [v2, v1]
+    return cur.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(lossless).alias("lossless"),
+        F.lit(within).alias("within_budget"),
+        F.lit(travel_ok).alias("time_travel_ok"),
+    )

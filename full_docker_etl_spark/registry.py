@@ -65,6 +65,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "win_time_range",
     "audit_referential",
     "profile_histogram",
+    "sink_versioned_compact",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

@@ -261,10 +261,27 @@ class VersionedTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        version = self.current_version()
+    def versions(self) -> list[str]:
+        """Published, still-retained version ids, newest first — the
+        TIME-TRAVEL horizon (``keep_versions`` deep; older snapshots
+        are garbage-collected)."""
+        return self._history()
+
+    def read(self, spark: SparkSession, version: str | None = None) -> DataFrame:
+        """Read the live snapshot, or TIME-TRAVEL to any retained
+        ``version`` from :meth:`versions` — snapshots are immutable,
+        so an old version is simply read from its directory; no log
+        replay, no reconstruction."""
         if version is None:
-            raise FileNotFoundError(f"no committed version at {self.root}")
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+        elif version not in self._history():
+            raise FileNotFoundError(
+                f"version {version!r} is not retained at {self.root} "
+                f"(retained: {self._history()}); raise keep_versions to "
+                "keep a deeper time-travel horizon"
+            )
         return spark.read.parquet(
             os.path.join(self.root, "_versions", version)
         )
@@ -350,6 +367,78 @@ class VersionedTable:
         existing = self._scoped_read(spark, touched, touched_rows, cap)
         keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
         return self._commit(keep.unionByName(updates), link_from=cur_dir)
+
+    def compact(
+        self, spark: SparkSession, max_files_per_partition: int = 4
+    ) -> str | None:
+        """OPTIMIZE: rewrite only the partitions whose data-file count
+        exceeds the budget down to ONE file each (small files are the
+        silent 100 TB killer — every query pays per-file open/footer
+        cost, and merge commits write up to a task-count of files into
+        each touched partition). Untouched partitions are hardlinked
+        into the new snapshot exactly like a scoped merge, data is
+        byte-identical by construction (same rows, new layout), and
+        the publish is the same atomic pointer swap — readers never
+        see a half-compacted table. Returns the new version id, or
+        None when every partition is already within budget (no
+        commit, no snapshot churn — a no-op compaction must not age
+        the retention window). NULL-valued partitions
+        (``__HIVE_DEFAULT_PARTITION__``) are left as-is.
+
+        Scale shape: the fat-partition scan is a filesystem listing
+        (no data read); the rewrite reads only fat partitions via the
+        same per-column isin pruning the merge uses (a SUPERSET of the
+        fat set is harmless — it only compacts more), and
+        ``repartition(partition cols)`` routes each partition's rows
+        to one task → one output file."""
+        version = self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        cur_dir = os.path.join(self.root, "_versions", version)
+
+        def _n_files(d: str) -> int:
+            return sum(
+                1
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+
+        if not self.partition_by:
+            if _n_files(cur_dir) <= max_files_per_partition:
+                return None
+            return self._commit(self.read(spark).coalesce(1))
+
+        from urllib.parse import unquote
+
+        depth = len(self.partition_by)
+        fat: list[dict[str, str]] = []
+
+        def _walk(d: str, level: int, vals: dict[str, str]) -> None:
+            if level == depth:
+                if _n_files(d) > max_files_per_partition:
+                    fat.append(vals)
+                return
+            for entry in os.listdir(d):
+                sub = os.path.join(d, entry)
+                if not os.path.isdir(sub) or "=" not in entry:
+                    continue
+                col, raw = entry.split("=", 1)
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    continue  # null partitions are skipped, not compacted
+                _walk(sub, level + 1, {**vals, col: unquote(raw)})
+
+        _walk(cur_dir, 0, {})
+        if not fat:
+            return None
+        scoped = self.read(spark)
+        for c in self.partition_by:
+            scoped = scoped.where(
+                F.col(c).isin(sorted({vals[c] for vals in fat}))
+            )
+        return self._commit(
+            scoped.repartition(*[F.col(c) for c in self.partition_by]),
+            link_from=cur_dir,
+        )
 
     def _scoped_read(
         self, spark: SparkSession, touched: DataFrame, touched_rows, cap: int

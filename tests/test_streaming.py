@@ -449,3 +449,74 @@ def test_streaming_incremental_dedup_against_sketch_store(spark):
     assert unique_ids <= streamed
     family_admitted = streamed - unique_ids
     assert len(family_admitted) <= 3, family_admitted
+
+
+def test_versioned_table_time_travel(spark):
+    """Retained snapshots are readable as-of: versions() lists newest
+    first, read(old) returns the pre-merge state bit-for-bit, and a
+    GC'd or bogus version refuses loudly."""
+    import tempfile
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="fde_vtt_") + "/t"
+    t = VersionedTable(root, keep_versions=2)
+    v1 = t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    v2 = t.merge(spark.createDataFrame([(1, "A"), (2, "b")], "k int, v string"), keys=["k"])
+    assert t.versions() == [v2, v1]
+    assert {r.k: r.v for r in t.read(spark).collect()} == {1: "A", 2: "b"}
+    assert {r.k: r.v for r in t.read(spark, version=v1).collect()} == {1: "a"}
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(spark, version="v_nope")
+    # a third commit ages v1 past keep_versions=2 → time travel to it refuses
+    v3 = t.merge(spark.createDataFrame([(3, "c")], "k int, v string"), keys=["k"])
+    assert t.versions() == [v3, v2]
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(spark, version=v1)
+
+
+def test_versioned_table_compaction(spark):
+    """compact() rewrites ONLY over-budget partitions down to one file,
+    hardlinks the rest, keeps data identical, and is a commit-free
+    no-op when everything is within budget."""
+    import os
+    import tempfile
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    def files_of(vdir, rel):
+        d = os.path.join(vdir, rel)
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    def inodes_of(vdir, rel):
+        d = os.path.join(vdir, rel)
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    root = tempfile.mkdtemp(prefix="fde_vtc_") + "/t"
+    t = VersionedTable(root, keep_versions=2, partition_by=("yr",))
+    # many tasks → many small files in yr=1997; one file in yr=1996
+    fat = spark.createDataFrame(
+        [(i, "1997", f"v{i}") for i in range(40)], "k int, yr string, v string"
+    ).repartition(8)
+    thin = spark.createDataFrame(
+        [(100, "1996", "x")], "k int, yr string, v string"
+    ).coalesce(1)
+    v1 = t.overwrite(fat.unionByName(thin))
+    v1dir = os.path.join(root, "_versions", v1)
+    assert len(files_of(v1dir, "yr=1997")) > 4
+    before = {(r.k, r.yr, r.v) for r in t.read(spark).collect()}
+    thin_inodes = inodes_of(v1dir, "yr=1996")
+
+    v2 = t.compact(spark, max_files_per_partition=4)
+    assert v2 is not None
+    v2dir = os.path.join(root, "_versions", v2)
+    assert len(files_of(v2dir, "yr=1997")) == 1          # compacted
+    assert inodes_of(v2dir, "yr=1996") == thin_inodes    # hardlinked
+    assert {(r.k, r.yr, r.v) for r in t.read(spark).collect()} == before
+    # everything within budget now → no-op, no new commit
+    assert t.compact(spark, max_files_per_partition=4) is None
+    assert t.current_version() == v2
