@@ -538,3 +538,31 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_purch"),
     )
+
+
+@query(
+    "join_salted",
+    oracle="""
+      SELECT e.user_id, e.event_id, e.value, c.c_name
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, result-identical to the plain join (which is
+    exactly what the oracle checks): the hot side's key is widened
+    with a deterministic xxhash64 salt and the other side exploded
+    ×n_salts, spreading a pathological key over n_salts reducers. For
+    skew AQE's runtime splitting can't fix (one key = 30% of a 100 TB
+    fact against a non-broadcastable dim), this is the manual tool —
+    the oracle proves the rewrite changes the partitioning, never the
+    result. Salting is deterministic (never rand()) so retried tasks
+    re-derive identical salt values."""
+    from full_docker_etl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS user_id", "c_name"
+    )
+    return salted_join(ev, cust, key="user_id", salt_src="event_id", n_salts=8)

@@ -66,6 +66,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "audit_referential",
     "profile_histogram",
     "sink_versioned_compact",
+    "join_salted",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
