@@ -67,6 +67,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "profile_histogram",
     "sink_versioned_compact",
     "join_salted",
+    "serve_incremental_grain",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

@@ -119,3 +119,69 @@ def test_histogram_counts_and_edges(spark):
     assert len(ch) == 1 and ch[0].bucket == 0 and ch[0].n == 2
     with pytest.raises(ValueError):
         histogram_equi_width(df, "v", 0)
+
+
+def test_incremental_grain_refresh_touches_only_affected_buckets(spark, sf_dir):
+    """refresh_grain must (a) equal a full rebuild row-for-row, (b)
+    leave untouched bucket directories' files untouched (same inodes),
+    (c) rewrite the touched buckets, (d) no-op on an empty batch."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.ivm import (
+        GRAIN_PARTITIONING,
+        refresh_grain,
+        with_bucket,
+    )
+    from full_docker_etl_spark.sources.catalog import load_table
+
+    def build(df):
+        return (
+            df.groupBy(
+                F.col("o_orderstatus").alias("series"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("period_key"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("agg_type", F.lit("day"))
+        )
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    cutoff = F.lit("2001-06-01").cast("timestamp")
+    path = tempfile.mkdtemp(prefix="fde_ivmtest_") + "/g"
+    with_bucket(build(orders.where(F.col("o_orderdate") < cutoff))).write.mode(
+        "overwrite"
+    ).partitionBy(*GRAIN_PARTITIONING).parquet(path)
+
+    def inodes():
+        out = {}
+        for base, _dirs, files in os.walk(path):
+            rel = os.path.relpath(base, path)
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.setdefault(rel, set()).add(
+                        os.stat(os.path.join(base, f)).st_ino
+                    )
+        return out
+
+    before = inodes()
+    batch = orders.where(F.col("o_orderdate") >= cutoff)
+    n = refresh_grain(orders, batch, build, path, "o_orderdate")
+    assert n > 0
+    after = inodes()
+    # untouched early-2001 buckets: identical files
+    for rel in before:
+        if "period_bucket=2001-0" in rel and rel < "agg_type=day/period_bucket=2001-06":
+            assert after[rel] == before[rel], rel
+    # touched buckets exist and are fresh
+    assert any("period_bucket=2001-06" in rel for rel in after)
+    # incremental == full rebuild
+    full = build(orders).select("series", "period_key", "n")
+    got = spark.read.parquet(path).select("series", "period_key", "n")
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    # empty batch is a no-op
+    assert refresh_grain(orders, batch.where(F.lit(False)), build, path, "o_orderdate") == 0
