@@ -202,3 +202,63 @@ def stream_stream_range_join(
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "purchase_value",
     )
+
+
+def stream_grain_refresh(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    fact_path: str,
+    grain_path: str,
+    build,
+    date_col: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """STREAMING materialized-view maintenance: each micro-batch lands
+    in the fact table via an IDEMPOTENT keyed upsert, then
+    :func:`~full_docker_etl_spark.operators.ivm.refresh_grain`
+    recomputes only the grain periods that batch touches. The pair is
+    replay-convergent end to end — a re-delivered epoch upserts the
+    same keys (no duplicates) and the refresh recomputes affected
+    periods FROM the fact table (never merges partial states), so a
+    replayed refresh overwrites with identical values instead of
+    double-counting. That recompute-from-facts property is what makes
+    the exactly-once recipe work on a non-transactional sink; the
+    first epoch backfills the grain in full. Returns the started query
+    (AvailableNow in tests)."""
+    from full_docker_etl_spark.operators.dedup import natural_key_dedup
+    from full_docker_etl_spark.operators.ivm import (
+        GRAIN_PARTITIONING,
+        refresh_grain,
+        with_bucket,
+    )
+    from full_docker_etl_spark.sources.sinks import upsert_parquet
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        s = batch_df.sparkSession
+        order = [("ts", False)] if "ts" in batch_df.columns else [
+            (c, False) for c in batch_df.columns if c not in keys
+        ]
+        cleaned = natural_key_dedup(batch_df, keys, order)
+        if os.path.exists(fact_path):
+            upsert_parquet(s, fact_path, cleaned, keys)
+        else:
+            cleaned.write.parquet(fact_path)
+        raw = s.read.parquet(fact_path)
+        if not os.path.exists(grain_path):
+            with_bucket(build(raw)).repartition(
+                *[F.col(c) for c in GRAIN_PARTITIONING]
+            ).write.partitionBy(*GRAIN_PARTITIONING).parquet(grain_path)
+        else:
+            refresh_grain(raw, cleaned, build, grain_path, date_col)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -520,3 +520,55 @@ def test_versioned_table_compaction(spark):
     # everything within budget now → no-op, no new commit
     assert t.compact(spark, max_files_per_partition=4) is None
     assert t.current_version() == v2
+
+
+def test_stream_grain_refresh_equals_batch_rebuild(spark, sf_dir, events_dir):
+    """The streaming materialized view: after the stream drains, the
+    incrementally-maintained grain equals a from-scratch rebuild over
+    all facts; forcing the stream to re-run from a FRESH checkpoint
+    (full re-delivery of every file) converges instead of
+    double-counting — the replay-safety contract."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.streaming.events import stream_grain_refresh
+
+    d, schema = events_dir
+
+    def build(df):
+        return (
+            df.groupBy(
+                F.col("event_type").alias("series"),
+                F.date_format("ts", "yyyy-MM-dd").alias("period_key"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .withColumn("agg_type", F.lit("day"))
+        )
+
+    base = tempfile.mkdtemp(prefix="fde_sgr_")
+    fact, grain = base + "/fact", base + "/grain"
+
+    def run(chk):
+        q = stream_grain_refresh(
+            spark, d, schema, fact, grain, build, "ts",
+            keys=["event_id"], checkpoint_dir=chk,
+        )
+        q.awaitTermination(180)
+
+    run(base + "/chk1")
+    cols = ["series", "period_key", "n", "sum_value"]
+    expected = build(load_table(spark, sf_dir, "events")).select(*cols)
+    got = spark.read.parquet(grain).select(*cols)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # full re-delivery: fresh checkpoint replays every source file
+    run(base + "/chk2")
+    got2 = spark.read.parquet(grain).select(*cols)
+    assert got2.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got2).count() == 0
