@@ -227,3 +227,41 @@ def fn_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.to_json(F.struct("o_orderkey", "o_orderstatus")).alias("doc"),
     )
+
+
+@query(
+    "fn_arrays",
+    oracle="""
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_distinct(toks)) AS n_distinct_tok,
+             array_to_string(list_sort(toks)[1:3], ' ') AS first3,
+             CAST(list_sum(list_transform(toks, t -> length(t)))
+                  AS BIGINT) AS total_chars,
+             list_contains(toks, 'data') AS has_data
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents)
+    """,
+)
+def fn_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function surface in one pass — size,
+    distinct, sort+slice, lambda fold (F.aggregate), membership — all
+    JVM expressions inside whole-stage codegen, the idiom that keeps
+    per-row collection logic OUT of Python UDFs. Arrays are surfaced
+    as scalars (joined strings / counts) because array reprs don't
+    hash portably across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tok"),
+        F.concat_ws(" ", F.slice(F.array_sort(toks), 1, 3)).alias("first3"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("total_chars"),
+        F.array_contains(toks, "data").alias("has_data"),
+    )

@@ -68,6 +68,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sink_versioned_compact",
     "join_salted",
     "serve_incremental_grain",
+    "fn_arrays",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

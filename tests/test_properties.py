@@ -100,3 +100,33 @@ def test_simhash_blocks_for_corpus_invariants(n, d):
     # break the table cap (width is monotone in b)
     if width < math.log2(max(n, 2)) + 8:
         assert math.comb(b + 1, b + 1 - d) > 512
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=30),
+    alpha=st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_rates_invariants(counts, alpha):
+    """The mixing math (shared by temperature_mix / _upsample): down-
+    sampling rates (n/min)^(α-1) are in (0, 1] with the smallest group
+    at exactly 1; upsampling rates (n/max)^(α-1) are ≥ 1 with the
+    largest at exactly 1; expected kept counts n·rate are ∝ n^α —
+    i.e. the kept-ratio of any two groups is (n_i/n_j)^α; and rates
+    are monotone in n (bigger groups thinned harder)."""
+    mn, mx = min(counts), max(counts)
+    down = [(n / mn) ** (alpha - 1.0) for n in counts]
+    up = [(n / mx) ** (alpha - 1.0) for n in counts]
+    assert all(0.0 < r <= 1.0 + 1e-12 for r in down)
+    assert abs(down[counts.index(mn)] - 1.0) < 1e-12
+    assert all(r >= 1.0 - 1e-12 for r in up)
+    assert abs(up[counts.index(mx)] - 1.0) < 1e-12
+    for i in range(len(counts)):
+        for j in range(len(counts)):
+            if counts[j] == 0:
+                continue
+            want = (counts[i] / counts[j]) ** alpha
+            got = (counts[i] * down[i]) / (counts[j] * down[j])
+            assert abs(got - want) <= 1e-6 * max(1.0, want)
+    ordered = sorted(zip(counts, down))
+    assert all(a[1] >= b[1] - 1e-12 for a, b in zip(ordered, ordered[1:]))
