@@ -302,3 +302,61 @@ def contamination_hits(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents for a bag of query terms
+    (Robertson/Sparck-Jones idf, the Okapi tf saturation + length
+    normalization every search engine defaults to).
+
+    Scale shape: term rows are filtered to the QUERY terms immediately
+    after the explode — the per-(doc, term) aggregation and everything
+    downstream touch only the query terms' posting lists, never the
+    corpus vocabulary. Per-term document frequencies are ≤|query|
+    rows (broadcast); doc lengths join on the doc key; the global
+    top-k compiles to TakeOrderedAndProject. Per-term scores are
+    rounded before summing and the sum re-rounded, so ranking is
+    engine-portable (log/division last-ulp jitter never reorders).
+    """
+    if not query_terms:
+        raise ValueError("bm25_search: query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.where(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    per_term = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / norm, 4)
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        top_k
+    )

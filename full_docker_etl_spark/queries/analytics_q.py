@@ -383,3 +383,38 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_equi_width(
         load_table(spark, sf_dir, "lineitem"), "l_extendedprice", 20
     )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (the sibling of
+    agg_rollup's hierarchy) — one scan + Expand ×4, GROUPING() flags
+    disambiguating subtotal NULLs from data NULLs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority",
+            "g_status", "g_prio", "n", "sum_price",
+        )
+    )

@@ -1396,3 +1396,40 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return tx.contamination_hits(corpus, bench, "text", "doc_id", n=5)
+
+
+@query(
+    "text_bm25",
+    oracle="""
+      WITH toks AS (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                             AS term
+                    FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n FROM documents),
+      ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+             WHERE term IN ('data', 'window', 'batch') GROUP BY 1, 2),
+      dft AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY 1)
+      SELECT doc_id, ROUND(SUM(ROUND(
+               ln(1 + (n - dft + 0.5) / (dft + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             4)), 4) AS score
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN nd CROSS JOIN ad
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 10
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (query: data ∪ window ∪
+    batch, k1=1.2, b=0.75): Okapi tf saturation + length normalization,
+    posting lists filtered to the query terms before any aggregation —
+    the search-engine serving shape, value-checked rank for rank."""
+    from full_docker_etl_spark.operators.text import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf_dir), "text", "doc_id",
+        ["data", "window", "batch"], top_k=10,
+    )

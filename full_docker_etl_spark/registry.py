@@ -69,6 +69,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_salted",
     "serve_incremental_grain",
     "fn_arrays",
+    "agg_cube",
+    "text_bm25",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
