@@ -383,3 +383,50 @@ def sink_versioned_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(within).alias("within_budget"),
         F.lit(travel_ok).alias("time_travel_ok"),
     )
+
+
+@query(
+    "sink_versioned_cdf",
+    oracle="""
+      SELECT o_orderkey, 'updated' AS change FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'inserted' FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def sink_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED off the versioned table: commit the base
+    snapshot, merge a batch that UPDATES every 1997 order and INSERTS
+    a shifted copy of each, then diff the two retained versions. The
+    oracle enumerates the exact expected change set, so the driver
+    value-checks the feed row for row — updated keys classified as
+    updated, inserted as inserted, every untouched key absent. This is
+    the derived-view CDC a lake format exposes, obtained purely from
+    immutable snapshots + time travel (no log replay)."""
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    base = orders.withColumn("version", F.lit("original")).drop("o_orderdate")
+    table = VersionedTable(_tmp("vcdf"), keep_versions=2)
+    v1 = table.overwrite(base)
+    y97 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    updates = y97.select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit("updated").alias("version"),
+    )
+    inserts = y97.select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("new").alias("version"),
+    )
+    v2 = table.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    return table.diff(spark, ["o_orderkey"], v1, v2)

@@ -71,6 +71,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "fn_arrays",
     "agg_cube",
     "text_bm25",
+    "sink_versioned_cdf",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

@@ -312,15 +312,27 @@ class VersionedTable:
         self._gc(retained, aged=set(history) - set(retained))
         return version
 
-    def merge(self, updates: DataFrame, keys: list[str]) -> str:
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        evolve_schema: bool = False,
+    ) -> str:
         """MERGE semantics (matched → replace, unmatched → insert) as
         read-current → anti-join → union → atomic commit. Idempotent:
         re-running the same batch converges to the same state.
 
+        ``evolve_schema=True`` allows the batch to ADD columns (and to
+        omit existing ones): the union aligns by name with missing
+        columns null-filled — pre-existing rows read NULL for the new
+        column, the standard additive-evolution contract. Left off by
+        default so a typo'd column name fails loudly instead of
+        forking the schema.
+
         On a PARTITIONED table the merge is partition-scoped: only the
         partitions present in ``updates`` are read (partition-pruned
         scan), merged and rewritten; every untouched partition is
-        hardlinked from the current snapshot. Requires partition
+        hardlinked from the previous snapshot. Requires partition
         columns ⊆ ``keys`` — then a key can never move between
         partitions, so pruning by the updates' partition values is
         exhaustive (a matched row always lives in a partition the
@@ -333,7 +345,9 @@ class VersionedTable:
             keep = existing.join(
                 updates.select(*keys), on=keys, how="left_anti"
             )
-            return self._commit(keep.unionByName(updates))
+            return self._commit(
+                keep.unionByName(updates, allowMissingColumns=evolve_schema)
+            )
         missing = set(self.partition_by) - set(keys)
         if missing:
             raise ValueError(
@@ -341,6 +355,22 @@ class VersionedTable:
                 f"part of the merge key (missing: {sorted(missing)}); "
                 "otherwise a matched key could live in a partition the "
                 "update batch never names and the prune would miss it"
+            )
+        if evolve_schema and set(updates.columns) != set(
+            self.read(spark).columns
+        ):
+            # Plain Parquet has no schema registry: hardlinking
+            # old-schema files next to new-schema files would make the
+            # read-back schema depend on which file Spark samples.
+            # Additive evolution therefore rewrites the WHOLE table
+            # once (every file carries the final schema); subsequent
+            # merges return to the scoped fast path.
+            existing = self.read(spark)
+            keep = existing.join(
+                updates.select(*keys), on=keys, how="left_anti"
+            )
+            return self._commit(
+                keep.unionByName(updates, allowMissingColumns=True)
             )
         touched = updates.select(*self.partition_by).distinct()
         # Static partition pruning needs literal values, so collect the
@@ -367,6 +397,41 @@ class VersionedTable:
         existing = self._scoped_read(spark, touched, touched_rows, cap)
         keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
         return self._commit(keep.unionByName(updates), link_from=cur_dir)
+
+    def diff(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        from_version: str,
+        to_version: str | None = None,
+    ) -> DataFrame:
+        """CHANGE FEED between two retained snapshots (the CDC read
+        pattern lake formats expose): one row per changed key,
+        ``change ∈ {inserted, deleted, updated}``. Time travel makes
+        this a pure derived view — immutable snapshots, so the diff is
+        a full-outer join on the keys with a null-safe struct compare
+        of the non-key columns; no log replay, no stored deltas.
+        Unchanged keys are dropped. Scale shape: one key-partitioned
+        join of two snapshot scans (column-pruned to keys + compared
+        columns); downstream consumers (cache invalidation,
+        incremental export) read |changes| rows, not the table."""
+        old = self.read(spark, version=from_version)
+        new = self.read(spark, version=to_version)
+        common = [c for c in new.columns if c in set(old.columns)]
+        nonkey = [c for c in common if c not in keys]
+        o = old.select(*keys, F.struct(*nonkey).alias("__o"))
+        n = new.select(*keys, F.struct(*nonkey).alias("__n"))
+        joined = o.join(n, on=keys, how="full_outer")
+        change = (
+            F.when(F.col("__o").isNull(), F.lit("inserted"))
+            .when(F.col("__n").isNull(), F.lit("deleted"))
+            .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("updated"))
+        )
+        return (
+            joined.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(*keys, "change")
+        )
 
     def compact(
         self, spark: SparkSession, max_files_per_partition: int = 4

@@ -572,3 +572,64 @@ def test_stream_grain_refresh_equals_batch_rebuild(spark, sf_dir, events_dir):
     got2 = spark.read.parquet(grain).select(*cols)
     assert got2.exceptAll(expected).count() == 0
     assert expected.exceptAll(got2).count() == 0
+
+
+def test_versioned_table_change_feed_and_schema_evolution(spark):
+    """diff() classifies inserted/deleted/updated (and drops unchanged)
+    between retained snapshots; merge(evolve_schema=True) adds a column
+    with NULL backfill (full rewrite on partitioned layout so every
+    file carries the final schema); without the flag a wider batch
+    refuses loudly."""
+    import tempfile
+
+    from pyspark.sql.utils import AnalysisException
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="fde_vcdf_") + "/t"
+    t = VersionedTable(root, keep_versions=3)
+    v1 = t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        )
+    )
+    v2 = t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "k int, v string"
+        )
+    )
+    got = {r.k: r.change for r in t.diff(spark, ["k"], v1, v2).collect()}
+    assert got == {2: "updated", 3: "deleted", 4: "inserted"}
+    # default keeps the feed against the live version
+    assert {r.k: r.change for r in t.diff(spark, ["k"], v1).collect()} == got
+
+    # schema evolution: wider batch refuses without the flag...
+    wider = spark.createDataFrame(
+        [(2, "B2", 9.5)], "k int, v string, score double"
+    )
+    with pytest.raises(AnalysisException):
+        t.merge(wider, keys=["k"])
+    # ...and null-backfills with it
+    t.merge(wider, keys=["k"], evolve_schema=True)
+    rows = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
+    assert rows[2] == ("B2", 9.5)
+    assert rows[1] == ("a", None) and rows[4] == ("d", None)
+
+    # partitioned evolution: full rewrite → read-back sees the new
+    # column on EVERY row without mergeSchema tricks
+    proot = tempfile.mkdtemp(prefix="fde_vevo_") + "/t"
+    pt = VersionedTable(proot, partition_by=("yr",))
+    pt.overwrite(
+        spark.createDataFrame(
+            [(1, "1996", "a"), (2, "1997", "b")], "k int, yr string, v string"
+        )
+    )
+    pt.merge(
+        spark.createDataFrame(
+            [(2, "1997", "B", 1.0)], "k int, yr string, v string, s double"
+        ),
+        keys=["k", "yr"],
+        evolve_schema=True,
+    )
+    out = {r.k: (r.v, r.s) for r in pt.read(spark).collect()}
+    assert out == {1: ("a", None), 2: ("B", 1.0)}
