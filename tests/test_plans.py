@@ -244,3 +244,14 @@ def test_unpivot_is_single_scan_expand(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_unpivot")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_temperature_mix_never_shuffles_the_corpus(spark, sf_dir):
+    """Mixing plan shape: the corpus-side scan flows straight into the
+    broadcast join + hash filter (no corpus exchange); the only
+    hash exchange is the 5-key count agg, whose scan is column-pruned
+    to the group column alone."""
+    plan = plan_of(spark, sf_dir, "sample_temperature_mix")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "struct<lang:string>" in plan.replace(" ", ""), plan
