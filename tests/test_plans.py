@@ -255,3 +255,24 @@ def test_temperature_mix_never_shuffles_the_corpus(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("hashpartitioning") == 1, plan
     assert "struct<lang:string>" in plan.replace(" ", ""), plan
+
+
+def test_plan_stats_api(spark, sf_dir):
+    """The plans module must report the same facts the string asserts
+    above rely on — pinned against two queries with known shapes."""
+    from full_docker_etl_spark.plans import plan_stats, read_schemas
+
+    star = SPECS["join_star_revenue"].fn(spark, sf_dir)
+    s = plan_stats(star)
+    assert s["scans"] == 5                      # 2 facts + 3 dims
+    assert s["broadcast_joins"] >= 2            # bounded dims at least
+    assert s["cartesian"] == 0 and s["nested_loop_joins"] == 0
+    assert s["pushed_filter_scans"] >= 2        # date range + region
+    assert s["sort_merge_joins"] + s["shuffled_hash_joins"] <= 1
+    assert s["codegen_spans"] == 0              # un-executed AQE plan
+
+    prof = SPECS["profile_table"].fn(spark, sf_dir)
+    p = plan_stats(prof)
+    assert p["scans"] == 1
+    schemas = read_schemas(prof)
+    assert len(schemas) == 1 and "doc_id" in schemas[0]
