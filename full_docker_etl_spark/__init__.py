@@ -19,8 +19,15 @@ Flask stock-analytics stack), re-expressed as:
 See SURVEY.md for the full blueprint and reference citations.
 """
 
+from full_docker_etl_spark.plans import plan_stats, plan_text, read_schemas
 from full_docker_etl_spark.session import get_spark, tune_session
 
-__all__ = ["get_spark", "tune_session"]
+__all__ = [
+    "get_spark",
+    "tune_session",
+    "plan_text",
+    "plan_stats",
+    "read_schemas",
+]
 
 __version__ = "0.1.0"
