@@ -257,3 +257,51 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("__key")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    key_col: str,
+    n_rows: int,
+    k: int = 4,
+    seed: str = "neg0",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: each anchor row gets ``k`` pseudo-random OTHER keys,
+    reproducible across engines, epochs, and task retries (md5 u-space
+    again — never rand()). Requires keys dense in [0, n_rows) — the
+    state every corpus is in after canonical re-indexing (exact-dedup
+    keep-list → row id); the modular draw then needs NO join against
+    the corpus to know which negatives exist.
+
+    Self-collisions shift to the next index (mod n) instead of
+    re-drawing, so each anchor emits exactly ``k`` negatives in one
+    map-local pass — no filtering, no variable fan-out, no shuffle.
+    Emits (anchor key, neg_rank 1..k, neg_id)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rows < 2:
+        raise ValueError("need at least 2 rows to draw negatives")
+    rank = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank")
+    out = df.select(F.col(key_col), rank)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col(key_col).cast("string"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = F.pmod(u, F.lit(n_rows))
+    neg = F.when(
+        cand == F.col(key_col), F.pmod(cand + 1, F.lit(n_rows))
+    ).otherwise(cand)
+    return out.select(key_col, "neg_rank", neg.cast("long").alias("neg_id"))

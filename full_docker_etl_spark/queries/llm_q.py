@@ -1433,3 +1433,35 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id",
         ["data", "window", "batch"], top_k=10,
     )
+
+
+@query(
+    "sample_negatives",
+    oracle="""
+      WITH n AS (SELECT COUNT(*) AS n_rows FROM documents),
+      drawn AS (
+        SELECT doc_id, rank AS neg_rank,
+               CAST(('0x' || substr(md5('neg0:' || CAST(doc_id AS VARCHAR)
+                                        || ':' || CAST(rank AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % n_rows AS cand,
+               n_rows
+        FROM documents
+        CROSS JOIN n
+        CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS rank))
+      SELECT doc_id, CAST(neg_rank AS INTEGER) AS neg_rank,
+             CASE WHEN cand = doc_id THEN (cand + 1) % n_rows
+                  ELSE cand END AS neg_id
+      FROM drawn
+    """,
+)
+def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (k=4 per anchor) for
+    contrastive/embedding training: md5-derived draws over the dense
+    id space, self-collisions shifted — one map-local pass, zero
+    shuffle, zero RNG, and the oracle recomputes every single draw.
+    Pairs with ann_* for hard negatives; this is the uniform tier."""
+    from full_docker_etl_spark.operators.sampling import negative_samples
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return negative_samples(docs, "doc_id", n_rows=n, k=4)

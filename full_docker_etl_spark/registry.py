@@ -72,6 +72,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "agg_cube",
     "text_bm25",
     "sink_versioned_cdf",
+    "sample_negatives",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

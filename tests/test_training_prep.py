@@ -186,3 +186,26 @@ def test_temperature_upsample_repeats_toward_uniform(spark, sf_dir):
 
     with pytest.raises(SparkRuntimeException, match="temperature_upsample"):
         temperature_upsample(docs, "lang", "doc_id", alpha=0.5, max_repeat=1).count()
+
+
+def test_negative_samples_never_self_and_deterministic(spark, sf_dir):
+    """Every anchor emits exactly k negatives, never itself, all in
+    [0, n); same seed → identical draws, new seed → different ones."""
+    import pytest
+
+    from full_docker_etl_spark.operators.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    out = negative_samples(docs, "doc_id", n_rows=n, k=4)
+    assert out.count() == 4 * n
+    assert out.where("neg_id = doc_id").count() == 0
+    assert out.where(f"neg_id < 0 OR neg_id >= {n}").count() == 0
+    per = out.groupBy("doc_id").count().where("count != 4")
+    assert per.count() == 0
+    again = negative_samples(docs, "doc_id", n_rows=n, k=4)
+    assert out.exceptAll(again).count() == 0
+    other = negative_samples(docs, "doc_id", n_rows=n, k=4, seed="neg1")
+    assert out.exceptAll(other).count() > 0
+    with pytest.raises(ValueError):
+        negative_samples(docs, "doc_id", n_rows=1)
