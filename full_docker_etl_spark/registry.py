@@ -91,14 +91,13 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_components",
     "dedup_jaccard",
-    "dedup_minhash",
-    "dedup_embedding",
     "dedup_pipeline",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "ann_ivf_serve",
-    "ann_lsh_topk",
-    "ann_cosine_topk",
+    # (the rows-only ANN/near-dup topk queries — dedup_minhash,
+    # dedup_embedding, ann_*_topk, ann_ivf_serve — are demoted below
+    # tier 2: their row-count check is weak by design and every one of
+    # their code paths is value-checked by a *_recall/_consistency
+    # verdict sibling that stays in the window; the freed slots let
+    # the 50-query sample reach the r4-stale oracle-checked family)
     # -- tier 2: last externally sampled on round-4 code
     "xbrl_metrics",
     "agg_daily",
@@ -144,6 +143,14 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_range_join",
     "text_chunk_windows",
+    # -- tier 2b: rows-only queries demoted from tier 1 (see note)
+    "dedup_minhash",
+    "dedup_embedding",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_ivf_serve",
+    "ann_lsh_topk",
+    "ann_cosine_topk",
     # -- tier 3 (implicit): everything sampled green on round-5 code and
     # untouched since (fn_* / join_* / win_* / text_* / sample_* /
     # paginate / union / embed_norm / mm_decode_meta / agg_approx_distinct
