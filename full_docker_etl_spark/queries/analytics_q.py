@@ -418,3 +418,45 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_status", "g_prio", "n", "sum_price",
         )
     )
+
+
+@query(
+    "profile_correlations",
+    oracle="""
+      SELECT 'l_quantity~l_extendedprice' AS pair,
+             ROUND(corr(l_quantity, l_extendedprice), 4) AS r
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity~l_discount', ROUND(corr(l_quantity, l_discount), 4)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice~l_discount',
+             ROUND(corr(l_extendedprice, l_discount), 4)
+      FROM lineitem
+    """,
+)
+def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures in ONE
+    aggregation pass (all pairs are aggregate expressions in the same
+    agg → one scan, one 1-row result reshaped with inline — the same
+    single-pass discipline as profile_table). Rounded to 4 decimals:
+    corr's FP accumulation differs across engines below that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    ]
+    row = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"__{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    structs = [
+        F.struct(
+            F.lit(f"{a}~{b}").alias("pair"), F.col(f"__{i}").alias("r")
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return row.select(F.inline(F.array(*structs)))

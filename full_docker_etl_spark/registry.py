@@ -73,6 +73,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_bm25",
     "sink_versioned_cdf",
     "sample_negatives",
+    "profile_correlations",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
