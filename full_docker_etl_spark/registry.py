@@ -45,16 +45,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-6 window: first the queries whose code
-# or oracle changed since the round-5 sample (the four new ANN/embedding
-# recall verdict rows, the slice-judged sketch verdicts, the
-# partition-scoped VersionedTable merge, and everything downstream of
-# the dedup/similarity/xlsx hardening), then the family last externally
-# sampled on round-4 code (filters / sinks / streams / agg grains /
-# xbrl / ingestion), so no query's external evidence goes two rounds
-# stale. Names absent from this list keep their registration (import)
-# order after it; names listed but not registered are ignored, so the
-# list can never drop a query.
+# everything every round. Round-6 window: first every query ADDED this
+# round (temperature mixing, star schema, profiling/audit tier,
+# compaction/CDF, incremental grain, BM25, cube/unpivot, negatives) and
+# every query whose code or oracle CHANGED since its round-5 sample
+# (recall/consistency verdicts, slice-judged sketches, scoped merge,
+# xlsx, dedup hardening), then the family last externally sampled on
+# round-4 code (xbrl / agg grains / filters / sinks / streams), so no
+# query's external evidence goes two rounds stale. Names absent from
+# this list keep their registration (import) order after it; names
+# listed but not registered are ignored, so the list can never drop a
+# query.
 _SAMPLE_ORDER: tuple[str, ...] = (
     # -- tier 1: changed since the round-5 sample; need evidence on new code
     "sample_temperature_mix",
