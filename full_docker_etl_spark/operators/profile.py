@@ -107,6 +107,12 @@ def histogram_equi_width(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # NaN would poison both sides: it sorts GREATEST in max() (an
+    # all-NaN-free max corrupted by one bad row) and floor(NaN) buckets
+    # to null. Exclude NaN rows like nulls, before the bounds pass.
+    df = df.where(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    )
     bounds = df.agg(
         F.min(F.col(col).cast("double")).alias("__lo"),
         F.max(F.col(col).cast("double")).alias("__hi"),

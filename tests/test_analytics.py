@@ -106,7 +106,8 @@ def test_histogram_counts_and_edges(spark):
     from full_docker_etl_spark.operators.profile import histogram_equi_width
 
     df = spark.createDataFrame(
-        [(float(i),) for i in range(100)] + [(None,)], "v double"
+        [(float(i),) for i in range(100)] + [(None,), (float("nan"),)],
+        "v double",
     )
     h = {r.bucket: r for r in histogram_equi_width(df, "v", 10).collect()}
     assert sum(r.n for r in h.values()) == 100
