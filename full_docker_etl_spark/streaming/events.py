@@ -239,9 +239,13 @@ def stream_grain_refresh(
         import os
 
         s = batch_df.sparkSession
-        order = [("ts", False)] if "ts" in batch_df.columns else [
-            (c, False) for c in batch_df.columns if c not in keys
-        ]
+        # same fallback ladder as stream_upsert: event time, else every
+        # non-key column, else (keys-only frame) the first key — an
+        # empty order would make the dedup window unorderable
+        order = [("ts", False)] if "ts" in batch_df.columns else (
+            [(c, False) for c in batch_df.columns if c not in keys]
+            or [(keys[0], True)]
+        )
         cleaned = natural_key_dedup(batch_df, keys, order)
         if os.path.exists(fact_path):
             upsert_parquet(s, fact_path, cleaned, keys)
