@@ -430,3 +430,80 @@ def sink_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = table.merge(updates.unionByName(inserts), keys=["o_orderkey"])
     return table.diff(spark, ["o_orderkey"], v1, v2)
+
+
+@query(
+    "dim_scd2",
+    oracle="""
+      WITH b1 AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                         MAX(o_orderpriority) AS top_prio
+                  FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate < TIMESTAMP '1997-01-01'
+                  GROUP BY 1),
+      b2 AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                    MAX(o_orderpriority) AS top_prio
+             FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+             GROUP BY 1),
+      j AS (SELECT b1.o_custkey AS k1, b1.n_orders AS n1, b1.top_prio AS p1,
+                   b2.o_custkey AS k2, b2.n_orders AS n2, b2.top_prio AS p2
+            FROM b1 FULL OUTER JOIN b2 ON b1.o_custkey = b2.o_custkey)
+      SELECT k1 AS o_custkey, n1 AS n_orders, p1 AS top_prio,
+             DATE '1997-01-01' AS valid_from,
+             CASE WHEN k2 IS NOT NULL AND (n1 != n2 OR p1 != p2)
+                  THEN DATE '1998-01-01' END AS valid_to
+      FROM j WHERE k1 IS NOT NULL
+      UNION ALL
+      SELECT k2, n2, p2, DATE '1998-01-01', NULL
+      FROM j
+      WHERE k2 IS NOT NULL
+        AND (k1 IS NULL OR n1 != n2 OR p1 != p2)
+    """,
+)
+def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance: two yearly batches of
+    per-customer order stats applied as history intervals — new keys
+    open, changed keys close-and-reopen at the batch timestamp,
+    unchanged keys stay untouched (idempotent under replay). The
+    oracle recomputes the full expected history with a FULL OUTER
+    join, so every interval row is value-checked. Composes with the
+    as-of join for point-in-time enrichment and with VersionedTable
+    for atomic publish of each application."""
+    from full_docker_etl_spark.operators.scd import scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def batch(year: int) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate")
+                 >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate")
+                   < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_orderpriority").alias("top_prio"),
+            )
+        )
+
+    h1 = scd2_apply(
+        None, batch(1996), "o_custkey",
+        F.lit("1997-01-01").cast("timestamp"), ["n_orders", "top_prio"],
+    )
+    # materialize between applies (the documented production pattern;
+    # also sidesteps Spark's PartitioningCollection check on stacked
+    # full-outer plans)
+    h1 = h1.localCheckpoint()
+    h2 = scd2_apply(
+        h1, batch(1997), "o_custkey",
+        F.lit("1998-01-01").cast("timestamp"), ["n_orders", "top_prio"],
+    )
+    return h2.select(
+        "o_custkey", "n_orders", "top_prio",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )

@@ -75,6 +75,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sink_versioned_cdf",
     "sample_negatives",
     "profile_correlations",
+    "dim_scd2",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
