@@ -432,9 +432,7 @@ def sink_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.diff(spark, ["o_orderkey"], v1, v2)
 
 
-@query(
-    "dim_scd2",
-    oracle="""
+_SCD2_HIST_SQL = """
       WITH b1 AS (SELECT o_custkey, COUNT(*) AS n_orders,
                          MAX(o_orderpriority) AS top_prio
                   FROM orders
@@ -460,8 +458,10 @@ def sink_versioned_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j
       WHERE k2 IS NOT NULL
         AND (k1 IS NULL OR n1 != n2 OR p1 != p2)
-    """,
-)
+"""
+
+
+@query("dim_scd2", oracle=_SCD2_HIST_SQL)
 def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension maintenance: two yearly batches of
     per-customer order stats applied as history intervals — new keys
@@ -506,4 +506,57 @@ def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "n_orders", "top_prio",
         F.col("valid_from").cast("date").alias("valid_from"),
         F.col("valid_to").cast("date").alias("valid_to"),
+    )
+
+
+@query(
+    "join_pit",
+    oracle=f"""
+      WITH hist AS ({_SCD2_HIST_SQL})
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(o.o_orderdate AS DATE) AS order_date,
+             h.n_orders, h.top_prio
+      FROM orders o
+      LEFT JOIN hist h
+        ON o.o_custkey = h.o_custkey
+       AND o.o_orderdate >= CAST(h.valid_from AS TIMESTAMP)
+       AND (h.valid_to IS NULL
+            OR o.o_orderdate < CAST(h.valid_to AS TIMESTAMP))
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+)
+def join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME enrichment off the SCD2 history: each fact joins
+    the dimension row that was VALID at the fact's timestamp (key
+    equi-join + interval predicate — per key the history is a handful
+    of intervals, so the planner runs the equi-join and filters the
+    interval condition; facts whose timestamp precedes any dim version
+    keep NULL attributes via the left join). This is the leak-free way
+    to attach features for training: the model sees what was knowable
+    AT event time, never the future dim state. Oracle recomputes
+    history + join end to end."""
+    hist = dim_scd2(spark, sf_dir)
+    facts = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    h = hist.select(
+        F.col("o_custkey").alias("h_key"),
+        "n_orders",
+        "top_prio",
+        F.col("valid_from").cast("timestamp").alias("vf"),
+        F.col("valid_to").cast("timestamp").alias("vt"),
+    )
+    cond = (
+        (facts["o_custkey"] == h["h_key"])
+        & (facts["o_orderdate"] >= h["vf"])
+        & (h["vt"].isNull() | (facts["o_orderdate"] < h["vt"]))
+    )
+    return facts.join(h, cond, "left").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "n_orders",
+        "top_prio",
     )

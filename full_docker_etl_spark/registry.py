@@ -76,6 +76,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_negatives",
     "profile_correlations",
     "dim_scd2",
+    "join_pit",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

@@ -47,6 +47,12 @@ _CLUSTER_READY_DEFAULTS = {
     # Parquet scan sizing (the reference used 64MB Mongo sample
     # partitions; 128MB is the Parquet sweet spot).
     "spark.sql.files.maxPartitionBytes": "128m",
+    # zstd for every Parquet write: ~30-40% smaller files than the
+    # snappy default at comparable scan CPU on modern cores — at 100 TB
+    # the scan is I/O-bound and the byte reduction is the win (zstd has
+    # been the large-warehouse default since Spark 3.2 made it
+    # first-class). Write-side only; reads auto-detect per file.
+    "spark.sql.parquet.compression.codec": "zstd",
     # Headless engine: no Spark UI server (faster startup, no port use).
     "spark.ui.enabled": "false",
     # Partition columns keep their written type on read-back: directory
