@@ -265,3 +265,35 @@ def fn_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.array_contains(toks, "data").alias("has_data"),
     )
+
+
+@query(
+    "fn_maps",
+    oracle="""
+      SELECT doc_id,
+             CAST(cardinality(m) AS INTEGER) AS n_keys,
+             m['lang'][1] AS lang_val,
+             array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+             m['missing'][1] AS absent
+      FROM (SELECT doc_id, map(['lang','source'], [lang, source]) AS m
+            FROM documents)
+    """,
+)
+def fn_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-function surface (F17/F18's element_at lookup
+    generalized): construct from arrays, size, lookup (present and
+    absent → NULL, the Mongo-style optional-field read), sorted key
+    census — all JVM expressions; maps are surfaced as scalars because
+    map reprs don't hash portably across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")),
+        F.array(F.col("lang"), F.col("source")),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "lang").alias("lang_val"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+        F.element_at(m, "missing").alias("absent"),
+    )

@@ -77,6 +77,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "profile_correlations",
     "dim_scd2",
     "join_pit",
+    "fn_maps",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
