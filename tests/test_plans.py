@@ -20,6 +20,10 @@ SPECS = all_specs()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
+    # plans are audited against the canonical PARQUET scan: a table an
+    # earlier test left cached would swap in InMemoryTableScan and
+    # change the audited shape (order-dependent flake)
+    spark.catalog.clearCache()
     df = SPECS[name].fn(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
