@@ -280,3 +280,24 @@ def test_plan_stats_api(spark, sf_dir):
     assert p["scans"] == 1
     schemas = read_schemas(prof)
     assert len(schemas) == 1 and "doc_id" in schemas[0]
+
+
+def test_no_scale_antipatterns_in_any_registered_query(spark):
+    """SWEEPING plan gate over the ENTIRE registry: no registered
+    query may plan a CartesianProduct (quadratic blow-up) or a
+    rangepartitioning exchange (global sort) — at any scale factor.
+    The bounded patterns that DO appear (SinglePartition exchanges of
+    one-row scalar frames, BroadcastNestedLoopJoin of broadcast
+    one-row/centroid builds) are each pinned by their own targeted
+    tests above; this test guards the global floor so a future query
+    can't quietly ship an anti-pattern."""
+    from full_docker_etl_spark.plans import plan_stats
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, spec in SPECS.items():
+        spark.catalog.clearCache()
+        s = plan_stats(spec.fn(spark, sf))
+        if s["cartesian"] or s["range_exchanges"]:
+            offenders[name] = s
+    assert not offenders, offenders
