@@ -27,6 +27,23 @@ _TRAIN_MAX = "b"
 _VAL_SET = ("c", "d")
 
 
+def _uniform_u32(seed: str, key_col: str) -> F.Column:
+    """The shared uniform-[0, 2^32) draw: first 8 hex digits of
+    md5(seed:key) as an integer. Every sampling decision in this module
+    compares against thresholds in this exact integer u-space — no
+    rand() (breaks task-retry determinism), portable to any engine
+    that can md5 (the oracles recompute it in SQL)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_split(df: DataFrame, key_col: str, out_col: str = "split") -> DataFrame:
     """Assign train (75%) / val (12.5%) / test (12.5%) from the first
     hex digit of md5(key): '0'-'b' → train, 'c'-'d' → val, 'e'-'f' →
@@ -103,15 +120,7 @@ def temperature_mix(
         * F.lit(4294967296.0)
     ).cast("long")
     rates = counts.select(group_col, thr.alias("__thr"))
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    u = _uniform_u32(seed, key_col)
     return (
         df.join(F.broadcast(rates), group_col)
         .where(u < F.col("__thr"))
@@ -161,15 +170,7 @@ def temperature_upsample(
         .cast("long")
         .alias("__fthr"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    u = _uniform_u32(seed, key_col)
     # guard lives IN the plan (no eager extra pass, cannot be pruned:
     # it's a branch of the expression every output row evaluates)
     n_rep = F.when(
