@@ -460,3 +460,91 @@ def profile_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(pairs)
     ]
     return row.select(F.inline(F.array(*structs)))
+
+
+@query(
+    "agg_cohort_retention",
+    oracle="""
+      WITH firsts AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+      cohorted AS (
+        SELECT e.user_id,
+               strftime(f.first_ts, '%Y-%m') AS cohort,
+               (CAST(strftime(e.ts, '%Y') AS INTEGER) * 12
+                  + CAST(strftime(e.ts, '%m') AS INTEGER))
+               - (CAST(strftime(f.first_ts, '%Y') AS INTEGER) * 12
+                  + CAST(strftime(f.first_ts, '%m') AS INTEGER))
+                 AS month_offset
+        FROM events e JOIN firsts f USING (user_id))
+      SELECT cohort, month_offset,
+             COUNT(DISTINCT user_id) AS n_active
+      FROM cohorted GROUP BY 1, 2
+    """,
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity month,
+    distinct actives counted per (cohort, months-since-first) — the
+    standard product-analytics rollup. Two shuffles total: the
+    first-event agg on user_id and the final (cohort, offset)
+    count-distinct; the cohort join rides the SAME user_id
+    partitioning as the first agg, so no third exchange. Month
+    arithmetic is integer (year*12+month), immune to the calendar
+    pitfalls of day-difference division."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = ev.select("user_id", "ts").join(firsts, "user_id")
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        joined.select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM").alias("cohort"),
+            (months(F.col("ts")) - months(F.col("first_ts"))).alias(
+                "month_offset"
+            ),
+        )
+        .groupBy("cohort", "month_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "agg_funnel",
+    oracle="""
+      WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+             (SELECT COUNT(*) FROM s2) AS n_view_click,
+             (SELECT COUNT(*) FROM s3) AS n_view_click_purchase
+    """,
+)
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly later steps):
+    each stage is a keyed min-timestamp aggregate semi-restricted by
+    the previous stage — three aggs and two joins ALL partitioned on
+    user_id, so after the first shuffle the rest co-locate; no window
+    over whole user histories, no event self-join explosion. The
+    classic product-analytics progression count, value-checked."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_t: str, t: str):
+        e = ev.where(F.col("event_type") == event_type).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    s1 = stage("view", None, "", "t1")
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )

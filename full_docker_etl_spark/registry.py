@@ -78,6 +78,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dim_scd2",
     "join_pit",
     "fn_maps",
+    "agg_cohort_retention",
+    "agg_funnel",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
