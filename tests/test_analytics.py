@@ -186,3 +186,40 @@ def test_incremental_grain_refresh_touches_only_affected_buckets(spark, sf_dir):
     assert full.exceptAll(got).count() == 0
     # empty batch is a no-op
     assert refresh_grain(orders, batch.where(F.lit(False)), build, path, "o_orderdate") == 0
+
+
+def test_funnel_requires_strict_order(spark):
+    """A click BEFORE the first view must not advance the funnel, and a
+    purchase between view and click must not count either — the stage
+    timestamps must be strictly increasing."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.queries.analytics_q import agg_funnel
+    from full_docker_etl_spark.sources import catalog
+
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # u2: click precedes the only view -> stops at view
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # u3: purchase before click -> stops at click
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 10:30:00", "purchase"),
+        (3, "2024-01-01 11:00:00", "click"),
+        # u4: never views -> not in the funnel at all
+        (4, "2024-01-01 10:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts string, event_type string") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(catalog, "load_table", return_value=ev):
+        from full_docker_etl_spark.queries import analytics_q
+
+        with mock.patch.object(analytics_q, "load_table", return_value=ev):
+            r = agg_funnel(spark, "unused").first()
+    assert (r.n_view, r.n_view_click, r.n_view_click_purchase) == (3, 2, 1)
