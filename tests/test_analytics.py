@@ -223,3 +223,35 @@ def test_funnel_requires_strict_order(spark):
         with mock.patch.object(analytics_q, "load_table", return_value=ev):
             r = agg_funnel(spark, "unused").first()
     assert (r.n_view, r.n_view_click, r.n_view_click_purchase) == (3, 2, 1)
+
+
+def test_cohort_offsets_cross_year_boundaries(spark):
+    """Month offsets are integer year*12+month arithmetic: Dec→Jan is
+    offset 1, same month twice is one active user, a later cohort
+    starts at offset 0."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.queries.analytics_q import agg_cohort_retention
+    from full_docker_etl_spark.queries import analytics_q
+
+    rows = [
+        (1, "2023-12-15 00:00:00", "view"),
+        (1, "2023-12-20 00:00:00", "view"),   # same month: one active
+        (1, "2024-01-05 00:00:00", "view"),   # Dec -> Jan = offset 1
+        (1, "2024-03-01 00:00:00", "view"),   # offset 3
+        (2, "2024-01-10 00:00:00", "view"),   # own cohort, offset 0
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts string, event_type string") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(analytics_q, "load_table", return_value=ev):
+        got = {
+            (r.cohort, r.month_offset): r.n_active
+            for r in agg_cohort_retention(spark, "unused").collect()
+        }
+    assert got == {
+        ("2023-12", 0): 1, ("2023-12", 1): 1, ("2023-12", 3): 1,
+        ("2024-01", 0): 1,
+    }
