@@ -3,7 +3,7 @@ functions (§2.5), bound to the testdata tables."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from full_docker_etl_spark.operators.joins import (
@@ -566,3 +566,38 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey AS user_id", "c_name"
     )
     return salted_join(ev, cust, key="user_id", salt_src="event_id", n_salts=8)
+
+
+@query(
+    "win_rank_family",
+    oracle="""
+      SELECT o_custkey, o_orderkey,
+             rank() OVER w1 AS rnk,
+             dense_rank() OVER w1 AS drnk,
+             ROUND(percent_rank() OVER w1, 4) AS prnk,
+             CAST(ntile(4) OVER w2 AS INTEGER) AS quartile
+      FROM orders
+      WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+             w2 AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family per customer: rank/dense_rank/
+    percent_rank over the VALUE alone (tie rows share a rank, so the
+    result is deterministic without a tie-break), ntile over value +
+    unique key (tile assignment of tied rows depends on row order, so
+    ntile's window MUST carry the tie-break — the subtle determinism
+    split this query exists to pin)."""
+    w1 = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w1).alias("drnk"),
+        F.round(F.percent_rank().over(w1), 4).alias("prnk"),
+        F.ntile(4).over(w2).alias("quartile"),
+    )

@@ -80,6 +80,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "fn_maps",
     "agg_cohort_retention",
     "agg_funnel",
+    "win_rank_family",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
