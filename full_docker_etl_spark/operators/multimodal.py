@@ -83,3 +83,90 @@ def documents_as_binary(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(
         F.col(id_col), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    frame_bytes: int = 32,
+    every_n: int = 4,
+    max_frames: int = 5,
+) -> DataFrame:
+    """VIDEO-shaped plumbing: treat the payload as a frame sequence
+    (``frame_bytes`` per frame), emit every ``every_n``-th frame up to
+    ``max_frames`` — the strided frame-sampling a video pipeline runs
+    before feature extraction. The mapInPandas stage has VARIABLE
+    fan-out (0..max_frames rows per input row), the shape a real
+    ffmpeg-backed sampler needs; the per-frame checksum is md5 of the
+    frame's UPPERCASE-HEX bytes, chosen so the oracle can recompute it
+    from ``hex(payload)`` without blob slicing. Swap the body for real
+    frame decode; schema and fan-out contract stay."""
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                n = len(payload) // frame_bytes
+                for i in list(range(0, n, every_n))[:max_frames]:
+                    sl = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n)
+                    out["frame_md5"].append(
+                        hashlib.md5(sl.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(frames, FRAMES_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame, id_col: str, bin_col: str, dim: int = 8
+) -> DataFrame:
+    """Embedding-extraction plumbing: payload → fixed-dim double vector
+    via mapInPandas (the CLIP/wav2vec shape: a per-worker model handle
+    maps byte batches to vectors). The stub derives each element from
+    the payload's md5 digest bytes (deterministic, oracle-recomputable
+    from SQL hex arithmetic); the output feeds the ANN tier directly —
+    tested end to end in tests/test_llm.py."""
+    import hashlib
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = [
+                [b / 255.0 for b in hashlib.md5(p).digest()[:dim]]
+                for p in pdf[bin_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "features": vecs,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return df.select(id_col, bin_col).mapInPandas(feats, schema)

@@ -1465,3 +1465,72 @@ def sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     n = docs.count()
     return negative_samples(docs, "doc_id", n_rows=n, k=4)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+      WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      f AS (SELECT doc_id, hx,
+                   CAST(length(hx) // 64 AS INTEGER) AS n_frames
+            FROM b),
+      idx AS (SELECT doc_id, n_frames,
+                     CAST(unnest(list_slice(
+                            generate_series(0, n_frames - 1, 4), 1, 5))
+                          AS INTEGER) AS frame_idx,
+                     hx
+              FROM f WHERE n_frames > 0)
+      SELECT doc_id, frame_idx, n_frames,
+             md5(substring(hx, frame_idx * 64 + 1, 64)) AS frame_md5
+      FROM idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over video-shaped payloads (every 4th
+    32-byte frame, ≤5 per doc): variable-fan-out mapInPandas — the
+    exact plumbing an ffmpeg-backed sampler needs — with every emitted
+    frame's checksum recomputed by the oracle from the payload hex, so
+    the fan-out logic AND the per-frame bytes are value-checked."""
+    from full_docker_etl_spark.operators.multimodal import (
+        documents_as_binary,
+        sample_frames,
+    )
+
+    payloads = documents_as_binary(_docs(spark, sf_dir))
+    return sample_frames(payloads, "doc_id", "payload")
+
+
+@query(
+    "mm_features",
+    oracle="""
+      SELECT doc_id,
+             8 AS dim,
+             CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) / 255.0 AS v0,
+             CAST(('0x' || substr(md5(text), 7, 2)) AS BIGINT) / 255.0 AS v3,
+             CAST(('0x' || substr(md5(text), 15, 2)) AS BIGINT) / 255.0 AS v7
+      FROM documents
+    """,
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction from opaque payloads (the CLIP/wav2vec
+    plumbing: per-worker model handle, Arrow batches in, fixed-dim
+    vectors out); the stub derives elements from the payload digest so
+    the oracle recomputes sampled vector elements exactly — swap in a
+    real model and drop the oracle, nothing else moves. The output
+    array feeds the ANN operators directly (composition pinned in
+    tests/test_llm.py)."""
+    from full_docker_etl_spark.operators.multimodal import (
+        documents_as_binary,
+        extract_features,
+    )
+
+    feats = extract_features(
+        documents_as_binary(_docs(spark, sf_dir)), "doc_id", "payload"
+    )
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.element_at("features", 1).alias("v0"),
+        F.element_at("features", 4).alias("v3"),
+        F.element_at("features", 8).alias("v7"),
+    )

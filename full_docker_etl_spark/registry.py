@@ -81,6 +81,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "agg_cohort_retention",
     "agg_funnel",
     "win_rank_family",
+    "mm_frame_sample",
+    "mm_features",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

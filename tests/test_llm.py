@@ -491,3 +491,43 @@ def test_epoch_shuffle_more_shards_than_rows(spark):
         per_shard.setdefault(r.shard, []).append(r.pos)
     for positions in per_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_extracted_features_feed_the_ann_tier(spark, sf_dir):
+    """The multimodal feature vectors compose directly with the ANN
+    operators: brute-force cosine top-k over extracted features runs
+    end to end, self is every query's nearest neighbor, and the
+    vectors are deterministic across extractions."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.multimodal import (
+        documents_as_binary,
+        extract_features,
+    )
+    from full_docker_etl_spark.operators.similarity import cosine_topk
+    from full_docker_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(
+        documents_as_binary(docs), "doc_id", "payload"
+    )
+    corpus = feats.selectExpr("doc_id AS vec_id", "features AS embedding")
+    # plant byte-identical clones under new ids: the clone's vector is
+    # identical, so it must be every planted query's rank-1 neighbor
+    # (cosine_topk excludes self by design)
+    clones = (
+        documents_as_binary(docs.where(F.col("doc_id") < 5))
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "payload")
+    )
+    cfeats = extract_features(clones, "doc_id", "payload")
+    full = corpus.unionByName(
+        cfeats.selectExpr("doc_id AS vec_id", "features AS embedding")
+    )
+    queries = corpus.where(F.col("vec_id") < 5).selectExpr(
+        "vec_id AS qid", "embedding AS qvec"
+    )
+    top = cosine_topk(queries, full, k=3)
+    best = {r.qid: r.vec_id for r in top.where("rank = 1").collect()}
+    assert best == {q: q + 1_000_000 for q in range(5)}, best
+    again = extract_features(documents_as_binary(docs), "doc_id", "payload")
+    assert feats.exceptAll(again).count() == 0
