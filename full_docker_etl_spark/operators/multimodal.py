@@ -170,3 +170,46 @@ def extract_features(
         ]
     )
     return df.select(id_col, bin_col).mapInPandas(feats, schema)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_bytes", T.IntegerType()),
+        T.StructField("out_bytes", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_payloads(
+    df: DataFrame, id_col: str, bin_col: str, target_bytes: int = 64
+) -> DataFrame:
+    """RESIZE plumbing: downsample each payload to ≤ ``target_bytes``
+    by strided byte selection (stride = ceil-ish n/target) — standing
+    in for an image resize, whose contract is the same: payload in,
+    smaller payload out, 1:1 rows, deterministic. The checksum is md5
+    of the UPPERCASE-HEX of the selected bytes so the oracle can
+    recompute every output from ``hex(payload)``; swap the body for a
+    real PIL resize and drop the oracle, schema stays."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            in_bytes, out_bytes, sums = [], [], []
+            for p in pdf[bin_col]:
+                stride = max(1, len(p) // target_bytes)
+                sel = p[::stride][:target_bytes]
+                in_bytes.append(len(p))
+                out_bytes.append(len(sel))
+                sums.append(hashlib.md5(sel.hex().upper().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "in_bytes": pd.Series(in_bytes, dtype="int32"),
+                    "out_bytes": pd.Series(out_bytes, dtype="int32"),
+                    "resized_md5": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(resize, RESIZED_SCHEMA)

@@ -1534,3 +1534,41 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 4).alias("v3"),
         F.element_at("features", 8).alias("v7"),
     )
+
+
+@query(
+    "mm_resize",
+    oracle="""
+      WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                        CAST(octet_length(encode(text)) AS INTEGER) AS n
+                 FROM documents),
+      s AS (SELECT doc_id, hx, n, GREATEST(1, n // 64) AS stride FROM b),
+      sel AS (SELECT doc_id, n, stride,
+                     CAST(unnest(list_slice(
+                            generate_series(0, n - 1, stride), 1, 64))
+                          AS INTEGER) AS i,
+                     hx
+              FROM s),
+      agg AS (SELECT doc_id, n,
+                     string_agg(substr(hx, i * 2 + 1, 2), '' ORDER BY i)
+                       AS sel_hex
+              FROM sel GROUP BY 1, 2)
+      SELECT doc_id, n AS in_bytes,
+             CAST(length(sel_hex) / 2 AS INTEGER) AS out_bytes,
+             md5(sel_hex) AS resized_md5
+      FROM agg
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload RESIZE (strided downsample to ≤64 bytes, the PIL-resize
+    stand-in): 1:1 Arrow-batched map with the oracle recomputing the
+    exact selected bytes from the payload hex — size arithmetic AND
+    content checksums value-checked per document."""
+    from full_docker_etl_spark.operators.multimodal import (
+        documents_as_binary,
+        resize_payloads,
+    )
+
+    return resize_payloads(
+        documents_as_binary(_docs(spark, sf_dir)), "doc_id", "payload"
+    )

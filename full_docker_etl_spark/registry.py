@@ -83,6 +83,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "win_rank_family",
     "mm_frame_sample",
     "mm_features",
+    "mm_resize",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
