@@ -560,3 +560,43 @@ def join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "top_prio",
     )
+
+
+@query(
+    "sink_versioned_delete",
+    oracle="""
+      SELECT o_orderkey, strftime(o_orderdate, '%Y') AS yr, o_totalprice
+      FROM orders
+      WHERE NOT (o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01')
+        AND NOT (o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-01-01'
+                 AND o_orderkey % 2 = 0)
+    """,
+)
+def sink_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed DELETE on the versioned lake table (GDPR purge shape):
+    ALL of 1997 is deleted (that partition's directory must vanish —
+    the linker is told not to resurrect it) plus half of 1996 (scoped
+    rewrite of survivors); applied twice, because retention jobs
+    re-run. The oracle is the surviving set, value-checked row for
+    row. At 100 TB this reads and rewrites only the named partitions —
+    the same scoped shape as the merge."""
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        "o_totalprice",
+    )
+    table = VersionedTable(
+        _tmp("vdelete"), keep_versions=2, partition_by=("yr",)
+    )
+    table.overwrite(orders)
+    dels = orders.where(
+        (F.col("yr") == "1997")
+        | ((F.col("yr") == "1996") & (F.col("o_orderkey") % 2 == 0))
+    ).select("o_orderkey", "yr")
+    table.delete(dels, keys=["o_orderkey", "yr"])
+    table.delete(dels, keys=["o_orderkey", "yr"])  # retention jobs re-run
+    return table.read(spark).select("o_orderkey", "yr", "o_totalprice")

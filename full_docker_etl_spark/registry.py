@@ -84,6 +84,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_features",
     "mm_resize",
+    "sink_versioned_delete",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",

@@ -167,17 +167,25 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, t)
 
 
-def _link_missing_partitions(src: str, dst: str, depth: int) -> None:
+def _link_missing_partitions(
+    src: str, dst: str, depth: int, exclude: frozenset[str] = frozenset()
+) -> None:
     """Hardlink every ``col=value`` partition leaf directory (``depth``
     levels of nesting) present in snapshot ``src`` but absent from the
     fresh write at ``dst`` — the untouched partitions of a scoped
     merge. Works off the directory layout the writer just produced, so
     no partition-value escaping rules are ever re-implemented: a
-    partition was rewritten iff the new write created its directory."""
+    partition was rewritten iff the new write created its directory.
+    ``exclude`` lists relative leaf paths that must NOT be restored
+    even when absent from the fresh write: a scoped DELETE that empties
+    a partition produces no directory for it, and linking it back
+    would resurrect the deleted rows."""
 
     def rec(rel: str, level: int) -> None:
         d = os.path.join(src, rel) if rel else src
         if level == depth:
+            if rel in exclude:
+                return
             target = os.path.join(dst, rel)
             if not os.path.exists(target):
                 _link_tree(d, target)
@@ -290,11 +298,18 @@ class VersionedTable:
         """Commit ``df`` as the new table state. Returns the version id."""
         return self._commit(df)
 
-    def _commit(self, df: DataFrame, link_from: str | None = None) -> str:
+    def _commit(
+        self,
+        df: DataFrame,
+        link_from: str | None = None,
+        link_exclude: frozenset[str] = frozenset(),
+    ) -> str:
         """Write ``df`` as a new snapshot (partitioned when configured),
         optionally hardlink every partition directory present in
         ``link_from`` but absent from the fresh write (the untouched
-        partitions of a scoped merge), then publish atomically."""
+        partitions of a scoped merge; ``link_exclude`` names touched
+        leaves a delete may have emptied — never restored), then
+        publish atomically."""
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.root, "_versions", version)
         writer = df.write.mode("overwrite")
@@ -302,7 +317,9 @@ class VersionedTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(vdir)
         if link_from is not None:
-            _link_missing_partitions(link_from, vdir, len(self.partition_by))
+            _link_missing_partitions(
+                link_from, vdir, len(self.partition_by), link_exclude
+            )
         history = self._history()
         retained = [version] + history[: self.keep - 1]
         tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
@@ -372,11 +389,20 @@ class VersionedTable:
             return self._commit(
                 keep.unionByName(updates, allowMissingColumns=True)
             )
-        touched = updates.select(*self.partition_by).distinct()
-        # Static partition pruning needs literal values, so collect the
-        # touched tuples — BOUNDED: past the cap we skip the static
-        # prune (a batch touching >10k partitions is rewriting most of
-        # the table anyway) rather than grow the plan or the driver.
+        touched, touched_rows, cap = self._touched_tuples(updates, "merge")
+        current = self.current_version()
+        cur_dir = os.path.join(self.root, "_versions", current)
+        existing = self._scoped_read(spark, touched, touched_rows, cap)
+        keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
+        return self._commit(keep.unionByName(updates), link_from=cur_dir)
+
+    def _touched_tuples(self, frame: DataFrame, op: str):
+        """The batch's distinct partition tuples, collected BOUNDED
+        (past the cap the static prune is skipped — a batch touching
+        >10k partitions is rewriting most of the table anyway — rather
+        than growing the plan or the driver); NULL partition values
+        refuse loudly (they cannot address a directory)."""
+        touched = frame.select(*self.partition_by).distinct()
         cap = 10_000
         touched_rows = touched.limit(cap + 1).collect()
         has_null = any(v is None for row in touched_rows for v in row)
@@ -389,14 +415,81 @@ class VersionedTable:
             has_null = bool(touched.where(null_pred).take(1))
         if has_null:
             raise ValueError(
-                "partition-scoped merge got a NULL partition value; null "
+                f"partition-scoped {op} got a NULL partition value; null "
                 "keys cannot address a partition directory"
             )
+        return touched, touched_rows, cap
+
+    def delete(self, keys_df: DataFrame, keys: list[str]) -> str:
+        """Keyed DELETE (the right-to-be-forgotten / retention-purge
+        op): rows matching ``keys_df`` are removed; everything else is
+        untouched. On a partitioned table the delete is PARTITION-
+        SCOPED exactly like the merge — only partitions named by the
+        key batch are read (pruned scan) and rewritten with survivors;
+        untouched partitions hardlink into the new snapshot. A
+        partition the delete EMPTIES produces no directory in the
+        fresh write, and the linker is told not to resurrect it (its
+        leaf path joins the link-exclusion set — parsed from the old
+        snapshot's layout with the same unquoting compact() uses, so
+        no partition-value escaping is re-implemented). Requires
+        partition cols ⊆ keys, same reasoning as merge. Idempotent:
+        re-deleting the same keys is a no-op rewrite."""
+        spark = keys_df.sparkSession
+        if not self.exists():
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        probe = keys_df.select(*keys).distinct()
+        if not self.partition_by:
+            keep = self.read(spark).join(probe, on=keys, how="left_anti")
+            return self._commit(keep)
+        missing = set(self.partition_by) - set(keys)
+        if missing:
+            raise ValueError(
+                "partition-scoped delete requires partition columns to be "
+                f"part of the delete key (missing: {sorted(missing)}); "
+                "otherwise a matched key could live in a partition the "
+                "key batch never names and the prune would miss it"
+            )
+        touched, touched_rows, cap = self._touched_tuples(probe, "delete")
         current = self.current_version()
         cur_dir = os.path.join(self.root, "_versions", current)
         existing = self._scoped_read(spark, touched, touched_rows, cap)
-        keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
-        return self._commit(keep.unionByName(updates), link_from=cur_dir)
+        keep = existing.join(probe, on=keys, how="left_anti")
+        excl = self._touched_leaf_rels(cur_dir, touched_rows)
+        return self._commit(keep, link_from=cur_dir, link_exclude=excl)
+
+    def _touched_leaf_rels(self, cur_dir: str, touched_rows) -> frozenset[str]:
+        """Relative leaf-dir paths of the touched partitions, derived
+        by PARSING the old snapshot's directory names (unquote — the
+        direction that needs no escaping rules) and matching their
+        string values against the touched tuples."""
+        from urllib.parse import unquote
+
+        wanted = {
+            tuple(str(row[c]) for c in self.partition_by)
+            for row in touched_rows
+        }
+        out: set[str] = set()
+        depth = len(self.partition_by)
+
+        def rec(rel: str, level: int, vals: tuple[str, ...]) -> None:
+            d = os.path.join(cur_dir, rel) if rel else cur_dir
+            if level == depth:
+                if vals in wanted:
+                    out.add(rel)
+                return
+            for entry in os.listdir(d):
+                sub = os.path.join(d, entry)
+                if not os.path.isdir(sub) or "=" not in entry:
+                    continue
+                raw = entry.split("=", 1)[1]
+                rec(
+                    os.path.join(rel, entry) if rel else entry,
+                    level + 1,
+                    vals + (unquote(raw),),
+                )
+
+        rec("", 0, ())
+        return frozenset(out)
 
     def diff(
         self,

@@ -667,3 +667,52 @@ def test_scd2_apply_semantics_and_replay(spark):
     # replay of batch 2 at a later ts: nothing changed → zero churn
     h3 = scd2_apply(h2, b([(1, "A"), (2, "b"), (3, "c")]), "k", t3, ["v"])
     assert h3.exceptAll(h2).count() == 0 and h2.exceptAll(h3).count() == 0
+
+
+def test_versioned_table_scoped_delete(spark):
+    """Keyed delete: survivors intact, untouched partitions hardlinked
+    (same inodes), a fully-emptied partition's directory is GONE (not
+    resurrected by the linker), idempotent, and the partition-column
+    requirement refuses loudly."""
+    import os
+    import tempfile
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    def part_inodes(vdir):
+        out = {}
+        for base, _dirs, files in os.walk(vdir):
+            rel = os.path.relpath(base, vdir)
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.setdefault(rel, set()).add(
+                        os.stat(os.path.join(base, f)).st_ino
+                    )
+        return out
+
+    root = tempfile.mkdtemp(prefix="fde_vtd_") + "/t"
+    t = VersionedTable(root, keep_versions=2, partition_by=("yr",))
+    base = spark.createDataFrame(
+        [(1, "1996", "a"), (2, "1997", "b"), (3, "1997", "c"), (4, "1998", "d")],
+        "k int, yr string, v string",
+    )
+    v1 = t.overwrite(base)
+    v1_inodes = part_inodes(os.path.join(root, "_versions", v1))
+
+    with pytest.raises(ValueError, match="partition columns"):
+        t.delete(spark.createDataFrame([(2,)], "k int"), keys=["k"])
+
+    # delete one 1997 row and the ONLY 1998 row (empties yr=1998)
+    dels = spark.createDataFrame(
+        [(2, "1997"), (4, "1998")], "k int, yr string"
+    )
+    v2 = t.delete(dels, keys=["k", "yr"])
+    v2_inodes = part_inodes(os.path.join(root, "_versions", v2))
+    assert v2_inodes["yr=1996"] == v1_inodes["yr=1996"]      # linked
+    assert "yr=1998" not in v2_inodes                        # gone
+    assert v2_inodes["yr=1997"].isdisjoint(v1_inodes["yr=1997"])
+    got = {r.k: (r.yr, r.v) for r in t.read(spark).collect()}
+    assert got == {1: ("1996", "a"), 3: ("1997", "c")}
+    # idempotent
+    t.delete(dels, keys=["k", "yr"])
+    assert {r.k for r in t.read(spark).collect()} == {1, 3}
