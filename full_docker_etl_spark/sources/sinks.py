@@ -298,6 +298,33 @@ class VersionedTable:
         """Commit ``df`` as the new table state. Returns the version id."""
         return self._commit(df)
 
+    def restore(self, version: str) -> str:
+        """ROLLBACK: make a retained snapshot the live version again
+        (RESTORE TABLE ... TO VERSION). Snapshots are immutable, so
+        this is a POINTER-ONLY commit — no data written or copied,
+        instant at any table size, same atomic ``os.replace`` publish;
+        in-flight readers of the version being rolled back finish on
+        their snapshot. The restored version moves to the front of the
+        retained history (it is NOT duplicated), so a later bad commit
+        can be rolled back again. Only retained versions restore —
+        GC'd snapshots are gone; raise ``keep_versions`` for a deeper
+        undo horizon."""
+        history = self._history()
+        if version not in history:
+            raise FileNotFoundError(
+                f"version {version!r} is not retained at {self.root} "
+                f"(retained: {history}); only retained snapshots can be "
+                "restored"
+            )
+        retained = [version] + [v for v in history if v != version]
+        retained = retained[: self.keep]
+        tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(retained))
+        os.replace(tmp, self._pointer)  # the atomic publish
+        self._gc(retained, aged=set(history) - set(retained))
+        return version
+
     def _commit(
         self,
         df: DataFrame,

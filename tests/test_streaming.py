@@ -716,3 +716,27 @@ def test_versioned_table_scoped_delete(spark):
     # idempotent
     t.delete(dels, keys=["k", "yr"])
     assert {r.k for r in t.read(spark).collect()} == {1, 3}
+
+
+def test_versioned_table_restore_rollback(spark):
+    """restore() republishes a retained snapshot pointer-only: the
+    live data flips back instantly, the restored version leads the
+    history without duplication, a rolled-back bad commit can itself
+    be rolled back, and non-retained versions refuse."""
+    import tempfile
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="fde_vtr_") + "/t"
+    t = VersionedTable(root, keep_versions=3)
+    v1 = t.overwrite(spark.createDataFrame([(1, "good")], "k int, v string"))
+    v2 = t.overwrite(spark.createDataFrame([(1, "bad")], "k int, v string"))
+    assert t.restore(v1) == v1
+    assert t.current_version() == v1
+    assert t.read(spark).first().v == "good"
+    assert t.versions() == [v1, v2]              # led, not duplicated
+    # roll forward again (the "bad" commit might have been fine)
+    t.restore(v2)
+    assert t.read(spark).first().v == "bad"
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.restore("v_nope")
