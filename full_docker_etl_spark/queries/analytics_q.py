@@ -5,7 +5,7 @@ these queries are that exposure, oracle-checked."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from full_docker_etl_spark.registry import query
@@ -547,4 +547,50 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
         )
+    )
+
+
+@query(
+    "profile_skew",
+    oracle="""
+      WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      t AS (SELECT SUM(n) AS total FROM c)
+      SELECT user_id, n,
+             ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+             CAST(rn AS INTEGER) AS rn
+      FROM (SELECT user_id, n, total,
+                   row_number() OVER (ORDER BY n DESC, user_id) AS rn
+            FROM c CROSS JOIN t)
+      WHERE rn <= 10
+    """,
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew census: the 10 heaviest join/grouping keys of a column
+    with their share of total rows — the diagnostic that tells you
+    whether AQE's skew splitting suffices or a key needs salting
+    (operators/skew.py). One map-side-combined count, a broadcast
+    1-row total, and a top-k that compiles to TakeOrderedAndProject —
+    the census itself must not be the expensive part."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    return ranked.select(
+        "user_id", "n", "share",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        )
+        .alias("rn"),
     )

@@ -85,6 +85,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "mm_features",
     "mm_resize",
     "sink_versioned_delete",
+    "profile_skew",
     "dedup_simhash_recall",
     "ann_ivf_serve_consistency",
     "text_pii_scrub",
