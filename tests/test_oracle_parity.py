@@ -1,15 +1,25 @@
 """The local correctness gate: every registered query with an oracle
-must match DuckDB exactly at sf0.001; oracle-less queries must at least
-run and return a stable schema. Mirrors the driver's t2 check."""
+must match DuckDB exactly at sf0.01 — the EXACT scale the external
+driver compares at (a bug that only manifests past the smoke scale,
+e.g. a bucket boundary or a slice modulus, must fail HERE first);
+oracle-less queries must at least run and return a stable schema."""
 
 from __future__ import annotations
 
 import pytest
 
 from full_docker_etl_spark.registry import all_specs
+from tests.conftest import SF_CORRECT
 from tests.oracle_utils import compare_query, duck_connection
 
 SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    # module-scoped override: parity runs at the driver's sf, not the
+    # smoke sf the rest of the suite uses
+    return SF_CORRECT
 
 
 @pytest.fixture(scope="module")
