@@ -24,12 +24,26 @@ Reference → here:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A commit lost the optimistic-concurrency check: the table's live
+    version is no longer the snapshot this mutation was derived from
+    (another writer published first). The mutation was NOT applied and
+    the table is untouched; re-read and re-derive (merge/delete retry
+    this automatically a few times before surfacing it)."""
+
+
+_UNSET = object()  # "no expected_parent given" — distinct from None
+# (None means "caller derived from an EMPTY table", a real expectation)
 
 
 def write_table(
@@ -212,10 +226,14 @@ class VersionedTable:
     is no window where the table is absent or half-written, and a
     crash at any point leaves the pointer on the old snapshot. This is
     the single-table core of what lake formats do with manifest files
-    (Delta's _delta_log / Iceberg's metadata pointer), minus
-    multi-writer coordination: concurrent WRITERS still need external
-    mutual exclusion (one writer per table — the reference's scheduler
-    already serializes per-entity jobs), last-pointer-write wins.
+    (Delta's _delta_log / Iceberg's metadata pointer), INCLUDING
+    writer coordination: every derived mutation (merge / delete /
+    compact) commits with an optimistic parent check under a short
+    publish lock — if another writer landed first the commit rejects
+    (:class:`ConcurrentWriteError`) and the mutation re-derives from
+    the new head, so overlapping writers serialize instead of silently
+    losing updates. Blind ``overwrite`` stays last-write-wins by
+    contract (it derives from nothing).
 
     Old snapshots are retained for ``keep_versions`` commits so
     in-flight readers of the previous version finish cleanly
@@ -247,6 +265,7 @@ class VersionedTable:
         self.keep = keep_versions
         self.orphan_grace = orphan_grace_seconds
         self.partition_by = tuple(partition_by)
+        self._hist_cache: tuple[tuple, tuple[str, ...]] | None = None
 
     @property
     def _pointer(self) -> str:
@@ -255,12 +274,66 @@ class VersionedTable:
     def _history(self) -> list[str]:
         """Published versions, newest first (the pointer file holds the
         retained history, one version per line — still one atomic
-        os.replace per commit)."""
+        os.replace per commit). Memoized per pointer-file identity
+        (inode + mtime + size): a serve session issuing many reads
+        stats the pointer instead of re-reading it, and any publish
+        (os.replace = new inode) invalidates the cache — including a
+        concurrent writer's, so the cache can never hide a newer
+        version."""
         try:
-            with open(self._pointer) as fh:
-                return [ln.strip() for ln in fh if ln.strip()]
+            st = os.stat(self._pointer)
         except FileNotFoundError:
             return []
+        key = (st.st_ino, st.st_mtime_ns, st.st_size)
+        if self._hist_cache is not None and self._hist_cache[0] == key:
+            return list(self._hist_cache[1])
+        with open(self._pointer) as fh:
+            hist = [ln.strip() for ln in fh if ln.strip()]
+        self._hist_cache = (key, tuple(hist))
+        return hist
+
+    @contextlib.contextmanager
+    def _publish_lock(self, timeout: float = 30.0, stale_after: float = 60.0):
+        """Mutual exclusion around the pointer read-modify-publish (the
+        only critical section — snapshot writes go to uniquely-named
+        dirs and need no coordination). O_EXCL lock file; held for
+        pointer-file I/O only (sub-millisecond), so contention is
+        rare and short. A lock older than ``stale_after`` is debris
+        from a crashed publisher: it is broken by atomically renaming
+        it aside (os.replace — exactly ONE contender wins the rename,
+        so two waiters can never each 'break' the lock and both enter,
+        which a naive unlink would allow)."""
+        lock = os.path.join(self.root, "_LOCK")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_after:
+                        os.replace(lock, f"{lock}.stale.{uuid.uuid4().hex[:8]}")
+                        continue
+                except OSError:
+                    continue  # holder released between stat and replace
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        f"could not acquire the publish lock at {lock} "
+                        f"within {timeout}s; a publisher is stuck or the "
+                        "table is under heavy concurrent write load"
+                    )
+                time.sleep(0.02)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+            for entry in os.listdir(self.root):
+                if entry.startswith("_LOCK.stale."):
+                    with contextlib.suppress(OSError):
+                        os.unlink(os.path.join(self.root, entry))
 
     def current_version(self) -> str | None:
         hist = self._history()
@@ -316,13 +389,21 @@ class VersionedTable:
                 f"(retained: {history}); only retained snapshots can be "
                 "restored"
             )
-        retained = [version] + [v for v in history if v != version]
-        retained = retained[: self.keep]
-        tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(retained))
-        os.replace(tmp, self._pointer)  # the atomic publish
-        self._gc(retained, aged=set(history) - set(retained))
+        with self._publish_lock():
+            history = self._history()  # re-read under the lock: a commit
+            if version not in history:  # may have raced the restore
+                raise FileNotFoundError(
+                    f"version {version!r} is not retained at {self.root} "
+                    f"(retained: {history}); only retained snapshots can "
+                    "be restored"
+                )
+            retained = [version] + [v for v in history if v != version]
+            retained = retained[: self.keep]
+            tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(retained))
+            os.replace(tmp, self._pointer)  # the atomic publish
+            self._gc(retained, aged=set(history) - set(retained))
         return version
 
     def _commit(
@@ -330,13 +411,24 @@ class VersionedTable:
         df: DataFrame,
         link_from: str | None = None,
         link_exclude: frozenset[str] = frozenset(),
+        expected_parent: object = _UNSET,
     ) -> str:
         """Write ``df`` as a new snapshot (partitioned when configured),
         optionally hardlink every partition directory present in
         ``link_from`` but absent from the fresh write (the untouched
         partitions of a scoped merge; ``link_exclude`` names touched
         leaves a delete may have emptied — never restored), then
-        publish atomically."""
+        publish atomically.
+
+        ``expected_parent`` is the OPTIMISTIC-CONCURRENCY check: the
+        version id the caller derived this commit from (None = caller
+        saw an empty table). Under the publish lock, if the live head
+        no longer equals it — another writer published in between —
+        the fresh snapshot is discarded and :class:`ConcurrentWriteError`
+        raised; the slower writer can never silently orphan the faster
+        one's commit (the lost-update race). Omitted = blind publish
+        (explicit ``overwrite``, which is last-write-wins by
+        contract)."""
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.root, "_versions", version)
         writer = df.write.mode("overwrite")
@@ -347,13 +439,22 @@ class VersionedTable:
             _link_missing_partitions(
                 link_from, vdir, len(self.partition_by), link_exclude
             )
-        history = self._history()
-        retained = [version] + history[: self.keep - 1]
-        tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(retained))
-        os.replace(tmp, self._pointer)  # the atomic publish
-        self._gc(retained, aged=set(history) - set(retained))
+        with self._publish_lock():
+            history = self._history()
+            head = history[0] if history else None
+            if expected_parent is not _UNSET and head != expected_parent:
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"commit to {self.root} was derived from version "
+                    f"{expected_parent!r} but the live version is now "
+                    f"{head!r}; re-read and re-derive"
+                )
+            retained = [version] + history[: self.keep - 1]
+            tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(retained))
+            os.replace(tmp, self._pointer)  # the atomic publish
+            self._gc(retained, aged=set(history) - set(retained))
         return version
 
     def merge(
@@ -380,17 +481,51 @@ class VersionedTable:
         columns ⊆ ``keys`` — then a key can never move between
         partitions, so pruning by the updates' partition values is
         exhaustive (a matched row always lives in a partition the
-        batch names)."""
+        batch names).
+
+        CONCURRENCY: the merge is derived from the snapshot that was
+        live when it started and committed with an optimistic parent
+        check; if another writer publishes in between, the commit is
+        rejected and the merge re-derives from the new head (a few
+        retries, then :class:`ConcurrentWriteError` surfaces). Two
+        overlapping writers therefore both land — serialized — or the
+        slower one fails loudly; never a silent lost update."""
+        return self._retry_concurrent(
+            lambda: self._merge_once(updates, keys, evolve_schema)
+        )
+
+    def _retry_concurrent(self, attempt_fn, attempts: int = 8):
+        """Derive-retry loop for optimistic commits. Every rejection
+        proves ANOTHER writer published since this one derived (global
+        progress), so contention can slow a writer but never livelock
+        it; ``attempts`` bounds how many foreign commits one mutation
+        will chase before surfacing ConcurrentWriteError."""
+        last: ConcurrentWriteError | None = None
+        for _ in range(attempts):
+            try:
+                return attempt_fn()
+            except ConcurrentWriteError as exc:
+                last = exc  # head moved: re-derive from the new snapshot
+        raise last
+
+    def _merge_once(
+        self, updates: DataFrame, keys: list[str], evolve_schema: bool
+    ) -> str:
         spark = updates.sparkSession
-        if not self.exists():
-            return self.overwrite(updates)
+        parent = self.current_version()
+        if parent is None:
+            # first write: parent check still applies (a racing initial
+            # writer publishes first → this commit rejects and retries
+            # as a real merge against the winner's snapshot)
+            return self._commit(updates, expected_parent=None)
         if not self.partition_by:
-            existing = self.read(spark)
+            existing = self.read(spark, version=parent)
             keep = existing.join(
                 updates.select(*keys), on=keys, how="left_anti"
             )
             return self._commit(
-                keep.unionByName(updates, allowMissingColumns=evolve_schema)
+                keep.unionByName(updates, allowMissingColumns=evolve_schema),
+                expected_parent=parent,
             )
         missing = set(self.partition_by) - set(keys)
         if missing:
@@ -401,7 +536,7 @@ class VersionedTable:
                 "update batch never names and the prune would miss it"
             )
         if evolve_schema and set(updates.columns) != set(
-            self.read(spark).columns
+            self.read(spark, version=parent).columns
         ):
             # Plain Parquet has no schema registry: hardlinking
             # old-schema files next to new-schema files would make the
@@ -409,19 +544,23 @@ class VersionedTable:
             # Additive evolution therefore rewrites the WHOLE table
             # once (every file carries the final schema); subsequent
             # merges return to the scoped fast path.
-            existing = self.read(spark)
+            existing = self.read(spark, version=parent)
             keep = existing.join(
                 updates.select(*keys), on=keys, how="left_anti"
             )
             return self._commit(
-                keep.unionByName(updates, allowMissingColumns=True)
+                keep.unionByName(updates, allowMissingColumns=True),
+                expected_parent=parent,
             )
         touched, touched_rows, cap = self._touched_tuples(updates, "merge")
-        current = self.current_version()
-        cur_dir = os.path.join(self.root, "_versions", current)
-        existing = self._scoped_read(spark, touched, touched_rows, cap)
+        cur_dir = os.path.join(self.root, "_versions", parent)
+        existing = self._scoped_read(spark, touched, touched_rows, cap, parent)
         keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
-        return self._commit(keep.unionByName(updates), link_from=cur_dir)
+        return self._commit(
+            keep.unionByName(updates),
+            link_from=cur_dir,
+            expected_parent=parent,
+        )
 
     def _touched_tuples(self, frame: DataFrame, op: str):
         """The batch's distinct partition tuples, collected BOUNDED
@@ -459,15 +598,26 @@ class VersionedTable:
         leaf path joins the link-exclusion set — parsed from the old
         snapshot's layout with the same unquoting compact() uses, so
         no partition-value escaping is re-implemented). Requires
-        partition cols ⊆ keys, same reasoning as merge. Idempotent:
-        re-deleting the same keys is a no-op rewrite."""
+        partition cols ⊆ keys, same reasoning as merge. Idempotent AND
+        no-op-aware: a key batch matching ZERO live rows returns the
+        current version WITHOUT a commit (mirroring compact()'s no-op
+        contract) — a re-run retention job must not age a real
+        snapshot out of the time-travel window. Same optimistic
+        concurrency as merge (derive → parent-checked commit → retry)."""
+        return self._retry_concurrent(lambda: self._delete_once(keys_df, keys))
+
+    def _delete_once(self, keys_df: DataFrame, keys: list[str]) -> str:
         spark = keys_df.sparkSession
-        if not self.exists():
+        parent = self.current_version()
+        if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         probe = keys_df.select(*keys).distinct()
         if not self.partition_by:
-            keep = self.read(spark).join(probe, on=keys, how="left_anti")
-            return self._commit(keep)
+            existing = self.read(spark, version=parent)
+            if not existing.join(probe, on=keys, how="left_semi").take(1):
+                return parent  # nothing matches: no commit, no churn
+            keep = existing.join(probe, on=keys, how="left_anti")
+            return self._commit(keep, expected_parent=parent)
         missing = set(self.partition_by) - set(keys)
         if missing:
             raise ValueError(
@@ -477,23 +627,51 @@ class VersionedTable:
                 "key batch never names and the prune would miss it"
             )
         touched, touched_rows, cap = self._touched_tuples(probe, "delete")
-        current = self.current_version()
-        cur_dir = os.path.join(self.root, "_versions", current)
-        existing = self._scoped_read(spark, touched, touched_rows, cap)
+        cur_dir = os.path.join(self.root, "_versions", parent)
+        existing = self._scoped_read(spark, touched, touched_rows, cap, parent)
+        if not existing.join(probe, on=keys, how="left_semi").take(1):
+            return parent  # nothing matches: no commit, no churn
         keep = existing.join(probe, on=keys, how="left_anti")
-        excl = self._touched_leaf_rels(cur_dir, touched_rows)
-        return self._commit(keep, link_from=cur_dir, link_exclude=excl)
+        if len(touched_rows) > cap:
+            # Past the cap the collected tuple subset is ARBITRARY, so
+            # a bounded link-exclusion set cannot be complete — an
+            # emptied partition outside it would be resurrected by the
+            # linker. A delete naming >10k partitions is a bulk purge:
+            # rewrite the whole table (survivors of touched partitions
+            # + every untouched partition) with no links.
+            untouched = self.read(spark, version=parent).join(
+                F.broadcast(touched),
+                on=list(self.partition_by),
+                how="left_anti",
+            )
+            return self._commit(
+                keep.unionByName(untouched), expected_parent=parent
+            )
+        excl = self._touched_leaf_rels(cur_dir, touched)
+        return self._commit(
+            keep, link_from=cur_dir, link_exclude=excl, expected_parent=parent
+        )
 
-    def _touched_leaf_rels(self, cur_dir: str, touched_rows) -> frozenset[str]:
+    def _touched_leaf_rels(
+        self, cur_dir: str, touched: DataFrame
+    ) -> frozenset[str]:
         """Relative leaf-dir paths of the touched partitions, derived
         by PARSING the old snapshot's directory names (unquote — the
         direction that needs no escaping rules) and matching their
-        string values against the touched tuples."""
+        string values against the touched tuples. The tuple strings
+        come from SPARK's string cast (collected from the probe frame),
+        not Python ``str()`` — Spark writes booleans as ``true``/
+        ``false`` where Python renders ``True``/``False``, and the
+        directory matching must use the writer's formatting or an
+        emptied boolean/float partition would miss the exclusion set
+        and be resurrected by the hardlink step."""
         from urllib.parse import unquote
 
+        str_rows = touched.select(
+            *[F.col(c).cast("string").alias(c) for c in self.partition_by]
+        ).collect()
         wanted = {
-            tuple(str(row[c]) for c in self.partition_by)
-            for row in touched_rows
+            tuple(row[c] for c in self.partition_by) for row in str_rows
         }
         out: set[str] = set()
         depth = len(self.partition_by)
@@ -591,7 +769,10 @@ class VersionedTable:
         if not self.partition_by:
             if _n_files(cur_dir) <= max_files_per_partition:
                 return None
-            return self._commit(self.read(spark).coalesce(1))
+            return self._commit(
+                self.read(spark, version=version).coalesce(1),
+                expected_parent=version,
+            )
 
         from urllib.parse import unquote
 
@@ -615,7 +796,7 @@ class VersionedTable:
         _walk(cur_dir, 0, {})
         if not fat:
             return None
-        scoped = self.read(spark)
+        scoped = self.read(spark, version=version)
         for c in self.partition_by:
             scoped = scoped.where(
                 F.col(c).isin(sorted({vals[c] for vals in fat}))
@@ -623,10 +804,16 @@ class VersionedTable:
         return self._commit(
             scoped.repartition(*[F.col(c) for c in self.partition_by]),
             link_from=cur_dir,
+            expected_parent=version,
         )
 
     def _scoped_read(
-        self, spark: SparkSession, touched: DataFrame, touched_rows, cap: int
+        self,
+        spark: SparkSession,
+        touched: DataFrame,
+        touched_rows,
+        cap: int,
+        version: str | None = None,
     ) -> DataFrame:
         """The merge's partition-pruned view of the current snapshot.
         Two-layer prune. (1) STATIC, per-column isin of the touched
@@ -643,7 +830,7 @@ class VersionedTable:
         plan — the scan showed isnotnull-only PartitionFilters), so
         without the static layer every merge would scan the whole
         table."""
-        existing = self.read(spark)
+        existing = self.read(spark, version=version)
         if len(touched_rows) <= cap:
             for c in self.partition_by:
                 existing = existing.where(
