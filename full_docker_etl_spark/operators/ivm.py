@@ -22,6 +22,8 @@ from merging partial states.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -47,17 +49,47 @@ def with_bucket(grain: DataFrame) -> DataFrame:
     )
 
 
+def pre_image_periods(
+    fact: DataFrame,
+    batch: DataFrame,
+    build: Callable[[DataFrame], DataFrame],
+    keys: list[str],
+) -> list[tuple[str, str]]:
+    """The (agg_type, period_bucket) tuples of the fact rows ``batch``
+    is about to REPLACE (semi-join on the upsert keys) — collected
+    EAGERLY, before the upsert rewrites the fact table, so the frame
+    can never lazily evaluate against post-upsert files. Needed
+    because the keyed upsert permits UPDATES: if a re-delivered key's
+    event time moved, the row leaves its old period, and that period
+    must be recomputed too or the grain silently keeps the removed
+    row's contribution and diverges from a full rebuild. Bounded like
+    the batch-side collect: matched rows ≤ batch keys, and only their
+    distinct periods come back."""
+    matched = fact.join(batch.select(*keys).distinct(), on=keys, how="left_semi")
+    rows = (
+        with_bucket(build(matched))
+        .select(*GRAIN_PARTITIONING)
+        .distinct()
+        .collect()
+    )
+    return [(r["agg_type"], r["period_bucket"]) for r in rows]
+
+
 def refresh_grain(
     raw: DataFrame,
     batch: DataFrame,
     build: Callable[[DataFrame], DataFrame],
     path: str,
     date_col: str,
+    extra_affected: list[tuple[str, str]] | None = None,
 ) -> int:
     """Refresh the grain table at ``path`` for the periods ``batch``
     touches. ``raw`` is the COMPLETE fact table (batch already landed
     in it); returns the number of (agg_type, period_bucket)
     directories rewritten (0 = empty batch, nothing touched).
+    ``extra_affected`` adds pre-computed period tuples to the affected
+    set — the caller passes :func:`pre_image_periods` when the fact
+    maintenance allows a key's event time to change (see there).
 
     Scale shape, step by step:
     - affected periods come from running ``build`` on the BATCH alone
@@ -73,15 +105,23 @@ def refresh_grain(
       scoped merge), so the dynamic partition overwrite replaces
       exactly those month-bucket directories and no others.
     """
-    affected = (
+    batch_rows = (
         with_bucket(build(batch))
         .select(*GRAIN_PARTITIONING)
         .distinct()
         .collect()
     )
+    affected = {(r["agg_type"], r["period_bucket"]) for r in batch_rows}
+    affected |= set(extra_affected or [])
     if not affected:
         return 0
-    years = sorted({row["period_bucket"][:4] for row in affected})
+    if any(bucket is None for _, bucket in affected):
+        raise ValueError(
+            f"grain refresh at {path} got a NULL {date_col}: a NULL date "
+            "cannot address a grain period; repair or drop null-dated "
+            "rows before the refresh"
+        )
+    years = sorted({bucket[:4] for _, bucket in affected})
     lo = f"{years[0]}-01-01"
     hi = f"{int(years[-1]) + 1}-01-01"
     scoped = raw.where(
@@ -89,10 +129,8 @@ def refresh_grain(
         & (F.col(date_col) < F.lit(hi).cast("timestamp"))
     )
     keys_by_type: dict[str, list[str]] = {}
-    for row in affected:
-        keys_by_type.setdefault(row["agg_type"], []).append(
-            row["period_bucket"]
-        )
+    for agg_type, bucket in affected:
+        keys_by_type.setdefault(agg_type, []).append(bucket)
     regrained = with_bucket(build(scoped))
     cond = None
     for agg_type, keys in keys_by_type.items():
@@ -100,14 +138,33 @@ def refresh_grain(
             "period_bucket"
         ).isin(sorted(keys))
         cond = clause if cond is None else (cond | clause)
-    # route each bucket to ONE task → one file per rewritten directory
-    # (32 agg tasks × partitionBy otherwise fan out to many small
-    # files per dir; grain rows are tiny, the extra exchange is noise)
-    overwrite_partitions(
-        regrained.where(cond).repartition(
-            *[F.col(c) for c in GRAIN_PARTITIONING]
-        ),
-        path,
-        GRAIN_PARTITIONING,
-    )
+    # persisted: the write and the emptied-period probe below both
+    # consume it, and re-running the aggregation would double the
+    # refresh cost (grain rows are tiny — periods × groups)
+    fresh = regrained.where(cond).persist()
+    try:
+        # route each bucket to ONE task → one file per rewritten
+        # directory (32 agg tasks × partitionBy otherwise fan out to
+        # many small files per dir)
+        overwrite_partitions(
+            fresh.repartition(*[F.col(c) for c in GRAIN_PARTITIONING]),
+            path,
+            GRAIN_PARTITIONING,
+        )
+        # An affected period the recompute produced NO rows for (its
+        # last fact row moved away) gets no directory from the dynamic
+        # overwrite, so its stale grain dir must be removed explicitly
+        # or the removed contribution lives on. Bucket values are plain
+        # yyyy-MM strings, so the leaf path needs no escaping.
+        recomputed = {
+            (r["agg_type"], r["period_bucket"])
+            for r in fresh.select(*GRAIN_PARTITIONING).distinct().collect()
+        }
+    finally:
+        fresh.unpersist()
+    for agg_type, bucket in affected - recomputed:
+        stale = os.path.join(
+            path, f"agg_type={agg_type}", f"period_bucket={bucket}"
+        )
+        shutil.rmtree(stale, ignore_errors=True)
     return len(affected)

@@ -230,6 +230,7 @@ def stream_grain_refresh(
     from full_docker_etl_spark.operators.dedup import natural_key_dedup
     from full_docker_etl_spark.operators.ivm import (
         GRAIN_PARTITIONING,
+        pre_image_periods,
         refresh_grain,
         with_bucket,
     )
@@ -247,7 +248,16 @@ def stream_grain_refresh(
             or [(keys[0], True)]
         )
         cleaned = natural_key_dedup(batch_df, keys, order)
+        pre_image: list[tuple[str, str]] = []
         if os.path.exists(fact_path):
+            # BEFORE the upsert: the periods of the rows this batch
+            # replaces. The upsert permits updates, so a re-delivered
+            # key whose event time moved leaves its old period — which
+            # must be recomputed too, or the grain keeps the removed
+            # row's contribution and diverges from a full rebuild.
+            pre_image = pre_image_periods(
+                s.read.parquet(fact_path), cleaned, build, keys
+            )
             upsert_parquet(s, fact_path, cleaned, keys)
         else:
             cleaned.write.parquet(fact_path)
@@ -257,7 +267,14 @@ def stream_grain_refresh(
                 *[F.col(c) for c in GRAIN_PARTITIONING]
             ).write.partitionBy(*GRAIN_PARTITIONING).parquet(grain_path)
         else:
-            refresh_grain(raw, cleaned, build, grain_path, date_col)
+            refresh_grain(
+                raw,
+                cleaned,
+                build,
+                grain_path,
+                date_col,
+                extra_affected=pre_image,
+            )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (

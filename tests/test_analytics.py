@@ -255,3 +255,69 @@ def test_cohort_offsets_cross_year_boundaries(spark):
         ("2023-12", 0): 1, ("2023-12", 1): 1, ("2023-12", 3): 1,
         ("2024-01", 0): 1,
     }
+
+
+def test_refresh_grain_moved_key_and_null_date(spark):
+    """Round-6 ADVICE (medium + low): (a) when fact maintenance moved a
+    key's event time to another period, passing pre_image_periods makes
+    the refresh scrub the OLD period — including deleting its grain
+    directory when it empties — so incremental == rebuild still holds;
+    (b) a NULL event date refuses loudly instead of an opaque
+    TypeError."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.ivm import (
+        GRAIN_PARTITIONING,
+        pre_image_periods,
+        refresh_grain,
+        with_bucket,
+    )
+
+    def build(df):
+        return (
+            df.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("period_key")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("agg_type", F.lit("day"))
+            .withColumn("series", F.lit("all"))
+        )
+
+    schema = "k int, ts string"
+    fact_v1 = spark.createDataFrame(
+        [(1, "2024-01-15"), (2, "2024-01-20"), (3, "2024-02-10")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = tempfile.mkdtemp(prefix="fde_ivmmv_") + "/g"
+    with_bucket(build(fact_v1)).write.partitionBy(
+        *GRAIN_PARTITIONING
+    ).parquet(path)
+
+    # key 3 moves Feb → Mar; Feb empties. The batch alone only names
+    # March, so the pre-image is what carries February in.
+    batch = spark.createDataFrame([(3, "2024-03-05")], schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    pre = pre_image_periods(fact_v1, batch, build, ["k"])
+    assert ("day", "2024-02") in pre
+    fact_v2 = fact_v1.where(F.col("k") != 3).unionByName(batch)
+    n = refresh_grain(fact_v2, batch, build, path, "ts", extra_affected=pre)
+    assert n >= 2  # March recomputed AND February scrubbed
+    got = spark.read.parquet(path).select("period_key", "n")
+    full = build(fact_v2).select("period_key", "n")
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    assert not os.path.exists(
+        os.path.join(path, "agg_type=day", "period_bucket=2024-02")
+    )
+
+    import pytest
+
+    # NULL event date: loud domain error, not NoneType[:4]
+    null_batch = spark.createDataFrame([(9, None)], schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    with pytest.raises(ValueError, match="NULL date"):
+        refresh_grain(fact_v2, null_batch, build, path, "ts")

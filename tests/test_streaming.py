@@ -740,3 +740,71 @@ def test_versioned_table_restore_rollback(spark):
     assert t.read(spark).first().v == "bad"
     with pytest.raises(FileNotFoundError, match="not retained"):
         t.restore("v_nope")
+
+
+def test_stream_grain_refresh_moved_key_scrubs_old_period(spark):
+    """End-to-end through the streaming path: a later delivery that
+    MOVES a key's event time to another month must scrub the key's
+    contribution from the old month's grain (round-6 ADVICE, medium) —
+    the 'incremental == rebuild' contract under updates, not just
+    appends."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.streaming.events import stream_grain_refresh
+
+    base = tempfile.mkdtemp(prefix="fde_sgrmv_")
+    src, fact, grain = base + "/src", base + "/fact", base + "/grain"
+    os.makedirs(src)
+    schema = "event_id INT, ts TIMESTAMP, value DOUBLE"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id int, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def build(df):
+        return (
+            df.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("period_key")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .withColumn("agg_type", F.lit("day"))
+        )
+
+    def run():
+        q = stream_grain_refresh(
+            spark, src, schema, fact, grain, build, "ts",
+            keys=["event_id"], checkpoint_dir=base + "/chk",
+        )
+        q.awaitTermination(180)
+
+    # delivery 1: two January events, one lone February event
+    mk(
+        [(1, "2024-01-15", 10.0), (2, "2024-01-20", 5.0),
+         (3, "2024-02-10", 7.0)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert os.path.isdir(
+        os.path.join(grain, "agg_type=day", "period_bucket=2024-02")
+    )
+    # delivery 2: event 3 re-delivered with a MOVED timestamp (Feb→Mar)
+    mk([(3, "2024-03-05", 7.0)]).coalesce(1).write.mode("append").parquet(src)
+    run()
+    cols = ["period_key", "n", "sum_value"]
+    expected = build(spark.read.parquet(fact)).select(*cols)
+    got = spark.read.parquet(grain).select(*cols)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # the emptied February period is gone — grain dir and rows both
+    assert got.where(F.col("period_key").startswith("2024-02")).count() == 0
+    assert not os.path.exists(
+        os.path.join(grain, "agg_type=day", "period_bucket=2024-02")
+    )
