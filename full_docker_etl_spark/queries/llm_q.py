@@ -353,7 +353,9 @@ def dedup_natural_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_ORACLE = """
   WITH q AS (SELECT vec_id AS qid, embedding AS qvec
-             FROM embeddings WHERE vec_id < 10),
+             FROM embeddings
+             ORDER BY md5('annprobe:' || CAST(vec_id AS VARCHAR))
+             LIMIT 10),
   pairs AS (
     SELECT qid, vec_id,
            list_sum(list_transform(range(1, len(qvec)+1),
@@ -388,8 +390,9 @@ def _first_k_centroids(corpus: DataFrame, k: int = 16) -> DataFrame:
 
 @query("ann_cosine_topk", oracle=_ANN_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for a bounded query set (vec_id < 10) —
-    the correctness baseline for ANN. Dot products are ordered folds
+    """Brute-force cosine top-5 for a bounded 10-query probe set
+    (hash-spread over the id space, see _ann_query_corpus) — the
+    correctness baseline for ANN. Dot products are ordered folds
     (zip_with + aggregate), rounded before ranking, tie-broken by id."""
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     return cosine_topk(queries, corpus, k=5)
@@ -402,7 +405,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, exact cosine within candidates. Rows-only check; recall vs
     brute force is asserted in tests/test_llm.py."""
     queries, corpus = _ann_query_corpus(spark, sf_dir)
-    return ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
+    return ivf_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=6, n_assign=2
+    )
 
 
 @query("ann_ivf_serve")
@@ -425,14 +430,14 @@ def ann_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     cents = _first_k_centroids(corpus)
     path = tempfile.mkdtemp(prefix="fde_ivf_") + "/lists"
-    ivf_build_lists(corpus, path, cents)
-    return ivf_probe_lists(spark, path, queries, cents, k=5, nprobe=4)
+    ivf_build_lists(corpus, path, cents, n_assign=2)
+    return ivf_probe_lists(spark, path, queries, cents, k=5, nprobe=6)
 
 
 @query(
     "ann_ivf_serve_consistency",
     oracle="""
-      SELECT CAST(5 * (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+      SELECT CAST(5 * LEAST(10, (SELECT COUNT(*) FROM embeddings))
                   AS BIGINT) AS n_serve,
              TRUE AS serve_ok
     """,
@@ -455,7 +460,8 @@ def ann_ivf_serve_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     cents = _first_k_centroids(corpus)
     mem = ivf_topk(
-        queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=cents
+        queries, corpus, k=5, n_centroids=16, nprobe=6, centroids=cents,
+        n_assign=2,
     ).select("qid", "vec_id", "cos_sim", "rank")
     s = serve.withColumn("_s", F.lit(1))
     m = mem.withColumn("_m", F.lit(1))
@@ -642,9 +648,28 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_query_corpus(spark, sf_dir):
+    """The shared 10-query probe slice for every ANN query and recall
+    verdict: the 10 vectors with the SMALLEST md5('annprobe:'||vec_id)
+    — hash-spread across the whole id space (the repo's _uniform_u32
+    pattern), not the first 10 ids, so a regression that spares a
+    corner of the corpus (e.g. a centroid-assignment bug away from the
+    low ids) still moves the measured recall. Deterministic and
+    engine-portable: the oracle recomputes the same slice with
+    DuckDB's md5; orderBy+limit compiles to TakeOrderedAndProject (no
+    global-sort exchange — the sweeping plan gate keeps that true)."""
     embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    h = F.md5(
+        F.concat(F.lit("annprobe:"), F.col("vec_id").cast("string"))
+    )
+    queries = (
+        embs.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            h.alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(10)
+        .drop("__h")
     )
     return queries, embs.select("vec_id", "embedding")
 
@@ -683,28 +708,37 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dedup_minhash_recall pattern applied to ANN): the exact side
     is brute-force cosine top-5 — the oracle recomputes its COUNT from
     the same SQL that checks ann_cosine_topk value-by-value — and the
-    boolean asserts IVF(nprobe=4/16) recovered ≥80% of it (measured
-    0.92-1.0 across SFs; a probe/assignment regression flips the
-    boolean and fails the driver's hash compare)."""
+    boolean asserts IVF (nprobe=6 of 16 lists, 2-way corpus
+    multi-assignment) recovered ≥75% of it. Measured 0.78-0.92 across
+    SFs on the HASH-SPREAD probe slice — the honest number: the old
+    low-id slice read 0.92-1.0 while whole-space recall at the old
+    (nprobe=4, single-assign) point was 0.52-0.54; multi-assignment
+    is what bought it back (see ivf_topk). A probe/assignment
+    regression flips the boolean and fails the driver's hash
+    compare."""
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     exact = cosine_topk(queries, corpus, k=5)
-    approx = ivf_topk(queries, corpus, k=5, n_centroids=16, nprobe=4)
-    return _ann_recall_verdict(exact, approx, 0.8)
+    approx = ivf_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=6, n_assign=2
+    )
+    return _ann_recall_verdict(exact, approx, 0.75)
 
 
 @query("ann_ivf_kmeans_recall", oracle=_ANN_RECALL_ORACLE)
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall verdict for the TRAINED-centroid IVF path: 3 rounds of
-    distributed Lloyd's, then the same probe; floor 0.75 (measured
-    0.88-0.96). Catches k-means regressions (bad init, mean drift,
-    empty clusters) as an external red row, not just a pytest."""
+    distributed Lloyd's, then the same nprobe=6 / 2-way-assign probe;
+    floor 0.75 (measured 0.86-0.90 across SFs on the hash-spread probe
+    slice). Catches k-means regressions (bad init, mean drift, empty
+    clusters) as an external red row, not just a pytest."""
     from full_docker_etl_spark.operators.similarity import kmeans_centroids
 
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     exact = cosine_topk(queries, corpus, k=5)
     cents = kmeans_centroids(corpus, "embedding", "vec_id", k=16, max_iter=3)
     approx = ivf_topk(
-        queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=cents
+        queries, corpus, k=5, n_centroids=16, nprobe=6, centroids=cents,
+        n_assign=2,
     )
     return _ann_recall_verdict(exact, approx, 0.75)
 
@@ -1325,14 +1359,11 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall floor pinned in tests/test_llm.py."""
     from full_docker_etl_spark.operators.similarity import kmeans_centroids
 
-    embs = _embs(spark, sf_dir)
-    queries = embs.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    corpus = embs.select("vec_id", "embedding")
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
     cents = kmeans_centroids(corpus, "embedding", "vec_id", k=16, max_iter=3)
     return ivf_topk(
-        queries, corpus, k=5, n_centroids=16, nprobe=4, centroids=cents
+        queries, corpus, k=5, n_centroids=16, nprobe=6, centroids=cents,
+        n_assign=2,
     )
 
 
