@@ -62,3 +62,91 @@ def write_bucketed(
     if sort_key:
         writer = writer.sortBy(sort_key)
     writer.saveAsTable(table)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_src: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over a SALTED key: phase 1 groups by
+    (keys…, salt) and computes partial states, phase 2 groups by the
+    real keys and merges them. The result is IDENTICAL to a plain
+    ``groupBy(keys).agg(...)`` (oracle-proven); only the shuffle
+    distribution changes — a key owning 30% of a 100 TB tape spreads
+    over ``n_salts`` reducers instead of melting one.
+
+    When to reach for it: Spark's hash aggregate already partial-
+    aggregates map-side, so a *small-state* agg (sum/count) on a hot
+    key usually survives without help — each map task emits one row
+    per key. The salt matters when the per-group STATE is what's hot:
+    the merge of many wide partials on one reducer (dozens of agg
+    columns × a key that every map task emits, the A1/A2 21-aggregate
+    shape), sort-aggregate fallbacks, or an AQE misestimate. Like
+    :func:`salted_join`, the salt is deterministic (xxhash64 of
+    ``salt_src``, never rand()) so retried tasks re-derive identical
+    rows.
+
+    ``aggs`` maps output column → (fn, input column), fn ∈ {sum,
+    count, min, max, avg}. avg is decomposed into (sum, count)
+    partials and finished at the merge — the only algebraic form that
+    re-aggregates correctly; averaging partial averages would weight
+    every salt bucket equally no matter how many rows it holds.
+    """
+    supported = {"sum", "count", "min", "max", "avg"}
+    bad = {fn for fn, _ in aggs.values()} - supported
+    if bad:
+        raise ValueError(
+            f"salted_agg supports {sorted(supported)}; got {sorted(bad)}. "
+            "Holistic aggregates (exact percentiles, collect_*) don't "
+            "decompose into mergeable partials by salting the key — use "
+            "approx sketches or salted_count_distinct's dedupe shape."
+        )
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    )
+    partials, finals = [], []
+    for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            partials += [
+                F.sum(col).alias(f"__s_{out}"),
+                F.count(col).alias(f"__c_{out}"),
+            ]
+            finals.append(
+                (F.sum(f"__s_{out}") / F.sum(f"__c_{out}")).alias(out)
+            )
+        elif fn == "sum":
+            partials.append(F.sum(col).alias(f"__p_{out}"))
+            finals.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "count":
+            partials.append(F.count(col).alias(f"__p_{out}"))
+            finals.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            partials.append(F.min(col).alias(f"__p_{out}"))
+            finals.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            partials.append(F.max(col).alias(f"__p_{out}"))
+            finals.append(F.max(f"__p_{out}").alias(out))
+    phase1 = salted.groupBy(*keys, "__salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)
+
+
+def salted_count_distinct(
+    df: DataFrame, keys: list[str], value_col: str, out: str = "n_distinct"
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key for SKEWED keys, as the
+    classic two-job rewrite: dedupe on (keys…, value) first — the
+    value column itself is the salt, spreading a hot key's rows across
+    reducers by what is being counted — then count rows per key. A
+    single-pass countDistinct holds the hot key's entire distinct SET
+    in one reducer's hash state; this shape never materializes a set
+    anywhere. Result proven identical to COUNT(DISTINCT ...) by
+    oracle."""
+    return (
+        df.select(*keys, value_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(out))
+    )

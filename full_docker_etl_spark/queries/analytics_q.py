@@ -594,3 +594,62 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rn"),
     )
+
+
+@query(
+    "agg_salted",
+    oracle="""
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(ROUND(AVG(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE)
+               AS avg_value,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY event_type
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation, result-identical to the plain
+    GROUP BY the oracle runs (the join_salted pattern applied to A1/A2-
+    style aggregates): partials over (key, salt) then a merge over the
+    key, so one company dominating the tape spreads over n_salts
+    reducers instead of melting one — avg decomposed into sum+count
+    partials (averaging partial averages would weight salt buckets
+    equally). COUNT(DISTINCT user_id) goes through the dedupe-first
+    shape (salted_count_distinct): the value column itself spreads the
+    hot key, and no reducer ever holds the full distinct set. profile_
+    skew DIAGNOSES heavy keys; this is the operator you reach for once
+    it does. Sums ride DECIMAL for engine-portable exactness."""
+    from full_docker_etl_spark.operators.skew import (
+        salted_agg,
+        salted_count_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    base = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value_dec"),
+            "avg_value": ("avg", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_src="event_id",
+        n_salts=8,
+    )
+    nd = salted_count_distinct(ev, ["event_type"], "user_id", out="n_users")
+    return base.join(nd, "event_type").select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.round("avg_value", 4).cast("double").alias("avg_value"),
+        "min_value",
+        "max_value",
+        F.col("n_users").cast("long").alias("n_users"),
+    )

@@ -45,76 +45,43 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-6 window: first every query ADDED this
-# round (temperature mixing, star schema, profiling/audit tier,
-# compaction/CDF, incremental grain, BM25, cube/unpivot, negatives) and
-# every query whose code or oracle CHANGED since its round-5 sample
-# (recall/consistency verdicts, slice-judged sketches, scoped merge,
-# xlsx, dedup hardening), then the family last externally sampled on
-# round-4 code (xbrl / agg grains / filters / sinks / streams), so no
-# query's external evidence goes two rounds stale. Names absent from
-# this list keep their registration (import) order after it; names
-# listed but not registered are ignored, so the list can never drop a
-# query.
+# everything every round. Round-7 window (50 slots): first every query
+# whose CODE CHANGED this round (VersionedTable optimistic concurrency
+# touches all sink_versioned_*; the IVM pre-image fix touches
+# serve_incremental_grain; the hash-spread probe + multi-assignment
+# touch ann_cosine_topk's value-checked oracle), then every
+# *_recall/*_consistency verdict row (pinned in EVERY window — they are
+# the external evidence for the 7 rows-only sketch queries, several
+# also changed with the new probe slice), then the 41-query family
+# whose latest external sample is round 4 (agg grains / filters /
+# surface / sinks / streams / pipelines). 15 + 41 = 56 > 50, so the 6
+# least-risky stale rows (surface one-liners unchanged since round 2:
+# catalog_tables, limit_one, global_count, distinct_values, column_max,
+# group_counts) sit at positions 51-56 and lead round 8's window.
+# Names absent from this list keep their registration (import) order
+# after it; names listed but not registered are ignored, so the list
+# can never drop a query.
 _SAMPLE_ORDER: tuple[str, ...] = (
-    # -- tier 1: changed since the round-5 sample; need evidence on new code
-    "sample_temperature_mix",
-    "sample_temperature_upsample",
-    "join_star_revenue",
-    "profile_table",
-    "agg_unpivot",
-    "win_time_range",
-    "audit_referential",
-    "profile_histogram",
-    "sink_versioned_compact",
-    "join_salted",
-    "serve_incremental_grain",
-    "fn_arrays",
-    "agg_cube",
-    "text_bm25",
-    "sink_versioned_cdf",
-    "sample_negatives",
-    "profile_correlations",
-    "dim_scd2",
-    "join_pit",
-    "fn_maps",
-    "agg_cohort_retention",
-    "agg_funnel",
-    "win_rank_family",
-    "mm_frame_sample",
-    "mm_features",
-    "mm_resize",
+    # -- tier 1a: added or changed in round 7 — evidence needed on new code
+    "agg_salted",
+    "sink_versioned_merge",
     "sink_versioned_delete",
-    "profile_skew",
-    "dedup_simhash_recall",
-    "ann_ivf_serve_consistency",
-    "text_pii_scrub",
-    "jsonl_scan",
-    "sample_epoch_shuffle",
-    "dedup_incremental_recall",
-    "pipeline_curate",
+    "sink_versioned_compact",
+    "sink_versioned_cdf",
+    "serve_incremental_grain",
+    "ann_cosine_topk",
+    # -- tier 1b: verdict rows, pinned in every window (probe slice
+    #    changed this round for the ann_* rows)
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
-    "dedup_embedding_recall",
-    "agg_approx_percentiles",
+    "ann_ivf_serve_consistency",
     "dedup_minhash_recall",
-    "sink_versioned_merge",
-    "xlsx_scan",
-    "dedup_simhash",
-    "dedup_components",
-    "dedup_jaccard",
-    "dedup_pipeline",
-    # (the rows-only ANN/near-dup topk queries — dedup_minhash,
-    # dedup_embedding, ann_*_topk, ann_ivf_serve — are demoted below
-    # tier 2: their row-count check is weak by design and every one of
-    # their code paths is value-checked by a *_recall/_consistency
-    # verdict sibling that stays in the window; the freed slots let
-    # the 50-query sample reach the r4-stale oracle-checked family)
-    # -- tier 2: last externally sampled on round-4 code
-    "xbrl_metrics",
-    "agg_daily",
-    "agg_monthly",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    # -- tier 2: last externally sampled on round-4 code (35 of 41;
+    #    the 6 deferred one-liners close the list below)
     "agg_yearly",
     "agg_multigrain",
     "serve_materialized_grain",
@@ -133,13 +100,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "nested_reshape",
     "sort_topk",
     "topk_by_value",
-    "limit_one",
-    "global_count",
-    "distinct_values",
-    "column_max",
-    "group_counts",
     "word_counts",
-    "catalog_tables",
     "csv_scan",
     "zip_xml_ingest",
     "rest_batch_fetch",
@@ -156,20 +117,66 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_range_join",
     "text_chunk_windows",
-    # -- tier 2b: rows-only queries demoted from tier 1 (see note)
+    # -- tier 2b: the 6 deferred r4-stale one-liners — first in round 8
+    "catalog_tables",
+    "limit_one",
+    "global_count",
+    "distinct_values",
+    "column_max",
+    "group_counts",
+    # -- tier 3: round-6 additions sampled green on r6 code and
+    #    untouched since
+    "sample_temperature_mix",
+    "sample_temperature_upsample",
+    "join_star_revenue",
+    "profile_table",
+    "agg_unpivot",
+    "win_time_range",
+    "audit_referential",
+    "profile_histogram",
+    "join_salted",
+    "fn_arrays",
+    "agg_cube",
+    "text_bm25",
+    "sample_negatives",
+    "profile_correlations",
+    "dim_scd2",
+    "join_pit",
+    "fn_maps",
+    "agg_cohort_retention",
+    "agg_funnel",
+    "win_rank_family",
+    "mm_frame_sample",
+    "mm_features",
+    "mm_resize",
+    "profile_skew",
+    "text_pii_scrub",
+    "jsonl_scan",
+    "sample_epoch_shuffle",
+    "pipeline_curate",
+    "agg_approx_percentiles",
+    "xlsx_scan",
+    "dedup_simhash",
+    "dedup_components",
+    "dedup_jaccard",
+    "dedup_pipeline",
+    "agg_daily",
+    "agg_monthly",
+    "xbrl_metrics",
+    # -- tier 3b: rows-only queries (verdict siblings carry their
+    #    external evidence; ann_* changed this round but their value
+    #    checks ARE the in-window verdict rows)
     "dedup_minhash",
     "dedup_embedding",
     "ann_ivf_kmeans_topk",
     "ann_ivf_topk",
     "ann_ivf_serve",
     "ann_lsh_topk",
-    "ann_cosine_topk",
-    # -- tier 3 (implicit): everything sampled green on round-5 code and
-    # untouched since (fn_* / join_* / win_* / text_* / sample_* /
-    # paginate / union / embed_norm / mm_decode_meta / agg_approx_distinct
-    # / text_repetition / text_decontaminate / dedup_exact /
-    # dedup_natural_key / sample_pack_sequences) follows in registration
-    # order and rotates back into the window next round.
+    # -- tier 4 (implicit): everything else (fn_* / join_* / win_* /
+    # text_* / sample_* / paginate / union / embed_norm /
+    # mm_decode_meta / agg_approx_distinct / text_repetition /
+    # text_decontaminate / dedup_exact / dedup_natural_key /
+    # sample_pack_sequences) follows in registration order.
 )
 
 

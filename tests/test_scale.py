@@ -84,3 +84,69 @@ def test_bucketed_groupby_has_no_shuffle(spark, bucketed_tables):
         .agg(F.sum("l_quantity").alias("q"))
     )
     assert _no_shuffle(_plan(agg))
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    """salted_agg's two-phase (key, salt)->key merge must be result-
+    identical to the plain groupBy — including avg, whose partial
+    AVERAGES must never be averaged (salt buckets hold different row
+    counts); and salted_count_distinct must equal COUNT(DISTINCT)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.skew import (
+        salted_agg,
+        salted_count_distinct,
+    )
+    from full_docker_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vdec", F.col("value").cast("decimal(18,2)")
+    )
+    got = {
+        r.event_type: (r.n, float(r.s), round(float(r.a), 4), r.lo, r.hi)
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("count", "event_id"),
+                "s": ("sum", "vdec"),
+                "a": ("avg", "vdec"),
+                "lo": ("min", "value"),
+                "hi": ("max", "value"),
+            },
+            salt_src="event_id",
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, float(r.s), round(float(r.a), 4), r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.sum("vdec").alias("s"),
+            F.avg("vdec").alias("a"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    nd = {
+        r.event_type: r.n_distinct
+        for r in salted_count_distinct(
+            ev, ["event_type"], "user_id"
+        ).collect()
+    }
+    nd_want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert nd == nd_want
+
+    # holistic aggregates refuse loudly — they don't merge by key-salt
+    with pytest.raises(ValueError, match="salted_agg supports"):
+        salted_agg(ev, ["event_type"], {"p": ("median", "value")}, "event_id")
