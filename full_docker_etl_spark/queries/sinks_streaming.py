@@ -600,3 +600,49 @@ def sink_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.delete(dels, keys=["o_orderkey", "yr"])
     table.delete(dels, keys=["o_orderkey", "yr"])  # retention jobs re-run
     return table.read(spark).select("o_orderkey", "yr", "o_totalprice")
+
+
+@query(
+    "sink_versioned_update",
+    oracle="""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y') AS yr,
+             CASE WHEN o_orderkey % 7 = 0 AND strftime(o_orderdate, '%Y') = '1997'
+                  THEN 'swept' ELSE o_orderpriority END AS o_orderpriority,
+             o_orderstatus
+      FROM orders
+    """,
+)
+def sink_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 at the warehouse tier: the reference's bulk status sweep
+    (``transform_iqplus_news_dags.py:161-174``) as a PARTITION-SCOPED
+    column update on a VersionedTable — only the yr=1997 partition the
+    change batch names is read and rewritten; every other year
+    hardlinks from the parent snapshot, and the commit carries the
+    optimistic parent check. COALESCE semantics: the batch sets
+    o_orderpriority and leaves o_orderstatus NULL, so status passes
+    through untouched — the oracle proves both the set and the
+    leave-alone column. Applied twice: idempotent."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    table = VersionedTable(
+        _tmp("vupd"), keep_versions=2, partition_by=("yr",)
+    )
+    table.overwrite(orders)
+    changes = orders.where(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("yr") == "1997")
+    ).select(
+        "o_orderkey",
+        "yr",
+        F.lit("swept").alias("o_orderpriority"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    table.update_columns(changes, keys=["o_orderkey", "yr"])
+    table.update_columns(changes, keys=["o_orderkey", "yr"])  # idempotent
+    return table.read(spark).select(
+        "o_orderkey", "yr", "o_orderpriority", "o_orderstatus"
+    )

@@ -586,6 +586,78 @@ class VersionedTable:
             )
         return touched, touched_rows, cap
 
+    def update_columns(self, changes: DataFrame, keys: list[str]) -> str:
+        """S13 at the warehouse tier: bulk COLUMN update (the
+        reference's status-flag sweep, ``transform_iqplus_news_dags.py:
+        161-174``) with MERGE's scale shape. ``changes`` carries the
+        key columns plus the columns to SET; matched rows take the
+        batch's values with COALESCE semantics (a NULL in the batch
+        leaves the existing value), unmatched rows and unnamed columns
+        pass through untouched. On a partitioned table the update is
+        PARTITION-SCOPED exactly like merge (requires partition cols ⊆
+        keys): only partitions the batch names are read and rewritten,
+        the rest hardlink. Same optimistic concurrency (derive →
+        parent-checked commit → retry). Unlike :func:`update_columns`
+        (the swap-write module function), a 1-row flag flip here never
+        rewrites the whole table. Idempotent: re-applying the same
+        batch converges."""
+        return self._retry_concurrent(
+            lambda: self._update_columns_once(changes, keys)
+        )
+
+    def _update_columns_once(self, changes: DataFrame, keys: list[str]) -> str:
+        spark = changes.sparkSession
+        parent = self.current_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        value_cols = [c for c in changes.columns if c not in keys]
+        existing_cols = self.read(spark, version=parent).columns
+        unknown = set(value_cols) - set(existing_cols)
+        if unknown:
+            raise ValueError(
+                f"update_columns got columns not in the table: "
+                f"{sorted(unknown)} (a column update cannot add columns; "
+                "use merge(evolve_schema=True) for additive evolution)"
+            )
+        if not value_cols:
+            raise ValueError("changes carries only key columns; nothing to set")
+        renamed = changes.select(
+            *keys, *[F.col(c).alias(f"__new_{c}") for c in value_cols]
+        ).dropDuplicates(keys)
+
+        def apply(existing: DataFrame) -> DataFrame:
+            joined = existing.join(renamed, on=keys, how="left")
+            out = [
+                F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
+                if c in value_cols
+                else F.col(c)
+                for c in existing.columns
+            ]
+            return joined.select(*out)
+
+        if not self.partition_by:
+            return self._commit(
+                apply(self.read(spark, version=parent)),
+                expected_parent=parent,
+            )
+        missing = set(self.partition_by) - set(keys)
+        if missing:
+            # this also forbids SETTING a partition column (it would
+            # have to be a value column, hence absent from the keys):
+            # moving a row between partitions is a merge, not an update
+            raise ValueError(
+                "partition-scoped update requires partition columns to be "
+                f"part of the update key (missing: {sorted(missing)}); "
+                "otherwise a matched key could live in a partition the "
+                "change batch never names and the prune would miss it"
+            )
+        touched, touched_rows, cap = self._touched_tuples(changes, "update")
+        cur_dir = os.path.join(self.root, "_versions", parent)
+        scoped = self._scoped_read(spark, touched, touched_rows, cap, parent)
+        return self._commit(
+            apply(scoped), link_from=cur_dir, expected_parent=parent
+        )
+
     def delete(self, keys_df: DataFrame, keys: list[str]) -> str:
         """Keyed DELETE (the right-to-be-forgotten / retention-purge
         op): rows matching ``keys_df`` are removed; everything else is

@@ -209,3 +209,75 @@ def test_pointer_read_cache_serves_and_invalidates(spark):
     v2 = other.overwrite(spark.createDataFrame([(2, "b")], "k int, v string"))
     assert t.current_version() == v2  # stale cache detected via stat
     assert {r.k for r in t.read(spark).collect()} == {2}
+
+
+def test_update_columns_scoped_coalesce_and_guards(spark):
+    """Warehouse-tier S13: a partition-scoped column update rewrites
+    only the named partitions (untouched partition files keep their
+    inodes), NULL batch values leave existing values (coalesce
+    semantics), unknown / partition-column targets refuse loudly, and
+    re-applying the batch is idempotent."""
+    t = _table(keep_versions=2, partition_by=("yr",))
+    base = spark.createDataFrame(
+        [
+            (1, "1996", "P", "a"),
+            (2, "1997", "P", "b"),
+            (3, "1997", "P", "c"),
+            (4, "1998", "P", "d"),
+        ],
+        "k int, yr string, status string, v string",
+    )
+    v1 = t.overwrite(base)
+
+    def part_inodes(vdir):
+        out = {}
+        for entry in os.listdir(vdir):
+            if entry.startswith("yr="):
+                out[entry] = {
+                    os.stat(os.path.join(vdir, entry, f)).st_ino
+                    for f in os.listdir(os.path.join(vdir, entry))
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    v1_inodes = part_inodes(os.path.join(t.root, "_versions", v1))
+    changes = spark.createDataFrame(
+        [(2, "1997", "done", None), (3, "1997", "done", "C")],
+        "k int, yr string, status string, v string",
+    )
+    v2 = t.update_columns(changes, keys=["k", "yr"])
+    v2_inodes = part_inodes(os.path.join(t.root, "_versions", v2))
+    assert v2_inodes["yr=1996"] == v1_inodes["yr=1996"]  # hardlinked
+    assert v2_inodes["yr=1998"] == v1_inodes["yr=1998"]  # hardlinked
+    assert v2_inodes["yr=1997"].isdisjoint(v1_inodes["yr=1997"])
+    got = {r.k: (r.status, r.v) for r in t.read(spark).collect()}
+    assert got == {
+        1: ("P", "a"),
+        2: ("done", "b"),  # NULL v in the batch left the old value
+        3: ("done", "C"),
+        4: ("P", "d"),
+    }
+    t.update_columns(changes, keys=["k", "yr"])  # idempotent
+    assert {r.k: (r.status, r.v) for r in t.read(spark).collect()} == got
+
+    with pytest.raises(ValueError, match="not in the table"):
+        t.update_columns(
+            spark.createDataFrame([(2, "1997", "x")], "k int, yr string, nope string"),
+            keys=["k", "yr"],
+        )
+    with pytest.raises(ValueError, match="partition columns"):
+        t.update_columns(
+            spark.createDataFrame([(2, "x")], "k int, status string"),
+            keys=["k"],
+        )
+    # setting a partition column is impossible by construction: it
+    # would have to be a value column, hence absent from the keys,
+    # which the key guard refuses (moving rows between partitions is
+    # a merge, not a column update)
+    with pytest.raises(ValueError, match="partition columns"):
+        t.update_columns(
+            spark.createDataFrame(
+                [(2, "1999")], "k int, yr string"
+            ),
+            keys=["k"],
+        )
