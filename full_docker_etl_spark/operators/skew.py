@@ -150,3 +150,31 @@ def salted_count_distinct(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(out))
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+) -> None:
+    """DATA CLUSTERING for scan pruning (OPTIMIZE ... ZORDER's
+    single-dimension core): range-partition the rows by the cluster
+    keys and sort within each partition, so every output file covers a
+    NARROW, NON-OVERLAPPING key range. Parquet footers then carry
+    tight min/max stats per file and row group, and any range or point
+    predicate on the cluster keys skips whole files at planning time
+    and whole row groups at read time — on a 100 TB fact table scanned
+    by date, the difference between touching every file and touching
+    the week you asked for. Rows with equal keys land in the same
+    partition (range partitioner contract), so file ranges are
+    disjoint by construction — pinned in tests via pyarrow footer
+    stats. ``n_files`` bounds the output fan-out (default: the
+    session's shuffle parallelism)."""
+    cols = [F.col(c) for c in cluster_by]
+    ranged = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

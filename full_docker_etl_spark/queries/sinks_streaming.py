@@ -646,3 +646,54 @@ def sink_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select(
         "o_orderkey", "yr", "o_orderpriority", "o_orderstatus"
     )
+
+
+@query(
+    "sink_clustered_scan",
+    oracle="""
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+        AND l_shipdate <  TIMESTAMP '2001-04-01'
+      GROUP BY 1
+    """,
+)
+def sink_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA CLUSTERING end-to-end: the fact table is rewritten with
+    write_clustered (range-partitioned + sorted by l_shipdate → every
+    file covers a disjoint date span; footer min/max disjointness is
+    pinned in tests/test_scale.py), then a quarter-scan range query
+    runs against the clustered copy. At 100 TB the clustered layout is
+    what turns this scan from every-file into the-files-that-matter
+    (file-level min/max skip at planning, row-group skip at read); the
+    oracle recomputes the aggregate from the raw table, proving the
+    layout rewrite lost nothing and the pruned scan returns exactly
+    the unclustered answer."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.skew import write_clustered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="fde_clus_") + "/lineitem"
+    write_clustered(li, path, ["l_shipdate"], n_files=16)
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-04-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
