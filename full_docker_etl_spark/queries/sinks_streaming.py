@@ -697,3 +697,33 @@ def sink_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "sink_versioned_restore",
+    oracle="""
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+    """,
+)
+def sink_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK end-to-end: commit the good table, commit a corrupted
+    deploy over it (every price negated), then RESTORE the good
+    version — a pointer-only republish (no data copied; instant at any
+    table size because snapshots are immutable). The oracle is the
+    ORIGINAL table: the driver's hash compare proves the rollback
+    restored the pre-corruption state byte-for-byte, and that the bad
+    snapshot's rows are gone from the live read. The restored version
+    leads the retained history without duplication, so the corrupted
+    commit itself remains retained and could be rolled forward for
+    forensics (pinned in tests/test_streaming.py)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table = VersionedTable(_tmp("vrestore"), keep_versions=3)
+    good = table.overwrite(orders)
+    table.overwrite(
+        orders.withColumn("o_totalprice", -F.col("o_totalprice"))
+    )  # the bad deploy
+    table.restore(good)
+    return table.read(spark)

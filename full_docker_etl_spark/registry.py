@@ -54,11 +54,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the external evidence for the 7 rows-only sketch queries, several
 # also changed with the new probe slice), then the 41-query family
 # whose latest external sample is round 4 (agg grains / filters /
-# surface / sinks / streams / pipelines). 17 + 41 = 58 > 50, so the 8
+# surface / sinks / streams / pipelines). 18 + 41 = 59 > 50, so the 9
 # least-risky stale rows (surface one-liners unchanged since round 2:
-# topk_by_value, word_counts, catalog_tables, limit_one, global_count,
-# distinct_values, column_max, group_counts) sit at positions 51-58
-# and lead round 8's window.
+# explode_tokens, topk_by_value, word_counts, catalog_tables, limit_one,
+# global_count, distinct_values, column_max, group_counts) sit at
+# positions 51-59 and lead round 8's window.
 # Names absent from this list keep their registration (import) order
 # after it; names listed but not registered are ignored, so the list
 # can never drop a query.
@@ -70,6 +70,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sink_versioned_compact",
     "sink_versioned_cdf",
     "sink_versioned_update",
+    "sink_versioned_restore",
     "sink_clustered_scan",
     "serve_incremental_grain",
     "ann_cosine_topk",
@@ -83,8 +84,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_simhash_recall",
     "dedup_embedding_recall",
     "dedup_incremental_recall",
-    # -- tier 2: last externally sampled on round-4 code (33 of 41;
-    #    the 8 deferred one-liners close the list below)
+    # -- tier 2: last externally sampled on round-4 code (32 of 41;
+    #    the 9 deferred one-liners close the list below)
     "agg_yearly",
     "agg_multigrain",
     "serve_materialized_grain",
@@ -92,7 +93,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "agg_rollup",
     "agg_pivot",
     "agg_percentiles",
-    "explode_tokens",
     "filter_eq",
     "filter_range",
     "filter_contains_ci",
@@ -118,7 +118,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_range_join",
     "text_chunk_windows",
-    # -- tier 2b: the 8 deferred r4-stale one-liners — first in round 8
+    # -- tier 2b: the 9 deferred r4-stale one-liners — first in round 8
+    "explode_tokens",
     "topk_by_value",
     "word_counts",
     "catalog_tables",
