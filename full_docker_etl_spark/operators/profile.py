@@ -156,3 +156,28 @@ def histogram_equi_width(
             "n",
         )
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """PRIVACY AUDIT: the quasi-identifier combinations whose group
+    size falls below ``k`` — each such combination re-identifies its
+    members to within fewer than k candidates, the k-anonymity
+    failure a training-data release gate checks before publishing
+    (alongside PII scrubbing, which removes direct identifiers; this
+    catches the INDIRECT ones). One groupBy over the quasi columns
+    (map-side combined), then a count filter — the violating groups
+    are the output, ordered nothing (caller sorts), NULL quasi values
+    participate as their own group (a null combination can still
+    re-identify). At 100 TB this is one shuffle of (quasi-tuple,
+    partial-count) pairs, never rows."""
+    if k < 2:
+        raise ValueError("k-anonymity needs k >= 2 (k=1 is always satisfied)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < k)
+    )

@@ -653,3 +653,38 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+@query(
+    "audit_k_anonymity",
+    oracle="""
+      SELECT lang, source,
+             CAST(FLOOR(n_chars / 100.0) AS INTEGER) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM documents
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) < 5
+    """,
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVACY release gate, the indirect-identifier side: every
+    (lang, source, length-bucket) quasi-identifier combination held by
+    fewer than k=5 documents — each such combination re-identifies its
+    members to within <5 candidates, so a release would leak through
+    attribute linkage even after text_pii_scrub removed the DIRECT
+    identifiers. One map-side-combined groupBy over the quasi tuple
+    (shuffles (tuple, partial count) pairs, never documents), then a
+    count filter; the violating groups themselves are the audit
+    output, value-checked by the oracle's HAVING form."""
+    from full_docker_etl_spark.operators.profile import (
+        k_anonymity_violations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(100.0)).cast("int").alias(
+            "len_bucket"
+        ),
+    )
+    return k_anonymity_violations(docs, ["lang", "source", "len_bucket"], 5)

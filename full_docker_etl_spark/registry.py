@@ -54,17 +54,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the external evidence for the 7 rows-only sketch queries, several
 # also changed with the new probe slice), then the 41-query family
 # whose latest external sample is round 4 (agg grains / filters /
-# surface / sinks / streams / pipelines). 18 + 41 = 59 > 50, so the 9
-# least-risky stale rows (surface one-liners unchanged since round 2:
-# explode_tokens, topk_by_value, word_counts, catalog_tables, limit_one,
-# global_count, distinct_values, column_max, group_counts) sit at
-# positions 51-59 and lead round 8's window.
+# surface / sinks / streams / pipelines). 19 + 41 = 60 > 50, so the 10
+# least-risky stale rows (surface one-liners / simple aggs unchanged
+# since round 2: agg_percentiles, explode_tokens, topk_by_value,
+# word_counts, catalog_tables, limit_one, global_count,
+# distinct_values, column_max, group_counts) sit at positions 51-60
+# and lead round 8's window.
 # Names absent from this list keep their registration (import) order
 # after it; names listed but not registered are ignored, so the list
 # can never drop a query.
 _SAMPLE_ORDER: tuple[str, ...] = (
     # -- tier 1a: added or changed in round 7 — evidence needed on new code
     "agg_salted",
+    "audit_k_anonymity",
     "sink_versioned_merge",
     "sink_versioned_delete",
     "sink_versioned_compact",
@@ -84,15 +86,14 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_simhash_recall",
     "dedup_embedding_recall",
     "dedup_incremental_recall",
-    # -- tier 2: last externally sampled on round-4 code (32 of 41;
-    #    the 9 deferred one-liners close the list below)
+    # -- tier 2: last externally sampled on round-4 code (31 of 41;
+    #    the 10 deferred rows close the list below)
     "agg_yearly",
     "agg_multigrain",
     "serve_materialized_grain",
     "agg_count_distinct",
     "agg_rollup",
     "agg_pivot",
-    "agg_percentiles",
     "filter_eq",
     "filter_range",
     "filter_contains_ci",
@@ -118,7 +119,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_range_join",
     "text_chunk_windows",
-    # -- tier 2b: the 9 deferred r4-stale one-liners — first in round 8
+    # -- tier 2b: the 10 deferred r4-stale rows — first in round 8
+    "agg_percentiles",
     "explode_tokens",
     "topk_by_value",
     "word_counts",
