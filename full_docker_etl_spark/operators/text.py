@@ -360,3 +360,46 @@ def bm25_search(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
         top_k
     )
+
+
+def compression_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The COMPRESSION-RATIO quality signal (the zlib feature
+    CCNet/Gopher-style curation pipelines cut on): compressed bytes /
+    raw bytes at a FIXED zlib level (6), so boilerplate, template spam
+    and character-level repetition — which token-level repetition_ratio
+    can miss — score low, while natural prose sits in the 0.4-0.7
+    band. Also emits the doubled-text ratio (compress(text+text) /
+    2·len): a correct compressor prices the second copy almost free,
+    so ``comp_ratio_2x < comp_ratio`` is a per-row invariant the
+    verdict query pins (a broken UDF emitting constants fails the
+    strict inequality).
+
+    This is a genuine Python stage (zlib has no Catalyst form), so it
+    follows the repo's ingestion-boundary rule: ONE Arrow-batched
+    mapInPandas with an explicit schema, column-pruned to (id, text)
+    around the boundary — per-batch, not per-row, Python crossing.
+    Deterministic: fixed level, no dictionaries."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    schema = f"{id_col} long, comp_ratio double, comp_ratio_2x double"
+
+    def gen(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, r1, r2 = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                b = (t or "").encode("utf-8")
+                n = max(len(b), 1)
+                ids.append(i)
+                r1.append(len(zlib.compress(b, 6)) / n)
+                r2.append(len(zlib.compress(b + b, 6)) / (2 * n))
+            yield pd.DataFrame(
+                {id_col: ids, "comp_ratio": r1, "comp_ratio_2x": r2}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)

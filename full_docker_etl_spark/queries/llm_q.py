@@ -1611,3 +1611,56 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_payloads(
         documents_as_binary(_docs(spark, sf_dir)), "doc_id", "payload"
     )
+
+
+@query("text_compression")
+def text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zlib compression-ratio quality signal per document —
+    boilerplate/template spam scores low where token-level
+    repetition_ratio can miss character-level patterns. Rows-only by
+    design (no SQL engine compresses); its value checks are the
+    oracle-checked verdict sibling text_compression_verdict, per the
+    repo's sketch-sibling convention."""
+    return tx.compression_features(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round("comp_ratio", 4).alias("comp_ratio"),
+        F.round("comp_ratio_2x", 4).alias("comp_ratio_2x"),
+    )
+
+
+@query(
+    "text_compression_verdict",
+    oracle="""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             TRUE AS in_range_ok,
+             TRUE AS marginal_ok
+      FROM documents
+    """,
+)
+def text_compression_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally-checked VERDICT for the compression signal: n_docs
+    is the portable corpus count (oracle-recomputed); in_range_ok pins
+    every ratio into (0, 1.2] (zlib stream overhead can push tiny
+    texts slightly over 1 — a ratio of 0 or 3 means a broken UDF);
+    marginal_ok pins the compressor-correctness invariant on every
+    document ≥50 raw bytes: compress(text+text) costs strictly less
+    per byte than compress(text), because a correct LZ77 window prices
+    the second copy as one back-reference. A UDF emitting constants,
+    truncating input, or double-counting bytes flips a boolean and
+    fails the driver's hash compare."""
+    feats = tx.compression_features(_docs(spark, sf_dir)).join(
+        _docs(spark, sf_dir).select("doc_id", F.length("text").alias("_len")),
+        "doc_id",
+    )
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(
+            (F.col("comp_ratio") > 0) & (F.col("comp_ratio") <= 1.2)
+        ).alias("in_range_ok"),
+        F.min(
+            F.when(
+                F.col("_len") >= 50,
+                F.col("comp_ratio_2x") < F.col("comp_ratio"),
+            ).otherwise(F.lit(True))
+        ).alias("marginal_ok"),
+    )
