@@ -45,3 +45,47 @@ def semi_manifest(df: DataFrame, manifest: DataFrame, on) -> DataFrame:
     pickle-file id-list handoff) as a left-semi join — the manifest is
     typically tiny, so hint broadcast."""
     return df.join(F.broadcast(manifest), on=on, how="left_semi")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int,
+    out: str = "edit_dist",
+) -> DataFrame:
+    """RECORD-LINKAGE join: pairs whose edit distance is ≤ ``max_dist``,
+    without the all-pairs cartesian that a naive fuzzy match plans.
+    Two-layer candidate generation, standard blocking design:
+
+    - BLOCKING KEY (lossy, part of the operator's contract): the first
+      whitespace token must match exactly. Pairs differing in their
+      first token are not candidates — the classic recall/cost trade
+      every record-linkage blocker makes; callers pick the key column
+      accordingly (e.g. a name's surname token, a product line).
+    - LENGTH BAND (lossless prune): ``levenshtein(a,b) ≥ |len(a) −
+      len(b)|``, so pairs outside the band CANNOT match — an
+      equi-join-side filter that costs nothing and kills most of each
+      block before the quadratic distance evaluate.
+
+    The plan is an equi-join on the block key (hash-partitioned, no
+    cartesian) with the band + distance as post-join filters; at 100 TB
+    the cost is Σ|block|² over blocks, which the blocking key keeps
+    bounded — the same shape as the dedup tiers' banded candidates.
+    Spark evaluates levenshtein JVM-side (no UDF)."""
+    lb = F.split(F.col("__l"), r"\s+").getItem(0)
+    rb = F.split(F.col("__r"), r"\s+").getItem(0)
+    lf = left.select(*left.columns, F.col(left_col).alias("__l"))
+    rf = right.select(*right.columns, F.col(right_col).alias("__r"))
+    pairs = lf.withColumn("__lb", lb).join(
+        rf.withColumn("__rb", rb), F.col("__lb") == F.col("__rb")
+    )
+    return (
+        pairs.where(
+            F.abs(F.length("__l") - F.length("__r")) <= max_dist
+        )
+        .withColumn(out, F.levenshtein(F.col("__l"), F.col("__r")))
+        .where(F.col(out) <= max_dist)
+        .drop("__l", "__r", "__lb", "__rb")
+    )

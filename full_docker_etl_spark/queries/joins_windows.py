@@ -601,3 +601,37 @@ def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w1), 4).alias("prnk"),
         F.ntile(4).over(w2).alias("quartile"),
     )
+
+
+@query(
+    "join_fuzzy_names",
+    oracle="""
+      WITH p AS (SELECT DISTINCT p_name FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+      FROM p a JOIN p b
+        ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+       AND a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 3
+       AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy RECORD LINKAGE over the part-name vocabulary: near-
+    identical names within edit distance 3, found WITHOUT an all-pairs
+    cartesian — first-token blocking key (equi-join, hash-partitioned)
+    + the lossless |length-difference| ≤ d band prune, then one
+    JVM-side levenshtein per surviving candidate. The oracle runs the
+    identical blocked form in SQL (DuckDB's levenshtein), so the
+    blocking contract itself is value-checked; dedup to distinct names
+    first makes the pair set the vocabulary's, not the row count's."""
+    from full_docker_etl_spark.operators.joins import fuzzy_join
+
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return fuzzy_join(a, b, "name_a", "name_b", max_dist=3).where(
+        F.col("name_a") < F.col("name_b")
+    ).select("name_a", "name_b", "edit_dist")
