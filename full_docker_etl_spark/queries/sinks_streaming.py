@@ -727,3 +727,54 @@ def sink_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # the bad deploy
     table.restore(good)
     return table.read(spark)
+
+
+@query(
+    "sink_versioned_merge_cdc",
+    oracle="""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y') AS yr,
+             CAST(CASE WHEN strftime(o_orderdate, '%Y') = '1997'
+                        AND o_orderkey % 3 = 1
+                       THEN o_totalprice + 100.0 ELSE o_totalprice END
+                  AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE NOT (strftime(o_orderdate, '%Y') = '1997'
+                 AND o_orderkey % 3 = 0)
+    """,
+)
+def sink_versioned_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-APPLY shape: one MERGE batch carrying all three branches
+    — WHEN MATCHED DELETE (tombstone rows, o_orderkey%3=0 in 1997),
+    WHEN MATCHED UPDATE (%3=1, price+100), WHEN NOT MATCHED INSERT
+    (the general merge contract) — applied to a year-partitioned
+    VersionedTable in ONE partition-scoped commit. This is how an
+    upstream change feed (diff()'s output, a Debezium stream) lands in
+    a downstream table without separating deletes from upserts into
+    two non-atomic commits. The tombstone flag column never reaches
+    the table schema; applied twice for idempotency; the oracle
+    recomputes the surviving rows and updated prices from the raw
+    table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        "o_totalprice",
+    )
+    table = VersionedTable(
+        _tmp("vcdc"), keep_versions=2, partition_by=("yr",)
+    )
+    table.overwrite(orders)
+    y97 = orders.where(F.col("yr") == "1997")
+    batch = y97.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "yr", "o_totalprice", F.lit(True).alias("_deleted")
+    ).unionByName(
+        y97.where(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey",
+            "yr",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+            F.lit(False).alias("_deleted"),
+        )
+    )
+    table.merge(batch, keys=["o_orderkey", "yr"], delete_col="_deleted")
+    table.merge(batch, keys=["o_orderkey", "yr"], delete_col="_deleted")
+    return table.read(spark).select("o_orderkey", "yr", "o_totalprice")

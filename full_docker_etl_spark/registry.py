@@ -54,12 +54,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the external evidence for the 7 rows-only sketch queries, several
 # also changed with the new probe slice), then the 41-query family
 # whose latest external sample is round 4 (agg grains / filters /
-# surface / sinks / streams / pipelines). 21 + 41 = 62 > 50, so the 12
-# least-risky stale rows (surface one-liners / simple aggs unchanged
-# since round 2: nested_reshape, point_lookup, agg_percentiles,
-# explode_tokens, topk_by_value, word_counts, catalog_tables,
-# limit_one, global_count, distinct_values, column_max, group_counts)
-# sit at positions 51-62 and lead round 8's window.
+# surface / sinks / streams / pipelines). 22 + 41 = 63 > 50, so the 13
+# least-risky stale rows (surface one-liners / simple filters & aggs
+# unchanged since round 2: filter_pending, nested_reshape,
+# point_lookup, agg_percentiles, explode_tokens, topk_by_value,
+# word_counts, catalog_tables, limit_one, global_count,
+# distinct_values, column_max, group_counts) sit at positions 51-63
+# and lead round 8's window.
 # Names absent from this list keep their registration (import) order
 # after it; names listed but not registered are ignored, so the list
 # can never drop a query.
@@ -70,6 +71,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_compression_verdict",
     "join_fuzzy_names",
     "sink_versioned_merge",
+    "sink_versioned_merge_cdc",
     "sink_versioned_delete",
     "sink_versioned_compact",
     "sink_versioned_cdf",
@@ -88,8 +90,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_simhash_recall",
     "dedup_embedding_recall",
     "dedup_incremental_recall",
-    # -- tier 2: last externally sampled on round-4 code (29 of 41;
-    #    the 12 deferred rows close the list below)
+    # -- tier 2: last externally sampled on round-4 code (28 of 41;
+    #    the 13 deferred rows close the list below)
     "agg_yearly",
     "agg_multigrain",
     "serve_materialized_grain",
@@ -101,7 +103,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "filter_contains_ci",
     "filter_or_search",
     "filter_in",
-    "filter_pending",
     "sort_topk",
     "csv_scan",
     "zip_xml_ingest",
@@ -119,7 +120,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_range_join",
     "text_chunk_windows",
-    # -- tier 2b: the 12 deferred r4-stale rows — first in round 8
+    # -- tier 2b: the 13 deferred r4-stale rows — first in round 8
+    "filter_pending",
     "nested_reshape",
     "point_lookup",
     "agg_percentiles",

@@ -462,10 +462,21 @@ class VersionedTable:
         updates: DataFrame,
         keys: list[str],
         evolve_schema: bool = False,
+        delete_col: str | None = None,
     ) -> str:
         """MERGE semantics (matched → replace, unmatched → insert) as
         read-current → anti-join → union → atomic commit. Idempotent:
         re-running the same batch converges to the same state.
+
+        ``delete_col`` adds the WHEN MATCHED DELETE branch: batch rows
+        whose (boolean) flag column is true are TOMBSTONES — their keys
+        are removed from the table and the flag column itself never
+        lands in the schema; flag-false rows upsert as usual (NULL flag
+        = false). One batch, all three MERGE branches, one commit —
+        the CDC-apply shape (consume an upstream change feed where
+        deletes and upserts interleave). A tombstoned partition that
+        empties is excluded from the hardlink step exactly like a
+        keyed DELETE's.
 
         ``evolve_schema=True`` allows the batch to ADD columns (and to
         omit existing ones): the union aligns by name with missing
@@ -491,7 +502,7 @@ class VersionedTable:
         overlapping writers therefore both land — serialized — or the
         slower one fails loudly; never a silent lost update."""
         return self._retry_concurrent(
-            lambda: self._merge_once(updates, keys, evolve_schema)
+            lambda: self._merge_once(updates, keys, evolve_schema, delete_col)
         )
 
     def _retry_concurrent(self, attempt_fn, attempts: int = 8):
@@ -509,22 +520,44 @@ class VersionedTable:
         raise last
 
     def _merge_once(
-        self, updates: DataFrame, keys: list[str], evolve_schema: bool
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        evolve_schema: bool,
+        delete_col: str | None = None,
     ) -> str:
         spark = updates.sparkSession
+        if delete_col is not None:
+            if delete_col in keys:
+                raise ValueError(
+                    f"delete flag column {delete_col!r} cannot be a merge key"
+                )
+            if delete_col not in updates.columns:
+                raise ValueError(
+                    f"delete_col {delete_col!r} is not in the batch "
+                    f"(columns: {updates.columns})"
+                )
+            flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            upserts = updates.where(~flag).drop(delete_col)
+            may_empty = True  # tombstones can drain a touched partition
+        else:
+            upserts = updates
+            may_empty = False
+        # BOTH branches' keys leave the current snapshot (a tombstoned
+        # key is simply never re-inserted)
+        probe = updates.select(*keys)
         parent = self.current_version()
         if parent is None:
             # first write: parent check still applies (a racing initial
             # writer publishes first → this commit rejects and retries
-            # as a real merge against the winner's snapshot)
-            return self._commit(updates, expected_parent=None)
+            # as a real merge against the winner's snapshot); tombstones
+            # against an empty table are no-ops by construction
+            return self._commit(upserts, expected_parent=None)
         if not self.partition_by:
             existing = self.read(spark, version=parent)
-            keep = existing.join(
-                updates.select(*keys), on=keys, how="left_anti"
-            )
+            keep = existing.join(probe, on=keys, how="left_anti")
             return self._commit(
-                keep.unionByName(updates, allowMissingColumns=evolve_schema),
+                keep.unionByName(upserts, allowMissingColumns=evolve_schema),
                 expected_parent=parent,
             )
         missing = set(self.partition_by) - set(keys)
@@ -535,7 +568,7 @@ class VersionedTable:
                 "otherwise a matched key could live in a partition the "
                 "update batch never names and the prune would miss it"
             )
-        if evolve_schema and set(updates.columns) != set(
+        if evolve_schema and set(upserts.columns) != set(
             self.read(spark, version=parent).columns
         ):
             # Plain Parquet has no schema registry: hardlinking
@@ -545,20 +578,37 @@ class VersionedTable:
             # once (every file carries the final schema); subsequent
             # merges return to the scoped fast path.
             existing = self.read(spark, version=parent)
-            keep = existing.join(
-                updates.select(*keys), on=keys, how="left_anti"
-            )
+            keep = existing.join(probe, on=keys, how="left_anti")
             return self._commit(
-                keep.unionByName(updates, allowMissingColumns=True),
+                keep.unionByName(upserts, allowMissingColumns=True),
                 expected_parent=parent,
             )
         touched, touched_rows, cap = self._touched_tuples(updates, "merge")
         cur_dir = os.path.join(self.root, "_versions", parent)
         existing = self._scoped_read(spark, touched, touched_rows, cap, parent)
-        keep = existing.join(updates.select(*keys), on=keys, how="left_anti")
+        keep = existing.join(probe, on=keys, how="left_anti")
+        merged = keep.unionByName(upserts)
+        if may_empty and len(touched_rows) > cap:
+            # same reasoning as delete(): past the cap a bounded
+            # link-exclusion set cannot be complete, so a tombstone
+            # merge naming >10k partitions rewrites without links
+            untouched = self.read(spark, version=parent).join(
+                F.broadcast(touched),
+                on=list(self.partition_by),
+                how="left_anti",
+            )
+            return self._commit(
+                merged.unionByName(untouched), expected_parent=parent
+            )
+        excl = (
+            self._touched_leaf_rels(cur_dir, touched)
+            if may_empty
+            else frozenset()
+        )
         return self._commit(
-            keep.unionByName(updates),
+            merged,
             link_from=cur_dir,
+            link_exclude=excl,
             expected_parent=parent,
         )
 

@@ -281,3 +281,44 @@ def test_update_columns_scoped_coalesce_and_guards(spark):
             ),
             keys=["k"],
         )
+
+
+def test_merge_delete_branch_tombstones(spark):
+    """MERGE with delete_col: tombstoned keys leave the table, flagged-
+    false rows upsert, unmatched rows insert — one commit, all three
+    branches; a partition ALL of whose rows are tombstoned empties and
+    must not be resurrected by the hardlink step; the flag column never
+    lands in the schema; NULL flag = keep; idempotent."""
+    t = _table(keep_versions=2, partition_by=("yr",))
+    t.overwrite(
+        spark.createDataFrame(
+            [
+                (1, "1996", "a"),
+                (2, "1997", "b"),
+                (3, "1997", "c"),
+                (4, "1998", "d"),
+            ],
+            "k int, yr string, v string",
+        )
+    )
+    batch = spark.createDataFrame(
+        [
+            (2, "1997", "B2", False),   # update
+            (3, "1997", None, True),    # delete
+            (4, "1998", None, True),    # delete — empties yr=1998
+            (5, "1997", "e", None),     # insert, NULL flag = keep
+        ],
+        "k int, yr string, v string, _del boolean",
+    )
+    v2 = t.merge(batch, keys=["k", "yr"], delete_col="_del")
+    got = {r.k: (r.yr, r.v) for r in t.read(spark).collect()}
+    assert got == {1: ("1996", "a"), 2: ("1997", "B2"), 5: ("1997", "e")}
+    assert "_del" not in t.read(spark).columns
+    assert "yr=1998" not in os.listdir(os.path.join(t.root, "_versions", v2))
+    t.merge(batch, keys=["k", "yr"], delete_col="_del")  # idempotent
+    assert {r.k for r in t.read(spark).collect()} == {1, 2, 5}
+
+    with pytest.raises(ValueError, match="cannot be a merge key"):
+        t.merge(batch, keys=["k", "yr", "_del"], delete_col="_del")
+    with pytest.raises(ValueError, match="not in the batch"):
+        t.merge(batch.drop("_del"), keys=["k", "yr"], delete_col="_del")
