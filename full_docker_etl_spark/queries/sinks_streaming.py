@@ -778,3 +778,67 @@ def sink_versioned_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.merge(batch, keys=["o_orderkey", "yr"], delete_col="_deleted")
     table.merge(batch, keys=["o_orderkey", "yr"], delete_col="_deleted")
     return table.read(spark).select("o_orderkey", "yr", "o_totalprice")
+
+
+@query(
+    "sink_versioned_replicate",
+    oracle="""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y') AS yr,
+             CAST(CASE WHEN strftime(o_orderdate, '%Y') = '1997'
+                        AND o_orderkey % 3 = 1
+                       THEN o_totalprice + 100.0 ELSE o_totalprice END
+                  AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE NOT (strftime(o_orderdate, '%Y') = '1997'
+                 AND o_orderkey % 3 = 0)
+    """,
+)
+def sink_versioned_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC LOOP closed end-to-end: a SOURCE table takes a mixed
+    mutation round (keyed DELETE of %3=0, MERGE update of %3=1, both
+    in 1997), then ``diff(include_values=True)`` derives the replayable
+    change feed between the two retained snapshots — |changes| rows,
+    never the table — and ONE ``merge(feed, delete_col=...)`` applies
+    it to an independently-initialized REPLICA. The driver checks the
+    REPLICA's state against an oracle recomputed from the raw table,
+    proving produce→apply converges the replica to the source exactly:
+    the incremental-replication contract (ship the feed, not the
+    table) that matters when the table is 100 TB and the change set is
+    a day's mutations."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        "o_totalprice",
+    )
+    source = VersionedTable(
+        _tmp("vrepl_src"), keep_versions=3, partition_by=("yr",)
+    )
+    v1 = source.overwrite(orders)
+    replica = VersionedTable(
+        _tmp("vrepl_dst"), keep_versions=2, partition_by=("yr",)
+    )
+    replica.overwrite(source.read(spark, version=v1))
+
+    y97 = orders.where(F.col("yr") == "1997")
+    source.delete(
+        y97.where(F.col("o_orderkey") % 3 == 0).select("o_orderkey", "yr"),
+        keys=["o_orderkey", "yr"],
+    )
+    source.merge(
+        y97.where(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey",
+            "yr",
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        ),
+        keys=["o_orderkey", "yr"],
+    )
+    feed = source.diff(
+        spark, ["o_orderkey", "yr"], from_version=v1, include_values=True
+    )
+    replica.merge(
+        feed.withColumn("_del", F.col("change") == "deleted").drop("change"),
+        keys=["o_orderkey", "yr"],
+        delete_col="_del",
+    )
+    return replica.read(spark).select("o_orderkey", "yr", "o_totalprice")

@@ -54,12 +54,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the external evidence for the 7 rows-only sketch queries, several
 # also changed with the new probe slice), then the 41-query family
 # whose latest external sample is round 4 (agg grains / filters /
-# surface / sinks / streams / pipelines). 22 + 41 = 63 > 50, so the 13
+# surface / sinks / streams / pipelines). 23 + 41 = 64 > 50, so the 14
 # least-risky stale rows (surface one-liners / simple filters & aggs
-# unchanged since round 2: filter_pending, nested_reshape,
-# point_lookup, agg_percentiles, explode_tokens, topk_by_value,
-# word_counts, catalog_tables, limit_one, global_count,
-# distinct_values, column_max, group_counts) sit at positions 51-63
+# unchanged since round 2: filter_or_search, filter_pending,
+# nested_reshape, point_lookup, agg_percentiles, explode_tokens,
+# topk_by_value, word_counts, catalog_tables, limit_one, global_count,
+# distinct_values, column_max, group_counts) sit at positions 51-64
 # and lead round 8's window.
 # Names absent from this list keep their registration (import) order
 # after it; names listed but not registered are ignored, so the list
@@ -72,6 +72,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_fuzzy_names",
     "sink_versioned_merge",
     "sink_versioned_merge_cdc",
+    "sink_versioned_replicate",
     "sink_versioned_delete",
     "sink_versioned_compact",
     "sink_versioned_cdf",
@@ -90,8 +91,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_simhash_recall",
     "dedup_embedding_recall",
     "dedup_incremental_recall",
-    # -- tier 2: last externally sampled on round-4 code (28 of 41;
-    #    the 13 deferred rows close the list below)
+    # -- tier 2: last externally sampled on round-4 code (27 of 41;
+    #    the 14 deferred rows close the list below)
     "agg_yearly",
     "agg_multigrain",
     "serve_materialized_grain",
@@ -101,7 +102,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "filter_eq",
     "filter_range",
     "filter_contains_ci",
-    "filter_or_search",
     "filter_in",
     "sort_topk",
     "csv_scan",
@@ -120,7 +120,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_range_join",
     "text_chunk_windows",
-    # -- tier 2b: the 13 deferred r4-stale rows — first in round 8
+    # -- tier 2b: the 14 deferred r4-stale rows — first in round 8
+    "filter_or_search",
     "filter_pending",
     "nested_reshape",
     "point_lookup",

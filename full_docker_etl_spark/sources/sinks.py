@@ -824,6 +824,7 @@ class VersionedTable:
         keys: list[str],
         from_version: str,
         to_version: str | None = None,
+        include_values: bool = False,
     ) -> DataFrame:
         """CHANGE FEED between two retained snapshots (the CDC read
         pattern lake formats expose): one row per changed key,
@@ -834,7 +835,14 @@ class VersionedTable:
         Unchanged keys are dropped. Scale shape: one key-partitioned
         join of two snapshot scans (column-pruned to keys + compared
         columns); downstream consumers (cache invalidation,
-        incremental export) read |changes| rows, not the table."""
+        incremental export) read |changes| rows, not the table.
+
+        ``include_values=True`` makes the feed REPLAYABLE: each
+        inserted/updated row carries the NEW side's non-key columns
+        (NULL for deletes), so the output feeds straight into
+        ``merge(feed, keys, delete_col=...)`` on a replica — produce
+        and apply close the CDC loop with the same two operators the
+        lake formats pair (CDF read → MERGE apply)."""
         old = self.read(spark, version=from_version)
         new = self.read(spark, version=to_version)
         common = [c for c in new.columns if c in set(old.columns)]
@@ -847,10 +855,15 @@ class VersionedTable:
             .when(F.col("__n").isNull(), F.lit("deleted"))
             .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("updated"))
         )
-        return (
-            joined.withColumn("change", change)
-            .where(F.col("change").isNotNull())
-            .select(*keys, "change")
+        flagged = joined.withColumn("change", change).where(
+            F.col("change").isNotNull()
+        )
+        if not include_values:
+            return flagged.select(*keys, "change")
+        return flagged.select(
+            *keys,
+            "change",
+            *[F.col("__n")[c].alias(c) for c in nonkey],
         )
 
     def compact(
