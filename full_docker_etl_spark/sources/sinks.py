@@ -686,10 +686,12 @@ class VersionedTable:
             return joined.select(*out)
 
         if not self.partition_by:
-            return self._commit(
-                apply(self.read(spark, version=parent)),
-                expected_parent=parent,
-            )
+            existing = self.read(spark, version=parent)
+            if not existing.join(
+                renamed.select(*keys), on=keys, how="left_semi"
+            ).take(1):
+                return parent  # nothing matches: no commit, no churn
+            return self._commit(apply(existing), expected_parent=parent)
         missing = set(self.partition_by) - set(keys)
         if missing:
             # this also forbids SETTING a partition column (it would
@@ -704,6 +706,10 @@ class VersionedTable:
         touched, touched_rows, cap = self._touched_tuples(changes, "update")
         cur_dir = os.path.join(self.root, "_versions", parent)
         scoped = self._scoped_read(spark, touched, touched_rows, cap, parent)
+        if not scoped.join(
+            renamed.select(*keys), on=keys, how="left_semi"
+        ).take(1):
+            return parent  # nothing matches: no commit, no churn
         return self._commit(
             apply(scoped), link_from=cur_dir, expected_parent=parent
         )

@@ -322,3 +322,30 @@ def test_merge_delete_branch_tombstones(spark):
         t.merge(batch, keys=["k", "yr", "_del"], delete_col="_del")
     with pytest.raises(ValueError, match="not in the batch"):
         t.merge(batch.drop("_del"), keys=["k", "yr"], delete_col="_del")
+
+
+def test_update_columns_nothing_matched_is_a_noop(spark):
+    """A change batch matching zero rows returns the current version
+    with no commit — same no-churn contract as delete()/compact()."""
+    t = _table(keep_versions=2, partition_by=("yr",))
+    v1 = t.overwrite(
+        spark.createDataFrame(
+            [(1, "1996", "P")], "k int, yr string, status string"
+        )
+    )
+    ghost = spark.createDataFrame(
+        [(99, "1996", "done")], "k int, yr string, status string"
+    )
+    assert t.update_columns(ghost, keys=["k", "yr"]) == v1
+    assert t.versions() == [v1]
+    u = _table(keep_versions=2)
+    uv1 = u.overwrite(
+        spark.createDataFrame([(1, "P")], "k int, status string")
+    )
+    assert (
+        u.update_columns(
+            spark.createDataFrame([(9, "x")], "k int, status string"), ["k"]
+        )
+        == uv1
+    )
+    assert u.versions() == [uv1]
