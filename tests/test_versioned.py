@@ -349,3 +349,102 @@ def test_update_columns_nothing_matched_is_a_noop(spark):
         == uv1
     )
     assert u.versions() == [uv1]
+
+
+def test_mutation_tier_model_based(spark):
+    """MODEL-BASED consistency: a seeded random sequence of merge /
+    tombstone-merge / delete / update_columns / compact / restore ops
+    runs against both the VersionedTable and a plain in-memory dict
+    model; after every op the table's read-back must equal the model
+    exactly. Catches cross-op interactions no single-op test sees
+    (e.g. a delete after a tombstone merge after a restore)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = _table(keep_versions=4, partition_by=("p",))
+        model: dict[tuple[int, str], str] = {}
+        versions: list[tuple[str, dict]] = []  # (version, snapshot)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "k int, p string, v string"
+            )
+
+        base = [(k, rng.choice("AB"), f"s{seed}v{k}") for k in range(8)]
+        v = t.overwrite(mk(base))
+        model = {(k, p): val for k, p, val in base}
+        versions.append((v, dict(model)))
+
+        for step in range(12):
+            op = rng.choice(["merge", "merge_del", "delete", "update", "compact", "restore"])
+            ks = rng.sample(range(12), rng.randint(1, 4))
+            if op == "merge":
+                rows = [(k, rng.choice("AB"), f"m{step}k{k}") for k in ks]
+                # a key's partition must not move: reuse existing p
+                rows = [
+                    (k, next((p for (mk_, p) in model if mk_ == k), p0), f"m{step}k{k}")
+                    for (k, p0, _v) in rows
+                ]
+                v = t.merge(mk(rows), keys=["k", "p"])
+                for k, p, val in rows:
+                    model[(k, p)] = val
+                versions.append((v, dict(model)))
+            elif op == "merge_del":
+                rows = []
+                for k in ks:
+                    p = next((p for (mk_, p) in model if mk_ == k), rng.choice("AB"))
+                    dead = rng.random() < 0.5
+                    rows.append((k, p, None if dead else f"t{step}k{k}", dead))
+                df = spark.createDataFrame(
+                    rows, "k int, p string, v string, _del boolean"
+                )
+                v = t.merge(df, keys=["k", "p"], delete_col="_del")
+                for k, p, val, dead in rows:
+                    if dead:
+                        model.pop((k, p), None)
+                    else:
+                        model[(k, p)] = val
+                versions.append((v, dict(model)))
+            elif op == "delete":
+                rows = [
+                    (k, next((p for (mk_, p) in model if mk_ == k), rng.choice("AB")))
+                    for k in ks
+                ]
+                df = spark.createDataFrame(rows, "k int, p string")
+                v = t.delete(df, keys=["k", "p"])
+                matched = any((k, p) in model for k, p in rows)
+                for k, p in rows:
+                    model.pop((k, p), None)
+                if matched:
+                    versions.append((v, dict(model)))
+            elif op == "update":
+                rows = [
+                    (k, next((p for (mk_, p) in model if mk_ == k), rng.choice("AB")),
+                     f"u{step}k{k}")
+                    for k in ks
+                ]
+                df = spark.createDataFrame(rows, "k int, p string, v string")
+                v = t.update_columns(df, keys=["k", "p"])
+                matched = False
+                for k, p, val in rows:
+                    if (k, p) in model:
+                        model[(k, p)] = val
+                        matched = True
+                if matched:
+                    versions.append((v, dict(model)))
+            elif op == "compact":
+                out = t.compact(spark, max_files_per_partition=1)
+                if out is not None:
+                    versions.append((out, dict(model)))
+            else:  # restore to a random retained version
+                retained = t.versions()
+                pick = rng.choice(retained)
+                snap = next(s for vv, s in reversed(versions) if vv == pick)
+                t.restore(pick)
+                model = dict(snap)
+                versions.append((pick, dict(model)))
+            got = {
+                (r.k, r.p): r.v for r in t.read(spark).collect()
+            }
+            assert got == model, (seed, step, op)
