@@ -301,3 +301,16 @@ def test_no_scale_antipatterns_in_any_registered_query(spark):
         if s["cartesian"] or s["range_exchanges"]:
             offenders[name] = s
     assert not offenders, offenders
+
+
+def test_clustered_scan_pushes_range_to_files(spark, sf_dir):
+    """The clustered-layout query's range predicate must reach the
+    parquet scan as PushedFilters — with write_clustered's disjoint
+    per-file min/max, that pushdown is what lets the reader skip whole
+    files/row groups; a post-scan-only filter would read every byte of
+    the clustered table and defeat the layout."""
+    plan = plan_of(spark, sf_dir, "sink_clustered_scan")
+    squeezed = plan.replace(" ", "")
+    assert "PushedFilters" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in squeezed, plan
+    assert "LessThan(l_shipdate" in squeezed, plan
