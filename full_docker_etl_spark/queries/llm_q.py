@@ -1664,3 +1664,83 @@ def text_compression_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(True))
         ).alias("marginal_ok"),
     )
+
+
+@query(
+    "ann_ivf_incremental",
+    oracle="""
+      SELECT CAST(5 * LEAST(10, (SELECT COUNT(*) FROM embeddings))
+                  AS BIGINT) AS n_inc,
+             TRUE AS inc_ok
+    """,
+)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN index maintenance — the composition that matters
+    when embeddings arrive daily and the index is 100 TB: the inverted
+    lists live in a VersionedTable partitioned by ``centroid``, the
+    index is built WITHOUT every 5th vector, and the missing slice
+    then MERGES in — a partition-scoped commit that rewrites ONLY the
+    lists the new vectors land in (every untouched list hardlinks;
+    atomic publish, so a probe never sees a half-updated index) — no
+    index rebuild anywhere. The verdict probes the incrementally-built
+    lists and demands EXACT equality with a from-scratch in-memory
+    ivf_topk over the full corpus on the same centroids: same (qid,
+    vec_id, cos_sim, rank) quadruples, none missing, none extra.
+    Catches stale-norm, wrong-list-routing and dropped-partition bugs
+    in the maintenance path."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.similarity import (
+        _norm,
+        _score_and_rank,
+        assign_nearest,
+    )
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
+    cents = _first_k_centroids(corpus)
+
+    def assigned(df):
+        return assign_nearest(
+            df.withColumn("_cn", _norm(F.col("embedding"))),
+            "embedding",
+            cents,
+            1,
+        )
+
+    table = VersionedTable(
+        tempfile.mkdtemp(prefix="fde_ivf_inc_") + "/lists",
+        keep_versions=2,
+        partition_by=("centroid",),
+    )
+    table.overwrite(assigned(corpus.where(F.col("vec_id") % 5 != 0)))
+    table.merge(
+        assigned(corpus.where(F.col("vec_id") % 5 == 0)),
+        keys=["vec_id", "centroid"],
+    )
+    lists = table.read(spark)
+    probed = assign_nearest(
+        queries.withColumn("_qn", _norm(F.col("qvec"))), "qvec", cents, 6
+    )
+    cand = F.broadcast(probed).join(lists, "centroid").where(
+        F.col("qid") != F.col("vec_id")
+    )
+    inc = _score_and_rank(cand, 5, "qid", "vec_id", "qvec", "embedding")
+    mem = ivf_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=6, centroids=cents
+    ).select("qid", "vec_id", "cos_sim", "rank")
+    i = inc.withColumn("_i", F.lit(1))
+    m = mem.withColumn("_m", F.lit(1))
+    return (
+        i.join(m, ["qid", "vec_id", "cos_sim", "rank"], "full_outer")
+        .agg(
+            F.count("_i").alias("n_inc"),
+            F.count(
+                F.when(F.col("_i").isNull() | F.col("_m").isNull(), 1)
+            ).alias("n_mismatch"),
+        )
+        .select(
+            F.col("n_inc").cast("long").alias("n_inc"),
+            (F.col("n_mismatch") == 0).alias("inc_ok"),
+        )
+    )

@@ -54,13 +54,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the external evidence for the 7 rows-only sketch queries, several
 # also changed with the new probe slice), then the 41-query family
 # whose latest external sample is round 4 (agg grains / filters /
-# surface / sinks / streams / pipelines). 23 + 41 = 64 > 50, so the 14
+# surface / sinks / streams / pipelines). 24 + 41 = 65 > 50, so the 15
 # least-risky stale rows (surface one-liners / simple filters & aggs
-# unchanged since round 2: filter_or_search, filter_pending,
-# nested_reshape, point_lookup, agg_percentiles, explode_tokens,
-# topk_by_value, word_counts, catalog_tables, limit_one, global_count,
-# distinct_values, column_max, group_counts) sit at positions 51-64
-# and lead round 8's window.
+# unchanged since round 2: filter_contains_ci, filter_or_search,
+# filter_pending, nested_reshape, point_lookup, agg_percentiles,
+# explode_tokens, topk_by_value, word_counts, catalog_tables,
+# limit_one, global_count, distinct_values, column_max, group_counts)
+# sit at positions 51-65 and lead round 8's window.
 # Names absent from this list keep their registration (import) order
 # after it; names listed but not registered are ignored, so the list
 # can never drop a query.
@@ -80,6 +80,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sink_versioned_restore",
     "sink_clustered_scan",
     "serve_incremental_grain",
+    "ann_ivf_incremental",
     "ann_cosine_topk",
     # -- tier 1b: verdict rows, pinned in every window (probe slice
     #    changed this round for the ann_* rows)
@@ -91,8 +92,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_simhash_recall",
     "dedup_embedding_recall",
     "dedup_incremental_recall",
-    # -- tier 2: last externally sampled on round-4 code (27 of 41;
-    #    the 14 deferred rows close the list below)
+    # -- tier 2: last externally sampled on round-4 code (26 of 41;
+    #    the 15 deferred rows close the list below)
     "agg_yearly",
     "agg_multigrain",
     "serve_materialized_grain",
@@ -101,7 +102,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "agg_pivot",
     "filter_eq",
     "filter_range",
-    "filter_contains_ci",
     "filter_in",
     "sort_topk",
     "csv_scan",
@@ -120,7 +120,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_range_join",
     "text_chunk_windows",
-    # -- tier 2b: the 14 deferred r4-stale rows — first in round 8
+    # -- tier 2b: the 15 deferred r4-stale rows — first in round 8
+    "filter_contains_ci",
     "filter_or_search",
     "filter_pending",
     "nested_reshape",
