@@ -635,3 +635,39 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(a, b, "name_a", "name_b", max_dist=3).where(
         F.col("name_a") < F.col("name_b")
     ).select("name_a", "name_b", "edit_dist")
+
+
+@query(
+    "set_except_intersect",
+    oracle="""
+      WITH buyers AS (SELECT DISTINCT o_custkey AS c FROM orders),
+      custs AS (SELECT DISTINCT c_custkey AS c FROM customer),
+      never AS (SELECT c FROM custs EXCEPT SELECT c FROM buyers),
+      ordered AS (SELECT c FROM custs INTERSECT SELECT c FROM buyers)
+      SELECT (SELECT COUNT(*) FROM never) AS n_never_ordered,
+             (SELECT COUNT(*) FROM ordered) AS n_ordered,
+             (SELECT COUNT(*) FROM custs) AS n_customers
+    """,
+)
+def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 beyond the reference's unionByName: EXCEPT and INTERSECT as
+    first-class set operations (the reference's de-facto EXCEPT is the
+    anti-join probe J2 — these are the declarative forms, which
+    Catalyst plans as the same left-anti/left-semi aggregates, so
+    there is no new physical shape to pay for). Customers who never
+    ordered vs customers who did, plus the partition-count identity
+    n_never + n_ordered = n_customers baked into the oracle's three
+    counts."""
+    custs = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c")
+    ).distinct()
+    buyers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c")
+    ).distinct()
+    never = custs.exceptAll(buyers)
+    both = custs.intersect(buyers)
+    return (
+        never.agg(F.count(F.lit(1)).alias("n_never_ordered"))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_ordered")))
+        .crossJoin(custs.agg(F.count(F.lit(1)).alias("n_customers")))
+    )

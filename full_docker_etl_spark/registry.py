@@ -136,7 +136,10 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "distinct_values",
     "column_max",
     "group_counts",
-    # -- tier 3: round-6 additions sampled green on r6 code and
+    # -- tier 3: new-but-low-risk round-7 query (rotates into round 8's
+    #    window right after the deferred stale rows)
+    "set_except_intersect",
+    # -- tier 3b: round-6 additions sampled green on r6 code and
     #    untouched since
     "sample_temperature_mix",
     "sample_temperature_upsample",
@@ -175,7 +178,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "agg_daily",
     "agg_monthly",
     "xbrl_metrics",
-    # -- tier 3b: rows-only queries (verdict siblings carry their
+    # -- tier 3c: rows-only queries (verdict siblings carry their
     #    external evidence; ann_* changed this round but their value
     #    checks ARE the in-window verdict rows)
     "dedup_minhash",
