@@ -73,19 +73,40 @@ def fuzzy_join(
     cartesian) with the band + distance as post-join filters; at 100 TB
     the cost is Σ|block|² over blocks, which the blocking key keeps
     bounded — the same shape as the dedup tiers' banded candidates.
-    Spark evaluates levenshtein JVM-side (no UDF)."""
-    lb = F.split(F.col("__l"), r"\s+").getItem(0)
-    rb = F.split(F.col("__r"), r"\s+").getItem(0)
-    lf = left.select(*left.columns, F.col(left_col).alias("__l"))
-    rf = right.select(*right.columns, F.col(right_col).alias("__r"))
-    pairs = lf.withColumn("__lb", lb).join(
-        rf.withColumn("__rb", rb), F.col("__lb") == F.col("__rb")
+    Spark evaluates levenshtein JVM-side (no UDF).
+
+    The output carries BOTH inputs' columns side by side, so the two
+    column sets must be DISJOINT (rename one side before calling — the
+    usual record-linkage convention; a silent ambiguous-column output
+    would fail only at first downstream reference). Raises ValueError
+    up front on any overlap, including with the operator's own
+    internal working columns."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            "fuzzy_join emits both inputs' columns side by side; these "
+            f"names appear on BOTH sides: {sorted(overlap)}. Rename one "
+            "side (e.g. .withColumnRenamed) before joining."
+        )
+    internal = ["__fzj_l", "__fzj_r", "__fzj_lb", "__fzj_rb"]
+    clash = set(internal) & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"fuzzy_join reserves internal columns {internal}; rename "
+            f"the colliding input columns: {sorted(clash)}"
+        )
+    lb = F.split(F.col("__fzj_l"), r"\s+").getItem(0)
+    rb = F.split(F.col("__fzj_r"), r"\s+").getItem(0)
+    lf = left.select(*left.columns, F.col(left_col).alias("__fzj_l"))
+    rf = right.select(*right.columns, F.col(right_col).alias("__fzj_r"))
+    pairs = lf.withColumn("__fzj_lb", lb).join(
+        rf.withColumn("__fzj_rb", rb), F.col("__fzj_lb") == F.col("__fzj_rb")
     )
     return (
         pairs.where(
-            F.abs(F.length("__l") - F.length("__r")) <= max_dist
+            F.abs(F.length("__fzj_l") - F.length("__fzj_r")) <= max_dist
         )
-        .withColumn(out, F.levenshtein(F.col("__l"), F.col("__r")))
+        .withColumn(out, F.levenshtein(F.col("__fzj_l"), F.col("__fzj_r")))
         .where(F.col(out) <= max_dist)
-        .drop("__l", "__r", "__lb", "__rb")
+        .drop(*internal)
     )

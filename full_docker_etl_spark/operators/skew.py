@@ -142,13 +142,18 @@ def salted_count_distinct(
     reducers by what is being counted — then count rows per key. A
     single-pass countDistinct holds the hot key's entire distinct SET
     in one reducer's hash state; this shape never materializes a set
-    anywhere. Result proven identical to COUNT(DISTINCT ...) by
-    oracle."""
+    anywhere. The final count is ``count(value_col)`` — NOT
+    ``count(*)`` — so the one (key, NULL) row a null-bearing corpus
+    leaves after the dedupe is ignored exactly as SQL COUNT(DISTINCT
+    col) ignores NULLs, while a key whose values are ALL null still
+    surfaces with count 0 (as GROUP BY emits it). Proven identical to
+    COUNT(DISTINCT ...) by oracle, including on a null-bearing corpus
+    (tests/test_scale.py)."""
     return (
         df.select(*keys, value_col)
         .distinct()
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias(out))
+        .agg(F.count(value_col).alias(out))
     )
 
 

@@ -394,10 +394,18 @@ def compression_features(
             ids, r1, r2 = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 b = (t or "").encode("utf-8")
-                n = max(len(b), 1)
                 ids.append(i)
-                r1.append(len(zlib.compress(b, 6)) / n)
-                r2.append(len(zlib.compress(b + b, 6)) / (2 * n))
+                if not b:
+                    # empty/NULL text has no bytes to price: a ratio of
+                    # compress(b'')/1 = 8.0 is pure stream overhead and
+                    # would poison any range invariant downstream —
+                    # NULL is the honest signal value here
+                    r1.append(None)
+                    r2.append(None)
+                else:
+                    n = len(b)
+                    r1.append(len(zlib.compress(b, 6)) / n)
+                    r2.append(len(zlib.compress(b + b, 6)) / (2 * n))
             yield pd.DataFrame(
                 {id_col: ids, "comp_ratio": r1, "comp_ratio_2x": r2}
             )

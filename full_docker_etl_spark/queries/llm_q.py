@@ -1641,7 +1641,10 @@ def text_compression_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Externally-checked VERDICT for the compression signal: n_docs
     is the portable corpus count (oracle-recomputed); in_range_ok pins
     every ratio into (0, 1.2] (zlib stream overhead can push tiny
-    texts slightly over 1 — a ratio of 0 or 3 means a broken UDF);
+    texts slightly over 1 — a ratio of 0 or 3 means a broken UDF;
+    empty/NULL texts carry NULL ratios by contract and F.min skips
+    them, so a future corpus with empty documents cannot flip the
+    verdict red over stream-overhead arithmetic);
     marginal_ok pins the compressor-correctness invariant on every
     document ≥50 raw bytes: compress(text+text) costs strictly less
     per byte than compress(text), because a correct LZ77 window prices

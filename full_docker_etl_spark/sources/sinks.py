@@ -297,12 +297,19 @@ class VersionedTable:
         """Mutual exclusion around the pointer read-modify-publish (the
         only critical section — snapshot writes go to uniquely-named
         dirs and need no coordination). O_EXCL lock file; held for
-        pointer-file I/O only (sub-millisecond), so contention is
-        rare and short. A lock older than ``stale_after`` is debris
-        from a crashed publisher: it is broken by atomically renaming
-        it aside (os.replace — exactly ONE contender wins the rename,
-        so two waiters can never each 'break' the lock and both enter,
-        which a naive unlink would allow)."""
+        pointer-file I/O only — snapshot cleanup (_gc, rejected-commit
+        rmtree) runs OUTSIDE the lock so the critical section never
+        stretches into filesystem-tree territory. A lock older than
+        ``stale_after`` is debris from a crashed publisher: it is
+        broken by atomically renaming it aside (os.replace — exactly
+        ONE contender wins the rename, so two waiters can never each
+        'break' the lock and both enter, which a naive unlink would
+        allow). Release verifies OWNERSHIP before unlinking: if this
+        holder was paused past ``stale_after`` and a waiter broke the
+        lock and acquired a fresh one, the path now names a DIFFERENT
+        inode — unlinking it would hand a third writer concurrent
+        entry. The fd is kept open across the critical section so the
+        held inode is comparable at release time."""
         lock = os.path.join(self.root, "_LOCK")
         deadline = time.monotonic() + timeout
         while True:
@@ -325,11 +332,14 @@ class VersionedTable:
                 time.sleep(0.02)
         try:
             os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
             yield
         finally:
+            # Unlink only if the path still names OUR inode; a waiter
+            # that broke this lock as stale holds a fresh inode there.
             with contextlib.suppress(OSError):
-                os.unlink(lock)
+                if os.fstat(fd).st_ino == os.stat(lock).st_ino:
+                    os.unlink(lock)
+            os.close(fd)
             for entry in os.listdir(self.root):
                 if entry.startswith("_LOCK.stale."):
                     with contextlib.suppress(OSError):
@@ -403,7 +413,9 @@ class VersionedTable:
             with open(tmp, "w") as fh:
                 fh.write("\n".join(retained))
             os.replace(tmp, self._pointer)  # the atomic publish
-            self._gc(retained, aged=set(history) - set(retained))
+        # GC outside the lock: rmtree of aged snapshots can be slow and
+        # must never stretch the critical section past stale_after
+        self._gc(retained, aged=set(history) - set(retained))
         return version
 
     def _commit(
@@ -439,22 +451,28 @@ class VersionedTable:
             _link_missing_partitions(
                 link_from, vdir, len(self.partition_by), link_exclude
             )
+        rejected_head: object = _UNSET
         with self._publish_lock():
             history = self._history()
             head = history[0] if history else None
             if expected_parent is not _UNSET and head != expected_parent:
-                shutil.rmtree(vdir, ignore_errors=True)
-                raise ConcurrentWriteError(
-                    f"commit to {self.root} was derived from version "
-                    f"{expected_parent!r} but the live version is now "
-                    f"{head!r}; re-read and re-derive"
-                )
-            retained = [version] + history[: self.keep - 1]
-            tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                fh.write("\n".join(retained))
-            os.replace(tmp, self._pointer)  # the atomic publish
-            self._gc(retained, aged=set(history) - set(retained))
+                rejected_head = head  # cleanup happens OUTSIDE the lock
+            else:
+                retained = [version] + history[: self.keep - 1]
+                tmp = f"{self._pointer}.tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(retained))
+                os.replace(tmp, self._pointer)  # the atomic publish
+        if rejected_head is not _UNSET:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"commit to {self.root} was derived from version "
+                f"{expected_parent!r} but the live version is now "
+                f"{rejected_head!r}; re-read and re-derive"
+            )
+        # GC outside the lock: rmtree of aged snapshots can be slow and
+        # must never stretch the critical section past stale_after
+        self._gc(retained, aged=set(history) - set(retained))
         return version
 
     def merge(

@@ -565,3 +565,26 @@ def test_ivf_multi_assign_recall_on_spread_probe(spark, sf_dir):
     single = recall(6, 1)
     assert multi >= 0.75, f"multi-assign recall below floor: {multi}"
     assert multi > single, (multi, single)
+
+
+def test_compression_features_empty_text_is_null(spark):
+    """Empty/NULL text must carry NULL ratios, not the 8.0
+    stream-overhead artifact of compress(b'')/1 — and the verdict's
+    range invariant must therefore survive a corpus containing empty
+    documents (F.min skips NULL)."""
+    from full_docker_etl_spark.operators.text import compression_features
+
+    df = spark.createDataFrame(
+        [(1, "a meaningful sentence " * 10), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in compression_features(df).collect()}
+    assert rows[2].comp_ratio is None and rows[2].comp_ratio_2x is None
+    assert rows[3].comp_ratio is None and rows[3].comp_ratio_2x is None
+    assert 0 < rows[1].comp_ratio <= 1.2
+    in_range = compression_features(df).agg(
+        F.min(
+            (F.col("comp_ratio") > 0) & (F.col("comp_ratio") <= 1.2)
+        ).alias("ok")
+    ).collect()[0].ok
+    assert in_range is True

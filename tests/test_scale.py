@@ -195,3 +195,50 @@ def test_write_clustered_disjoint_file_ranges(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
     assert back.exceptAll(ev).count() == 0
+
+
+def test_salted_count_distinct_ignores_nulls(spark):
+    """SQL COUNT(DISTINCT col) ignores NULL values; the dedupe-shape
+    rewrite must too (count(value_col), not count(*), after the
+    distinct), and a key whose values are ALL null still surfaces
+    with count 0 exactly as GROUP BY emits the group."""
+    from full_docker_etl_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", None), ("a", "u2"), ("a", "u1"), ("b", None)],
+        "k string, u string",
+    )
+    got = {
+        r.k: r.n_distinct
+        for r in salted_count_distinct(df, ["k"], "u").collect()
+    }
+    want = {
+        r.k: r.n
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    assert got == want == {"a": 2, "b": 0}
+
+
+def test_fuzzy_join_rejects_colliding_columns(spark):
+    """fuzzy_join emits both inputs' columns side by side: overlapping
+    names (the default in self-linkage) must refuse up front with a
+    clear ValueError, not produce an ambiguous output that fails at
+    first downstream reference; internal working names are reserved
+    the same way."""
+    import pytest as _pytest
+
+    from full_docker_etl_spark.operators.joins import fuzzy_join
+
+    names = spark.createDataFrame([("alpha one",)], "p_name string")
+    with _pytest.raises(ValueError, match="BOTH sides"):
+        fuzzy_join(names, names, "p_name", "p_name", max_dist=2)
+    left = names.select(F.col("p_name").alias("__fzj_l"))
+    right = names.select(F.col("p_name").alias("name_b"))
+    with _pytest.raises(ValueError, match="reserves internal"):
+        fuzzy_join(left, right, "__fzj_l", "name_b", max_dist=2)
+    # disjoint names join fine and keep both sides' columns
+    a = names.select(F.col("p_name").alias("name_a"))
+    out = fuzzy_join(a, right, "name_a", "name_b", max_dist=2)
+    assert set(out.columns) == {"name_a", "name_b", "edit_dist"}

@@ -448,3 +448,25 @@ def test_mutation_tier_model_based(spark):
                 (r.k, r.p): r.v for r in t.read(spark).collect()
             }
             assert got == model, (seed, step, op)
+
+
+def test_release_never_unlinks_a_foreign_lock():
+    """The paused-holder hazard: if a publisher is suspended past
+    stale_after and a waiter breaks its lock and acquires a fresh one,
+    the resumed holder's release must NOT unlink the new holder's
+    lock (that would admit a third writer concurrently). Release
+    verifies inode ownership before unlinking."""
+    t = _table()
+    os.makedirs(t.root, exist_ok=True)
+    lock = os.path.join(t.root, "_LOCK")
+    with t._publish_lock():
+        # simulate the waiter: break the 'stale' lock aside and
+        # acquire a fresh one (new inode at the same path)
+        os.replace(lock, lock + ".stale.test")
+        fd2 = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd2)
+        foreign_ino = os.stat(lock).st_ino
+    # the original holder released — the waiter's lock must survive
+    assert os.path.exists(lock)
+    assert os.stat(lock).st_ino == foreign_ino
+    os.unlink(lock)
