@@ -672,3 +672,119 @@ def kmeans_centroids(
         prev_ckpt = new_centroids
         centroids = new_centroids.select("centroid", "cvec", "n_members")
     return centroids
+
+
+def sq_quantize(vec: Column, scale: float) -> Column:
+    """Symmetric INT8 scalar quantization: q[i] = round(x[i]/scale·127)
+    as ``array<tinyint>`` — 4× smaller than the float32 source (64 B vs
+    256 B for a 64-dim vector). ``scale`` is the corpus-wide max |x|,
+    so every corpus component lands in [-127, 127] exactly (no clamp
+    branch). The inverse x̂ = q·scale/127 is never materialized:
+    ranking by quantized dots is invariant to the constant factor."""
+    return F.transform(
+        vec, lambda x: F.round(x / F.lit(scale) * 127).cast("tinyint")
+    )
+
+
+def sq_scale(corpus: DataFrame, vec_col: str = "embedding") -> float:
+    """The corpus-wide symmetric quantization scale max |x[i]| — one
+    all-column aggregation (a single scalar to the driver, the same
+    shape as a range-partitioner sample)."""
+    row = corpus.agg(
+        F.max(F.array_max(F.transform(F.col(vec_col), F.abs))).alias("s")
+    ).first()
+    if row is None or row.s is None:
+        raise ValueError("cannot derive a quantization scale: empty corpus")
+    return float(row.s)
+
+
+def ivf_sq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_assign: int = 1,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF with SCALAR-QUANTIZED (int8) inverted lists and exact
+    re-ranking — the memory/IO answer when the lists themselves are
+    the 100 TB wall: list entries store ``array<tinyint>`` (4× smaller
+    than float32), candidate scoring runs ASYMMETRIC (float query ×
+    int8 corpus, FAISS's ADC shape — the query side costs nothing to
+    keep exact and halves the quantization noise), and only the top
+    ``rerank_factor·k`` candidates per query are re-scored against the
+    full-precision store (|Q|·rerank_factor·k point lookups, never a
+    scan). Quantization can only DEMOTE a true neighbor out of the
+    re-rank window, not mis-rank the final top-k — the exact pass owns
+    the returned scores, so the output is directly comparable to
+    :func:`ivf_topk`'s (same (qid, vec_id, cos_sim, rank) contract,
+    same rounding).
+
+    Recall is pinned externally (ann_ivf_pq_recall, floor vs the same
+    exact truth as the float tier); the compression story is in
+    SCALE.md. Scale shape: one scalar aggregation for the global
+    quantization scale, zero-shuffle list assignment, and the re-rank
+    join is an equi-join on the corpus id."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(corpus_id).asc())
+            .limit(n_centroids)
+            .select(
+                F.col(corpus_id).alias("centroid"),
+                F.col(corpus_vec).alias("cvec"),
+            )
+        )
+    else:
+        centroids = centroids.select("centroid", "cvec")
+    scale = sq_scale(corpus, corpus_vec)
+    # the LISTS: id + int8 codes + quantized norm — the float vector
+    # does NOT ride into the index (that is the whole point)
+    assigned = assign_nearest(
+        corpus, corpus_vec, centroids, n_assign
+    ).select(
+        corpus_id,
+        "centroid",
+        sq_quantize(F.col(corpus_vec), scale).alias("_q8"),
+    )
+    assigned = assigned.withColumn(
+        "_cnq", F.sqrt(_dot(F.col("_q8"), F.col("_q8")))
+    )
+    probed = assign_nearest(
+        queries.withColumn("_qn", _norm(F.col(query_vec))),
+        query_vec,
+        centroids,
+        nprobe,
+    )
+    cand = probed.join(assigned, "centroid").where(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    approx = (
+        cand.withColumn(
+            "_ascore",
+            _dot(F.col(query_vec), F.col("_q8"))
+            / (F.col("_qn") * F.col("_cnq")),
+        )
+        .dropDuplicates([query_id, corpus_id])
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("_ascore").desc(), F.col(corpus_id).asc()
+    )
+    shortlist = (
+        approx.withColumn("_arank", F.row_number().over(w))
+        .where(F.col("_arank") <= rerank_factor * k)
+        .select(query_id, corpus_id, query_vec, "_qn")
+    )
+    # exact re-rank: point lookups into the full-precision store
+    full = corpus.select(
+        corpus_id,
+        corpus_vec,
+        _norm(F.col(corpus_vec)).alias("_cn"),
+    )
+    reranked = shortlist.join(full, corpus_id)
+    return _score_and_rank(reranked, k, query_id, corpus_id, query_vec, corpus_vec)

@@ -588,3 +588,48 @@ def test_compression_features_empty_text_is_null(spark):
         ).alias("ok")
     ).collect()[0].ok
     assert in_range is True
+
+
+def test_ivf_sq_quantization_bounds_and_recall(spark, sf_dir):
+    """The int8 scalar-quantized IVF tier: codes must stay in [-127,
+    127] with per-component reconstruction error ≤ scale/254 + eps
+    (half a quantization step), and the re-ranked top-k must hold the
+    float tier's recall floor on the spread probe slice — quantization
+    may only demote candidates out of the re-rank window, never
+    corrupt the exact final scores."""
+    from full_docker_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_sq_topk,
+        sq_quantize,
+        sq_scale,
+    )
+    from full_docker_etl_spark.queries.llm_q import _ann_query_corpus
+
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
+    scale = sq_scale(corpus)
+    assert scale > 0
+    sample = corpus.limit(20).select(
+        "embedding", sq_quantize(F.col("embedding"), scale).alias("q8")
+    ).collect()
+    step = scale / 127
+    for r in sample:
+        for x, q in zip(r.embedding, r.q8):
+            assert -127 <= q <= 127
+            assert abs(x - q * step) <= step / 2 + 1e-9
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(queries, corpus, k=5).collect()
+    }
+    approx = ivf_sq_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=6, n_assign=2,
+        rerank_factor=4,
+    )
+    got = {(r.qid, r.vec_id) for r in approx.collect()}
+    assert len(exact & got) / len(exact) >= 0.75
+    # the exact pass owns the returned scores: every returned cos_sim
+    # must equal the brute-force score for that pair
+    brute = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in cosine_topk(queries, corpus, k=500).collect()
+    }
+    for r in approx.collect():
+        assert abs(brute[(r.qid, r.vec_id)] - r.cos_sim) < 1e-9
