@@ -183,3 +183,78 @@ def write_clustered(
         else df.repartitionByRange(*cols)
     )
     ranged.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def write_clustered_zorder(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    bits: int = 4,
+) -> None:
+    """MULTI-COLUMN interleaved clustering (OPTIMIZE ... ZORDER BY): map
+    each cluster column to a ``2^bits``-level QUANTILE bucket, bit-
+    interleave the bucket ids into one Morton (Z-curve) value, then
+    range-partition + sort by it. Contiguous Z ranges are small
+    axis-aligned boxes, so EVERY clustered column's footer min/max
+    stays narrow per file and a predicate on ANY ONE of them skips
+    most files — where single-key clustering (:func:`write_clustered`)
+    gives one column perfect pruning and the others none. The quantile
+    bucketing (approxQuantile — a distributed sample, the same shape a
+    range partitioner uses) makes the curve robust to skewed value
+    distributions where min/max linear scaling would collapse most
+    rows into a few cells.
+
+    With ``n_files`` ≈ ``2^(m·top_bits)`` the file split uses roughly
+    ``top_bits`` high bits per dimension: at 16 files × 2 columns a
+    point predicate on either column touches ~1/4 of the files —
+    pinned in tests via pyarrow footer stats on BOTH columns. More
+    dimensions dilute per-column pruning (each gets bits/m of the
+    prefix) — the standard Z-order trade; keep it to the 2-3 dominant
+    predicates. Numeric, date and timestamp columns supported."""
+    if len(cluster_by) < 2:
+        raise ValueError(
+            "write_clustered_zorder needs >= 2 columns; use "
+            "write_clustered for single-key clustering"
+        )
+    levels = 1 << bits
+    dtypes = dict(df.dtypes)
+    nums = []
+    for c in cluster_by:
+        dt = dtypes[c]
+        if dt == "date":
+            nums.append(
+                F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+                .cast("double")
+            )
+        elif dt.startswith("timestamp"):
+            nums.append(F.col(c).cast("double"))
+        else:
+            nums.append(F.col(c).cast("double"))
+    probe = df.select(
+        *[n.alias(f"__zq_{i}") for i, n in enumerate(nums)]
+    )
+    probs = [i / levels for i in range(1, levels)]
+    bounds = probe.approxQuantile(
+        [f"__zq_{i}" for i in range(len(nums))], probs, 0.001
+    )
+    m = len(cluster_by)
+    z = F.lit(0)
+    for j, (num, bnds) in enumerate(zip(nums, bounds)):
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(float(b)) for b in bnds]),
+                lambda b: b <= num,
+            )
+        )
+        for i in range(bits):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * m + (m - 1 - j))
+    ranged = (
+        df.withColumn("__z", z).repartitionByRange(n_files, "__z")
+        if n_files is not None
+        else df.withColumn("__z", z).repartitionByRange("__z")
+    )
+    ranged.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)

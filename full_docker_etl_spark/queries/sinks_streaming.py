@@ -700,6 +700,55 @@ def sink_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_zorder_scan",
+    oracle="""
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+        AND user_id = 3
+      GROUP BY 1
+    """,
+)
+def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN clustering end-to-end (the P7+P8 warehouse shape:
+    entity equality × date range): events are rewritten Z-ordered on
+    (user_id, ts) — bucket ids quantile-derived, bit-interleaved,
+    range-partitioned — then the two-predicate query runs against the
+    clustered copy. Because the Morton curve keeps BOTH columns' per-
+    file min/max narrow, each predicate alone skips >50% of the files
+    (pinned via pyarrow footer stats in tests/test_scale.py; both
+    predicates pushed to the scan per the plan gate in
+    tests/test_plans.py). The oracle recomputes the aggregate from the
+    raw table: the interleaved rewrite lost nothing."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.skew import write_clustered_zorder
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    )
+    path = tempfile.mkdtemp(prefix="fde_zord_") + "/events"
+    write_clustered_zorder(ev, path, ["user_id", "ts"], n_files=16, bits=4)
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("user_id") == 3)
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@query(
     "sink_versioned_restore",
     oracle="""
       SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice

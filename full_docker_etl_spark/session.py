@@ -42,6 +42,14 @@ _CLUSTER_READY_DEFAULTS = {
     # session the two readings carry identical instants — which is also
     # what DuckDB's epoch_us computes on naive parquet timestamps.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Timestamps as INT64 micros, not legacy INT96: INT96 columns carry
+    # NO parquet min/max statistics, so every timestamp-clustered
+    # layout (write_clustered / write_clustered_zorder) would lose its
+    # file- and row-group-skipping on the date dimension — at 100 TB
+    # that is the difference between scanning a week and scanning the
+    # table. Micros also round-trip to DuckDB/Arrow without the INT96
+    # rebase legacy.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Kryo, as the reference does (TransForm_Load_Yfinance.py:70).
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     # Parquet scan sizing (the reference used 64MB Mongo sample

@@ -165,6 +165,69 @@ def update_columns(
     _swap_write(spark, joined.select(*out_cols), path)
 
 
+#: Lossless type widenings MERGE will reconcile (narrow → wide), the
+#: conform_schema repair philosophy applied to the mutation path:
+#: integral chain up-casts and float→double never lose a value.
+#: long→double is NOT here (doubles hold only 53 mantissa bits — a
+#: big orderkey would silently round), nor is any string/decimal
+#: coercion: those fail loudly instead of forking the schema.
+_WIDENINGS: frozenset[tuple[str, str]] = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+        ("tinyint", "double"),
+        ("smallint", "double"),
+        ("int", "double"),
+    }
+)
+
+
+def _plan_type_reconciliation(
+    existing: "DataFrame",
+    updates: "DataFrame",
+    exempt: frozenset[str] = frozenset(),
+) -> tuple[dict[str, str], dict[str, str]]:
+    """Compare the shared columns of the live table and a MERGE batch.
+    Returns (cast_updates, cast_existing): columns to up-cast on the
+    batch (batch narrower than table — free, no rewrite) and columns
+    to widen on the TABLE (batch wider — a schema-changing full
+    rewrite the caller must gate behind evolve_schema). Any shared
+    column whose types differ outside the lossless widening set
+    raises ValueError — unionByName would otherwise coerce silently
+    (int vs string unions to string) and fork the table's schema.
+    ``exempt`` names columns outside this contract: PARTITION columns
+    always read back as string (directory values; type inference is
+    deliberately off) and carry their own Spark-cast value-matching
+    rules — re-typing them is meaningless, not dangerous."""
+    etypes = dict(existing.dtypes)
+    utypes = dict(updates.dtypes)
+    cast_updates: dict[str, str] = {}
+    cast_existing: dict[str, str] = {}
+    bad: list[str] = []
+    for c in utypes:
+        if c in exempt or c not in etypes or etypes[c] == utypes[c]:
+            continue
+        if (utypes[c], etypes[c]) in _WIDENINGS:
+            cast_updates[c] = etypes[c]
+        elif (etypes[c], utypes[c]) in _WIDENINGS:
+            cast_existing[c] = utypes[c]
+        else:
+            bad.append(f"{c}: table={etypes[c]} batch={utypes[c]}")
+    if bad:
+        raise ValueError(
+            "MERGE batch type(s) incompatible with the table schema — "
+            f"{'; '.join(sorted(bad))}. Only lossless widenings "
+            "(byte→short→int→long, float→double, integral→double) "
+            "reconcile; cast the batch explicitly for anything else."
+        )
+    return cast_updates, cast_existing
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Mirror ``src`` into ``dst`` with HARDLINKS (same inodes, no data
     copied); falls back to copy2 per file if the filesystem refuses
@@ -503,6 +566,19 @@ class VersionedTable:
         default so a typo'd column name fails loudly instead of
         forking the schema.
 
+        TYPE evolution on shared columns: a batch column NARROWER than
+        the table's (int batch into a long table) up-casts silently —
+        lossless, no rewrite, no flag. A batch column WIDER than the
+        table's (long batch into an int table, float→double) WIDENS
+        THE TABLE — a schema-changing full rewrite, gated behind
+        ``evolve_schema=True`` exactly like added columns. Anything
+        outside the lossless widening set (int vs string, long→double)
+        raises ValueError up front — unionByName would otherwise
+        coerce silently and fork the schema (see
+        :func:`_plan_type_reconciliation`). Partition columns are
+        EXEMPT: they always read back as string (directory values)
+        and carry their own Spark-cast value-matching contract.
+
         On a PARTITIONED table the merge is partition-scoped: only the
         partitions present in ``updates`` are read (partition-pruned
         scan), merged and rewritten; every untouched partition is
@@ -571,9 +647,31 @@ class VersionedTable:
             # as a real merge against the winner's snapshot); tombstones
             # against an empty table are no-ops by construction
             return self._commit(upserts, expected_parent=None)
+        # TYPE RECONCILIATION before any union: unionByName would
+        # coerce mismatched types silently (int ∪ string → string) and
+        # fork the schema. Batch-narrower-than-table up-casts are free;
+        # table-narrower-than-batch widening is a schema change —
+        # full-rewrite, gated behind evolve_schema like added columns.
+        live = self.read(spark, version=parent)
+        cast_up, cast_table = _plan_type_reconciliation(
+            live, upserts, exempt=frozenset(self.partition_by)
+        )
+        if cast_up:
+            upserts = upserts.withColumns(
+                {c: F.col(c).cast(t) for c, t in cast_up.items()}
+            )
+        if cast_table and not evolve_schema:
+            raise ValueError(
+                "MERGE batch widens table column(s) "
+                f"{sorted(cast_table)} — a schema-changing full "
+                "rewrite; pass evolve_schema=True to allow it"
+            )
+        if cast_table:
+            live = live.withColumns(
+                {c: F.col(c).cast(t) for c, t in cast_table.items()}
+            )
         if not self.partition_by:
-            existing = self.read(spark, version=parent)
-            keep = existing.join(probe, on=keys, how="left_anti")
+            keep = live.join(probe, on=keys, how="left_anti")
             return self._commit(
                 keep.unionByName(upserts, allowMissingColumns=evolve_schema),
                 expected_parent=parent,
@@ -586,17 +684,17 @@ class VersionedTable:
                 "otherwise a matched key could live in a partition the "
                 "update batch never names and the prune would miss it"
             )
-        if evolve_schema and set(upserts.columns) != set(
-            self.read(spark, version=parent).columns
+        if evolve_schema and (
+            cast_table or set(upserts.columns) != set(live.columns)
         ):
             # Plain Parquet has no schema registry: hardlinking
             # old-schema files next to new-schema files would make the
             # read-back schema depend on which file Spark samples.
-            # Additive evolution therefore rewrites the WHOLE table
-            # once (every file carries the final schema); subsequent
-            # merges return to the scoped fast path.
-            existing = self.read(spark, version=parent)
-            keep = existing.join(probe, on=keys, how="left_anti")
+            # Additive evolution (and type WIDENING — ``live`` already
+            # carries the widened casts) therefore rewrites the WHOLE
+            # table once (every file carries the final schema);
+            # subsequent merges return to the scoped fast path.
+            keep = live.join(probe, on=keys, how="left_anti")
             return self._commit(
                 keep.unionByName(upserts, allowMissingColumns=True),
                 expected_parent=parent,

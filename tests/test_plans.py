@@ -314,3 +314,16 @@ def test_clustered_scan_pushes_range_to_files(spark, sf_dir):
     assert "PushedFilters" in plan, plan
     assert "GreaterThanOrEqual(l_shipdate" in squeezed, plan
     assert "LessThan(l_shipdate" in squeezed, plan
+
+
+def test_zorder_scan_pushes_both_predicates_to_files(spark, sf_dir):
+    """The Z-ordered query's BOTH predicates (user_id equality + ts
+    range) must reach the parquet scan as PushedFilters — interleaved
+    clustering keeps both columns' per-file stats narrow, but only a
+    pushed filter lets the reader act on them."""
+    plan = plan_of(spark, sf_dir, "sink_zorder_scan")
+    squeezed = plan.replace(" ", "")
+    assert "PushedFilters" in plan, plan
+    assert "EqualTo(user_id" in squeezed, plan
+    assert "GreaterThanOrEqual(ts" in squeezed, plan
+    assert "LessThan(ts" in squeezed, plan

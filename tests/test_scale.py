@@ -242,3 +242,64 @@ def test_fuzzy_join_rejects_colliding_columns(spark):
     a = names.select(F.col("p_name").alias("name_a"))
     out = fuzzy_join(a, right, "name_a", "name_b", max_dist=2)
     assert set(out.columns) == {"name_a", "name_b", "edit_dist"}
+
+
+def test_write_clustered_zorder_prunes_both_columns(spark, sf_dir, tmp_path):
+    """Z-ORDER clustering: after interleaved two-column clustering on
+    (user_id, ts), a single-column predicate on EITHER column must be
+    able to skip >50% of the files on footer min/max alone — the
+    property single-key clustering cannot give (its second column's
+    per-file ranges span everything). Also: no row lost, values
+    identical, and every file carries real stats for both columns
+    (INT96 timestamps would have none — the session pins
+    TIMESTAMP_MICROS exactly for this)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from full_docker_etl_spark.operators.skew import write_clustered_zorder
+    from full_docker_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    path = str(tmp_path / "zordered")
+    write_clustered_zorder(ev, path, ["user_id", "ts"], n_files=16, bits=4)
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 8
+
+    def spans(col):
+        out = []
+        for f in files:
+            meta = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = {
+                meta.schema.column(i).name: i
+                for i in range(meta.num_columns)
+            }[col]
+            ss = [
+                meta.row_group(g).column(idx).statistics
+                for g in range(meta.num_row_groups)
+            ]
+            ss = [s for s in ss if s is not None and s.has_min_max]
+            assert ss, f"file {f} has no footer stats for {col}"
+            norm = (
+                lambda v: v.replace(tzinfo=None)
+                if isinstance(v, dt.datetime)
+                else v
+            )
+            out.append(
+                (min(norm(s.min) for s in ss), max(norm(s.max) for s in ss))
+            )
+        return out
+
+    t1, t2 = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 8)
+    ts_touch = sum(1 for lo, hi in spans("ts") if hi >= t1 and lo < t2)
+    uid_touch = sum(1 for lo, hi in spans("user_id") if lo <= 3 <= hi)
+    assert ts_touch < len(files) / 2, f"ts touches {ts_touch}/{len(files)}"
+    assert uid_touch < len(files) / 2, (
+        f"user_id touches {uid_touch}/{len(files)}"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0

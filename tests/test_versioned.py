@@ -470,3 +470,109 @@ def test_release_never_unlinks_a_foreign_lock():
     assert os.path.exists(lock)
     assert os.stat(lock).st_ino == foreign_ino
     os.unlink(lock)
+
+
+def test_merge_upcasts_narrow_batch_without_flag(spark):
+    """A batch column NARROWER than the table's (int into long) must
+    up-cast silently — lossless, no rewrite, no evolve_schema flag —
+    and the table schema must be unchanged after the merge."""
+    t = _table(keep_versions=3)
+    t.overwrite(
+        spark.createDataFrame([(1, 100)], "k int, amount bigint")
+    )
+    t.merge(spark.createDataFrame([(2, 7)], "k int, amount int"), ["k"])
+    out = t.read(spark)
+    assert dict(out.dtypes)["amount"] == "bigint"
+    assert {(r.k, r.amount) for r in out.collect()} == {(1, 100), (2, 7)}
+
+
+def test_merge_widening_gated_then_rewrites(spark):
+    """A batch column WIDER than the table's (long into int, float into
+    double) is a schema-changing full rewrite: refused without
+    evolve_schema, and with it the WHOLE table re-types — including
+    pre-existing rows — so every file carries the final schema."""
+    t = _table(keep_versions=3)
+    t.overwrite(spark.createDataFrame([(1, 100)], "k int, amount int"))
+    wide = spark.createDataFrame([(2, 2**40)], "k int, amount bigint")
+    with pytest.raises(ValueError, match="widens table column"):
+        t.merge(wide, ["k"])
+    t.merge(wide, ["k"], evolve_schema=True)
+    out = t.read(spark)
+    assert dict(out.dtypes)["amount"] == "bigint"
+    assert {(r.k, r.amount) for r in out.collect()} == {
+        (1, 100),
+        (2, 2**40),
+    }
+
+
+def test_merge_incompatible_type_fails_loudly(spark):
+    """Outside the lossless widening set (int vs string, long→double)
+    the merge must raise up front — unionByName would otherwise
+    coerce silently and fork the schema."""
+    t = _table(keep_versions=3)
+    t.overwrite(spark.createDataFrame([(1, 100)], "k int, amount int"))
+    with pytest.raises(ValueError, match="incompatible"):
+        t.merge(
+            spark.createDataFrame([(2, "oops")], "k int, amount string"),
+            ["k"],
+        )
+    # long→double is lossy past 2^53: refused, not silently rounded
+    t2 = _table(keep_versions=3)
+    t2.overwrite(spark.createDataFrame([(1, 100)], "k int, amount bigint"))
+    with pytest.raises(ValueError, match="incompatible"):
+        t2.merge(
+            spark.createDataFrame([(2, 0.5)], "k int, amount double"),
+            ["k"],
+        )
+
+
+def test_concurrent_compact_and_merge(spark):
+    """Compaction racing a merge — the one mutation pair the
+    sequential model-based test cannot interleave. Both are
+    parent-checked commits, so either both land (serialized) or the
+    compaction rejects loudly; in EVERY outcome the final table holds
+    exactly the merged rows, and no retained version's files are
+    missing (hardlinked data survives any concurrent GC of aged
+    snapshot dirs)."""
+    t = _table(keep_versions=3, partition_by=["p"])
+    rows = [(i, i % 4, f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, p int, v string")
+    # many small commits -> fat partitions worth compacting
+    t.overwrite(df.repartition(8))
+    t.merge(
+        spark.createDataFrame(
+            [(100, 0, "pre")], "k int, p int, v string"
+        ),
+        ["k", "p"],
+    )
+    outcomes: dict[str, object] = {}
+
+    def compactor() -> None:
+        try:
+            outcomes["compact"] = t.compact(spark, max_files_per_partition=1)
+        except ConcurrentWriteError as exc:
+            outcomes["compact_rejected"] = exc
+
+    def merger() -> None:
+        outcomes["merge"] = t.merge(
+            spark.createDataFrame(
+                [(200, 1, "mid")], "k int, p int, v string"
+            ),
+            ["k", "p"],
+        )
+
+    th1 = threading.Thread(target=compactor)
+    th2 = threading.Thread(target=merger)
+    th1.start(); th2.start()
+    th1.join(); th2.join()
+    # the merge always lands (it retries); compaction either landed or
+    # rejected loudly — never a silent half-state
+    assert "merge" in outcomes
+    assert ("compact" in outcomes) or ("compact_rejected" in outcomes)
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    expect = {i: f"v{i}" for i in range(40)} | {100: "pre", 200: "mid"}
+    assert got == expect
+    # every RETAINED version is fully readable (no file a concurrent
+    # GC/compact could have torn out from under a hardlink)
+    for v in t.versions():
+        assert t.read(spark, version=v).count() >= 41
