@@ -45,82 +45,24 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-7 window (50 slots): first every query
-# whose CODE CHANGED this round (VersionedTable optimistic concurrency
-# touches all sink_versioned_*; the IVM pre-image fix touches
-# serve_incremental_grain; the hash-spread probe + multi-assignment
-# touch ann_cosine_topk's value-checked oracle), then every
-# *_recall/*_consistency verdict row (pinned in EVERY window — they are
-# the external evidence for the 7 rows-only sketch queries, several
-# also changed with the new probe slice), then the 41-query family
-# whose latest external sample is round 4 (agg grains / filters /
-# surface / sinks / streams / pipelines). 24 + 41 = 65 > 50, so the 15
-# least-risky stale rows (surface one-liners / simple filters & aggs
-# unchanged since round 2: filter_contains_ci, filter_or_search,
-# filter_pending, nested_reshape, point_lookup, agg_percentiles,
-# explode_tokens, topk_by_value, word_counts, catalog_tables,
-# limit_one, global_count, distinct_values, column_max, group_counts)
-# sit at positions 51-65 and lead round 8's window.
-# Names absent from this list keep their registration (import) order
-# after it; names listed but not registered are ignored, so the list
-# can never drop a query.
+# everything every round. Round-8 window (50 slots), per VERDICT r7 #1:
+# FIRST the 15 rows whose last external sample ran on round-4 code plus
+# set_except_intersect (landed after r7's driver run, zero external
+# evidence) — the evidence-currency debt leads; THEN every
+# *_recall/*_consistency/*_verdict row (pinned in EVERY window — they
+# are the external evidence for the rows-only sketch queries; two new
+# this round: join_fuzzy_recall, ann_ivf_pq_recall); THEN every query
+# whose CODE CHANGED in round 8 (the publish-lock + type-reconciliation
+# work touches all sink_versioned_* and ann_ivf_incremental; fuzzy_join
+# internals touch join_fuzzy_names; skew.py touches agg_salted; the
+# TIMESTAMP_MICROS write change touches sink_clustered_scan; new:
+# sink_zorder_scan, ann_ivf_pq_topk; compression_features touches
+# text_compression); the remaining slots take the stalest r5 family
+# (joins/windows). Names absent from this list keep their registration
+# (import) order after it; names listed but not registered are ignored,
+# so the list can never drop a query.
 _SAMPLE_ORDER: tuple[str, ...] = (
-    # -- tier 1a: added or changed in round 7 — evidence needed on new code
-    "agg_salted",
-    "audit_k_anonymity",
-    "text_compression_verdict",
-    "join_fuzzy_names",
-    "sink_versioned_merge",
-    "sink_versioned_merge_cdc",
-    "sink_versioned_replicate",
-    "sink_versioned_delete",
-    "sink_versioned_compact",
-    "sink_versioned_cdf",
-    "sink_versioned_update",
-    "sink_versioned_restore",
-    "sink_clustered_scan",
-    "serve_incremental_grain",
-    "ann_ivf_incremental",
-    "ann_cosine_topk",
-    # -- tier 1b: verdict rows, pinned in every window (probe slice
-    #    changed this round for the ann_* rows)
-    "ann_ivf_recall",
-    "ann_ivf_kmeans_recall",
-    "ann_lsh_recall",
-    "ann_ivf_serve_consistency",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "dedup_incremental_recall",
-    # -- tier 2: last externally sampled on round-4 code (26 of 41;
-    #    the 15 deferred rows close the list below)
-    "agg_yearly",
-    "agg_multigrain",
-    "serve_materialized_grain",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_pivot",
-    "filter_eq",
-    "filter_range",
-    "filter_in",
-    "sort_topk",
-    "csv_scan",
-    "zip_xml_ingest",
-    "rest_batch_fetch",
-    "conform_schema",
-    "news_transform",
-    "manifest_semi_join",
-    "observe_metrics",
-    "sink_roundtrip",
-    "sink_partition_overwrite",
-    "sink_upsert",
-    "incr_status_flag",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_range_join",
-    "text_chunk_windows",
-    # -- tier 2b: the 15 deferred r4-stale rows — first in round 8
+    # -- tier 1: the r4-stale rows + never-sampled set_except_intersect
     "filter_contains_ci",
     "filter_or_search",
     "filter_pending",
@@ -136,63 +78,121 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "distinct_values",
     "column_max",
     "group_counts",
-    # -- tier 3: new-but-low-risk round-7 query (rotates into round 8's
-    #    window right after the deferred stale rows)
     "set_except_intersect",
-    # -- tier 3b: round-6 additions sampled green on r6 code and
-    #    untouched since
-    "sample_temperature_mix",
-    "sample_temperature_upsample",
-    "join_star_revenue",
-    "profile_table",
-    "agg_unpivot",
-    "win_time_range",
-    "audit_referential",
-    "profile_histogram",
-    "join_salted",
-    "fn_arrays",
-    "agg_cube",
-    "text_bm25",
-    "sample_negatives",
-    "profile_correlations",
-    "dim_scd2",
-    "join_pit",
-    "fn_maps",
-    "agg_cohort_retention",
-    "agg_funnel",
-    "win_rank_family",
-    "mm_frame_sample",
-    "mm_features",
-    "mm_resize",
-    "profile_skew",
-    "text_pii_scrub",
-    "jsonl_scan",
-    "sample_epoch_shuffle",
-    "pipeline_curate",
+    # -- tier 2: verdict rows, pinned in every window
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "ann_ivf_pq_recall",
+    "ann_ivf_serve_consistency",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    "text_compression_verdict",
+    "join_fuzzy_recall",
+    # -- tier 3: added or changed in round 8 — evidence needed on new code
+    "sink_zorder_scan",
+    "sink_clustered_scan",
+    "join_fuzzy_names",
+    "agg_salted",
+    "sink_versioned_merge",
+    "sink_versioned_merge_cdc",
+    "sink_versioned_replicate",
+    "sink_versioned_delete",
+    "sink_versioned_compact",
+    "sink_versioned_cdf",
+    "sink_versioned_update",
+    "sink_versioned_restore",
+    "ann_ivf_incremental",
+    "ann_ivf_pq_topk",
+    "text_compression",
+    # -- tier 4: stalest remaining family (last sampled r5)
+    "join_broadcast",
+    "join_anti",
+    "join_semi",
+    "join_equi",
+    "join_asof",
+    "join_range",
+    "win_latest_per_group",
+    "win_moving_avg",
+    # ---- window boundary (~50) ----
+    # -- tier 5: rest of the r5-stale rows, for any wider window
+    "win_running_total",
+    "win_rank_topn",
+    "win_lag_change",
+    "fn_coalesce_cast",
+    "fn_compact",
+    "fn_dates",
+    "fn_rupiah",
+    "fn_safe_div",
+    "fn_strings",
+    "fn_to_json",
+    "paginate",
+    "union_by_name",
+    "sample_hash_split",
+    "sample_quota_per_source",
+    "sample_pack_sequences",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf",
+    "text_tokens",
+    "agg_approx_distinct",
+    "dedup_exact",
+    "dedup_natural_key",
+    "embed_norm",
+    "mm_decode_meta",
+    # -- tier 6: r6-sampled rows
     "agg_approx_percentiles",
-    "xlsx_scan",
-    "dedup_simhash",
+    "agg_cohort_retention",
+    "agg_cube",
+    "agg_daily",
+    "agg_funnel",
+    "agg_monthly",
+    "agg_unpivot",
+    "audit_referential",
     "dedup_components",
     "dedup_jaccard",
     "dedup_pipeline",
-    "agg_daily",
-    "agg_monthly",
+    "dedup_simhash",
+    "dim_scd2",
+    "fn_arrays",
+    "fn_maps",
+    "join_pit",
+    "join_salted",
+    "join_star_revenue",
+    "jsonl_scan",
+    "mm_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "pipeline_curate",
+    "profile_correlations",
+    "profile_histogram",
+    "profile_skew",
+    "profile_table",
+    "sample_epoch_shuffle",
+    "sample_negatives",
+    "sample_temperature_mix",
+    "sample_temperature_upsample",
+    "text_bm25",
+    "text_pii_scrub",
+    "win_rank_family",
+    "win_time_range",
     "xbrl_metrics",
-    # -- tier 3c: rows-only queries (verdict siblings carry their
-    #    external evidence; ann_* changed this round but their value
-    #    checks ARE the in-window verdict rows)
+    "xlsx_scan",
+    # -- tier 7: rows-only sketches whose verdict siblings are pinned
+    #    above, and the r7-fresh remainder (registration order covers
+    #    anything unlisted)
     "dedup_minhash",
     "dedup_embedding",
     "ann_ivf_kmeans_topk",
     "ann_ivf_topk",
     "ann_ivf_serve",
     "ann_lsh_topk",
-    "text_compression",
-    # -- tier 4 (implicit): everything else (fn_* / join_* / win_* /
-    # text_* / sample_* / paginate / union / embed_norm /
-    # mm_decode_meta / agg_approx_distinct / text_repetition /
-    # text_decontaminate / dedup_exact / dedup_natural_key /
-    # sample_pack_sequences) follows in registration order.
+    "ann_cosine_topk",
 )
 
 
