@@ -695,6 +695,14 @@ def sq_scale(corpus: DataFrame, vec_col: str = "embedding") -> float:
     ).first()
     if row is None or row.s is None:
         raise ValueError("cannot derive a quantization scale: empty corpus")
+    if row.s == 0.0:
+        # an all-zero corpus has no geometry to quantize; x/scale would
+        # otherwise divide by zero and the ANSI tinyint cast would throw
+        # from deep inside a task instead of here
+        raise ValueError(
+            "cannot derive a quantization scale: every corpus vector "
+            "is all-zero"
+        )
     return float(row.s)
 
 

@@ -211,7 +211,10 @@ def write_clustered_zorder(
     pinned in tests via pyarrow footer stats on BOTH columns. More
     dimensions dilute per-column pruning (each gets bits/m of the
     prefix) — the standard Z-order trade; keep it to the 2-3 dominant
-    predicates. Numeric, date and timestamp columns supported."""
+    predicates. Numeric, date and timestamp columns supported. Rows
+    with NULL cluster values sort to bucket 0 (the range partitioner
+    puts them first either way); their files simply carry no stats to
+    prune on — same contract as single-key clustering."""
     if len(cluster_by) < 2:
         raise ValueError(
             "write_clustered_zorder needs >= 2 columns; use "

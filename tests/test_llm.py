@@ -633,3 +633,20 @@ def test_ivf_sq_quantization_bounds_and_recall(spark, sf_dir):
     }
     for r in approx.collect():
         assert abs(brute[(r.qid, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_sq_scale_degenerate_corpora(spark):
+    """An empty or all-zero corpus must refuse at scale-derivation time
+    with a clear error — not divide by zero inside a task where the
+    ANSI tinyint cast throws an opaque overflow."""
+    from full_docker_etl_spark.operators.similarity import sq_scale
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        sq_scale(empty)
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="all-zero"):
+        sq_scale(zeros)
