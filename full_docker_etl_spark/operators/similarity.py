@@ -734,7 +734,7 @@ def ivf_sq_topk(
     :func:`ivf_topk`'s (same (qid, vec_id, cos_sim, rank) contract,
     same rounding).
 
-    Recall is pinned externally (ann_ivf_pq_recall, floor vs the same
+    Recall is pinned externally (ann_ivf_sq_recall, floor vs the same
     exact truth as the float tier); the compression story is in
     SCALE.md. Scale shape: one scalar aggregation for the global
     quantization scale, zero-shuffle list assignment, and the re-rank
@@ -793,6 +793,233 @@ def ivf_sq_topk(
         corpus_id,
         corpus_vec,
         _norm(F.col(corpus_vec)).alias("_cn"),
+    )
+    reranked = shortlist.join(full, corpus_id)
+    return _score_and_rank(reranked, k, query_id, corpus_id, query_vec, corpus_vec)
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (a[i]−b[i])² in double — ordered left fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 256,
+) -> tuple[DataFrame, int]:
+    """PRODUCT-QUANTIZATION codebooks as one broadcastable row:
+    ``_books[mm][j]`` = subspace-``mm`` slice of the j-th codebook
+    vector, ``_bn2[mm][j]`` = that codeword's squared norm. Codewords
+    are a HASH-SPREAD corpus sample (md5-ordered first ``k`` ids — the
+    repo's deterministic-sample pattern, no RNG, engine-stable) rather
+    than per-subspace k-means: at k=256 codewords per 8-dim subspace
+    the sample already covers the subspace densely, the build stays
+    ONE TakeOrdered pass instead of m iterative clustering jobs, and
+    the exact re-rank downstream erases the residual quality gap (the
+    recall verdict pins that claim externally). Returns (one-row
+    frame, subspace dim)."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot build PQ codebooks: empty corpus")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(
+            f"vector dim {dim} is not divisible into m={m} subspaces"
+        )
+    d = dim // m
+    h = F.md5(
+        F.concat(F.lit("pqsample:"), F.col(id_col).cast("string"))
+    )
+    sample = (
+        corpus.select(F.col(vec_col).alias("_v"), h.alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    row = sample.agg(F.collect_list("_v").alias("_vs"))
+    books = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mm: F.transform(
+            F.col("_vs"), lambda v: F.slice(v, mm * d + 1, d)
+        ),
+    )
+    out = row.select(books.alias("_books")).select(
+        "_books",
+        F.transform(
+            "_books",
+            lambda bm: F.transform(
+                bm,
+                lambda c: F.aggregate(
+                    c,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                ),
+            ),
+        ).alias("_bn2"),
+    )
+    return out, d
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: DataFrame,
+    d: int,
+    vec_col: str = "embedding",
+    m: int = 8,
+) -> DataFrame:
+    """ENCODE: per row, per subspace, the L2-nearest codeword index —
+    a pure per-row expression against the broadcast codebook row (zero
+    shuffle, the assign_nearest shape). Emits ``_pqc`` (array<int>, m
+    entries — the 1-byte-per-subspace code) and ``_pqn`` (the
+    reconstruction-vector norm √Σ|codeword|², used as the denominator
+    in ADC cosine). Ties break to the lowest codeword index (struct
+    min over (dist, j)) — deterministic on any engine."""
+    enc = corpus.crossJoin(F.broadcast(books))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mm: F.array_min(
+            F.transform(
+                F.element_at(F.col("_books"), mm + 1),
+                lambda c, j: F.struct(
+                    _sq_l2(F.slice(F.col(vec_col), mm * d + 1, d), c).alias(
+                        "dist"
+                    ),
+                    j.alias("j"),
+                ),
+            )
+        )["j"],
+    )
+    enc = enc.withColumn("_pqc", codes)
+    norm2 = F.aggregate(
+        F.zip_with(
+            F.col("_pqc"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, mm: F.element_at(
+                F.element_at(F.col("_bn2"), mm + 1), c + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return enc.withColumn("_pqn", F.sqrt(norm2)).drop("_books", "_bn2")
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+    centroids: DataFrame | None = None,
+    n_assign: int = 1,
+    rerank_factor: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+) -> DataFrame:
+    """IVF-PQ: inverted lists hold PRODUCT-QUANTIZED codes — m=8
+    one-byte subspace codes per 64-dim vector (8 B vs 256 B float32, a
+    32× code compression; 16 B/entry with the stored norm) — scored by
+    ASYMMETRIC DISTANCE COMPUTATION: each query precomputes its m×k
+    dot-product table against the broadcast codebooks (one tiny
+    expression per query row), and a candidate's approximate dot is m
+    TABLE LOOKUPS — no vector arithmetic per candidate at all, the
+    classic Jégou-style ADC probe. The top ``rerank_factor·k`` per
+    query then re-rank against the full-precision store (point
+    lookups), which owns the returned scores — so quantization can
+    only demote a candidate out of the shortlist, never mis-rank the
+    final top-k. Recall is pinned externally (ann_ivf_pq_recall);
+    compression story in SCALE.md. :func:`ivf_sq_topk` is the
+    4×-compression rung of the same ladder (int8 scalar codes, dot
+    still per-candidate); PQ is the rung you buy when even int8 lists
+    out-size memory."""
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(corpus_id).asc())
+            .limit(n_centroids)
+            .select(
+                F.col(corpus_id).alias("centroid"),
+                F.col(corpus_vec).alias("cvec"),
+            )
+        )
+    else:
+        centroids = centroids.select("centroid", "cvec")
+    books, d = pq_codebooks(corpus, corpus_vec, corpus_id, m, n_codes)
+    # the LISTS: id + m byte-codes + reconstruction norm — no vectors
+    assigned = pq_encode(
+        assign_nearest(corpus, corpus_vec, centroids, n_assign),
+        books,
+        d,
+        corpus_vec,
+        m,
+    ).select(corpus_id, "centroid", "_pqc", "_pqn")
+    # query side: nprobe lists + the flattened m×k ADC lookup table
+    probed = assign_nearest(
+        queries.withColumn("_qn", _norm(F.col(query_vec))),
+        query_vec,
+        centroids,
+        nprobe,
+    )
+    adc = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda mm: F.transform(
+                F.element_at(F.col("_books"), mm + 1),
+                lambda c: _dot(
+                    F.slice(F.col(query_vec), mm * d + 1, d), c
+                ),
+            ),
+        )
+    )
+    probed = (
+        probed.crossJoin(F.broadcast(books))
+        .withColumn("_pqt", adc)
+        .drop("_books", "_bn2")
+    )
+    cand = probed.join(assigned, "centroid").where(
+        F.col(query_id) != F.col(corpus_id)
+    )
+    # table stride = ACTUAL codewords per subspace (a corpus smaller
+    # than n_codes yields a shorter sampled codebook)
+    stride = (F.size(F.col("_pqt")) / F.lit(m)).cast("int")
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("_pqc"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, mm: F.element_at(
+                F.col("_pqt"), mm * stride + c + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    approx = cand.withColumn(
+        "_ascore", approx_dot / (F.col("_qn") * F.col("_pqn"))
+    ).dropDuplicates([query_id, corpus_id])
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("_ascore").desc(), F.col(corpus_id).asc()
+    )
+    shortlist = (
+        approx.withColumn("_arank", F.row_number().over(w))
+        .where(F.col("_arank") <= rerank_factor * k)
+        .select(query_id, corpus_id, query_vec, "_qn")
+    )
+    full = corpus.select(
+        corpus_id, corpus_vec, _norm(F.col(corpus_vec)).alias("_cn")
     )
     reranked = shortlist.join(full, corpus_id)
     return _score_and_rank(reranked, k, query_id, corpus_id, query_vec, corpus_vec)

@@ -51,12 +51,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # evidence) — the evidence-currency debt leads; THEN every
 # *_recall/*_consistency/*_verdict row (pinned in EVERY window — they
 # are the external evidence for the rows-only sketch queries; two new
-# this round: join_fuzzy_recall, ann_ivf_pq_recall); THEN every query
+# this round: join_fuzzy_recall, ann_ivf_sq_recall); THEN every query
 # whose CODE CHANGED in round 8 (the publish-lock + type-reconciliation
 # work touches all sink_versioned_* and ann_ivf_incremental; fuzzy_join
 # internals touch join_fuzzy_names; skew.py touches agg_salted; the
 # TIMESTAMP_MICROS write change touches sink_clustered_scan; new:
-# sink_zorder_scan, ann_ivf_pq_topk; compression_features touches
+# sink_zorder_scan, ann_ivf_sq_topk; compression_features touches
 # text_compression); the remaining slots take the stalest r5 family
 # (joins/windows). Names absent from this list keep their registration
 # (import) order after it; names listed but not registered are ignored,
@@ -83,6 +83,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
+    "ann_ivf_sq_recall",
     "ann_ivf_pq_recall",
     "ann_ivf_serve_consistency",
     "dedup_minhash_recall",
@@ -105,6 +106,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sink_versioned_update",
     "sink_versioned_restore",
     "ann_ivf_incremental",
+    "ann_ivf_sq_topk",
     "ann_ivf_pq_topk",
     "text_compression",
     # -- tier 4: stalest remaining family (last sampled r5)
@@ -114,10 +116,10 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_equi",
     "join_asof",
     "join_range",
-    "win_latest_per_group",
-    "win_moving_avg",
     # ---- window boundary (~50) ----
     # -- tier 5: rest of the r5-stale rows, for any wider window
+    "win_latest_per_group",
+    "win_moving_avg",
     "win_running_total",
     "win_rank_topn",
     "win_lag_change",

@@ -650,3 +650,50 @@ def test_sq_scale_degenerate_corpora(spark):
     )
     with pytest.raises(ValueError, match="all-zero"):
         sq_scale(zeros)
+
+
+def test_ivf_pq_encode_and_recall(spark, sf_dir):
+    """Product quantization: every code must index the genuinely
+    L2-nearest codeword of its subspace (checked against a NumPy
+    recomputation on a sample), the stored reconstruction norm must
+    equal the codeword-norm sum, and the ADC + re-rank pipeline must
+    hold its recall floor with exact final scores."""
+    import numpy as np
+
+    from full_docker_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from full_docker_etl_spark.queries.llm_q import _ann_query_corpus
+
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
+    m = 8
+    books, d = pq_codebooks(corpus, m=m, k=64)
+    brow = books.collect()[0]
+    bk = [np.array(sub, dtype=float) for sub in brow._books]
+    enc = pq_encode(corpus, books, d, m=m).limit(10).collect()
+    for r in enc:
+        v = np.array(r.embedding, dtype=float)
+        n2 = 0.0
+        for mm in range(m):
+            sub = v[mm * d : (mm + 1) * d]
+            dists = ((bk[mm] - sub) ** 2).sum(axis=1)
+            assert r._pqc[mm] == int(dists.argmin())
+            n2 += (bk[mm][r._pqc[mm]] ** 2).sum()
+        assert abs(r._pqn - n2 ** 0.5) < 1e-6
+    exact_df = cosine_topk(queries, corpus, k=5)
+    exact = {(r.qid, r.vec_id) for r in exact_df.collect()}
+    approx = ivf_pq_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=6, n_assign=2,
+        rerank_factor=12,
+    )
+    got = list(approx.collect())
+    assert len({(r.qid, r.vec_id) for r in got} & exact) / len(exact) >= 0.7
+    brute = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in cosine_topk(queries, corpus, k=500).collect()
+    }
+    for r in got:
+        assert abs(brute[(r.qid, r.vec_id)] - r.cos_sim) < 1e-9
