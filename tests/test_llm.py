@@ -697,3 +697,52 @@ def test_ivf_pq_encode_and_recall(spark, sf_dir):
     }
     for r in got:
         assert abs(brute[(r.qid, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_pq_incremental_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """Quantized-index maintenance: with FROZEN codebooks, encoding a
+    late-arriving slice and partition-scoped MERGING it into the
+    versioned code lists must yield code lists IDENTICAL to encoding
+    the full corpus from scratch — codes depend only on (vector,
+    codebook), so incremental ≡ rebuild. This is what makes a 100 TB
+    PQ index maintainable: new vectors encode against the shipped
+    codebooks and only their lists rewrite; no re-training, no
+    re-encode of the resident corpus."""
+    from full_docker_etl_spark.operators.similarity import (
+        assign_nearest,
+        pq_codebooks,
+        pq_encode,
+    )
+    from full_docker_etl_spark.queries.llm_q import (
+        _ann_query_corpus,
+        _first_k_centroids,
+    )
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    _, corpus = _ann_query_corpus(spark, sf_dir)
+    cents = _first_k_centroids(corpus)
+    books, d = pq_codebooks(corpus, m=8, k=64)
+
+    def lists(df):
+        return pq_encode(
+            assign_nearest(df, "embedding", cents, 1), books, d, m=8
+        ).select("vec_id", "centroid", "_pqc", "_pqn")
+
+    table = VersionedTable(
+        str(tmp_path / "pq_lists"), keep_versions=2,
+        partition_by=("centroid",),
+    )
+    table.overwrite(lists(corpus.where(F.col("vec_id") % 5 != 0)))
+    table.merge(
+        lists(corpus.where(F.col("vec_id") % 5 == 0)),
+        keys=["vec_id", "centroid"],
+    )
+    inc = {
+        (r.vec_id, tuple(r._pqc), round(r._pqn, 9))
+        for r in table.read(spark).collect()
+    }
+    full = {
+        (r.vec_id, tuple(r._pqc), round(r._pqn, 9))
+        for r in lists(corpus).collect()
+    }
+    assert inc == full
