@@ -959,21 +959,17 @@ def ivf_pq_topk(
     else:
         centroids = centroids.select("centroid", "cvec")
     books, d = pq_codebooks(corpus, corpus_vec, corpus_id, m, n_codes)
-    # the LISTS: id + m byte-codes + reconstruction norm — no vectors
-    assigned = pq_encode(
-        assign_nearest(corpus, corpus_vec, centroids, n_assign),
-        books,
-        d,
-        corpus_vec,
-        m,
+    # the LISTS: id + m byte-codes + reconstruction norm — no vectors.
+    # Encode BEFORE the multi-assignment explode: codes depend only on
+    # (vector, codebook), so encoding after would redo the m×k argmin
+    # n_assign times per vector — the encode is the build's hot loop.
+    enc = pq_encode(corpus, books, d, corpus_vec, m)
+    assigned = assign_nearest(
+        enc, corpus_vec, centroids, n_assign
     ).select(corpus_id, "centroid", "_pqc", "_pqn")
-    # query side: nprobe lists + the flattened m×k ADC lookup table
-    probed = assign_nearest(
-        queries.withColumn("_qn", _norm(F.col(query_vec))),
-        query_vec,
-        centroids,
-        nprobe,
-    )
+    # query side: the flattened m×k ADC lookup table, computed BEFORE
+    # the nprobe explode for the same reason (the table rides the
+    # explode as data, not as a re-evaluated expression)
     adc = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -985,11 +981,13 @@ def ivf_pq_topk(
             ),
         )
     )
-    probed = (
-        probed.crossJoin(F.broadcast(books))
+    qprep = (
+        queries.withColumn("_qn", _norm(F.col(query_vec)))
+        .crossJoin(F.broadcast(books))
         .withColumn("_pqt", adc)
         .drop("_books", "_bn2")
     )
+    probed = assign_nearest(qprep, query_vec, centroids, nprobe)
     cand = probed.join(assigned, "centroid").where(
         F.col(query_id) != F.col(corpus_id)
     )
