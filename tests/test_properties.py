@@ -130,3 +130,69 @@ def test_temperature_rates_invariants(counts, alpha):
             assert abs(got - want) <= 1e-6 * max(1.0, want)
     ordered = sorted(zip(counts, down))
     assert all(a[1] >= b[1] - 1e-12 for a, b in zip(ordered, ordered[1:]))
+
+
+class _SchemaStub:
+    """Duck-typed stand-in for the only DataFrame surface
+    _plan_type_reconciliation touches (.dtypes)."""
+
+    def __init__(self, dtypes):
+        self.dtypes = dtypes
+
+
+_TYPE_POOL = [
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "date", "decimal(18,2)",
+]
+
+
+def test_widening_relation_is_a_strict_partial_order():
+    """No cycles (a widening must never be reversible — that would let
+    two retrying writers flip a column's type forever) and closed
+    under composition (a retry that widened byte→short must be able to
+    continue short→int without a dead end)."""
+    from full_docker_etl_spark.sources.sinks import _WIDENINGS
+
+    for a, b in _WIDENINGS:
+        assert (b, a) not in _WIDENINGS, f"cycle: {a}<->{b}"
+        assert a != b
+    for a, b in _WIDENINGS:
+        for c, d in _WIDENINGS:
+            if b == c:
+                assert (a, d) in _WIDENINGS, f"not transitive: {a}->{b}->{d}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    te=st.sampled_from(_TYPE_POOL),
+    tu=st.sampled_from(_TYPE_POOL),
+    exempt=st.booleans(),
+)
+def test_type_reconciliation_trichotomy(te, tu, exempt):
+    """For ANY pair of (table type, batch type) on a shared column the
+    plan is exactly one of: no-op (equal or exempt), batch up-cast
+    (batch strictly narrower), table widen (batch strictly wider), or
+    a loud ValueError — never a silent pass-through of a non-lossless
+    mismatch, and never both casts at once."""
+    import pytest
+
+    from full_docker_etl_spark.sources.sinks import (
+        _WIDENINGS,
+        _plan_type_reconciliation,
+    )
+
+    ex = _SchemaStub([("k", "int"), ("c", te)])
+    up = _SchemaStub([("k", "int"), ("c", tu)])
+    exempt_set = frozenset({"c"}) if exempt else frozenset()
+    if exempt or te == tu:
+        cu, ce = _plan_type_reconciliation(ex, up, exempt_set)
+        assert cu == {} and ce == {}
+    elif (tu, te) in _WIDENINGS:
+        cu, ce = _plan_type_reconciliation(ex, up, exempt_set)
+        assert cu == {"c": te} and ce == {}
+    elif (te, tu) in _WIDENINGS:
+        cu, ce = _plan_type_reconciliation(ex, up, exempt_set)
+        assert cu == {} and ce == {"c": tu}
+    else:
+        with pytest.raises(ValueError, match="incompatible"):
+            _plan_type_reconciliation(ex, up, exempt_set)
