@@ -511,9 +511,24 @@ class VersionedTable:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(vdir)
         if link_from is not None:
-            _link_missing_partitions(
-                link_from, vdir, len(self.partition_by), link_exclude
-            )
+            try:
+                _link_missing_partitions(
+                    link_from, vdir, len(self.partition_by), link_exclude
+                )
+            except FileNotFoundError as exc:
+                # the parent snapshot fell out of retention and was
+                # GC'd by concurrent commits while this writer was
+                # linking (links happen OUTSIDE the lock by design) —
+                # a retryable staleness, not an I/O fault: surface it
+                # as the rejection it is so _retry_concurrent
+                # re-derives from the new head instead of dying on a
+                # raw FileNotFoundError
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"parent snapshot {link_from} was garbage-collected "
+                    "mid-link (it fell out of retention under concurrent "
+                    "commits); re-read and re-derive"
+                ) from exc
         rejected_head: object = _UNSET
         with self._publish_lock():
             history = self._history()

@@ -576,3 +576,20 @@ def test_concurrent_compact_and_merge(spark):
     # GC/compact could have torn out from under a hardlink)
     for v in t.versions():
         assert t.read(spark, version=v).count() >= 41
+
+
+def test_gcd_parent_mid_link_rejects_as_concurrent(spark, tmp_path):
+    """A scoped commit hardlinks from its parent OUTSIDE the lock; if
+    the parent snapshot was GC'd in the gap (it fell out of retention
+    under heavy concurrent commits), the failure must surface as a
+    retryable ConcurrentWriteError — not a raw FileNotFoundError that
+    kills the writer — and the half-written snapshot must be
+    discarded."""
+    t = _table(keep_versions=2, partition_by=["p"])
+    t.overwrite(spark.createDataFrame([(1, 0, "a")], "k int, p int, v string"))
+    df = spark.createDataFrame([(2, 1, "b")], "k int, p int, v string")
+    gone = os.path.join(t.root, "_versions", "v_gone")
+    with pytest.raises(ConcurrentWriteError, match="garbage-collected"):
+        t._commit(df, link_from=gone, expected_parent=t.current_version())
+    on_disk = set(os.listdir(os.path.join(t.root, "_versions")))
+    assert on_disk == set(t.versions())  # no orphaned half-commit
