@@ -868,7 +868,10 @@ def pq_codebooks(
             ),
         ).alias("_bn2"),
     )
-    return out, d
+    # one tiny row consumed by BOTH the encode and the ADC-table
+    # branches: pin it (eager localCheckpoint, the kmeans pattern) so
+    # the TakeOrdered sample over the corpus runs once, not per branch
+    return out.localCheckpoint(eager=True), d
 
 
 def pq_encode(
