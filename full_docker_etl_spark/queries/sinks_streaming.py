@@ -700,6 +700,61 @@ def sink_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_versioned_clone",
+    oracle="""
+      SELECT o_orderkey,
+             CAST(CASE WHEN o_orderkey % 100 = 0 THEN -o_totalprice
+                       WHEN o_orderkey % 100 = 2 THEN 0.0
+                       ELSE o_totalprice END AS DOUBLE) AS price
+      FROM orders
+    """,
+)
+def sink_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE end-to-end (zero-copy table branching): commit the
+    orders table, merge a correction (every %100=0 price negated),
+    CLONE it — pure hardlinks, O(#files) at any table size — then
+    mutate BOTH sides differently: the source gets a post-clone bump
+    (%100=1) the clone must never see, the clone gets its own zeroing
+    merge (%100=2). Returning the clone's content against an oracle
+    that recomputes exactly (negated, zeroed, untouched) proves all
+    three clone claims at once: it captured the source state at clone
+    time, it is isolated from later source writes, and it is
+    independently mutable — the dev/test-branching contract."""
+    import tempfile
+
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    root = tempfile.mkdtemp(prefix="fde_clone_")
+    src = VersionedTable(root + "/src", keep_versions=3)
+    src.overwrite(orders)
+    src.merge(
+        orders.where(F.col("o_orderkey") % 100 == 0).withColumn(
+            "price", -F.col("price")
+        ),
+        ["o_orderkey"],
+    )
+    clone = src.clone_to(root + "/dev")
+    # post-clone source write: must NOT show through the clone
+    src.merge(
+        orders.where(F.col("o_orderkey") % 100 == 1).withColumn(
+            "price", F.col("price") + 1
+        ),
+        ["o_orderkey"],
+    )
+    # the clone's own branch write
+    clone.merge(
+        orders.where(F.col("o_orderkey") % 100 == 2).withColumn(
+            "price", F.lit(0.0)
+        ),
+        ["o_orderkey"],
+    )
+    return clone.read(spark).select("o_orderkey", "price")
+
+
+@query(
     "sink_zorder_scan",
     oracle="""
       SELECT CAST(ts AS DATE) AS day,

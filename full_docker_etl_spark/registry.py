@@ -105,6 +105,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sink_versioned_cdf",
     "sink_versioned_update",
     "sink_versioned_restore",
+    "sink_versioned_clone",
     "ann_ivf_incremental",
     "ann_ivf_sq_topk",
     "ann_ivf_pq_topk",
@@ -115,9 +116,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_semi",
     "join_equi",
     "join_asof",
-    "join_range",
     # ---- window boundary (~50) ----
     # -- tier 5: rest of the r5-stale rows, for any wider window
+    "join_range",
     "win_latest_per_group",
     "win_moving_avg",
     "win_running_total",

@@ -444,6 +444,60 @@ class VersionedTable:
         """Commit ``df`` as the new table state. Returns the version id."""
         return self._commit(df)
 
+    def clone_to(
+        self, dest_root: str, version: str | None = None
+    ) -> "VersionedTable":
+        """SHALLOW CLONE: materialize a retained snapshot as the first
+        version of a NEW independent table at ``dest_root`` — pure
+        HARDLINKS (same inodes, no data bytes moved), so cloning a
+        100 TB table is O(#files) metadata operations. Safe by the
+        same invariant every hardlinked merge already relies on:
+        snapshot files are IMMUTABLE — both tables only ever write new
+        uniquely-named snapshot dirs, so writes to either side can
+        never show through the other; each side's GC unlinks only its
+        own directory entries and the kernel frees an inode only when
+        its last link drops. The clone starts with a fresh history
+        (depth 1) and the source's partitioning/retention settings —
+        the dev/test-branching shape: fork the production table,
+        experiment destructively, throw the clone away, all without
+        copying data. ``version`` clones a TIME-TRAVEL snapshot
+        instead of the live one. Refuses a ``dest_root`` that already
+        holds a table (clone never silently clobbers)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+        elif version not in self._history():
+            raise FileNotFoundError(
+                f"version {version!r} is not retained at {self.root} "
+                f"(retained: {self._history()}); only retained snapshots "
+                "can be cloned"
+            )
+        dest = VersionedTable(
+            dest_root,
+            keep_versions=self.keep,
+            orphan_grace_seconds=self.orphan_grace,
+            partition_by=self.partition_by,
+        )
+        if os.path.exists(dest._pointer):
+            raise FileExistsError(
+                f"destination {dest_root} already holds a table; clone "
+                "never overwrites — pick a fresh path or delete it first"
+            )
+        new_version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(dest_root, "_versions", new_version)
+        _link_tree(os.path.join(self.root, "_versions", version), vdir)
+        with dest._publish_lock():
+            if os.path.exists(dest._pointer):  # raced by another cloner
+                raise FileExistsError(
+                    f"destination {dest_root} was initialized concurrently"
+                )
+            tmp = f"{dest._pointer}.tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(new_version)
+            os.replace(tmp, dest._pointer)  # the atomic publish
+        return dest
+
     def restore(self, version: str) -> str:
         """ROLLBACK: make a retained snapshot the live version again
         (RESTORE TABLE ... TO VERSION). Snapshots are immutable, so

@@ -593,3 +593,58 @@ def test_gcd_parent_mid_link_rejects_as_concurrent(spark, tmp_path):
         t._commit(df, link_from=gone, expected_parent=t.current_version())
     on_disk = set(os.listdir(os.path.join(t.root, "_versions")))
     assert on_disk == set(t.versions())  # no orphaned half-commit
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    """SHALLOW CLONE: the clone must share inodes with the source (no
+    data copied), read identically, and be fully independent under
+    mutation in BOTH directions — the immutable-snapshot invariant
+    hardlinked merges already rely on, now exposed as table branching.
+    Cloning over an existing table refuses; cloning a retained old
+    version time-travels."""
+    src = VersionedTable(
+        str(tmp_path / "src"), keep_versions=3, partition_by=["p"]
+    )
+    v1 = src.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b")], "k int, p int, v string"
+        )
+    )
+    src.merge(
+        spark.createDataFrame([(3, 0, "c")], "k int, p int, v string"),
+        ["k", "p"],
+    )
+    clone = src.clone_to(str(tmp_path / "dev"))
+    got = {(int(r.k), r.v) for r in clone.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # zero-copy: every cloned data file shares its inode with the source
+    sdir = os.path.join(src.root, "_versions", src.current_version())
+    cdir = os.path.join(clone.root, "_versions", clone.current_version())
+    src_inodes = {
+        os.stat(os.path.join(b, f)).st_ino
+        for b, _d, fs in os.walk(sdir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    clone_inodes = {
+        os.stat(os.path.join(b, f)).st_ino
+        for b, _d, fs in os.walk(cdir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert clone_inodes and clone_inodes <= src_inodes
+    # independence: mutate the clone, source unchanged — and vice versa
+    clone.merge(
+        spark.createDataFrame([(9, 1, "dev")], "k int, p int, v string"),
+        ["k", "p"],
+    )
+    assert {r.k for r in src.read(spark).collect()} == {1, 2, 3}
+    src.delete(
+        spark.createDataFrame([(1, 0)], "k int, p int"), ["k", "p"]
+    )
+    assert {r.k for r in clone.read(spark).collect()} == {1, 2, 3, 9}
+    # refuse clobbering; allow time-travel cloning of a retained version
+    with pytest.raises(FileExistsError, match="never overwrites"):
+        src.clone_to(str(tmp_path / "dev"))
+    old = src.clone_to(str(tmp_path / "asof"), version=v1)
+    assert {r.k for r in old.read(spark).collect()} == {1, 2}
