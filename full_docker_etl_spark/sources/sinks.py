@@ -321,6 +321,7 @@ class VersionedTable:
         keep_versions: int = 2,
         orphan_grace_seconds: float = 3600.0,
         partition_by: tuple[str, ...] = (),
+        constraints: dict[str, str] | None = None,
     ):
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
@@ -328,6 +329,7 @@ class VersionedTable:
         self.keep = keep_versions
         self.orphan_grace = orphan_grace_seconds
         self.partition_by = tuple(partition_by)
+        self.constraints = dict(constraints or {})
         self._hist_cache: tuple[tuple, tuple[str, ...]] | None = None
 
     @property
@@ -558,6 +560,7 @@ class VersionedTable:
         one's commit (the lost-update race). Omitted = blind publish
         (explicit ``overwrite``, which is last-write-wins by
         contract)."""
+        self._check_constraints(df)
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.root, "_versions", version)
         writer = df.write.mode("overwrite")
@@ -1165,6 +1168,47 @@ class VersionedTable:
         return existing.join(
             F.broadcast(touched), on=list(self.partition_by), how="left_semi"
         )
+
+    def _check_constraints(self, df: DataFrame) -> None:
+        """CHECK-constraint gate (Delta's ALTER TABLE ... ADD CONSTRAINT
+        shape, declared at construction): every commit — overwrite,
+        merge, delete survivor set, update, compaction — must satisfy
+        every constraint expression or the commit REFUSES before any
+        snapshot is written, reporting per-constraint violation counts
+        and a sample row. A NULL predicate result counts as a
+        VIOLATION (SQL CHECK semantics allow NULL; a data-quality gate
+        must not — a null price passing ``price >= 0`` silently is
+        exactly the bug this exists to stop; write ``price >= 0 OR
+        price IS NULL`` to opt nulls in). One aggregate job over the
+        commit frame, only when constraints are declared — tables
+        without constraints pay nothing."""
+        if not self.constraints:
+            return
+        aggs = [
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
+                    0,
+                ).otherwise(1)
+            ).alias(name)
+            for name, expr in self.constraints.items()
+        ]
+        row = df.agg(*aggs).first()
+        bad = {n: int(row[n] or 0) for n in self.constraints if row[n]}
+        if bad:
+            worst = max(bad, key=bad.get)
+            sample = df.where(
+                ~F.coalesce(
+                    F.expr(self.constraints[worst]).cast("boolean"),
+                    F.lit(False),
+                )
+            ).take(1)
+            raise ValueError(
+                f"commit to {self.root} violates CHECK constraint(s) "
+                f"{bad} (constraint -> violating-row count; NULL "
+                "predicate results count as violations); first "
+                f"offending row for {worst!r}: {sample[0] if sample else None}"
+            )
 
     def _gc(self, retained: list[str], aged: set[str]) -> None:
         """Delete stale snapshot dirs. Two classes, different rules:

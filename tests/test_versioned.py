@@ -648,3 +648,43 @@ def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
         src.clone_to(str(tmp_path / "dev"))
     old = src.clone_to(str(tmp_path / "asof"), version=v1)
     assert {r.k for r in old.read(spark).collect()} == {1, 2}
+
+
+def test_check_constraints_gate_every_commit(spark):
+    """Declared CHECK constraints must gate EVERY mutation shape before
+    any snapshot lands: a violating overwrite/merge refuses with
+    per-constraint counts (NULL predicate results count as
+    violations), a clean commit passes, and a rejected commit leaves
+    the table exactly as it was — no snapshot, no pointer move."""
+    t = _table(
+        keep_versions=3,
+        constraints={
+            "price_nonneg": "price >= 0",
+            "key_not_null": "k IS NOT NULL",
+        },
+    )
+    good = spark.createDataFrame([(1, 10.0), (2, 0.0)], "k int, price double")
+    v1 = t.overwrite(good)
+    # violating merge: negative price AND a null key (null predicate)
+    bad = spark.createDataFrame(
+        [(3, -5.0), (None, 7.0)], "k int, price double"
+    )
+    with pytest.raises(ValueError, match="price_nonneg"):
+        t.merge(bad, ["k"])
+    assert t.current_version() == v1  # nothing published
+    assert {r.k for r in t.read(spark).collect()} == {1, 2}
+    on_disk = set(os.listdir(os.path.join(t.root, "_versions")))
+    assert on_disk == set(t.versions())  # no snapshot debris
+    # NULL predicate result is a violation, not a pass
+    nullish = spark.createDataFrame(
+        [(4, None)], "k int, price double"
+    )
+    with pytest.raises(ValueError, match="price_nonneg"):
+        t.merge(nullish, ["k"])
+    # clean merge still flows
+    t.merge(spark.createDataFrame([(5, 1.5)], "k int, price double"), ["k"])
+    assert {r.k for r in t.read(spark).collect()} == {1, 2, 5}
+    # a constraint-free table pays nothing and accepts anything
+    free = _table(keep_versions=2)
+    free.overwrite(bad)
+    assert free.read(spark).count() == 2
