@@ -124,11 +124,19 @@ def fuzzy_join(
     else:
         lt = _capped_tokens(lf, "__fzj_l", "__fzj_lb", max_token_df)
         rt = _capped_tokens(rf, "__fzj_r", "__fzj_rb", max_token_df)
-        # a pair sharing k tokens joins k times; collapse to one row
-        # per candidate (inputs are distinct-row by contract)
-        pairs = lt.join(
-            rt, F.col("__fzj_lb") == F.col("__fzj_rb")
-        ).dropDuplicates(list(left.columns) + list(right.columns))
+        # a pair sharing k tokens joins k times; the cheap lossless
+        # length-band predicate runs BEFORE the collapse so the
+        # dropDuplicates shuffle carries only surviving candidates
+        # (the band is deterministic per pair, so filtering before or
+        # after deduplication selects the same pair set); then collapse
+        # to one row per candidate (inputs are distinct-row by contract)
+        pairs = (
+            lt.join(rt, F.col("__fzj_lb") == F.col("__fzj_rb"))
+            .where(
+                F.abs(F.length("__fzj_l") - F.length("__fzj_r")) <= max_dist
+            )
+            .dropDuplicates(list(left.columns) + list(right.columns))
+        )
     return (
         pairs.where(
             F.abs(F.length("__fzj_l") - F.length("__fzj_r")) <= max_dist

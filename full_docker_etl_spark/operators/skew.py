@@ -220,7 +220,16 @@ def write_clustered_zorder(
             "write_clustered_zorder needs >= 2 columns; use "
             "write_clustered for single-key clustering"
         )
+    if len(cluster_by) * bits > 63:
+        # the Morton value is built in ONE bigint; past 63 interleaved
+        # bits the shifts wrap and the curve silently scrambles
+        raise ValueError(
+            f"{len(cluster_by)} columns x {bits} bits = "
+            f"{len(cluster_by) * bits} interleaved bits exceeds the "
+            "63-bit Morton budget; lower bits or cluster fewer columns"
+        )
     levels = 1 << bits
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
     dtypes = dict(df.dtypes)
     nums = []
     for c in cluster_by:
@@ -230,10 +239,17 @@ def write_clustered_zorder(
                 F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
                 .cast("double")
             )
-        elif dt.startswith("timestamp"):
+        elif dt.startswith(("timestamp", "decimal")) or dt in numeric:
             nums.append(F.col(c).cast("double"))
         else:
-            nums.append(F.col(c).cast("double"))
+            # string/boolean/complex would cast('double') to NULL for
+            # every row — all rows in bucket 0, clustering a silent
+            # no-op; refuse loudly instead
+            raise ValueError(
+                f"cluster column {c!r} has unsupported type {dt}; "
+                "z-order clustering supports numeric, date and "
+                "timestamp columns"
+            )
     probe = df.select(
         *[n.alias(f"__zq_{i}") for i, n in enumerate(nums)]
     )
@@ -242,16 +258,16 @@ def write_clustered_zorder(
         [f"__zq_{i}" for i in range(len(nums))], probs, 0.001
     )
     m = len(cluster_by)
-    z = F.lit(0)
+    z = F.lit(0).cast("bigint")
     for j, (num, bnds) in enumerate(zip(nums, bounds)):
         bucket = F.size(
             F.filter(
                 F.array(*[F.lit(float(b)) for b in bnds]),
                 lambda b: b <= num,
             )
-        )
+        ).cast("bigint")
         for i in range(bits):
-            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1).cast("bigint"))
             z = z + F.shiftleft(bit, i * m + (m - 1 - j))
     ranged = (
         df.withColumn("__z", z).repartitionByRange(n_files, "__z")

@@ -480,6 +480,7 @@ class VersionedTable:
             keep_versions=self.keep,
             orphan_grace_seconds=self.orphan_grace,
             partition_by=self.partition_by,
+            constraints=self.constraints,
         )
         if os.path.exists(dest._pointer):
             raise FileExistsError(
@@ -488,16 +489,43 @@ class VersionedTable:
             )
         new_version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(dest_root, "_versions", new_version)
-        _link_tree(os.path.join(self.root, "_versions", version), vdir)
+        # Linking races the SOURCE table's GC: after the retention check
+        # above, a burst of source commits can age this snapshot out and
+        # rmtree it mid-_link_tree. A vanished FILE raises; a vanished
+        # DIRECTORY is silently skipped by os.walk — so a clean
+        # FileNotFoundError is not enough, the snapshot must ALSO still
+        # be retained after linking or the clone may be silently PARTIAL.
+        try:
+            _link_tree(os.path.join(self.root, "_versions", version), vdir)
+        except FileNotFoundError as exc:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"source snapshot {version!r} was garbage-collected "
+                "mid-clone (it fell out of retention under concurrent "
+                "source commits); re-read and re-clone"
+            ) from exc
+        if version not in self._history():
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"source snapshot {version!r} fell out of retention "
+                "while the clone was linking; the clone could be "
+                "partial and was discarded — re-clone from a live "
+                "version"
+            )
+        raced = False
         with dest._publish_lock():
             if os.path.exists(dest._pointer):  # raced by another cloner
-                raise FileExistsError(
-                    f"destination {dest_root} was initialized concurrently"
-                )
-            tmp = f"{dest._pointer}.tmp.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                fh.write(new_version)
-            os.replace(tmp, dest._pointer)  # the atomic publish
+                raced = True  # cleanup happens OUTSIDE the lock
+            else:
+                tmp = f"{dest._pointer}.tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    fh.write(new_version)
+                os.replace(tmp, dest._pointer)  # the atomic publish
+        if raced:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise FileExistsError(
+                f"destination {dest_root} was initialized concurrently"
+            )
         return dest
 
     def restore(self, version: str) -> str:
@@ -559,14 +587,39 @@ class VersionedTable:
         raised; the slower writer can never silently orphan the faster
         one's commit (the lost-update race). Omitted = blind publish
         (explicit ``overwrite``, which is last-write-wins by
-        contract)."""
-        self._check_constraints(df)
+        contract).
+
+        CHECK constraints (Delta's ALTER TABLE ... ADD CONSTRAINT
+        shape, declared at construction) gate every commit here: the
+        violation counts are FOLDED INTO THE WRITE PASS via
+        ``observe()`` — one materialization, not a separate full-scan
+        agg job before the write — and a violating commit discards its
+        never-published snapshot and refuses with per-constraint
+        counts. Readers can never see a violating state because the
+        pointer is only moved after the counts come back clean.
+        Tables without constraints pay nothing."""
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.root, "_versions", version)
+        observation = None
+        if self.constraints:
+            from pyspark.sql import Observation
+
+            observation = Observation()
+            df = df.observe(observation, *self._constraint_aggs())
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(vdir)
+        if observation is not None:
+            counts = observation.get
+            bad = {
+                n: int(counts[n] or 0) for n in self.constraints if counts[n]
+            }
+            if bad:
+                # the snapshot was written but never published — readers
+                # cannot have seen it; discard and refuse loudly
+                shutil.rmtree(vdir, ignore_errors=True)
+                self._raise_constraint_violation(df, bad)
         if link_from is not None:
             try:
                 _link_missing_partitions(
@@ -1169,22 +1222,14 @@ class VersionedTable:
             F.broadcast(touched), on=list(self.partition_by), how="left_semi"
         )
 
-    def _check_constraints(self, df: DataFrame) -> None:
-        """CHECK-constraint gate (Delta's ALTER TABLE ... ADD CONSTRAINT
-        shape, declared at construction): every commit — overwrite,
-        merge, delete survivor set, update, compaction — must satisfy
-        every constraint expression or the commit REFUSES before any
-        snapshot is written, reporting per-constraint violation counts
-        and a sample row. A NULL predicate result counts as a
-        VIOLATION (SQL CHECK semantics allow NULL; a data-quality gate
-        must not — a null price passing ``price >= 0`` silently is
-        exactly the bug this exists to stop; write ``price >= 0 OR
-        price IS NULL`` to opt nulls in). One aggregate job over the
-        commit frame, only when constraints are declared — tables
-        without constraints pay nothing."""
-        if not self.constraints:
-            return
-        aggs = [
+    def _constraint_aggs(self) -> list:
+        """Violation-count aggregates, one per declared CHECK
+        constraint. A NULL predicate result counts as a VIOLATION (SQL
+        CHECK semantics allow NULL; a data-quality gate must not — a
+        null price passing ``price >= 0`` silently is exactly the bug
+        this exists to stop; write ``price >= 0 OR price IS NULL`` to
+        opt nulls in)."""
+        return [
             F.sum(
                 F.when(
                     F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
@@ -1193,22 +1238,26 @@ class VersionedTable:
             ).alias(name)
             for name, expr in self.constraints.items()
         ]
-        row = df.agg(*aggs).first()
-        bad = {n: int(row[n] or 0) for n in self.constraints if row[n]}
-        if bad:
-            worst = max(bad, key=bad.get)
-            sample = df.where(
-                ~F.coalesce(
-                    F.expr(self.constraints[worst]).cast("boolean"),
-                    F.lit(False),
-                )
-            ).take(1)
-            raise ValueError(
-                f"commit to {self.root} violates CHECK constraint(s) "
-                f"{bad} (constraint -> violating-row count; NULL "
-                "predicate results count as violations); first "
-                f"offending row for {worst!r}: {sample[0] if sample else None}"
+
+    def _raise_constraint_violation(
+        self, df: DataFrame, bad: dict[str, int]
+    ) -> None:
+        """Report per-constraint violation counts plus one sample row.
+        The sample scan runs only on the REJECTION path — the happy
+        path pays nothing beyond the observe() fold."""
+        worst = max(bad, key=bad.get)
+        sample = df.where(
+            ~F.coalesce(
+                F.expr(self.constraints[worst]).cast("boolean"),
+                F.lit(False),
             )
+        ).take(1)
+        raise ValueError(
+            f"commit to {self.root} violates CHECK constraint(s) "
+            f"{bad} (constraint -> violating-row count; NULL "
+            "predicate results count as violations); first "
+            f"offending row for {worst!r}: {sample[0] if sample else None}"
+        )
 
     def _gc(self, retained: list[str], aged: set[str]) -> None:
         """Delete stale snapshot dirs. Two classes, different rules:

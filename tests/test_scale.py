@@ -303,3 +303,24 @@ def test_write_clustered_zorder_prunes_both_columns(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
     assert back.exceptAll(ev).count() == 0
+
+
+def test_write_clustered_zorder_guards(spark, tmp_path):
+    """Z-order input validation: a string cluster column would
+    cast('double') to NULL for every row (all rows in bucket 0 — a
+    silent clustering no-op) and an interleave budget past 63 bits
+    would wrap the bigint Morton value and scramble the curve; both
+    must refuse loudly up front."""
+    import pytest as _pytest
+
+    from full_docker_etl_spark.operators.skew import write_clustered_zorder
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0, 3, 4)], "k int, s string, x double, y int, z int"
+    )
+    with _pytest.raises(ValueError, match="unsupported type"):
+        write_clustered_zorder(df, str(tmp_path / "o1"), ["k", "s"])
+    with _pytest.raises(ValueError, match="63-bit"):
+        write_clustered_zorder(
+            df, str(tmp_path / "o2"), ["k", "x", "y", "z"], bits=16
+        )

@@ -688,3 +688,25 @@ def test_check_constraints_gate_every_commit(spark):
     free = _table(keep_versions=2)
     free.overwrite(bad)
     assert free.read(spark).count() == 2
+
+
+def test_clone_propagates_constraints(spark, tmp_path):
+    """A shallow clone of a CHECK-constrained table must keep the
+    constraints: the dev/test-branching contract is 'same table, new
+    branch' — a clone that silently accepts violating commits
+    undermines the gate the source declared."""
+    src = VersionedTable(
+        str(tmp_path / "csrc"),
+        keep_versions=2,
+        constraints={"price_nonneg": "price >= 0"},
+    )
+    src.overwrite(
+        spark.createDataFrame([(1, 10.0)], "k int, price double")
+    )
+    clone = src.clone_to(str(tmp_path / "cdev"))
+    assert clone.constraints == src.constraints
+    with pytest.raises(ValueError, match="price_nonneg"):
+        clone.merge(
+            spark.createDataFrame([(2, -1.0)], "k int, price double"), ["k"]
+        )
+    assert {r.k for r in clone.read(spark).collect()} == {1}
