@@ -946,3 +946,96 @@ def sink_versioned_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_col="_del",
     )
     return replica.read(spark).select("o_orderkey", "yr", "o_totalprice")
+
+
+@query(
+    "sink_versioned_delete_dv",
+    oracle="""
+      SELECT o_orderkey, strftime(o_orderdate, '%Y') AS yr, o_totalprice
+      FROM orders
+      WHERE NOT (o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01')
+        AND NOT (o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-01-01'
+                 AND o_orderkey % 2 = 0)
+    """,
+)
+def sink_versioned_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ keyed DELETE (deletion vectors): the exact purge
+    sink_versioned_delete runs copy-on-write — all of 1997 plus half of
+    1996 — but via a tombstone sidecar: the delete commit hardlinks
+    every data file (O(|deleted|) bytes written, nothing rewritten; at
+    100 TB a scattered GDPR purge stops rewriting nearly every
+    partition) and readers subtract the vector with a broadcast
+    anti-join. Applied twice (purge jobs re-run; the second is a
+    no-op), read back through the vector, then compact() RECONCILES the
+    vector into the data files and the final read — what the oracle
+    value-checks row for row — comes from the folded snapshot with no
+    sidecar left."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        "o_totalprice",
+    )
+    table = VersionedTable(
+        _tmp("vdeldv"), keep_versions=2, partition_by=("yr",)
+    )
+    table.overwrite(orders)
+    dels = orders.where(
+        (F.col("yr") == "1997")
+        | ((F.col("yr") == "1996") & (F.col("o_orderkey") % 2 == 0))
+    ).select("o_orderkey", "yr")
+    table.delete_dv(dels, keys=["o_orderkey", "yr"])
+    table.delete_dv(dels, keys=["o_orderkey", "yr"])  # re-run: no-op
+    merged_on_read = table.read(spark).count()
+    table.compact(spark, max_files_per_partition=10_000)  # fold the DV
+    out = table.read(spark).select("o_orderkey", "yr", "o_totalprice")
+    assert out.count() == merged_on_read  # fold changed layout, not rows
+    return out
+
+
+@query(
+    "sink_versioned_constraints",
+    oracle="""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def sink_versioned_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints as a commit gate (Delta's ADD CONSTRAINT
+    shape): a constrained table accepts a clean 1996 load, REFUSES a
+    batch whose prices were corrupted negative (the violation counts
+    ride the write pass via observe() — no separate validation scan —
+    and the snapshot never publishes), then accepts a clean follow-up
+    merge. The oracle checks the surviving state: exactly the two good
+    batches, nothing from the refused one."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    table = VersionedTable(
+        _tmp("vconstr"),
+        keep_versions=2,
+        constraints={
+            "price_positive": "o_totalprice > 0",
+            "status_known": "o_orderstatus IN ('F', 'O', 'P')",
+        },
+    )
+    good_first = orders.where(F.col("o_orderkey") % 3 != 0)
+    table.overwrite(good_first)
+    v_good = table.current_version()
+    corrupted = orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        table.merge(corrupted, keys=["o_orderkey"])
+        raise AssertionError("violating merge must refuse")
+    except ValueError as exc:
+        assert "price_positive" in str(exc)
+    assert table.current_version() == v_good  # nothing published
+    table.merge(orders.where(F.col("o_orderkey") % 3 == 0), ["o_orderkey"])
+    return table.read(spark).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )

@@ -25,6 +25,7 @@ Reference → here:
 from __future__ import annotations
 
 import contextlib
+import json
 import os
 import shutil
 import time
@@ -228,15 +229,21 @@ def _plan_type_reconciliation(
     return cast_updates, cast_existing
 
 
-def _link_tree(src: str, dst: str) -> None:
+def _link_tree(src: str, dst: str, skip: frozenset[str] = frozenset()) -> None:
     """Mirror ``src`` into ``dst`` with HARDLINKS (same inodes, no data
     copied); falls back to copy2 per file if the filesystem refuses
-    links (e.g. a cross-device move)."""
-    for base, _dirs, files in os.walk(src):
+    links (e.g. a cross-device move). ``skip`` names TOP-LEVEL entries
+    of ``src`` to leave out (e.g. the deletion-vector sidecar when the
+    caller writes a fresh one)."""
+    for base, dirs, files in os.walk(src):
         rel = os.path.relpath(base, src)
+        if rel == ".":
+            dirs[:] = [d for d in dirs if d not in skip]
         tdir = dst if rel == "." else os.path.join(dst, rel)
         os.makedirs(tdir, exist_ok=True)
         for f in files:
+            if rel == "." and f in skip:
+                continue
             s, t = os.path.join(base, f), os.path.join(tdir, f)
             try:
                 os.link(s, t)
@@ -273,6 +280,54 @@ def _link_missing_partitions(
 
     if depth > 0:
         rec("", 0)
+
+
+def _leaf_rels(root: str, depth: int) -> set[str]:
+    """Relative paths of every ``col=value`` partition LEAF directory
+    under ``root`` (``depth`` nesting levels)."""
+    out: set[str] = set()
+
+    def rec(rel: str, level: int) -> None:
+        d = os.path.join(root, rel) if rel else root
+        if level == depth:
+            out.add(rel)
+            return
+        for entry in os.listdir(d):
+            if "=" in entry and os.path.isdir(os.path.join(d, entry)):
+                rec(os.path.join(rel, entry) if rel else entry, level + 1)
+
+    if depth > 0:
+        rec("", 0)
+    return out
+
+
+def _write_commit_meta(
+    vdir: str, full: bool, leaves: list[str], dv: bool
+) -> None:
+    """Record WHAT a commit touched next to its snapshot
+    (``_COMMIT.json``, hidden from the data scan): ``full`` = the whole
+    table was rewritten (or the table is unpartitioned), ``leaves`` =
+    the partition leaf dirs a scoped commit rewrote/created/emptied,
+    ``dv`` = the commit wrote or carried a deletion-vector sidecar.
+    This is the touched-set record partition-level conflict detection
+    reads: a rejected scoped commit whose leaves are disjoint from
+    every intervening commit's can REBASE onto the new head instead of
+    re-running its Spark job."""
+    meta = {"full": bool(full), "leaves": sorted(leaves), "dv": bool(dv)}
+    tmp = os.path.join(vdir, f"._commit.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(vdir, "_COMMIT.json"))
+
+
+def _read_commit_meta(vdir: str) -> dict | None:
+    """The commit's touched-set record, or None for snapshots that
+    predate it (treated as touching everything — rebase refuses)."""
+    try:
+        with open(os.path.join(vdir, "_COMMIT.json")) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return None
 
 
 class VersionedTable:
@@ -427,7 +482,16 @@ class VersionedTable:
         """Read the live snapshot, or TIME-TRAVEL to any retained
         ``version`` from :meth:`versions` — snapshots are immutable,
         so an old version is simply read from its directory; no log
-        replay, no reconstruction."""
+        replay, no reconstruction.
+
+        MERGE-ON-READ: if the snapshot carries a deletion-vector
+        sidecar (``_dv/`` — written by :meth:`delete_dv`, invisible to
+        the data scan because Spark hides underscore paths), the
+        tombstoned keys are subtracted here with a broadcast anti-join.
+        Every consumer — queries, merges, diffs, compaction — reads
+        through this method, so tombstones are applied uniformly; the
+        vectors are reconciled back into the data files by
+        :meth:`compact`."""
         if version is None:
             version = self.current_version()
             if version is None:
@@ -438,9 +502,30 @@ class VersionedTable:
                 f"(retained: {self._history()}); raise keep_versions to "
                 "keep a deeper time-travel horizon"
             )
-        return spark.read.parquet(
-            os.path.join(self.root, "_versions", version)
-        )
+        vdir = os.path.join(self.root, "_versions", version)
+        df = spark.read.parquet(vdir)
+        dv = self._read_dv(spark, version)
+        if dv is not None:
+            df = df.join(
+                F.broadcast(dv), on=list(dv.columns), how="left_anti"
+            )
+        return df
+
+    def _dv_dir(self, version: str) -> str:
+        # SIBLING of _versions, not inside the snapshot: the data scan
+        # must never even list the sidecar (an underscore dir inside
+        # the snapshot triggers a per-read "all paths ignored" warning
+        # during partition discovery). Lifecycle is tied to the
+        # snapshot's: written before publish, GC'd with its version.
+        return os.path.join(self.root, "_dv", version)
+
+    def _read_dv(self, spark: SparkSession, version: str) -> DataFrame | None:
+        """The snapshot's deletion vector (distinct tombstoned key
+        tuples), or None when the snapshot carries none."""
+        d = self._dv_dir(version)
+        if not os.path.isdir(d):
+            return None
+        return spark.read.parquet(d)
 
     def overwrite(self, df: DataFrame) -> str:
         """Commit ``df`` as the new table state. Returns the version id."""
@@ -496,9 +581,17 @@ class VersionedTable:
         # FileNotFoundError is not enough, the snapshot must ALSO still
         # be retained after linking or the clone may be silently PARTIAL.
         try:
-            _link_tree(os.path.join(self.root, "_versions", version), vdir)
+            _link_tree(
+                os.path.join(self.root, "_versions", version),
+                vdir,
+                skip=frozenset({"_COMMIT.json"}),
+            )
+            if os.path.isdir(self._dv_dir(version)):
+                # the snapshot's deletion vector is part of its state
+                _link_tree(self._dv_dir(version), dest._dv_dir(new_version))
         except FileNotFoundError as exc:
             shutil.rmtree(vdir, ignore_errors=True)
+            shutil.rmtree(dest._dv_dir(new_version), ignore_errors=True)
             raise ConcurrentWriteError(
                 f"source snapshot {version!r} was garbage-collected "
                 "mid-clone (it fell out of retention under concurrent "
@@ -506,12 +599,19 @@ class VersionedTable:
             ) from exc
         if version not in self._history():
             shutil.rmtree(vdir, ignore_errors=True)
+            shutil.rmtree(dest._dv_dir(new_version), ignore_errors=True)
             raise ConcurrentWriteError(
                 f"source snapshot {version!r} fell out of retention "
                 "while the clone was linking; the clone could be "
                 "partial and was discarded — re-clone from a live "
                 "version"
             )
+        _write_commit_meta(
+            vdir,
+            full=True,
+            leaves=[],
+            dv=os.path.isdir(dest._dv_dir(new_version)),
+        )
         raced = False
         with dest._publish_lock():
             if os.path.exists(dest._pointer):  # raced by another cloner
@@ -571,6 +671,7 @@ class VersionedTable:
         link_from: str | None = None,
         link_exclude: frozenset[str] = frozenset(),
         expected_parent: object = _UNSET,
+        drop_dv: bool = False,
     ) -> str:
         """Write ``df`` as a new snapshot (partitioned when configured),
         optionally hardlink every partition directory present in
@@ -621,6 +722,9 @@ class VersionedTable:
                 shutil.rmtree(vdir, ignore_errors=True)
                 self._raise_constraint_violation(df, bad)
         if link_from is not None:
+            touched_leaves = _leaf_rels(vdir, len(self.partition_by))
+            if not drop_dv:
+                self._propagate_dv(df.sparkSession, link_from, vdir, version)
             try:
                 _link_missing_partitions(
                     link_from, vdir, len(self.partition_by), link_exclude
@@ -634,11 +738,72 @@ class VersionedTable:
                 # re-derives from the new head instead of dying on a
                 # raw FileNotFoundError
                 shutil.rmtree(vdir, ignore_errors=True)
+                shutil.rmtree(self._dv_dir(version), ignore_errors=True)
                 raise ConcurrentWriteError(
                     f"parent snapshot {link_from} was garbage-collected "
                     "mid-link (it fell out of retention under concurrent "
                     "commits); re-read and re-derive"
                 ) from exc
+            _write_commit_meta(
+                vdir,
+                full=False,
+                leaves=sorted(touched_leaves | set(link_exclude)),
+                dv=os.path.isdir(self._dv_dir(version)),
+            )
+        else:
+            _write_commit_meta(vdir, full=True, leaves=[], dv=False)
+        try:
+            self._publish(version, vdir, expected_parent)
+        except ConcurrentWriteError:
+            shutil.rmtree(self._dv_dir(version), ignore_errors=True)
+            raise
+        return version
+
+    def _propagate_dv(
+        self, spark: SparkSession, link_from: str, vdir: str, version: str
+    ) -> None:
+        """Carry the parent snapshot's deletion vector forward into a
+        scoped commit, MINUS any key tuple the fresh write legitimately
+        re-introduces (a MERGE that re-inserts a tombstoned key must
+        make it visible again — partition cols ⊆ DV keys guarantees the
+        re-inserted key's partition is among the rewritten ones, so
+        subtracting the fresh write's tuples is exact). The rewritten
+        partitions were derived from the DV-applied read, so their
+        files already exclude every remaining tombstone; the vector is
+        only needed for the HARDLINKED untouched partitions."""
+        parent_dv = self._dv_dir(os.path.basename(link_from))
+        if not os.path.isdir(parent_dv):
+            return
+        old_dv = spark.read.parquet(parent_dv)
+        try:
+            fresh = (
+                spark.read.parquet(vdir)
+                .select(*old_dv.columns)
+                .distinct()
+            )
+            dv = old_dv.join(
+                fresh, on=list(old_dv.columns), how="left_anti"
+            )
+        except Exception:
+            dv = old_dv  # empty fresh write: nothing re-introduced
+        if dv.take(1):
+            dv.coalesce(1).write.mode("overwrite").parquet(
+                self._dv_dir(version)
+            )
+
+    def _publish(
+        self,
+        version: str,
+        vdir: str,
+        expected_parent: object,
+        cleanup_on_reject: bool = True,
+    ) -> None:
+        """The pointer read-check-publish critical section plus GC.
+        On success the pointer atomically moves to ``version``; on a
+        parent mismatch the snapshot is discarded (unless the caller
+        wants it kept for a REBASE attempt) and
+        :class:`ConcurrentWriteError` raised with the rejecting head on
+        ``.head``."""
         rejected_head: object = _UNSET
         with self._publish_lock():
             history = self._history()
@@ -652,16 +817,18 @@ class VersionedTable:
                     fh.write("\n".join(retained))
                 os.replace(tmp, self._pointer)  # the atomic publish
         if rejected_head is not _UNSET:
-            shutil.rmtree(vdir, ignore_errors=True)
-            raise ConcurrentWriteError(
+            if cleanup_on_reject:
+                shutil.rmtree(vdir, ignore_errors=True)
+            exc = ConcurrentWriteError(
                 f"commit to {self.root} was derived from version "
                 f"{expected_parent!r} but the live version is now "
                 f"{rejected_head!r}; re-read and re-derive"
             )
+            exc.head = rejected_head
+            raise exc
         # GC outside the lock: rmtree of aged snapshots can be slow and
         # must never stretch the critical section past stale_after
         self._gc(retained, aged=set(history) - set(retained))
-        return version
 
     def merge(
         self,
@@ -1021,6 +1188,115 @@ class VersionedTable:
             keep, link_from=cur_dir, link_exclude=excl, expected_parent=parent
         )
 
+    def delete_dv(self, keys_df: DataFrame, keys: list[str]) -> str:
+        """MERGE-ON-READ keyed DELETE (Delta's deletion vectors shape):
+        instead of rewriting every touched partition's survivors like
+        :meth:`delete`, the matched key tuples are appended to a tiny
+        DELETION-VECTOR sidecar (``_dv/`` inside the new snapshot) and
+        every data file is HARDLINKED from the parent — a GDPR purge of
+        a few thousand keys scattered across a 100 TB table writes
+        O(|deleted|) bytes instead of rewriting nearly every partition.
+        :meth:`read` subtracts the vector with a broadcast anti-join,
+        so every consumer (queries, merges, diffs, time travel) sees
+        the post-delete state immediately; :meth:`compact` reconciles
+        the vectors back into the data files and drops the sidecar.
+
+        Contract mirrors :meth:`delete`: partitioned tables require
+        partition cols ⊆ keys (then a tombstone addresses exactly one
+        partition, which is what lets a later scoped MERGE that
+        re-inserts the key clear its tombstone exactly); idempotent and
+        no-op-aware (a batch matching zero visible rows returns the
+        current version without a commit — re-run purge jobs must not
+        age the time-travel window and must not grow the vector); only
+        MATCHED keys enter the vector, so it is bounded by the live
+        row count, not by how much garbage the key batch carries. A
+        vector keyed by a different column set than an existing one
+        refuses (fold via compact first). Same optimistic concurrency
+        as every mutation (derive → parent-checked commit → retry)."""
+        return self._retry_concurrent(
+            lambda: self._delete_dv_once(keys_df, keys)
+        )
+
+    def _delete_dv_once(self, keys_df: DataFrame, keys: list[str]) -> str:
+        spark = keys_df.sparkSession
+        parent = self.current_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if self.partition_by:
+            missing = set(self.partition_by) - set(keys)
+            if missing:
+                raise ValueError(
+                    "merge-on-read delete requires partition columns to "
+                    f"be part of the delete key (missing: "
+                    f"{sorted(missing)}); otherwise a tombstone could "
+                    "not be cleared exactly when a scoped merge "
+                    "re-inserts its key"
+                )
+        live = self.read(spark, version=parent)
+        unknown = set(keys) - set(live.columns)
+        if unknown:
+            raise ValueError(
+                f"delete keys not in the table: {sorted(unknown)} "
+                f"(table columns: {live.columns})"
+            )
+        ltypes = dict(live.dtypes)
+        probe = keys_df.select(
+            *[F.col(k).cast(ltypes[k]).alias(k) for k in keys]
+        ).distinct()
+        if self.partition_by:
+            touched, touched_rows, cap = self._touched_tuples(probe, "delete")
+            scoped = self._scoped_read(
+                spark, touched, touched_rows, cap, parent
+            )
+        else:
+            scoped = live
+        # matched keys only, via the partition-pruned scan: the vector
+        # must stay bounded by live rows, and a re-run must no-op
+        matched = probe.join(scoped, on=keys, how="left_semi")
+        if not matched.take(1):
+            return parent  # nothing matches: no commit, no churn
+        old_dv = self._read_dv(spark, parent)
+        if old_dv is not None:
+            if set(old_dv.columns) != set(keys):
+                raise ValueError(
+                    "a deletion vector keyed by "
+                    f"{sorted(old_dv.columns)} already exists at "
+                    f"{self.root}; merge-on-read deletes must reuse the "
+                    "same key set — run compact() to fold the existing "
+                    "vector first"
+                )
+            matched = old_dv.unionByName(matched).distinct()
+        return self._commit_dv(matched, parent)
+
+    def _commit_dv(self, dv_df: DataFrame, expected_parent: str) -> str:
+        """Publish a new snapshot that is the parent's data files
+        HARDLINKED wholesale plus a fresh deletion-vector sidecar —
+        zero data bytes written, O(|vector|) bytes total."""
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(self.root, "_versions", version)
+        parent_dir = os.path.join(self.root, "_versions", expected_parent)
+        try:
+            _link_tree(parent_dir, vdir, skip=frozenset({"_COMMIT.json"}))
+        except FileNotFoundError as exc:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"parent snapshot {expected_parent} was garbage-collected "
+                "mid-link (it fell out of retention under concurrent "
+                "commits); re-read and re-derive"
+            ) from exc
+        dv_df.coalesce(1).write.mode("overwrite").parquet(
+            self._dv_dir(version)
+        )
+        # a DV commit touches no partitions but changes read-side
+        # visibility everywhere — rebase across it is never safe
+        _write_commit_meta(vdir, full=False, leaves=[], dv=True)
+        try:
+            self._publish(version, vdir, expected_parent)
+        except ConcurrentWriteError:
+            shutil.rmtree(self._dv_dir(version), ignore_errors=True)
+            raise
+        return version
+
     def _touched_leaf_rels(
         self, cur_dir: str, touched: DataFrame
     ) -> frozenset[str]:
@@ -1135,11 +1411,20 @@ class VersionedTable:
         same per-column isin pruning the merge uses (a SUPERSET of the
         fat set is harmless — it only compacts more), and
         ``repartition(partition cols)`` routes each partition's rows
-        to one task → one output file."""
+        to one task → one output file.
+
+        DELETION-VECTOR RECONCILIATION: when the live snapshot carries
+        a merge-on-read vector (:meth:`delete_dv`), compaction is where
+        it folds away — every partition holding tombstoned rows joins
+        the rewrite set (their survivor rows materialize from the
+        DV-applied read) and the new snapshot carries NO sidecar; a
+        DV'd table therefore always commits here even when every
+        partition is within the file budget."""
         version = self.current_version()
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         cur_dir = os.path.join(self.root, "_versions", version)
+        dv = self._read_dv(spark, version)
 
         def _n_files(d: str) -> int:
             return sum(
@@ -1149,7 +1434,7 @@ class VersionedTable:
             )
 
         if not self.partition_by:
-            if _n_files(cur_dir) <= max_files_per_partition:
+            if dv is None and _n_files(cur_dir) <= max_files_per_partition:
                 return None
             return self._commit(
                 self.read(spark, version=version).coalesce(1),
@@ -1176,6 +1461,28 @@ class VersionedTable:
                 _walk(sub, level + 1, {**vals, col: unquote(raw)})
 
         _walk(cur_dir, 0, {})
+        excl: frozenset[str] = frozenset()
+        if dv is not None:
+            # every DV-touched partition must be rewritten so the new
+            # snapshot can drop the sidecar; the vector's partition
+            # values are bounded-collected like a scoped merge's
+            cap = 10_000
+            dv_touched = dv.select(*self.partition_by).distinct()
+            dv_parts = dv_touched.limit(cap + 1).collect()
+            if len(dv_parts) > cap:
+                # a vector spanning >10k partitions is a bulk purge:
+                # fold via a full rewrite, no links
+                return self._commit(
+                    self.read(spark, version=version).repartition(
+                        *[F.col(c) for c in self.partition_by]
+                    ),
+                    expected_parent=version,
+                )
+            fat.extend({c: row[c] for c in self.partition_by}
+                       for row in dv_parts)
+            # a partition the vector EMPTIES produces no directory in
+            # the rewrite; the linker must not resurrect its old files
+            excl = self._touched_leaf_rels(cur_dir, dv_touched)
         if not fat:
             return None
         scoped = self.read(spark, version=version)
@@ -1186,7 +1493,9 @@ class VersionedTable:
         return self._commit(
             scoped.repartition(*[F.col(c) for c in self.partition_by]),
             link_from=cur_dir,
+            link_exclude=excl,
             expected_parent=version,
+            drop_dv=True,
         )
 
     def _scoped_read(
@@ -1289,6 +1598,22 @@ class VersionedTable:
                         continue  # plausibly an in-flight writer
                 except OSError:
                     continue
+            shutil.rmtree(p, ignore_errors=True)
+            # the deletion-vector sidecar shares its snapshot's lifecycle
+            shutil.rmtree(self._dv_dir(stale), ignore_errors=True)
+        # a dv dir whose snapshot is gone entirely (crash between the
+        # sidecar write and publish) ages out on the same grace rule
+        try:
+            dv_on_disk = os.listdir(os.path.join(self.root, "_dv"))
+        except FileNotFoundError:
+            return
+        for stale in set(dv_on_disk) - set(on_disk) - set(retained):
+            p = os.path.join(self.root, "_dv", stale)
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue
+            except OSError:
+                continue
             shutil.rmtree(p, ignore_errors=True)
 
 

@@ -710,3 +710,87 @@ def test_clone_propagates_constraints(spark, tmp_path):
             spark.createDataFrame([(2, -1.0)], "k int, price double"), ["k"]
         )
     assert {r.k for r in clone.read(spark).collect()} == {1}
+
+
+def _data_inodes(vdir):
+    return {
+        os.stat(os.path.join(b, f)).st_ino
+        for b, _d, fs in os.walk(vdir)
+        for f in fs
+        if f.endswith(".parquet") and "_dv" not in b
+    }
+
+
+def test_delete_dv_merge_on_read(spark):
+    """MERGE-ON-READ delete: a small keyed delete must write
+    O(|deleted|) bytes — every data file of the new snapshot shares
+    its inode with the parent (hardlinks, nothing rewritten) and only
+    the deletion-vector sidecar is new — while every reader sees the
+    post-delete state immediately. Re-running the same purge is a
+    no-op (no commit, no vector growth). compact() folds the vector
+    into the data files: sidecar gone, values identical, and a
+    partition the vector emptied stays gone (not resurrected by the
+    linker)."""
+    t = _table(keep_versions=3, partition_by=["p"])
+    rows = [(k, p, f"v{k}") for p in (0, 1, 2) for k in range(p * 10, p * 10 + 5)]
+    v1 = t.overwrite(spark.createDataFrame(rows, "k int, p int, v string"))
+    v1_dir = os.path.join(t.root, "_versions", v1)
+    before = _data_inodes(v1_dir)
+    # delete two keys from p=0 plus ALL of p=2 (that partition empties)
+    dels = spark.createDataFrame(
+        [(0, 0), (1, 0)] + [(k, 2) for k in range(20, 25)], "k int, p int"
+    )
+    v2 = t.delete_dv(dels, keys=["k", "p"])
+    assert v2 != v1
+    v2_dir = os.path.join(t.root, "_versions", v2)
+    after = _data_inodes(v2_dir)
+    assert after == before  # zero data bytes written — pure hardlinks
+    assert os.path.isdir(os.path.join(t.root, "_dv", v2))
+    got = {(r.k, int(r.p)) for r in t.read(spark).collect()}
+    expect = {(k, p) for (k, p, _v) in rows} - {(0, 0), (1, 0)} - {
+        (k, 2) for k in range(20, 25)
+    }
+    assert got == expect
+    # idempotent + no-op aware: same purge again → same version
+    assert t.delete_dv(dels, keys=["k", "p"]) == v2
+    # a batch matching nothing at all → no commit either
+    ghost = spark.createDataFrame([(999, 0)], "k int, p int")
+    assert t.delete_dv(ghost, keys=["k", "p"]) == v2
+    # compact folds the vector away: no sidecar, same values, emptied
+    # partition not resurrected
+    v3 = t.compact(spark, max_files_per_partition=100)
+    assert v3 is not None
+    v3_dir = os.path.join(t.root, "_versions", v3)
+    assert not os.path.isdir(os.path.join(t.root, "_dv", v3))
+    assert {(r.k, int(r.p)) for r in t.read(spark).collect()} == expect
+    assert not os.path.isdir(os.path.join(v3_dir, "p=2"))
+    # after folding, compact is a no-op again (file budget satisfied)
+    assert t.compact(spark, max_files_per_partition=100) is None
+
+
+def test_delete_dv_tombstone_cleared_by_reinsert(spark):
+    """A scoped MERGE that re-inserts a tombstoned key must clear its
+    tombstone (the vector subtracts the fresh write's tuples), while
+    tombstones for untouched partitions ride along on the hardlinked
+    files; a vector keyed by a different column set refuses."""
+    t = _table(keep_versions=3, partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")], "k int, p int, v string"
+        )
+    )
+    t.delete_dv(
+        spark.createDataFrame([(1, 0), (3, 1)], "k int, p int"), ["k", "p"]
+    )
+    assert {r.k for r in t.read(spark).collect()} == {2}
+    # merge re-inserts k=1 into p=0; p=1 untouched — its tombstone stays
+    t.merge(
+        spark.createDataFrame([(1, 0, "a2")], "k int, p int, v string"),
+        ["k", "p"],
+    )
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    with pytest.raises(ValueError, match="same key set"):
+        t.delete_dv(
+            spark.createDataFrame([("b", 0)], "v string, p int"), ["v", "p"]
+        )
