@@ -386,6 +386,11 @@ class VersionedTable:
         self.partition_by = tuple(partition_by)
         self.constraints = dict(constraints or {})
         self._hist_cache: tuple[tuple, tuple[str, ...]] | None = None
+        # observability: whether the last _commit landed via a
+        # partition-level rebase, and how many derive attempts the last
+        # mutation ran (1 = no re-derivation)
+        self.last_commit_rebased = False
+        self.last_mutation_attempts = 0
 
     @property
     def _pointer(self) -> str:
@@ -752,12 +757,107 @@ class VersionedTable:
             )
         else:
             _write_commit_meta(vdir, full=True, leaves=[], dv=False)
+        self.last_commit_rebased = False
         try:
-            self._publish(version, vdir, expected_parent)
+            self._publish(
+                version, vdir, expected_parent, cleanup_on_reject=False
+            )
         except ConcurrentWriteError:
-            shutil.rmtree(self._dv_dir(version), ignore_errors=True)
-            raise
+            rebased = self._try_rebase(version, vdir, link_from,
+                                       expected_parent)
+            if rebased is None:
+                shutil.rmtree(vdir, ignore_errors=True)
+                shutil.rmtree(self._dv_dir(version), ignore_errors=True)
+                raise
+            self.last_commit_rebased = True
+            return rebased
         return version
+
+    def _try_rebase(
+        self,
+        version: str,
+        vdir: str,
+        link_from: str | None,
+        expected_parent: object,
+    ) -> str | None:
+        """PARTITION-LEVEL CONFLICT RESOLUTION (Delta's logical conflict
+        detection): a rejected scoped commit whose touched-partition
+        set is DISJOINT from every intervening commit's lands by
+        REBASING — relink its fresh partitions onto the new head's
+        snapshot (pure hardlink reconciliation, no Spark job) instead
+        of re-running the whole derivation. Without this, two merges
+        into different partitions of a 100 TB table serialize on the
+        global head pointer and the loser re-runs its full Spark job;
+        with it, disjoint writers each run exactly one job.
+
+        Safe because a scoped commit derives ONLY from the partitions
+        it touches (the partition-pruned read), so if no intervener
+        touched them, the derivation is identical against the new
+        head; and the untouched partitions it hardlinked are replaced
+        by the head's copies, which already include every intervener's
+        work. Refuses (returns None → caller re-derives) whenever the
+        chain cannot be PROVEN disjoint: an intervener predating the
+        touched-set record, a full rewrite or schema evolution, any
+        deletion-vector activity (a vector changes visibility in
+        partitions a commit never names), or the parent falling out of
+        the retained history."""
+        if (
+            link_from is None
+            or expected_parent is _UNSET
+            or expected_parent is None
+            or os.path.isdir(self._dv_dir(version))
+        ):
+            return None
+        my_meta = _read_commit_meta(vdir)
+        if not my_meta or my_meta.get("full") or my_meta.get("dv"):
+            return None
+        mine = set(my_meta["leaves"])
+        for _ in range(8):
+            history = self._history()
+            if expected_parent not in history:
+                return None  # chain truncated by retention: re-derive
+            interveners = history[: history.index(expected_parent)]
+            if not interveners:
+                return None
+            foreign: set[str] = set()
+            for iv in interveners:
+                meta = _read_commit_meta(
+                    os.path.join(self.root, "_versions", iv)
+                )
+                if not meta or meta.get("full") or meta.get("dv"):
+                    return None
+                foreign |= set(meta["leaves"])
+            if foreign & mine:
+                return None  # genuine overlap: the loser must re-derive
+            head = history[0]
+            head_dir = os.path.join(self.root, "_versions", head)
+            new_version = f"v_{uuid.uuid4().hex[:12]}"
+            new_vdir = os.path.join(self.root, "_versions", new_version)
+            try:
+                _link_tree(vdir, new_vdir, skip=frozenset({"_COMMIT.json"}))
+                for rel in sorted(foreign):
+                    tgt = os.path.join(new_vdir, rel)
+                    shutil.rmtree(tgt, ignore_errors=True)
+                    src = os.path.join(head_dir, rel)
+                    if os.path.isdir(src):
+                        _link_tree(src, tgt)
+                    # absent in head = an intervener emptied it: stays gone
+            except FileNotFoundError:
+                shutil.rmtree(new_vdir, ignore_errors=True)
+                return None  # head GC'd mid-link: give up, re-derive
+            # relative to the new head we still touched exactly `mine`
+            _write_commit_meta(
+                new_vdir, full=False, leaves=sorted(mine), dv=False
+            )
+            try:
+                self._publish(new_version, new_vdir, head)
+            except ConcurrentWriteError as exc:
+                if getattr(exc, "head", _UNSET) is _UNSET:
+                    return None  # lock timeout, not a parent mismatch
+                continue  # head moved again: recompute the chain
+            shutil.rmtree(vdir, ignore_errors=True)
+            return new_version
+        return None
 
     def _propagate_dv(
         self, spark: SparkSession, link_from: str, vdir: str, version: str
@@ -898,9 +998,14 @@ class VersionedTable:
         it; ``attempts`` bounds how many foreign commits one mutation
         will chase before surfacing ConcurrentWriteError."""
         last: ConcurrentWriteError | None = None
-        for _ in range(attempts):
+        for i in range(attempts):
             try:
-                return attempt_fn()
+                result = attempt_fn()
+                # observability for tests/telemetry: how many DERIVATIONS
+                # (Spark jobs) this mutation ran — a rebased loser stays
+                # at 1 where reject-and-rederive costs 2+
+                self.last_mutation_attempts = i + 1
+                return result
             except ConcurrentWriteError as exc:
                 last = exc  # head moved: re-derive from the new snapshot
         raise last

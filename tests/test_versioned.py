@@ -377,7 +377,10 @@ def test_mutation_tier_model_based(spark):
         versions.append((v, dict(model)))
 
         for step in range(12):
-            op = rng.choice(["merge", "merge_del", "delete", "update", "compact", "restore"])
+            op = rng.choice(
+                ["merge", "merge_del", "delete", "delete_dv", "update",
+                 "compact", "restore"]
+            )
             ks = rng.sample(range(12), rng.randint(1, 4))
             if op == "merge":
                 rows = [(k, rng.choice("AB"), f"m{step}k{k}") for k in ks]
@@ -406,13 +409,16 @@ def test_mutation_tier_model_based(spark):
                     else:
                         model[(k, p)] = val
                 versions.append((v, dict(model)))
-            elif op == "delete":
+            elif op in ("delete", "delete_dv"):
                 rows = [
                     (k, next((p for (mk_, p) in model if mk_ == k), rng.choice("AB")))
                     for k in ks
                 ]
                 df = spark.createDataFrame(rows, "k int, p string")
-                v = t.delete(df, keys=["k", "p"])
+                if op == "delete":
+                    v = t.delete(df, keys=["k", "p"])
+                else:  # merge-on-read: same semantics, vector sidecar
+                    v = t.delete_dv(df, keys=["k", "p"])
                 matched = any((k, p) in model for k, p in rows)
                 for k, p in rows:
                     model.pop((k, p), None)
@@ -794,3 +800,207 @@ def test_delete_dv_tombstone_cleared_by_reinsert(spark):
         t.delete_dv(
             spark.createDataFrame([("b", 0)], "v string, p int"), ["v", "p"]
         )
+
+
+def test_disjoint_partition_merge_rebases_without_rederive(
+    spark, monkeypatch
+):
+    """PARTITION-LEVEL CONFLICT DETECTION: a merge that loses the head
+    race to a commit touching DISJOINT partitions must land by
+    REBASING (hardlink reconciliation onto the new head) — exactly one
+    Spark derivation, no re-run — and the final table must hold both
+    writers' work."""
+    t = _table(keep_versions=4, partition_by=("p",))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "A", "a1"), (2, "B", "b1")], "k int, p string, v string"
+        )
+    )
+
+    real_commit = VersionedTable._commit
+    injected = {"done": False}
+
+    def racing_commit(self, df, **kw):
+        if not injected["done"]:
+            injected["done"] = True
+            other = VersionedTable(t.root, keep_versions=4, partition_by=("p",))
+            other.merge(
+                df.sparkSession.createDataFrame(
+                    [(3, "B", "race")], "k int, p string, v string"
+                ),
+                ["k", "p"],
+            )
+        return real_commit(self, df, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_commit", racing_commit)
+    t.merge(
+        spark.createDataFrame([(4, "A", "mine")], "k int, p string, v string"),
+        ["k", "p"],
+    )
+    assert t.last_mutation_attempts == 1  # never re-derived
+    assert t.last_commit_rebased
+    got = {(r.k, r.p): r.v for r in t.read(spark).collect()}
+    assert got == {
+        (1, "A"): "a1",
+        (2, "B"): "b1",
+        (3, "B"): "race",
+        (4, "A"): "mine",
+    }
+    # no snapshot debris from the rejected pre-rebase commit
+    on_disk = set(os.listdir(os.path.join(t.root, "_versions")))
+    assert on_disk == set(t.versions())
+
+
+def test_overlapping_partition_merge_still_rederives(spark, monkeypatch):
+    """The rebase must refuse when the interleaved commit touched the
+    SAME partition — the loser re-derives from the new head (two
+    attempts) so both writers' rows still land, serialized."""
+    t = _table(keep_versions=4, partition_by=("p",))
+    t.overwrite(
+        spark.createDataFrame([(1, "A", "a1")], "k int, p string, v string")
+    )
+
+    real_commit = VersionedTable._commit
+    injected = {"done": False}
+
+    def racing_commit(self, df, **kw):
+        if not injected["done"]:
+            injected["done"] = True
+            other = VersionedTable(t.root, keep_versions=4, partition_by=("p",))
+            other.merge(
+                df.sparkSession.createDataFrame(
+                    [(2, "A", "race")], "k int, p string, v string"
+                ),
+                ["k", "p"],
+            )
+        return real_commit(self, df, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_commit", racing_commit)
+    t.merge(
+        spark.createDataFrame([(3, "A", "mine")], "k int, p string, v string"),
+        ["k", "p"],
+    )
+    assert t.last_mutation_attempts == 2  # re-derived once
+    assert not t.last_commit_rebased
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a1", 2: "race", 3: "mine"}
+
+
+def test_threaded_disjoint_merges_one_job_each(spark, monkeypatch):
+    """Two live threads merging into disjoint partitions: both land,
+    and NEITHER runs a second Spark derivation — the loser rebases.
+    The commit barrier doubles as the assertion: a re-derivation would
+    call _commit again and break the two-party barrier."""
+    t = _table(keep_versions=4, partition_by=("p",))
+    t.overwrite(
+        spark.createDataFrame(
+            [(0, "A", "seedA"), (0, "B", "seedB")], "k int, p string, v string"
+        )
+    )
+    barrier = threading.Barrier(2, timeout=60)
+    real_commit = VersionedTable._commit
+
+    def synced_commit(self, df, **kw):
+        barrier.wait()  # both writers derived from the same head
+        return real_commit(self, df, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_commit", synced_commit)
+    tables = [
+        VersionedTable(t.root, keep_versions=4, partition_by=("p",))
+        for _ in range(2)
+    ]
+    errors: list[Exception] = []
+
+    def writer(i: int, part: str) -> None:
+        try:
+            tables[i].merge(
+                spark.createDataFrame(
+                    [(i + 1, part, f"w{i}")], "k int, p string, v string"
+                ),
+                ["k", "p"],
+            )
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(0, "A")),
+        threading.Thread(target=writer, args=(1, "B")),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert [x.last_mutation_attempts for x in tables] == [1, 1]
+    assert sum(x.last_commit_rebased for x in tables) == 1  # one lost, rebased
+    got = {(r.k, r.p): r.v for r in t.read(spark).collect()}
+    assert got == {
+        (0, "A"): "seedA",
+        (0, "B"): "seedB",
+        (1, "A"): "w0",
+        (2, "B"): "w1",
+    }
+
+
+def test_rebase_model_based_consistency(spark, monkeypatch):
+    """MODEL-BASED rebase consistency: every step, a writer merges into
+    one partition while a racing writer lands a merge into the OTHER
+    partition mid-commit (forcing a rebase); every few steps the race
+    targets the SAME partition instead (forcing a re-derive). After
+    each step the read-back must equal a dict model that applied both
+    writers' batches — rebased and serialized paths must be
+    indistinguishable from serial execution."""
+    import random
+
+    rng = random.Random(41)
+    t = _table(keep_versions=4, partition_by=("p",))
+    model: dict[tuple[int, str], str] = {(0, "A"): "s", (0, "B"): "s"}
+    t.overwrite(
+        spark.createDataFrame(
+            [(k, p, v) for (k, p), v in model.items()],
+            "k int, p string, v string",
+        )
+    )
+    real_commit = VersionedTable._commit
+
+    for step in range(6):
+        mine_p = rng.choice("AB")
+        race_p = (
+            mine_p
+            if step % 3 == 2
+            else ("B" if mine_p == "A" else "A")
+        )
+        k_mine, k_race = 10 + step, 100 + step
+        injected = {"done": False}
+
+        def racing_commit(self, df, **kw):
+            if not injected["done"]:
+                injected["done"] = True
+                other = VersionedTable(
+                    t.root, keep_versions=4, partition_by=("p",)
+                )
+                other.merge(
+                    df.sparkSession.createDataFrame(
+                        [(k_race, race_p, f"r{step}")],
+                        "k int, p string, v string",
+                    ),
+                    ["k", "p"],
+                )
+            return real_commit(self, df, **kw)
+
+        monkeypatch.setattr(VersionedTable, "_commit", racing_commit)
+        t.merge(
+            spark.createDataFrame(
+                [(k_mine, mine_p, f"m{step}")], "k int, p string, v string"
+            ),
+            ["k", "p"],
+        )
+        monkeypatch.setattr(VersionedTable, "_commit", real_commit)
+        model[(k_race, race_p)] = f"r{step}"
+        model[(k_mine, mine_p)] = f"m{step}"
+        if race_p == mine_p:
+            assert t.last_mutation_attempts == 2, step
+        else:
+            assert t.last_commit_rebased, step
+        got = {(r.k, r.p): r.v for r in t.read(spark).collect()}
+        assert got == model, step
