@@ -1788,22 +1788,25 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     cents = _first_k_centroids(corpus)
 
-    def assigned(df):
-        return assign_nearest(
-            df.withColumn("_cn", _norm(F.col("embedding"))),
-            "embedding",
-            cents,
-            1,
-        )
+    # ONE assignment pass over the corpus, pinned, then split by the
+    # modulus — the build (4/5) and the incremental batch (1/5) reuse
+    # the same materialized routing instead of each recomputing
+    # assign_nearest over its slice (round-8 perf watch)
+    assigned = assign_nearest(
+        corpus.withColumn("_cn", _norm(F.col("embedding"))),
+        "embedding",
+        cents,
+        1,
+    ).localCheckpoint(eager=True)
 
     table = VersionedTable(
         tempfile.mkdtemp(prefix="fde_ivf_inc_") + "/lists",
         keep_versions=2,
         partition_by=("centroid",),
     )
-    table.overwrite(assigned(corpus.where(F.col("vec_id") % 5 != 0)))
+    table.overwrite(assigned.where(F.col("vec_id") % 5 != 0))
     table.merge(
-        assigned(corpus.where(F.col("vec_id") % 5 == 0)),
+        assigned.where(F.col("vec_id") % 5 == 0),
         keys=["vec_id", "centroid"],
     )
     lists = table.read(spark)
