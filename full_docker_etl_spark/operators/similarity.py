@@ -818,18 +818,22 @@ def pq_codebooks(
     id_col: str = "vec_id",
     m: int = 8,
     k: int = 256,
+    train_iters: int = 0,
+    train_sample: int = 4096,
 ) -> tuple[DataFrame, int]:
     """PRODUCT-QUANTIZATION codebooks as one broadcastable row:
     ``_books[mm][j]`` = subspace-``mm`` slice of the j-th codebook
     vector, ``_bn2[mm][j]`` = that codeword's squared norm. Codewords
-    are a HASH-SPREAD corpus sample (md5-ordered first ``k`` ids — the
-    repo's deterministic-sample pattern, no RNG, engine-stable) rather
-    than per-subspace k-means: at k=256 codewords per 8-dim subspace
-    the sample already covers the subspace densely, the build stays
-    ONE TakeOrdered pass instead of m iterative clustering jobs, and
-    the exact re-rank downstream erases the residual quality gap (the
-    recall verdict pins that claim externally). Returns (one-row
-    frame, subspace dim)."""
+    start as a HASH-SPREAD corpus sample (md5-ordered first ``k`` ids
+    — the repo's deterministic-sample pattern, no RNG, engine-stable);
+    ``train_iters`` > 0 then refines them with per-subspace LLOYD'S
+    rounds — all m subspace problems solved TOGETHER per round (one
+    exploded (mm, j, pos) aggregation, not m separate jobs) over a
+    bounded hash-spread training sample (``train_sample`` vectors —
+    the FAISS convention: codebooks train on a sample, so training
+    cost is CONSTANT in corpus size; the full corpus only ever pays
+    the one encode pass). Empty clusters keep their previous codeword.
+    Returns (one-row frame, subspace dim)."""
     first = corpus.select(vec_col).first()
     if first is None:
         raise ValueError("cannot build PQ codebooks: empty corpus")
@@ -855,23 +859,129 @@ def pq_codebooks(
         ),
     )
     out = row.select(books.alias("_books")).select(
-        "_books",
-        F.transform(
-            "_books",
-            lambda bm: F.transform(
-                bm,
-                lambda c: F.aggregate(
-                    c,
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
-                ),
-            ),
-        ).alias("_bn2"),
+        "_books", _books_norms().alias("_bn2")
     )
     # one tiny row consumed by BOTH the encode and the ADC-table
     # branches: pin it (eager localCheckpoint, the kmeans pattern) so
     # the TakeOrdered sample over the corpus runs once, not per branch
-    return out.localCheckpoint(eager=True), d
+    out = out.localCheckpoint(eager=True)
+    if train_iters > 0:
+        th = F.md5(
+            F.concat(F.lit("pqtrain:"), F.col(id_col).cast("string"))
+        )
+        train = (
+            corpus.select(F.col(vec_col).alias("_v"), th.alias("_h"))
+            .orderBy("_h")
+            .limit(train_sample)
+            .select("_v")
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(train_iters):
+            out = _pq_lloyd_round(train, out, m, d)
+    return out, d
+
+
+def _books_norms() -> Column:
+    """``_bn2`` from ``_books``: per codeword, Σ|codeword|²."""
+    return F.transform(
+        "_books",
+        lambda bm: F.transform(
+            bm,
+            lambda c: F.aggregate(
+                c,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+        ),
+    )
+
+
+def _pq_lloyd_round(
+    train: DataFrame, books: DataFrame, m: int, d: int
+) -> DataFrame:
+    """One Lloyd's round over ALL m subspaces at once: assign every
+    training subvector to its L2-nearest codeword (the pq_encode
+    argmin against the broadcast one-row codebook), then recompute
+    each (subspace, codeword) mean with the map-reduce shape
+    kmeans_centroids uses — only (m·k·d) tiny partial rows shuffle,
+    never vectors. Empty clusters keep the previous codeword (the
+    left-join coalesce). Lineage truncated per round."""
+    enc = train.crossJoin(F.broadcast(books))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mm: F.array_min(
+            F.transform(
+                F.element_at(F.col("_books"), mm + 1),
+                lambda c, j: F.struct(
+                    _sq_l2(F.slice(F.col("_v"), mm * d + 1, d), c).alias(
+                        "dist"
+                    ),
+                    j.alias("j"),
+                ),
+            )
+        )["j"],
+    )
+    rows = (
+        enc.select(F.col("_v"), codes.alias("_pqc"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("mm"),
+            "_v",
+            "_pqc",
+        )
+        .select(
+            "mm",
+            F.element_at("_pqc", F.col("mm") + 1).alias("j"),
+            F.slice(F.col("_v"), F.col("mm") * d + 1, F.lit(d)).alias("sv"),
+        )
+        .select("mm", "j", F.posexplode("sv").alias("pos", "x"))
+    )
+    means = (
+        rows.groupBy("mm", "j", "pos")
+        .agg(
+            F.sum(F.col("x").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .groupBy("mm", "j")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", (F.col("s") / F.col("cnt")).alias("mv"))
+                )
+            ).alias("ps")
+        )
+        .select(
+            "mm",
+            "j",
+            F.transform(F.col("ps"), lambda p: p["mv"]).alias("new_cw"),
+        )
+    )
+    old = books.select(F.posexplode("_books").alias("mm", "bm")).select(
+        "mm", F.posexplode("bm").alias("j", "cw")
+    )
+    merged = old.join(means, ["mm", "j"], "left").select(
+        "mm", "j", F.coalesce("new_cw", "cw").alias("cw")
+    )
+    assembled = (
+        merged.groupBy("mm")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "cw"))).alias("js"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "mm",
+                        F.transform(F.col("js"), lambda s: s["cw"]).alias(
+                            "bm"
+                        ),
+                    )
+                )
+            ).alias("ms")
+        )
+        .select(
+            F.transform(F.col("ms"), lambda s: s["bm"]).alias("_books")
+        )
+        .select("_books", _books_norms().alias("_bn2"))
+    )
+    return assembled.localCheckpoint(eager=True)
 
 
 def pq_encode(
@@ -933,6 +1043,7 @@ def ivf_pq_topk(
     rerank_factor: int = 4,
     m: int = 8,
     n_codes: int = 256,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ: inverted lists hold PRODUCT-QUANTIZED codes — m=8
     one-byte subspace codes per 64-dim vector (8 B vs 256 B float32, a
@@ -961,7 +1072,9 @@ def ivf_pq_topk(
         )
     else:
         centroids = centroids.select("centroid", "cvec")
-    books, d = pq_codebooks(corpus, corpus_vec, corpus_id, m, n_codes)
+    books, d = pq_codebooks(
+        corpus, corpus_vec, corpus_id, m, n_codes, train_iters=train_iters
+    )
     # the LISTS: id + m byte-codes + reconstruction norm — no vectors.
     # Encode BEFORE the multi-assignment explode: codes depend only on
     # (vector, codebook), so encoding after would redo the m×k argmin

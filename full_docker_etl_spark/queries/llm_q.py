@@ -763,20 +763,19 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_pq_recall", oracle=_ANN_RECALL_ORACLE)
 def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall verdict for the PRODUCT-QUANTIZED IVF tier (VERDICT r7
-    #4's literal ask): m=8 one-byte subspace codes per 64-dim vector
-    (8 B codes vs 256 B float32 — 32× code compression, 16 B/entry
-    with the stored reconstruction norm), hash-spread sampled
-    codebooks (k=64 per 8-dim subspace — measured recall-equal to
-    k=256 here at 4× less encode work; the re-rank absorbs codebook
-    coarseness), ASYMMETRIC-DISTANCE probing (each query's m×k dot
-    table precomputed once; a candidate's score is m table lookups,
-    zero vector arithmetic), exact re-rank of the top 12k. Measured
-    recall 0.74-0.82 across SFs on the hash-spread probe slice —
-    within 0.04-0.1 of the float IVF probe's own ceiling: nearly all
-    residual loss is the probe's, not the codes'. Floor 0.7; the
-    oracle pins recall_ok TRUE so a codebook/encode/ADC regression
-    fails the driver's hash compare. Compression story in SCALE.md;
+    """Recall verdict for the PRODUCT-QUANTIZED IVF tier: m=8 one-byte
+    subspace codes per 64-dim vector (8 B codes vs 256 B float32 — 32×
+    code compression, 16 B/entry with the stored reconstruction norm),
+    TRAINED codebooks (k=64 per 8-dim subspace: hash-spread init + 3
+    per-subspace Lloyd's rounds over a bounded training sample — the
+    round-8 hash-spread-only trade, upgraded per VERDICT r8 #4; the
+    training cost is constant in corpus size), ASYMMETRIC-DISTANCE
+    probing (each query's m×k dot table precomputed once; a
+    candidate's score is m table lookups, zero vector arithmetic),
+    exact re-rank of the top 12k. Floor raised to 0.75 — the SQ tier's
+    bar — now that the codes carry trained centroids; the oracle pins
+    recall_ok TRUE so a codebook/encode/ADC regression fails the
+    driver's hash compare. Compression story in SCALE.md;
     ann_ivf_sq_recall pins the 4× int8 rung of the same ladder."""
     from full_docker_etl_spark.operators.similarity import ivf_pq_topk
 
@@ -784,9 +783,9 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(queries, corpus, k=5)
     approx = ivf_pq_topk(
         queries, corpus, k=5, n_centroids=16, nprobe=6, n_assign=2,
-        rerank_factor=12, n_codes=64,
+        rerank_factor=12, n_codes=64, train_iters=3,
     )
-    return _ann_recall_verdict(exact, approx, 0.7)
+    return _ann_recall_verdict(exact, approx, 0.75)
 
 
 @query("ann_ivf_pq_topk")
@@ -800,7 +799,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     return ivf_pq_topk(
         queries, corpus, k=5, n_centroids=16, nprobe=6, n_assign=2,
-        rerank_factor=12, n_codes=64,
+        rerank_factor=12, n_codes=64, train_iters=3,
     )
 
 
