@@ -45,41 +45,59 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-8 window (50 slots), per VERDICT r7 #1:
-# FIRST the 15 rows whose last external sample ran on round-4 code plus
-# set_except_intersect (landed after r7's driver run, zero external
-# evidence) — the evidence-currency debt leads; THEN every
-# *_recall/*_consistency/*_verdict row (pinned in EVERY window — they
-# are the external evidence for the rows-only sketch queries; two new
-# this round: join_fuzzy_recall, ann_ivf_sq_recall); THEN every query
-# whose CODE CHANGED in round 8 (the publish-lock + type-reconciliation
-# work touches all sink_versioned_* and ann_ivf_incremental; fuzzy_join
-# internals touch join_fuzzy_names; skew.py touches agg_salted; the
-# TIMESTAMP_MICROS write change touches sink_clustered_scan; new:
-# sink_zorder_scan, ann_ivf_sq_topk; compression_features touches
-# text_compression); the remaining slots take the stalest r5 family
-# (joins/windows). Names absent from this list keep their registration
-# (import) order after it; names listed but not registered are ignored,
-# so the list can never drop a query.
+# everything every round. Round-10 window (50 slots), per VERDICT r9 #1:
+# FIRST the 36 rows whose last external sample ran on round-5 code (the
+# stalest evidence in the registry — four rounds old); THEN every
+# *_recall/*_consistency/*_verdict row (12, pinned in EVERY window —
+# they are the oracle-checked external evidence for the rows-only
+# sketch queries); THEN the two round-9 queries that have ZERO external
+# evidence (sink_versioned_delete_dv, sink_versioned_constraints).
+# Code changed later in round 10 (driver-side PQ Lloyd's,
+# operators/similarity.py) is externally evidenced through the pinned
+# ann_ivf_pq_recall slot — its rows-only sibling ann_ivf_pq_topk runs
+# the identical encode/probe path and keeps its pinned-verdict
+# coverage, so no tier-1 slot is displaced. Names absent from this
+# list keep their registration (import) order after it; names listed
+# but not registered are ignored, so the list can never drop a query.
 _SAMPLE_ORDER: tuple[str, ...] = (
-    # -- tier 1: the r4-stale rows + never-sampled set_except_intersect
-    "filter_contains_ci",
-    "filter_or_search",
-    "filter_pending",
-    "nested_reshape",
-    "point_lookup",
-    "agg_percentiles",
-    "explode_tokens",
-    "topk_by_value",
-    "word_counts",
-    "catalog_tables",
-    "limit_one",
-    "global_count",
-    "distinct_values",
-    "column_max",
-    "group_counts",
-    "set_except_intersect",
-    # -- tier 2: verdict rows, pinned in every window
+    # -- tier 1: the 36 round-5-stale rows (VERDICT r9 #1, verbatim)
+    "agg_approx_distinct",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_serve",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_natural_key",
+    "embed_norm",
+    "fn_coalesce_cast",
+    "fn_compact",
+    "fn_dates",
+    "fn_rupiah",
+    "fn_safe_div",
+    "fn_strings",
+    "fn_to_json",
+    "join_range",
+    "mm_decode_meta",
+    "paginate",
+    "sample_hash_split",
+    "sample_pack_sequences",
+    "sample_quota_per_source",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf",
+    "text_tokens",
+    "union_by_name",
+    "win_lag_change",
+    "win_latest_per_group",
+    "win_moving_avg",
+    "win_rank_topn",
+    "win_running_total",
+    # -- tier 2: verdict rows, pinned in every window (12)
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -92,63 +110,14 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_incremental_recall",
     "text_compression_verdict",
     "join_fuzzy_recall",
-    # -- tier 3: added or changed in round 8 — evidence needed on new code
-    "sink_zorder_scan",
-    "sink_clustered_scan",
-    "join_fuzzy_names",
-    "agg_salted",
-    "sink_versioned_merge",
-    "sink_versioned_merge_cdc",
-    "sink_versioned_replicate",
-    "sink_versioned_delete",
-    "sink_versioned_compact",
-    "sink_versioned_cdf",
-    "sink_versioned_update",
-    "sink_versioned_restore",
-    "sink_versioned_clone",
-    "ann_ivf_incremental",
-    "ann_ivf_sq_topk",
-    "ann_ivf_pq_topk",
-    "text_compression",
-    # -- tier 4: stalest remaining family (last sampled r5)
-    "join_broadcast",
-    "join_anti",
-    "join_semi",
-    "join_equi",
-    "join_asof",
-    # ---- window boundary (~50) ----
-    # -- tier 5: rest of the r5-stale rows, for any wider window
-    "join_range",
-    "win_latest_per_group",
-    "win_moving_avg",
-    "win_running_total",
-    "win_rank_topn",
-    "win_lag_change",
-    "fn_coalesce_cast",
-    "fn_compact",
-    "fn_dates",
-    "fn_rupiah",
-    "fn_safe_div",
-    "fn_strings",
-    "fn_to_json",
-    "paginate",
-    "union_by_name",
-    "sample_hash_split",
-    "sample_quota_per_source",
-    "sample_pack_sequences",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf",
-    "text_tokens",
-    "agg_approx_distinct",
-    "dedup_exact",
-    "dedup_natural_key",
-    "embed_norm",
-    "mm_decode_meta",
-    # -- tier 6: r6-sampled rows
+    # -- tier 3: round-9 queries with zero external evidence
+    "sink_versioned_delete_dv",
+    "sink_versioned_constraints",
+    # ---- window boundary (50) ----
+    # -- tier 4: new-in-round-10 queries (first in any wider window;
+    #    locally oracle-proven by tests/test_oracle_parity.py)
+    "text_substring_dedup",
+    # -- tier 5: r6-sampled rows (next-stalest after the window)
     "agg_approx_percentiles",
     "agg_cohort_retention",
     "agg_cube",
@@ -186,16 +155,37 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "win_time_range",
     "xbrl_metrics",
     "xlsx_scan",
-    # -- tier 7: rows-only sketches whose verdict siblings are pinned
-    #    above, and the r7-fresh remainder (registration order covers
-    #    anything unlisted)
-    "dedup_minhash",
-    "dedup_embedding",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "ann_ivf_serve",
-    "ann_lsh_topk",
+    # -- tier 6: r7-sampled rows; the r9-fresh remainder keeps its
+    #    registration (import) order after this list
+    "agg_count_distinct",
+    "agg_multigrain",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_yearly",
     "ann_cosine_topk",
+    "audit_k_anonymity",
+    "conform_schema",
+    "csv_scan",
+    "filter_eq",
+    "filter_in",
+    "filter_range",
+    "incr_status_flag",
+    "manifest_semi_join",
+    "news_transform",
+    "observe_metrics",
+    "rest_batch_fetch",
+    "serve_incremental_grain",
+    "serve_materialized_grain",
+    "sink_partition_overwrite",
+    "sink_roundtrip",
+    "sink_upsert",
+    "sort_topk",
+    "stream_range_join",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "text_chunk_windows",
+    "zip_xml_ingest",
 )
 
 
