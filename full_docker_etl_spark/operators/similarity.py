@@ -833,7 +833,19 @@ def pq_codebooks(
     the FAISS convention: codebooks train on a sample, so training
     cost is CONSTANT in corpus size; the full corpus only ever pays
     the one encode pass). Empty clusters keep their previous codeword.
-    Returns (one-row frame, subspace dim)."""
+    Returns (one-row frame, subspace dim).
+
+    Training runs DRIVER-SIDE: the sample is ≤``train_sample`` vectors
+    by contract (~2 MB of float64 at the defaults — squarely inside the
+    repo's bounded-collect rule), so the Lloyd's rounds are plain NumPy
+    on two TakeOrdered collects instead of per-round Spark jobs; only
+    the trained one-row codebook literal goes back to the cluster. The
+    full corpus still pays exactly one distributed encode pass, so
+    training cost stays CONSTANT in corpus size — and constant in
+    round count too. Assignment ties break to the lowest codeword
+    index (``argmin`` first occurrence), matching :func:`pq_encode`'s
+    struct-min tie-break, so a vector's training-time cluster equals
+    its encode-time code."""
     first = corpus.select(vec_col).first()
     if first is None:
         raise ValueError("cannot build PQ codebooks: empty corpus")
@@ -851,6 +863,48 @@ def pq_codebooks(
         .orderBy("_h")
         .limit(k)
     )
+    if train_iters > 0:
+        import numpy as np
+
+        init = np.array(
+            [list(r[0]) for r in sample.select("_v").collect()],
+            dtype=np.float64,
+        )
+        th = F.md5(
+            F.concat(F.lit("pqtrain:"), F.col(id_col).cast("string"))
+        )
+        train = np.array(
+            [
+                list(r[0])
+                for r in corpus.select(
+                    F.col(vec_col).alias("_v"), th.alias("_h")
+                )
+                .orderBy("_h")
+                .limit(train_sample)
+                .select("_v")
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        books_np = [init[:, mm * d : (mm + 1) * d].copy() for mm in range(m)]
+        for _ in range(train_iters):
+            for mm in range(m):
+                sub = train[:, mm * d : (mm + 1) * d]
+                bm = books_np[mm]
+                # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is rank-constant
+                d2 = (bm * bm).sum(axis=1)[None, :] - 2.0 * (sub @ bm.T)
+                assign = d2.argmin(axis=1)
+                for j in range(bm.shape[0]):
+                    members = sub[assign == j]
+                    if len(members):  # empty cluster keeps its codeword
+                        bm[j] = members.mean(axis=0)
+        books_py = [[[float(x) for x in cw] for cw in bm] for bm in books_np]
+        bn2 = [[float((cw * cw).sum()) for cw in bm] for bm in books_np]
+        trained = corpus.sparkSession.createDataFrame(
+            [(books_py, bn2)],
+            "_books array<array<array<double>>>, _bn2 array<array<double>>",
+        )
+        return trained, d
     row = sample.agg(F.collect_list("_v").alias("_vs"))
     books = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -864,21 +918,7 @@ def pq_codebooks(
     # one tiny row consumed by BOTH the encode and the ADC-table
     # branches: pin it (eager localCheckpoint, the kmeans pattern) so
     # the TakeOrdered sample over the corpus runs once, not per branch
-    out = out.localCheckpoint(eager=True)
-    if train_iters > 0:
-        th = F.md5(
-            F.concat(F.lit("pqtrain:"), F.col(id_col).cast("string"))
-        )
-        train = (
-            corpus.select(F.col(vec_col).alias("_v"), th.alias("_h"))
-            .orderBy("_h")
-            .limit(train_sample)
-            .select("_v")
-            .localCheckpoint(eager=True)
-        )
-        for _ in range(train_iters):
-            out = _pq_lloyd_round(train, out, m, d)
-    return out, d
+    return out.localCheckpoint(eager=True), d
 
 
 def _books_norms() -> Column:
@@ -894,94 +934,6 @@ def _books_norms() -> Column:
             ),
         ),
     )
-
-
-def _pq_lloyd_round(
-    train: DataFrame, books: DataFrame, m: int, d: int
-) -> DataFrame:
-    """One Lloyd's round over ALL m subspaces at once: assign every
-    training subvector to its L2-nearest codeword (the pq_encode
-    argmin against the broadcast one-row codebook), then recompute
-    each (subspace, codeword) mean with the map-reduce shape
-    kmeans_centroids uses — only (m·k·d) tiny partial rows shuffle,
-    never vectors. Empty clusters keep the previous codeword (the
-    left-join coalesce). Lineage truncated per round."""
-    enc = train.crossJoin(F.broadcast(books))
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda mm: F.array_min(
-            F.transform(
-                F.element_at(F.col("_books"), mm + 1),
-                lambda c, j: F.struct(
-                    _sq_l2(F.slice(F.col("_v"), mm * d + 1, d), c).alias(
-                        "dist"
-                    ),
-                    j.alias("j"),
-                ),
-            )
-        )["j"],
-    )
-    rows = (
-        enc.select(F.col("_v"), codes.alias("_pqc"))
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("mm"),
-            "_v",
-            "_pqc",
-        )
-        .select(
-            "mm",
-            F.element_at("_pqc", F.col("mm") + 1).alias("j"),
-            F.slice(F.col("_v"), F.col("mm") * d + 1, F.lit(d)).alias("sv"),
-        )
-        .select("mm", "j", F.posexplode("sv").alias("pos", "x"))
-    )
-    means = (
-        rows.groupBy("mm", "j", "pos")
-        .agg(
-            F.sum(F.col("x").cast("double")).alias("s"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        .groupBy("mm", "j")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("pos", (F.col("s") / F.col("cnt")).alias("mv"))
-                )
-            ).alias("ps")
-        )
-        .select(
-            "mm",
-            "j",
-            F.transform(F.col("ps"), lambda p: p["mv"]).alias("new_cw"),
-        )
-    )
-    old = books.select(F.posexplode("_books").alias("mm", "bm")).select(
-        "mm", F.posexplode("bm").alias("j", "cw")
-    )
-    merged = old.join(means, ["mm", "j"], "left").select(
-        "mm", "j", F.coalesce("new_cw", "cw").alias("cw")
-    )
-    assembled = (
-        merged.groupBy("mm")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "cw"))).alias("js"))
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "mm",
-                        F.transform(F.col("js"), lambda s: s["cw"]).alias(
-                            "bm"
-                        ),
-                    )
-                )
-            ).alias("ms")
-        )
-        .select(
-            F.transform(F.col("ms"), lambda s: s["bm"]).alias("_books")
-        )
-        .select("_books", _books_norms().alias("_bn2"))
-    )
-    return assembled.localCheckpoint(eager=True)
 
 
 def pq_encode(
