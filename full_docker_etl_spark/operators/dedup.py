@@ -138,6 +138,79 @@ def jaccard_pairs(
     return out.select("d1", "d2", "shared", "n1", "n2", "jaccard")
 
 
+def substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_tokens: int = 20,
+    max_occ: int = 1000,
+) -> DataFrame:
+    """EXACT SUBSTRING-level duplicated spans — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    modality: their suffix-array dup-finder re-expressed as positional
+    shingle posting lists. A duplicated span is a MAXIMAL run of
+    consecutive word positions whose n-gram fingerprints match between
+    two documents, covering ≥ ``min_tokens`` tokens.
+
+    Scale posture: per doc, POSITIONAL n-gram fingerprints (pos,
+    xxhash64 of the n-token window — hashed inside the source row, so
+    no shingle string ever leaves it; the first exchange carries
+    (doc, int, long)); a posting cap drops fingerprints occurring more
+    than ``max_occ`` times corpus-wide, bounding the equi-join fan-out
+    at |shingles|·max_occ² exactly like :func:`jaccard_pairs`'
+    ``max_df`` rule — boilerplate n-grams can't explode the candidate
+    set, and a true duplicated span of ≥ min_tokens tokens spans
+    min_tokens−n+1 consecutive shingles, so capping a few of them only
+    splits the reported run, never hides the duplication. The
+    self-join's (p1, p2) matches then collapse to maximal runs by the
+    DIAGONAL-ISLANDS trick — constant p2−p1, consecutive p1 ⇒
+    p1 − row_number() is constant per run — one window plus one
+    groupBy, no iteration. Span token length = run length + n − 1.
+
+    Returns (d1, d2, d1_pos, d2_pos, span_tokens): one row per maximal
+    duplicated span; positions are 0-based token offsets."""
+    fps = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_did"),
+            F.posexplode(
+                F.transform(
+                    word_ngrams(F.col(text_col), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("pos", "fp"),
+        )
+        .cache()  # feeds the occurrence cap AND both self-join sides
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") <= max_occ)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("_did").alias("d1"), F.col("pos").alias("p1"), "fp")
+    b = kept.select(F.col("_did").alias("d2"), F.col("pos").alias("p2"), "fp")
+    matches = (
+        a.join(b, "fp")
+        .where(F.col("d1") < F.col("d2"))
+        .withColumn("diag", F.col("p2") - F.col("p1"))
+    )
+    w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    runs = matches.withColumn("grp", F.col("p1") - F.row_number().over(w))
+    return (
+        runs.groupBy("d1", "d2", "diag", "grp")
+        .agg(
+            F.min("p1").cast("long").alias("d1_pos"),
+            F.min("p2").cast("long").alias("d2_pos"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+        .select("d1", "d2", "d1_pos", "d2_pos", "span_tokens")
+    )
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """All word n-grams of a text column as one in-row array (with
     duplicates — callers wanting shingles apply array_distinct).

@@ -97,6 +97,45 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_substring_dedup",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-4)) AS i) g),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      shr AS (SELECT sh.doc_id, sh.pos, sh.s FROM sh JOIN rare USING (s)),
+      m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+            FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id),
+      runs AS (SELECT d1, d2, p2 - p1 AS diag, p1, p2,
+                      p1 - ROW_NUMBER() OVER
+                        (PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS grp
+               FROM m),
+      spans AS (SELECT d1, d2, MIN(p1) AS d1_pos, MIN(p2) AS d2_pos,
+                       COUNT(*) + 4 AS span_tokens
+                FROM runs GROUP BY d1, d2, diag, grp)
+      SELECT d1, d2, d1_pos, d2_pos, span_tokens
+      FROM spans WHERE span_tokens >= 20
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring report (Lee et al. 2022 shape):
+    maximal runs of ≥20 tokens shared verbatim between document pairs,
+    found via positional 5-gram fingerprints + the diagonal-islands
+    collapse — the substring-level dedup modality the pair/Jaccard
+    tiers can't see (they score whole documents; this pinpoints the
+    copied PASSAGE and its offsets in both docs). Posting cap 1000
+    bounds the fingerprint self-join fan-out (SCALE.md)."""
+    from full_docker_etl_spark.operators.dedup import substring_spans
+
+    return substring_spans(
+        _docs(spark, sf_dir), "text", "doc_id", n=5, min_tokens=20,
+        max_occ=1000,
+    )
+
+
 @query("dedup_minhash")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=32)+LSH(8 bands×4 rows) candidate pairs with estimated

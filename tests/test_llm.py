@@ -326,6 +326,58 @@ def test_lsh_band_params_degenerate_threshold():
     assert bands == 1   # always agrees: one table suffices
 
 
+def test_substring_spans_planted_passage(spark):
+    """A verbatim 30-token passage planted in two docs at different
+    offsets must come back as ONE maximal span with exact 0-based
+    token offsets and length; too-short docs and non-overlapping docs
+    must not appear; the posting cap and the min-length filter must
+    drop, not corrupt, results."""
+    from full_docker_etl_spark.operators.dedup import substring_spans
+
+    passage = " ".join(f"p{i}" for i in range(30))
+    rows = [
+        (1, "alpha beta " + passage + " gamma delta"),
+        (2, passage + " unrelated tail words here"),
+        (3, "totally different words with no overlap at all x y z a b c"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_spans(df, "text", "doc_id", n=5, min_tokens=20).collect()
+    assert [
+        (r.d1, r.d2, r.d1_pos, r.d2_pos, r.span_tokens) for r in out
+    ] == [(1, 2, 2, 0, 30)]
+    # a min_tokens above the planted span filters it out
+    assert (
+        substring_spans(df, "text", "doc_id", n=5, min_tokens=31).count() == 0
+    )
+    # max_occ=1 drops every shared fingerprint (each occurs twice):
+    # the cap bounds fan-out by dropping candidates, never corrupting
+    assert (
+        substring_spans(df, "text", "doc_id", n=5, min_tokens=20, max_occ=1)
+        .count() == 0
+    )
+
+
+def test_substring_spans_two_diagonals(spark):
+    """A passage duplicated TWICE inside one partner doc must yield two
+    distinct spans (one per diagonal) against the single-copy doc."""
+    from full_docker_etl_spark.operators.dedup import substring_spans
+
+    passage = " ".join(f"q{i}" for i in range(25))
+    rows = [
+        (10, passage),
+        (20, passage + " mid filler tokens " + passage),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.d1, r.d2, r.d1_pos, r.d2_pos, r.span_tokens)
+        for r in substring_spans(
+            df, "text", "doc_id", n=5, min_tokens=20
+        ).collect()
+    )
+    assert out == [(10, 20, 0, 0, 25), (10, 20, 0, 28, 25)]
+
+
 def test_contamination_hits_planted_overlap(spark):
     """A corpus doc embedding a benchmark 5-gram must be flagged with
     the right distinct-hit count; clean docs must not appear."""
