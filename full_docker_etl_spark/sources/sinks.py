@@ -875,7 +875,21 @@ class VersionedTable:
         if not os.path.isdir(parent_dv):
             return
         old_dv = spark.read.parquet(parent_dv)
-        try:
+        # Pre-probe the snapshot for data files instead of catching the
+        # reader's schema-inference error: a bare except here would also
+        # swallow TRANSIENT read failures and silently freeze the
+        # tombstone set — a re-inserted key would stay invisible. With
+        # the probe, only the legitimately-empty write takes the
+        # carry-unchanged path; any real read/schema fault propagates
+        # and fails the commit loudly.
+        has_data = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(vdir)
+            for f in files
+        )
+        if not has_data:
+            dv = old_dv  # empty fresh write: nothing re-introduced
+        else:
             fresh = (
                 spark.read.parquet(vdir)
                 .select(*old_dv.columns)
@@ -884,8 +898,6 @@ class VersionedTable:
             dv = old_dv.join(
                 fresh, on=list(old_dv.columns), how="left_anti"
             )
-        except Exception:
-            dv = old_dv  # empty fresh write: nothing re-introduced
         if dv.take(1):
             dv.coalesce(1).write.mode("overwrite").parquet(
                 self._dv_dir(version)

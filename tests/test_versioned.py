@@ -802,6 +802,81 @@ def test_delete_dv_tombstone_cleared_by_reinsert(spark):
         )
 
 
+def test_propagate_dv_read_failure_propagates_not_freezes(spark):
+    """A TRANSIENT read failure while carrying the deletion vector
+    forward must fail the commit loudly — never silently freeze the
+    tombstone set (which would keep a re-inserted key invisible). A
+    corrupt data file in the fresh snapshot makes the propagate raise;
+    the parent's vector stays intact, and a clean retry of the same
+    merge then re-inserts the tombstoned key visibly."""
+    import os
+    import shutil
+
+    t = _table(keep_versions=4, partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")], "k int, p int, v string"
+        )
+    )
+    v_dv = t.delete_dv(
+        spark.createDataFrame([(1, 0)], "k int, p int"), ["k", "p"]
+    )
+    parent_vdir = os.path.join(t.root, "_versions", v_dv)
+    parent_dv_files = sorted(os.listdir(t._dv_dir(v_dv)))
+    # first attempt: the freshly-written snapshot is unreadable
+    bad_vdir = os.path.join(t.root, "_versions", "v_badprop")
+    os.makedirs(os.path.join(bad_vdir, "p=0"))
+    with open(os.path.join(bad_vdir, "p=0", "part-0.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
+        t._propagate_dv(spark, parent_vdir, bad_vdir, "v_badprop")
+    shutil.rmtree(bad_vdir)
+    # loud failure, no side effects: no vector for the failed version,
+    # parent vector untouched (tombstone set not frozen or corrupted)
+    assert not os.path.isdir(t._dv_dir("v_badprop"))
+    assert sorted(os.listdir(t._dv_dir(v_dv))) == parent_dv_files
+    # the clean retry re-inserts k=1 and its tombstone clears
+    t.merge(
+        spark.createDataFrame([(1, 0, "back")], "k int, p int, v string"),
+        ["k", "p"],
+    )
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {
+        (1, "back"), (2, "b"), (3, "c"),
+    }
+
+
+def test_propagate_dv_empty_write_carries_vector_unchanged(spark):
+    """The one legitimate no-data case — a scoped commit whose snapshot
+    wrote zero data files — takes the carry-unchanged path: the new
+    version inherits the parent's vector verbatim (nothing was
+    re-introduced), detected by the data-file pre-probe rather than by
+    swallowing the reader's error."""
+    import os
+
+    t = _table(keep_versions=4, partition_by=["p"])
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b")], "k int, p int, v string"
+        )
+    )
+    v_dv = t.delete_dv(
+        spark.createDataFrame([(1, 0)], "k int, p int"), ["k", "p"]
+    )
+    parent_vdir = os.path.join(t.root, "_versions", v_dv)
+    empty_vdir = os.path.join(t.root, "_versions", "v_emptyprop")
+    os.makedirs(empty_vdir)
+    open(os.path.join(empty_vdir, "_SUCCESS"), "w").close()
+    t._propagate_dv(spark, parent_vdir, empty_vdir, "v_emptyprop")
+    parent = {
+        tuple(r) for r in spark.read.parquet(t._dv_dir(v_dv)).collect()
+    }
+    carried = {
+        tuple(r)
+        for r in spark.read.parquet(t._dv_dir("v_emptyprop")).collect()
+    }
+    assert len(parent) == 1 and carried == parent
+
+
 def test_disjoint_partition_merge_rebases_without_rederive(
     spark, monkeypatch
 ):
@@ -847,6 +922,55 @@ def test_disjoint_partition_merge_rebases_without_rederive(
         (4, "A"): "mine",
     }
     # no snapshot debris from the rejected pre-rebase commit
+    on_disk = set(os.listdir(os.path.join(t.root, "_versions")))
+    assert on_disk == set(t.versions())
+
+
+def test_delete_dv_intervener_forces_rederive_not_rebase(spark, monkeypatch):
+    """REBASE × DELETION-VECTOR interaction: a deletion-vector commit
+    changes row visibility in partitions it never rewrites, so a
+    concurrent writer that lost the head race to one — even on a
+    provably DISJOINT partition — must NOT rebase: it re-derives from
+    the new head (two attempts), and the final state equals the serial
+    schedule delete_dv→merge (the tombstoned row stays invisible, both
+    writers' rows land)."""
+    t = _table(keep_versions=4, partition_by=("p",))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "A", "a1"), (2, "B", "b1"), (5, "B", "b5")],
+            "k int, p string, v string",
+        )
+    )
+
+    real_commit = VersionedTable._commit
+    injected = {"done": False}
+
+    def racing_commit(self, df, **kw):
+        if not injected["done"]:
+            injected["done"] = True
+            other = VersionedTable(t.root, keep_versions=4, partition_by=("p",))
+            other.delete_dv(
+                df.sparkSession.createDataFrame(
+                    [(5, "B")], "k int, p string"
+                ),
+                ["k", "p"],
+            )
+        return real_commit(self, df, **kw)
+
+    monkeypatch.setattr(VersionedTable, "_commit", racing_commit)
+    t.merge(
+        spark.createDataFrame([(4, "A", "mine")], "k int, p string, v string"),
+        ["k", "p"],
+    )
+    assert not t.last_commit_rebased  # the DV intervener refused it
+    assert t.last_mutation_attempts == 2  # lost the race, re-derived
+    got = {(r.k, r.p): r.v for r in t.read(spark).collect()}
+    assert got == {  # == serial delete_dv → merge
+        (1, "A"): "a1",
+        (2, "B"): "b1",
+        (4, "A"): "mine",
+    }
+    # no snapshot debris from the rejected pre-rederive commit
     on_disk = set(os.listdir(os.path.join(t.root, "_versions")))
     assert on_disk == set(t.versions())
 
