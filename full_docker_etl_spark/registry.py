@@ -52,11 +52,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # they are the oracle-checked external evidence for the rows-only
 # sketch queries); THEN the two round-9 queries that have ZERO external
 # evidence (sink_versioned_delete_dv, sink_versioned_constraints).
-# Code changed later in round 10 (driver-side PQ Lloyd's,
-# operators/similarity.py) is externally evidenced through the pinned
-# ann_ivf_pq_recall slot — its rows-only sibling ann_ivf_pq_topk runs
-# the identical encode/probe path and keeps its pinned-verdict
-# coverage, so no tier-1 slot is displaced. Names absent from this
+# Code changed later in round 10, per the verdict's displacement rule
+# ("any query whose code changes later in the round must displace a
+# pinned-adjacent slot"): text_substring_dedup (NEW this round, full
+# DuckDB oracle) takes the slot of dedup_minhash — the cheapest
+# displacement, because dedup_minhash is rows-only and its
+# oracle-checked sibling dedup_minhash_recall rides in this window
+# anyway; dedup_minhash leads the post-boundary tail and re-enters in
+# round 11. The driver-side PQ Lloyd's change (operators/similarity.py)
+# is externally evidenced through the pinned ann_ivf_pq_recall slot —
+# its rows-only sibling ann_ivf_pq_topk runs the identical
+# encode/probe path. tools/next_window.py --check verifies this window
+# against the policy; run it before freezing. Names absent from this
 # list keep their registration (import) order after it; names listed
 # but not registered are ignored, so the list can never drop a query.
 _SAMPLE_ORDER: tuple[str, ...] = (
@@ -68,7 +75,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "ann_lsh_topk",
     "dedup_embedding",
     "dedup_exact",
-    "dedup_minhash",
     "dedup_natural_key",
     "embed_norm",
     "fn_coalesce_cast",
@@ -110,13 +116,15 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_incremental_recall",
     "text_compression_verdict",
     "join_fuzzy_recall",
-    # -- tier 3: round-9 queries with zero external evidence
+    # -- tier 3: zero-external-evidence queries (r9's two sinks + this
+    #    round's substring dedup, in via the displacement rule)
     "sink_versioned_delete_dv",
     "sink_versioned_constraints",
-    # ---- window boundary (50) ----
-    # -- tier 4: new-in-round-10 queries (first in any wider window;
-    #    locally oracle-proven by tests/test_oracle_parity.py)
     "text_substring_dedup",
+    # ---- window boundary (50) ----
+    # -- tier 4: the displaced rows-only sketch (sibling
+    #    dedup_minhash_recall pinned above); re-enters round 11
+    "dedup_minhash",
     # -- tier 5: r6-sampled rows (next-stalest after the window)
     "agg_approx_percentiles",
     "agg_cohort_retention",
