@@ -211,6 +211,79 @@ def substring_spans(
     )
 
 
+def substring_dedup_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_tokens: int = 20,
+    max_occ: int = 1000,
+) -> DataFrame:
+    """APPLY the substring dedup: remove every duplicated span from
+    the NON-CANONICAL document (keep-first: the lowest doc id keeps
+    its text; each higher-id partner drops the duplicated token
+    range) — the output step of Lee et al. 2022, where the cleaned
+    corpus, not the span report, is the artifact.
+
+    Removal is defined on ORIGINAL token positions (single pass, as in
+    the reference method): spans from :func:`substring_spans` against
+    ANY lower-id partner become per-doc intervals, overlapping
+    intervals MERGE (same islands trick as the span finder: sort by
+    start, running-max end, cumulative island id — windows partitioned
+    per doc, one exchange on the doc id), and the merged interval set
+    rides back to the document as ONE in-row array, so the token drop
+    is a per-row higher-order filter — no exploded token join, the
+    document body crosses the wire exactly once.
+
+    Returns only the documents that lost tokens:
+    (doc_id, n_tokens, n_removed, clean_text)."""
+    spans = substring_spans(df, text_col, id_col, n, min_tokens, max_occ)
+    iv = spans.select(
+        F.col("d2").alias("_did"),
+        F.col("d2_pos").alias("s"),
+        (F.col("d2_pos") + F.col("span_tokens")).alias("e"),
+    )
+    wo = Window.partitionBy("_did").orderBy("s", "e")
+    # merge overlaps: an interval starts a new island iff it begins
+    # past every earlier interval's end (running max over the order) —
+    # two projections, same window partitioning, ONE exchange
+    islands = iv.withColumn(
+        "pmax",
+        F.coalesce(
+            F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(-1),
+        ),
+    ).withColumn(
+        "isl",
+        F.sum(
+            F.when(F.col("pmax") < F.col("s"), 1).otherwise(0)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = (
+        islands.groupBy("_did", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("_did")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_iv")
+        )
+    )
+    toks = tokens(F.col(text_col))
+    docs = df.select(F.col(id_col).alias("_did"), toks.alias("_toks"))
+    out = docs.join(merged, "_did")  # affected docs only, by contract
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_iv"), lambda v: (i >= v["s"]) & (i < v["e"])
+        ),
+    )
+    return out.select(
+        F.col("_did").alias("doc_id"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """All word n-grams of a text column as one in-row array (with
     duplicates — callers wanting shingles apply array_distinct).

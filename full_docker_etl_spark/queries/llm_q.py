@@ -136,6 +136,72 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_substring_dedup_apply",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-4)) AS i) g),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      shr AS (SELECT sh.doc_id, sh.pos, sh.s FROM sh JOIN rare USING (s)),
+      m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+            FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id),
+      runs AS (SELECT d1, d2, p2 - p1 AS diag, p1, p2,
+                      p1 - ROW_NUMBER() OVER
+                        (PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS grp
+               FROM m),
+      spans AS (SELECT d1, d2, MIN(p2) AS d2_pos, COUNT(*) + 4 AS span_tokens
+                FROM runs GROUP BY d1, d2, diag, grp
+                HAVING COUNT(*) + 4 >= 20),
+      iv AS (SELECT d2 AS did, d2_pos AS s, d2_pos + span_tokens AS e
+             FROM spans),
+      iv2 AS (SELECT did, s, e,
+                     COALESCE(MAX(e) OVER (PARTITION BY did ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1) AS pmax
+              FROM iv),
+      isl AS (SELECT did, s, e,
+                     SUM(CASE WHEN pmax < s THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY did ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM iv2),
+      mrg AS (SELECT did, g, MIN(s) AS s, MAX(e) AS e FROM isl
+              GROUP BY did, g),
+      tk AS (SELECT doc_id,
+                    generate_subscripts(toks, 1) - 1 AS pos,
+                    unnest(toks) AS tok
+             FROM t WHERE doc_id IN (SELECT did FROM mrg)),
+      kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+               WHERE NOT EXISTS (SELECT 1 FROM mrg
+                                 WHERE mrg.did = tk.doc_id
+                                   AND tk.pos >= mrg.s AND tk.pos < mrg.e)),
+      counts AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tk GROUP BY doc_id),
+      keptagg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                         STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text
+                  FROM kept GROUP BY doc_id)
+      SELECT c.doc_id, c.n_tokens,
+             c.n_tokens - COALESCE(k.n_kept, 0) AS n_removed,
+             COALESCE(k.clean_text, '') AS clean_text
+      FROM counts c LEFT JOIN keptagg k USING (doc_id)
+    """,
+)
+def text_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring dedup APPLIED (Lee et al. 2022's output): every
+    ≥20-token duplicated span is cut from the non-canonical (higher
+    doc_id) document — overlapping spans merged per doc, the token
+    drop a per-row higher-order filter against the doc's own merged
+    interval array. Returns only the affected docs with before/removed
+    token counts and the cleaned text, value-checked to the byte."""
+    from full_docker_etl_spark.operators.dedup import substring_dedup_apply
+
+    return substring_dedup_apply(
+        _docs(spark, sf_dir), "text", "doc_id", n=5, min_tokens=20,
+        max_occ=1000,
+    )
+
+
 @query("dedup_minhash")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=32)+LSH(8 bands×4 rows) candidate pairs with estimated

@@ -378,6 +378,36 @@ def test_substring_spans_two_diagonals(spark):
     assert out == [(10, 20, 0, 0, 25), (10, 20, 0, 28, 25)]
 
 
+def test_substring_dedup_apply_keep_first_and_merge(spark):
+    """Applying the substring dedup must cut spans from the HIGHER-id
+    doc only (keep-first), MERGE overlapping intervals (spans against
+    two different canonical partners covering one contiguous stretch
+    remove it once, not twice), handle full removal (empty clean
+    text), and omit unaffected docs."""
+    from full_docker_etl_spark.operators.dedup import substring_dedup_apply
+
+    P = " ".join(f"p{i}" for i in range(25))
+    Q = " ".join(f"q{i}" for i in range(25))
+    q_head = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        (1, P + " " + q_head),      # canonical owner of P (+Q prefix)
+        (2, Q),                     # canonical owner of Q
+        (3, P + " " + Q),           # [0,35) vs doc1 + [25,50) vs doc2
+        (4, "a b c " + P + " z1 z2 z3 z4 z5"),  # partial: [3,28) vs doc1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in substring_dedup_apply(
+            df, "text", "doc_id", n=5, min_tokens=20
+        ).collect()
+    }
+    # doc2's overlap with doc1 is only 10 tokens — below min, untouched
+    assert set(got) == {3, 4}
+    assert got[3] == (50, 50, "")  # merged [0,35)+[25,50) = everything
+    assert got[4] == (33, 25, "a b c z1 z2 z3 z4 z5")
+
+
 def test_contamination_hits_planted_overlap(spark):
     """A corpus doc embedding a benchmark 5-gram must be flagged with
     the right distinct-hit count; clean docs must not appear."""
