@@ -408,6 +408,107 @@ def test_substring_dedup_apply_keep_first_and_merge(spark):
     assert got[4] == (33, 25, "a b c z1 z2 z3 z4 z5")
 
 
+def _ref_substring_spans(docs, n, min_tokens, max_occ):
+    """Naive Python reference for substring_spans: literal n-gram
+    strings, corpus-wide occurrence cap, per-diagonal consecutive-run
+    islands. O(everything) — correct by inspection, tiny inputs only."""
+    from collections import Counter, defaultdict
+
+    grams = {
+        did: [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        if len(toks) >= n
+        else []
+        for did, toks in docs.items()
+    }
+    occ = Counter(s for g in grams.values() for s in g)
+    out = set()
+    ids = sorted(grams)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            idx = defaultdict(list)
+            for p2, s in enumerate(grams[d2]):
+                if occ[s] <= max_occ:
+                    idx[s].append(p2)
+            bydiag = defaultdict(list)
+            for p1, s in enumerate(grams[d1]):
+                if occ[s] <= max_occ:
+                    for p2 in idx.get(s, ()):
+                        bydiag[p2 - p1].append(p1)
+            for diag, ps in bydiag.items():
+                ps.sort()
+                run_start = ps[0]
+                prev = ps[0]
+                for p in ps[1:] + [None]:
+                    if p is None or p != prev + 1:
+                        length = prev - run_start + 1 + (n - 1)
+                        if length >= min_tokens:
+                            out.add(
+                                (d1, d2, run_start, run_start + diag, length)
+                            )
+                        if p is not None:
+                            run_start = p
+                    if p is not None:
+                        prev = p
+    return out
+
+
+def test_substring_spans_differential_vs_reference(spark):
+    """Differential stress: seeded random corpora over a 4-token
+    vocabulary (dense repeated shingles ⇒ many diagonals, in-doc
+    repeats, cap hits) must match the naive reference exactly —
+    spans, and the applied removal's counts/clean text."""
+    import random
+
+    from full_docker_etl_spark.operators.dedup import (
+        substring_dedup_apply,
+        substring_spans,
+    )
+
+    n, min_tokens = 3, 5
+    for seed in range(8):
+        rng = random.Random(seed)
+        max_occ = rng.choice([3, 10, 1000])
+        docs = {
+            did: [
+                rng.choice(["a", "b", "c", "d"])
+                for _ in range(rng.randrange(0, 26))
+            ]
+            for did in range(rng.randrange(2, 7))
+        }
+        df = spark.createDataFrame(
+            [(did, " ".join(t)) for did, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.d1, r.d2, r.d1_pos, r.d2_pos, r.span_tokens)
+            for r in substring_spans(
+                df, "text", "doc_id", n, min_tokens, max_occ
+            ).collect()
+        }
+        want = _ref_substring_spans(docs, n, min_tokens, max_occ)
+        assert got == want, (seed, max_occ, docs)
+
+        # reference removal: keep-first, merged intervals per doc
+        ivs = {}
+        for d1, d2, _, p2, ln in want:
+            ivs.setdefault(d2, []).append((p2, p2 + ln))
+        expect = {}
+        for did, spans in ivs.items():
+            covered = {p for s, e in spans for p in range(s, e)}
+            toks = docs[did]
+            kept = [t for p, t in enumerate(toks) if p not in covered]
+            expect[did] = (len(toks), len(covered), " ".join(kept))
+        applied = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in substring_dedup_apply(
+                df, "text", "doc_id", n, min_tokens, max_occ
+            ).collect()
+        }
+        assert applied == expect, (seed, max_occ, docs)
+
+
 def test_contamination_hits_planted_overlap(spark):
     """A corpus doc embedding a benchmark 5-gram must be flagged with
     the right distinct-hit count; clean docs must not appear."""
