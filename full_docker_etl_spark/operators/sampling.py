@@ -58,6 +58,43 @@ def hash_split(df: DataFrame, key_col: str, out_col: str = "split") -> DataFrame
     return df.withColumn(out_col, split)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_tokens: int = 20,
+    max_occ: int = 1000,
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split that co-locates duplicate content:
+    documents connected by a shared ≥``min_tokens``-token verbatim
+    passage (transitively, via the substring-span pair graph's
+    connected components) share one split, keyed by the component's
+    min doc id — so a duplicated passage can never sit in train and
+    eval at once, the contamination mode plain per-doc hash splitting
+    cannot prevent. Singletons key by their own id; the assignment
+    rule is :func:`hash_split`'s md5-hex-prefix bands applied to the
+    cluster key. Returns (id_col, cluster, ``out_col``) plus the
+    input's other columns."""
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        substring_spans,
+    )
+
+    pairs = (
+        substring_spans(df, text_col, id_col, n, min_tokens, max_occ)
+        .select("d1", "d2")
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    labeled = df.join(comp, df[id_col] == comp["node"], "left").select(
+        *[c for c in df.columns if c != text_col],
+        F.coalesce("comp", id_col).alias("cluster"),
+    )
+    return hash_split(labeled, "cluster", out_col)
+
+
 def quota_per_group(
     df: DataFrame,
     group_cols: list[str],

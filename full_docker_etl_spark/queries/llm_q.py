@@ -202,6 +202,64 @@ def text_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_leakage_safe_split",
+    oracle="""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-4)) AS i) g),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      shr AS (SELECT sh.doc_id, sh.pos, sh.s FROM sh JOIN rare USING (s)),
+      m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+            FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id),
+      runs AS (SELECT d1, d2, p2 - p1 AS diag, p1,
+                      p1 - ROW_NUMBER() OVER
+                        (PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS grp
+               FROM m),
+      pairs AS (SELECT d1, d2 FROM runs
+                GROUP BY d1, d2, diag, grp
+                HAVING COUNT(*) + 4 >= 20),
+      sym AS (SELECT DISTINCT d1 AS src, d2 AS dst FROM pairs
+              UNION
+              SELECT DISTINCT d2, d1 FROM pairs),
+      reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, w.r FROM sym s JOIN reach w ON s.dst = w.node
+      ),
+      comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+      SELECT d.doc_id,
+             COALESCE(c.cluster, d.doc_id) AS cluster,
+             CASE WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id)
+                                       AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id)
+                                       AS VARCHAR)), 1, 1) IN ('c','d')
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: documents connected by a
+    shared ≥20-token verbatim passage (transitively — the substring
+    pair graph's connected components) are assigned to the SAME split,
+    keyed by the component's min doc id, so a duplicated passage can
+    never sit in train and eval at once — the contamination mode plain
+    per-doc hash splitting (``sample_hash_split``) cannot prevent.
+    Singleton docs key by their own id; the split rule is the same
+    md5-hex-prefix 75/12.5/12.5 as the per-doc splitter, applied to
+    the cluster key."""
+    from full_docker_etl_spark.operators.sampling import leakage_safe_split
+
+    return leakage_safe_split(
+        _docs(spark, sf_dir), "text", "doc_id", n=5, min_tokens=20,
+        max_occ=1000,
+    ).select("doc_id", "cluster", "split")
+
+
 @query("dedup_minhash")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=32)+LSH(8 bands×4 rows) candidate pairs with estimated

@@ -89,6 +89,36 @@ def test_hash_split_partitions_corpus(spark, sf_dir):
         assert full[r.doc_id] == r.split
 
 
+def test_leakage_safe_split_colocates_transitive_chain(spark):
+    """Docs chained by shared passages (a~b via P, b~c via Q — a and c
+    never pair directly) must all land in ONE split keyed by the
+    component's min id; unrelated docs keep their own key. The split
+    letter itself must equal hash_split's band for the cluster key."""
+    import hashlib
+
+    from full_docker_etl_spark.operators.sampling import leakage_safe_split
+
+    P = " ".join(f"p{i}" for i in range(25))
+    Q = " ".join(f"q{i}" for i in range(25))
+    rows = [
+        (10, P),
+        (20, P + " " + Q),
+        (30, Q),
+        (40, " ".join(f"z{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cluster, r.split)
+        for r in leakage_safe_split(df, "text", "doc_id").collect()
+    }
+    h1 = hashlib.md5(b"10").hexdigest()[0]
+    expect_split = (
+        "train" if h1 <= "b" else "val" if h1 in ("c", "d") else "test"
+    )
+    assert got[10] == got[20] == got[30] == (10, expect_split)
+    assert got[40][0] == 40
+
+
 def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
     """Every row keeps exactly one (shard, pos) slot; positions are
     dense 1..n per shard; a different seed yields a different order;
