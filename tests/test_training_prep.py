@@ -119,6 +119,36 @@ def test_leakage_safe_split_colocates_transitive_chain(spark):
     assert got[40][0] == 40
 
 
+def test_leakage_safe_split_no_pair_straddles_on_fixture(spark, sf_dir):
+    """End-to-end invariant on the real corpus: every substring-span
+    pair must land in one split (per-doc hashing provably violates
+    this on the fixture — that's the operator's reason to exist)."""
+    from full_docker_etl_spark.operators.dedup import substring_spans
+    from full_docker_etl_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = substring_spans(docs, "text", "doc_id").select(
+        "d1", "d2"
+    ).distinct()
+    safe = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(docs, "text", "doc_id").collect()
+    }
+    naive = {
+        r.doc_id: r.split
+        for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    got_pairs = [(r.d1, r.d2) for r in pairs.collect()]
+    assert got_pairs, "fixture should contain duplicated passages"
+    assert all(safe[a] == safe[b] for a, b in got_pairs)
+    # the naive splitter actually leaks on this corpus — if it ever
+    # stops leaking, the fixture no longer exercises the operator
+    assert any(naive[a] != naive[b] for a, b in got_pairs)
+
+
 def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
     """Every row keeps exactly one (shard, pos) slot; positions are
     dense 1..n per shard; a different seed yields a different order;
