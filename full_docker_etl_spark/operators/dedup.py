@@ -170,19 +170,8 @@ def substring_spans(
 
     Returns (d1, d2, d1_pos, d2_pos, span_tokens): one row per maximal
     duplicated span; positions are 0-based token offsets."""
-    fps = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("_did"),
-            F.posexplode(
-                F.transform(
-                    word_ngrams(F.col(text_col), n),
-                    lambda s: F.xxhash64(s),
-                )
-            ).alias("pos", "fp"),
-        )
-        .cache()  # feeds the occurrence cap AND both self-join sides
-    )
+    fps = _positional_fps(df, text_col, id_col, n).cache()
+    # cached: feeds the occurrence cap AND both self-join sides
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -192,13 +181,34 @@ def substring_spans(
     kept = fps.join(rare, "fp")
     a = kept.select(F.col("_did").alias("d1"), F.col("pos").alias("p1"), "fp")
     b = kept.select(F.col("_did").alias("d2"), F.col("pos").alias("p2"), "fp")
-    matches = (
-        a.join(b, "fp")
-        .where(F.col("d1") < F.col("d2"))
-        .withColumn("diag", F.col("p2") - F.col("p1"))
+    matches = a.join(b, "fp").where(F.col("d1") < F.col("d2"))
+    return _diag_spans(matches, n, min_tokens)
+
+
+def _positional_fps(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(_did, pos, fp): the POSITIONAL n-gram fingerprints — xxhash64
+    of each n-token window, hashed inside the source row so shingle
+    strings never leave it."""
+    return _spread(df).select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(
+            F.transform(
+                word_ngrams(F.col(text_col), n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("pos", "fp"),
     )
+
+
+def _diag_spans(matches: DataFrame, n: int, min_tokens: int) -> DataFrame:
+    """Collapse (d1, d2, p1, p2) fingerprint matches (d1 < d2) to
+    maximal consecutive runs — the diagonal-islands trick shared by
+    the batch and incremental substring-dedup paths."""
+    runs = matches.withColumn("diag", F.col("p2") - F.col("p1"))
     w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
-    runs = matches.withColumn("grp", F.col("p1") - F.row_number().over(w))
+    runs = runs.withColumn("grp", F.col("p1") - F.row_number().over(w))
     return (
         runs.groupBy("d1", "d2", "diag", "grp")
         .agg(
@@ -209,6 +219,164 @@ def substring_spans(
         .where(F.col("span_tokens") >= min_tokens)
         .select("d1", "d2", "d1_pos", "d2_pos", "span_tokens")
     )
+
+
+def substring_store_build(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    max_occ: int = 1000,
+) -> None:
+    """Build the PERSISTENT positional-fingerprint store for
+    INCREMENTAL substring dedup: at 100 TB you find each arriving
+    batch's duplicated passages against the corpus, never the corpus
+    against itself again. Writes ``<path>/fps`` (doc_id, pos, fp) and
+    an ADDITIVE occurrence log ``<path>/counts`` (fp, cnt) — appends
+    add counts rather than rewriting them, and readers sum per fp, so
+    the corpus-wide occurrence cap stays EXACT as the store grows
+    (a fingerprint that crosses ``max_occ`` only after later batches
+    is capped everywhere, same as a from-scratch run). Parameters
+    persist in ``_meta.json`` and are validated at probe time — a
+    silent n mismatch would otherwise return zero matches and admit
+    every duplicate."""
+    import json
+    import os
+
+    fps = _positional_fps(df, text_col, id_col, n).withColumnRenamed(
+        "_did", "doc_id"
+    )
+    fps.write.mode("overwrite").parquet(path + "/fps")
+    stored = df.sparkSession.read.parquet(path + "/fps")
+    stored.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
+        "overwrite"
+    ).parquet(path + "/counts")
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n": n, "max_occ": max_occ}, fh)
+
+
+def substring_store_append(
+    df: DataFrame, path: str, text_col: str, id_col: str
+) -> None:
+    """Admit a batch into the substring store: append its fingerprints
+    and its per-fp counts (the additive log — no read-modify-write of
+    the counts table, so a crash between the two appends never
+    corrupts existing data)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    fps = (
+        _positional_fps(df, text_col, id_col, meta["n"])
+        .withColumnRenamed("_did", "doc_id")
+        .cache()  # one fingerprint pass feeds both appends
+    )
+    try:
+        fps.write.mode("append").parquet(path + "/fps")
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
+            "append"
+        ).parquet(path + "/counts")
+    finally:
+        fps.unpersist()
+
+
+def substring_probe_store(
+    new_df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_tokens: int = 20,
+    max_occ: int = 1000,
+) -> DataFrame:
+    """Probe the substring store with a NEW batch: duplicated-span
+    candidates are (batch × store) fingerprint matches plus
+    (batch × batch) — store × store runs are NEVER regenerated, which
+    is the entire point. Output equals :func:`substring_spans` over
+    (store ∪ batch) RESTRICTED to pairs touching the batch — pinned by
+    a fixture-equality test — including the occurrence cap, which is
+    evaluated on store+batch TOTALS via the additive counts log (a
+    boilerplate fingerprint that crosses ``max_occ`` only with this
+    batch's arrivals is capped exactly as a from-scratch run would).
+
+    Scale shape: the store side is filtered to fingerprints the batch
+    actually carries BEFORE anything wide happens (a semi join on fp —
+    inverted-index point lookups; on a fp-bucketed store layout these
+    prune to the matching buckets), so probe cost tracks the batch,
+    not the corpus. A batch doc already admitted to the store (a
+    retried/re-delivered batch) is matched from its BATCH copy only —
+    the store copy is anti-joined out, so a retry never pairs a
+    document with itself."""
+    import json
+    import os
+
+    spark = new_df.sparkSession
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta != {"n": n, "max_occ": max_occ}:
+        raise ValueError(
+            f"substring-store parameter mismatch: store at {path} was "
+            f"built with {meta}, probe called with "
+            f"{{'n': {n}, 'max_occ': {max_occ}}} — fingerprints with "
+            "different n are incomparable and a different cap changes "
+            "which candidates exist; rebuild or match parameters"
+        )
+    bfp = (
+        _positional_fps(new_df, text_col, id_col, n)
+        .withColumnRenamed("_did", "doc_id")
+        .cache()  # feeds counts, the cap filter, and both join sides
+    )
+    batch_ids = new_df.select(F.col(id_col).alias("doc_id")).distinct()
+    store_fp = spark.read.parquet(path + "/fps").join(
+        batch_ids, "doc_id", "left_anti"
+    )
+    store_counts = (
+        spark.read.parquet(path + "/counts")
+        .groupBy("fp")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    batch_counts = bfp.groupBy("fp").agg(F.count(F.lit(1)).alias("bcnt"))
+    # corpus-total occurrences = store log + this batch; cap on the sum
+    kept_fp = (
+        batch_counts.join(store_counts, "fp", "left")
+        .where(
+            F.col("bcnt") + F.coalesce(F.col("cnt"), F.lit(0)) <= max_occ
+        )
+        .select("fp")
+    )
+    bkept = bfp.join(kept_fp, "fp")
+    # store side: only fingerprints the batch carries, under the cap
+    skept = store_fp.join(kept_fp, "fp")
+    sb = skept.select(
+        F.col("doc_id").alias("sd"), F.col("pos").alias("sp"), "fp"
+    ).join(
+        bkept.select(
+            F.col("doc_id").alias("bd"), F.col("pos").alias("bp"), "fp"
+        ),
+        "fp",
+    )
+    matches_sb = sb.select(
+        F.when(F.col("sd") < F.col("bd"), F.col("sd"))
+        .otherwise(F.col("bd"))
+        .alias("d1"),
+        F.when(F.col("sd") < F.col("bd"), F.col("bd"))
+        .otherwise(F.col("sd"))
+        .alias("d2"),
+        F.when(F.col("sd") < F.col("bd"), F.col("sp"))
+        .otherwise(F.col("bp"))
+        .alias("p1"),
+        F.when(F.col("sd") < F.col("bd"), F.col("bp"))
+        .otherwise(F.col("sp"))
+        .alias("p2"),
+    )
+    a = bkept.select(F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "fp")
+    b = bkept.select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), "fp")
+    matches_bb = a.join(b, "fp").where(F.col("d1") < F.col("d2")).select(
+        "d1", "d2", "p1", "p2"
+    )
+    return _diag_spans(matches_sb.unionByName(matches_bb), n, min_tokens)
 
 
 def substring_dedup_apply(

@@ -260,6 +260,65 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster", "split")
 
 
+@query(
+    "text_substring_incremental",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS s
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-4)) AS i) g),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+      shr AS (SELECT sh.doc_id, sh.pos, sh.s FROM sh JOIN rare USING (s)),
+      m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+            FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id),
+      runs AS (SELECT d1, d2, p2 - p1 AS diag, p1, p2,
+                      p1 - ROW_NUMBER() OVER
+                        (PARTITION BY d1, d2, p2 - p1 ORDER BY p1) AS grp
+               FROM m),
+      spans AS (SELECT d1, d2, MIN(p1) AS d1_pos, MIN(p2) AS d2_pos,
+                       COUNT(*) + 4 AS span_tokens
+                FROM runs GROUP BY d1, d2, diag, grp)
+      SELECT d1, d2, d1_pos, d2_pos, span_tokens
+      FROM spans
+      WHERE span_tokens >= 20 AND (d1 % 5 = 0 OR d2 % 5 = 0)
+    """,
+)
+def text_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL substring dedup at serving shape: the corpus's
+    positional fingerprints live in a persisted store
+    (``substring_store_build``/``append`` — an additive occurrence log
+    keeps the corpus-wide posting cap exact as batches land), and each
+    arriving batch probes batch×store + batch×batch only — store×store
+    runs are NEVER regenerated. Here the store is built from 3/5 of
+    the corpus, another 1/5 is APPENDED (exercising the log-merge
+    path), and the final 1/5 probes; the oracle recomputes the
+    from-scratch full-corpus spans restricted to batch-touching pairs,
+    so the driver value-checks that incremental ≡ rebuild span for
+    span — offsets, lengths, cap effects and all."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_append,
+        substring_store_build,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="fde_ssd_store_") + "/s"
+    substring_store_build(
+        docs.where("doc_id % 5 IN (1, 2, 3)"), path, "text", "doc_id",
+        n=5, max_occ=1000,
+    )
+    substring_store_append(
+        docs.where("doc_id % 5 = 4"), path, "text", "doc_id"
+    )
+    return substring_probe_store(
+        docs.where("doc_id % 5 = 0"), path, "text", "doc_id",
+        n=5, min_tokens=20, max_occ=1000,
+    )
+
+
 @query("dedup_minhash")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=32)+LSH(8 bands×4 rows) candidate pairs with estimated

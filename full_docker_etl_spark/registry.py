@@ -54,14 +54,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # evidence (sink_versioned_delete_dv, sink_versioned_constraints).
 # Code changed later in round 10, per the verdict's displacement rule
 # ("any query whose code changes later in the round must displace a
-# pinned-adjacent slot"): text_substring_dedup,
-# text_substring_dedup_apply, and sample_leakage_safe_split (NEW this
-# round, full DuckDB oracles) take the slots of dedup_minhash,
-# dedup_embedding, and ann_lsh_topk — the cheapest displacements,
-# because all three are rows-only and their oracle-checked siblings
-# (dedup_minhash_recall / dedup_embedding_recall / ann_lsh_recall)
-# ride in this window anyway; the displaced trio leads the
-# post-boundary tail and re-enters in round 11. The driver-side PQ Lloyd's change (operators/similarity.py)
+# pinned-adjacent slot"): the four queries NEW this round
+# (text_substring_dedup, text_substring_dedup_apply,
+# sample_leakage_safe_split, text_substring_incremental — all with
+# full DuckDB oracles) take the slots of dedup_minhash,
+# dedup_embedding, ann_lsh_topk, and ann_ivf_topk — the cheapest
+# displacements, because all four are rows-only and their
+# oracle-checked siblings (dedup_minhash_recall /
+# dedup_embedding_recall / ann_lsh_recall / ann_ivf_recall) ride in
+# this window anyway; the displaced sketches lead the post-boundary
+# tail and re-enter in round 11. The driver-side PQ Lloyd's change (operators/similarity.py)
 # is externally evidenced through the pinned ann_ivf_pq_recall slot —
 # its rows-only sibling ann_ivf_pq_topk runs the identical
 # encode/probe path. tools/next_window.py --check verifies this window
@@ -73,7 +75,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "agg_approx_distinct",
     "ann_ivf_kmeans_topk",
     "ann_ivf_serve",
-    "ann_ivf_topk",
     "dedup_exact",
     "dedup_natural_key",
     "embed_norm",
@@ -123,13 +124,15 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_substring_dedup",
     "text_substring_dedup_apply",
     "sample_leakage_safe_split",
+    "text_substring_incremental",
     # ---- window boundary (50) ----
     # -- tier 4: the displaced rows-only sketches (siblings
     #    dedup_minhash_recall / dedup_embedding_recall / ann_lsh_recall
-    #    pinned above); they re-enter round 11
+    #    / ann_ivf_recall pinned above); they re-enter round 11
     "dedup_minhash",
     "dedup_embedding",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     # -- tier 5: r6-sampled rows (next-stalest after the window)
     "agg_approx_percentiles",
     "agg_cohort_retention",

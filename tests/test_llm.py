@@ -509,6 +509,85 @@ def test_substring_spans_differential_vs_reference(spark):
         assert applied == expect, (seed, max_occ, docs)
 
 
+def test_substring_store_probe_equals_batch_restricted_full(
+    spark, docs, tmp_path
+):
+    """The incremental probe (build 3/5 → append 1/5 → probe 1/5) must
+    equal the from-scratch full-corpus spans restricted to
+    batch-touching pairs — offsets, lengths and cap effects included;
+    and re-probing an already-admitted batch (retry) must return the
+    identical spans with no self-pairs."""
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_spans,
+        substring_store_append,
+        substring_store_build,
+    )
+
+    path = str(tmp_path / "sstore")
+    substring_store_build(
+        docs.where("doc_id % 5 IN (1, 2, 3)"), path, "text", "doc_id"
+    )
+    substring_store_append(docs.where("doc_id % 5 = 4"), path, "text", "doc_id")
+    batch = docs.where("doc_id % 5 = 0")
+
+    def rows(df):
+        return {
+            (r.d1, r.d2, r.d1_pos, r.d2_pos, r.span_tokens)
+            for r in df.collect()
+        }
+
+    got = rows(substring_probe_store(batch, path, "text", "doc_id"))
+    want = rows(
+        substring_spans(docs, "text", "doc_id").where(
+            "d1 % 5 = 0 OR d2 % 5 = 0"
+        )
+    )
+    assert got and got == want
+    # retry: admit the batch, probe it again — same spans, no (X, X)
+    substring_store_append(batch, path, "text", "doc_id")
+    again = rows(substring_probe_store(batch, path, "text", "doc_id"))
+    assert again == want
+    assert all(d1 != d2 for d1, d2, *_ in again)
+
+
+def test_substring_store_cap_counts_store_plus_batch(spark, tmp_path):
+    """The occurrence cap must apply to store+batch TOTALS: a passage
+    under the cap against one store copy is reported, but a second
+    store copy pushes its shingles over the cap and the probe must go
+    dark — exactly as a from-scratch run over the union would."""
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_append,
+        substring_store_build,
+    )
+
+    P = " ".join(f"c{i}" for i in range(25))
+    one = spark.createDataFrame([(1, P)], "doc_id long, text string")
+    extra = spark.createDataFrame([(3, P)], "doc_id long, text string")
+    batch = spark.createDataFrame([(2, P)], "doc_id long, text string")
+
+    p1 = str(tmp_path / "under")
+    substring_store_build(one, p1, "text", "doc_id", n=5, max_occ=2)
+    found = substring_probe_store(
+        batch, p1, "text", "doc_id", n=5, min_tokens=20, max_occ=2
+    ).collect()
+    assert [(r.d1, r.d2, r.span_tokens) for r in found] == [(1, 2, 25)]
+
+    substring_store_append(extra, p1, "text", "doc_id")  # occ now 3 > 2
+    assert (
+        substring_probe_store(
+            batch, p1, "text", "doc_id", n=5, min_tokens=20, max_occ=2
+        ).count()
+        == 0
+    )
+    # parameter mismatch refuses loudly, never returns empty silently
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        substring_probe_store(
+            batch, p1, "text", "doc_id", n=4, min_tokens=20, max_occ=2
+        )
+
+
 def test_contamination_hits_planted_overlap(spark):
     """A corpus doc embedding a benchmark 5-gram must be flagged with
     the right distinct-hit count; clean docs must not appear."""
