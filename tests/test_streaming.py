@@ -451,6 +451,118 @@ def test_streaming_incremental_dedup_against_sketch_store(spark):
     assert len(family_admitted) <= 3, family_admitted
 
 
+def test_streaming_incremental_substring_dedup_loop(spark):
+    """The substring-store serving loop under Structured Streaming:
+    each micro-batch probes the persisted fingerprint store for
+    ≥20-token duplicated spans, drops docs that duplicate the admitted
+    corpus (and, within a batch, the lower-id copy wins), admits the
+    rest and APPENDS their fingerprints — so later batches dedup
+    against earlier ones. Spans are exact (no sketch miss rate), so
+    streamed ≡ sequential ≡ the hand-computed expected set, exactly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_append,
+        substring_store_build,
+    )
+
+    A = " ".join(f"a{i}" for i in range(25))
+    B = " ".join(f"b{i}" for i in range(25))
+    C = " ".join(f"c{i}" for i in range(25))
+    rows = [
+        # batch 0: 1 duplicates seed A; 2 unique; 3 introduces C
+        (1, A + " x1 x2 x3 x4 x5", 0),
+        (2, " ".join(f"u2_{j}" for j in range(30)), 0),
+        (3, C, 0),
+        # batch 1: 101 duplicates batch-0's ADMITTED doc 3 (append
+        # path); 102 unique
+        (101, C + " y1 y2 y3", 1),
+        (102, " ".join(f"u102_{j}" for j in range(30)), 1),
+        # batch 2: 201 duplicates seed B; 202 duplicates C; 203 unique
+        (201, "z1 z2 " + B, 2),
+        (202, C, 2),
+        (203, " ".join(f"u203_{j}" for j in range(30)), 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, batch int")
+    seeds = spark.createDataFrame(
+        [(1001, A), (1002, B)], "doc_id long, text string"
+    )
+    # ONE file per logical batch, mtime-spaced: FileStreamSource orders
+    # by modification time, and the admitted set genuinely depends on
+    # batch order here (doc 101 duplicates batch-0's doc 3 — whichever
+    # lands first wins), so the order must be pinned, not assumed
+    import time
+
+    src = tempfile.mkdtemp(prefix="fde_ssdst_src_")
+    for b in range(3):
+        df.where(F.col("batch") == b).drop("batch").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.3)
+
+    def dup_ids_of(batch_df, store_root):
+        bids = {r.doc_id for r in batch_df.select("doc_id").collect()}
+        dups = set()
+        for r in substring_probe_store(
+            batch_df, store_root, "text", "doc_id"
+        ).collect():
+            if r.d1 in bids and r.d2 in bids:
+                dups.add(r.d2)  # keep-first inside the batch
+            else:
+                dups.add(r.d1 if r.d1 in bids else r.d2)
+        return dups
+
+    def run(store_root, batches):
+        substring_store_build(seeds, store_root, "text", "doc_id")
+        admitted = set()
+        for batch_df in batches:
+            batch_df = batch_df.cache()
+            dups = dup_ids_of(batch_df, store_root)
+            keep = batch_df.where(~F.col("doc_id").isin(*dups) if dups
+                                  else F.lit(True))
+            admitted |= {r.doc_id for r in keep.select("doc_id").collect()}
+            substring_store_append(keep, store_root, "text", "doc_id")
+            batch_df.unpersist()
+        return admitted
+
+    # streaming run: one file per trigger, foreachBatch probe+admit
+    streamed_admitted = set()
+    stream_store = tempfile.mkdtemp(prefix="fde_ssdst_a_") + "/s"
+    substring_store_build(seeds, stream_store, "text", "doc_id")
+
+    def apply_batch(batch_df, epoch_id):
+        batch_df = batch_df.cache()
+        dups = dup_ids_of(batch_df, stream_store)
+        keep = batch_df.where(~F.col("doc_id").isin(*dups) if dups
+                              else F.lit(True))
+        streamed_admitted.update(
+            r.doc_id for r in keep.select("doc_id").collect()
+        )
+        substring_store_append(keep, stream_store, "text", "doc_id")
+        batch_df.unpersist()
+
+    chk = tempfile.mkdtemp(prefix="fde_ssdst_chk_")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    sequential = run(
+        tempfile.mkdtemp(prefix="fde_ssdst_b_") + "/s",
+        [df.where(F.col("batch") == b).drop("batch") for b in range(3)],
+    )
+    assert streamed_admitted == sequential == {2, 3, 102, 203}
+
+
 def test_versioned_table_time_travel(spark):
     """Retained snapshots are readable as-of: versions() lists newest
     first, read(old) returns the pre-merge state bit-for-bit, and a
