@@ -338,13 +338,18 @@ def substring_probe_store(
         .agg(F.sum("cnt").alias("cnt"))
     )
     batch_counts = bfp.groupBy("fp").agg(F.count(F.lit(1)).alias("bcnt"))
-    # corpus-total occurrences = store log + this batch; cap on the sum
+    # corpus-total occurrences = store log + this batch; cap on the sum.
+    # Cached: the set is batch-bounded (distinct batch fps) and feeds
+    # FOUR consumers (both batch self-join sides, the store filter,
+    # and the batch filter) — uncached, the counts-log aggregation
+    # subtree replays once per consumer in the physical plan.
     kept_fp = (
         batch_counts.join(store_counts, "fp", "left")
         .where(
             F.col("bcnt") + F.coalesce(F.col("cnt"), F.lit(0)) <= max_occ
         )
         .select("fp")
+        .cache()
     )
     bkept = bfp.join(kept_fp, "fp")
     # store side: only fingerprints the batch carries, under the cap
