@@ -228,53 +228,69 @@ def substring_store_build(
     id_col: str,
     n: int = 5,
     max_occ: int = 1000,
+    n_buckets: int = 16,
 ) -> None:
     """Build the PERSISTENT positional-fingerprint store for
     INCREMENTAL substring dedup: at 100 TB you find each arriving
     batch's duplicated passages against the corpus, never the corpus
-    against itself again. Writes ``<path>/fps`` (doc_id, pos, fp) and
-    an ADDITIVE occurrence log ``<path>/counts`` (fp, cnt) — appends
-    add counts rather than rewriting them, and readers sum per fp, so
-    the corpus-wide occurrence cap stays EXACT as the store grows
-    (a fingerprint that crosses ``max_occ`` only after later batches
-    is capped everywhere, same as a from-scratch run). Parameters
-    persist in ``_meta.json`` and are validated at probe time — a
-    silent n mismatch would otherwise return zero matches and admit
+    against itself again. Writes ``<path>/fps`` (doc_id, pos, fp)
+    PARTITIONED BY ``bkt = pmod(fp, n_buckets)`` — the probe derives
+    its batch's bucket set and reads only those directories, so probe
+    IO tracks the batch's fingerprint spread, not the store size
+    (``n_buckets`` is the IO-granularity dial: 16 keeps test corpora
+    out of small-file territory; a 100 TB store wants 2-4k) — plus an
+    ADDITIVE occurrence log ``<path>/counts`` (fp, cnt): appends add
+    counts rather than rewriting them and readers sum per fp, so the
+    corpus-wide occurrence cap stays EXACT as the store grows (a
+    fingerprint that crosses ``max_occ`` only after later batches is
+    capped everywhere, same as a from-scratch run). Parameters persist
+    in ``_meta.json`` and are validated at probe time — a silent n or
+    bucketing mismatch would otherwise return zero matches and admit
     every duplicate."""
     import json
     import os
 
-    fps = _positional_fps(df, text_col, id_col, n).withColumnRenamed(
-        "_did", "doc_id"
-    )
-    fps.write.mode("overwrite").parquet(path + "/fps")
+    fps = _bucketed_fps(df, text_col, id_col, n, n_buckets)
+    fps.write.mode("overwrite").partitionBy("bkt").parquet(path + "/fps")
     stored = df.sparkSession.read.parquet(path + "/fps")
     stored.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
         "overwrite"
     ).parquet(path + "/counts")
     with open(os.path.join(path, "_meta.json"), "w") as fh:
-        json.dump({"n": n, "max_occ": max_occ}, fh)
+        json.dump({"n": n, "max_occ": max_occ, "n_buckets": n_buckets}, fh)
+
+
+def _bucketed_fps(
+    df: DataFrame, text_col: str, id_col: str, n: int, n_buckets: int
+) -> DataFrame:
+    """Store-layout fingerprints: (doc_id, pos, fp, bkt) repartitioned
+    on the bucket key so each write task feeds few directories (32
+    tasks × n_buckets dirs of stragglers otherwise)."""
+    return (
+        _positional_fps(df, text_col, id_col, n)
+        .withColumnRenamed("_did", "doc_id")
+        .withColumn("bkt", F.pmod(F.col("fp"), F.lit(n_buckets)))
+        .repartition("bkt")
+    )
 
 
 def substring_store_append(
     df: DataFrame, path: str, text_col: str, id_col: str
 ) -> None:
     """Admit a batch into the substring store: append its fingerprints
-    and its per-fp counts (the additive log — no read-modify-write of
-    the counts table, so a crash between the two appends never
-    corrupts existing data)."""
+    (same bucketed layout) and its per-fp counts (the additive log —
+    no read-modify-write of the counts table, so a crash between the
+    two appends never corrupts existing data)."""
     import json
     import os
 
     with open(os.path.join(path, "_meta.json")) as fh:
         meta = json.load(fh)
-    fps = (
-        _positional_fps(df, text_col, id_col, meta["n"])
-        .withColumnRenamed("_did", "doc_id")
-        .cache()  # one fingerprint pass feeds both appends
-    )
+    fps = _bucketed_fps(
+        df, text_col, id_col, meta["n"], meta["n_buckets"]
+    ).cache()  # one fingerprint pass feeds both appends
     try:
-        fps.write.mode("append").parquet(path + "/fps")
+        fps.write.mode("append").partitionBy("bkt").parquet(path + "/fps")
         fps.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
             "append"
         ).parquet(path + "/counts")
@@ -301,21 +317,24 @@ def substring_probe_store(
     boilerplate fingerprint that crosses ``max_occ`` only with this
     batch's arrivals is capped exactly as a from-scratch run would).
 
-    Scale shape: the store side is filtered to fingerprints the batch
-    actually carries BEFORE anything wide happens (a semi join on fp —
-    inverted-index point lookups; on a fp-bucketed store layout these
-    prune to the matching buckets), so probe cost tracks the batch,
-    not the corpus. A batch doc already admitted to the store (a
-    retried/re-delivered batch) is matched from its BATCH copy only —
-    the store copy is anti-joined out, so a retry never pairs a
-    document with itself."""
+    Scale shape: the store scan PRUNES to the batch's fingerprint
+    BUCKETS first (the bucket set is ≤ n_buckets ints, collected
+    driver-side and pushed as a partition filter — directories the
+    batch has no fingerprint in are never read), then filters to the
+    batch's exact fingerprints before anything wide happens, so probe
+    IO and probe compute both track the batch, not the corpus. A batch
+    doc already admitted to the store (a retried/re-delivered batch)
+    is matched from its BATCH copy only — the store copy is
+    anti-joined out, so a retry never pairs a document with itself."""
     import json
     import os
 
     spark = new_df.sparkSession
     with open(os.path.join(path, "_meta.json")) as fh:
         meta = json.load(fh)
-    if meta != {"n": n, "max_occ": max_occ}:
+    if {k: meta.get(k) for k in ("n", "max_occ")} != {
+        "n": n, "max_occ": max_occ,
+    }:
         raise ValueError(
             f"substring-store parameter mismatch: store at {path} was "
             f"built with {meta}, probe called with "
@@ -329,8 +348,20 @@ def substring_probe_store(
         .cache()  # feeds counts, the cap filter, and both join sides
     )
     batch_ids = new_df.select(F.col(id_col).alias("doc_id")).distinct()
-    store_fp = spark.read.parquet(path + "/fps").join(
-        batch_ids, "doc_id", "left_anti"
+    n_buckets = meta["n_buckets"]
+    batch_bkts = [
+        r.bkt
+        for r in bfp.select(
+            F.pmod(F.col("fp"), F.lit(n_buckets)).alias("bkt")
+        )
+        .distinct()
+        .collect()  # bounded: ≤ n_buckets ints
+    ]
+    store_fp = (
+        spark.read.parquet(path + "/fps")
+        .where(F.col("bkt").isin(batch_bkts) if batch_bkts else F.lit(False))
+        .drop("bkt")
+        .join(batch_ids, "doc_id", "left_anti")
     )
     store_counts = (
         spark.read.parquet(path + "/counts")

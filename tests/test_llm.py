@@ -12,6 +12,7 @@ count their rows, so recall/quality is pinned here.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -549,6 +550,47 @@ def test_substring_store_probe_equals_batch_restricted_full(
     again = rows(substring_probe_store(batch, path, "text", "doc_id"))
     assert again == want
     assert all(d1 != d2 for d1, d2, *_ in again)
+
+
+def test_substring_store_probe_prunes_buckets(spark, tmp_path):
+    """The probe must reach the store through a PARTITION FILTER on
+    the fingerprint bucket — probe IO tracks the batch's bucket set,
+    not the store size. A small batch against a 64-bucket store must
+    plan `bkt IN (...)` on the store scan with fewer buckets than the
+    store holds, and still find its planted span."""
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_build,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"s{i}_{j}" for j in range(40))) for i in range(40)]
+        + [(999, " ".join(f"pp{j}" for j in range(25)))],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bstore")
+    substring_store_build(
+        corpus, path, "text", "doc_id", n_buckets=64
+    )
+    batch = spark.createDataFrame(
+        [(2000, " ".join(f"pp{j}" for j in range(25)) + " tail x y")],
+        "doc_id long, text string",
+    )
+    probe = substring_probe_store(batch, path, "text", "doc_id")
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(
+        r"PartitionFilters: \[[^]\n]*bkt[^]\n]*IN(?:SET)? \(?([0-9, ]+)\)?\]",
+        plan,
+    )
+    assert m, plan
+    assert 0 < len(m.group(1).split(",")) < 64
+    assert [(r.d1, r.d2, r.span_tokens) for r in probe.collect()] == [
+        (999, 2000, 25)
+    ]
 
 
 def test_substring_store_cap_counts_store_plus_batch(spark, tmp_path):
