@@ -298,6 +298,51 @@ def substring_store_append(
         fps.unpersist()
 
 
+def substring_store_compact(spark: "SparkSession", path: str) -> dict:
+    """MAINTENANCE compaction for the substring store (the OPTIMIZE of
+    this tier): every ``append`` adds a file set to the occurrence log
+    and at least one file per touched bucket, so after thousands of
+    batches each probe pays a many-segment log aggregation and the
+    buckets are small-file swamps. Compaction folds the log into ONE
+    aggregated segment and rewrites each fingerprint bucket coalesced,
+    then swaps directories via rename — the store is byte-equivalent
+    to a fresh build of the same corpus (pinned by a probe-equality
+    test). Same single-writer contract as build/append; quiesce probes
+    for the swap window. Returns before/after file counts."""
+    import glob as _glob
+    import os
+    import shutil
+
+    def _files(sub):
+        return [
+            f
+            for f in _glob.glob(
+                os.path.join(path, sub, "**", "*.parquet"), recursive=True
+            )
+        ]
+
+    before = {"fps": len(_files("fps")), "counts": len(_files("counts"))}
+    counts = (
+        spark.read.parquet(path + "/counts")
+        .groupBy("fp")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    counts.coalesce(1).write.mode("overwrite").parquet(path + "/counts_new")
+    fps = spark.read.parquet(path + "/fps")
+    fps.repartition("bkt").write.mode("overwrite").partitionBy(
+        "bkt"
+    ).parquet(path + "/fps_new")
+    for sub in ("counts", "fps"):
+        old = os.path.join(path, sub + "_gc")
+        os.rename(os.path.join(path, sub), old)
+        os.rename(os.path.join(path, sub + "_new"), os.path.join(path, sub))
+        shutil.rmtree(old, ignore_errors=True)
+    return {
+        "before": before,
+        "after": {"fps": len(_files("fps")), "counts": len(_files("counts"))},
+    }
+
+
 def substring_probe_store(
     new_df: DataFrame,
     path: str,

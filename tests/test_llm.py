@@ -593,6 +593,44 @@ def test_substring_store_probe_prunes_buckets(spark, tmp_path):
     ]
 
 
+def test_substring_store_compact_preserves_probe(spark, docs, tmp_path):
+    """Compaction must shrink the store's file census (the additive
+    log folds to one segment, buckets coalesce) while leaving probe
+    output BYTE-IDENTICAL — the store is maintenance-rewritten, never
+    semantically changed."""
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_append,
+        substring_store_build,
+        substring_store_compact,
+    )
+
+    path = str(tmp_path / "cstore")
+    substring_store_build(
+        docs.where("doc_id % 5 = 1"), path, "text", "doc_id"
+    )
+    for m in (2, 3, 4):
+        substring_store_append(
+            docs.where(f"doc_id % 5 = {m}"), path, "text", "doc_id"
+        )
+    batch = docs.where("doc_id % 5 = 0")
+
+    def rows():
+        return {
+            tuple(r)
+            for r in substring_probe_store(
+                batch, path, "text", "doc_id"
+            ).collect()
+        }
+
+    pre = rows()
+    census = substring_store_compact(spark, path)
+    assert census["after"]["counts"] == 1
+    assert census["after"]["counts"] < census["before"]["counts"]
+    assert census["after"]["fps"] <= census["before"]["fps"]
+    assert rows() == pre and pre
+
+
 def test_substring_store_cap_counts_store_plus_batch(spark, tmp_path):
     """The occurrence cap must apply to store+batch TOTALS: a passage
     under the cap against one store copy is reported, but a second
