@@ -196,3 +196,54 @@ def test_type_reconciliation_trichotomy(te, tu, exempt):
     else:
         with pytest.raises(ValueError, match="incompatible"):
             _plan_type_reconciliation(ex, up, exempt_set)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n_queries=st.integers(min_value=1, max_value=200),
+    n_pinned=st.integers(min_value=0, max_value=20),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_next_window_policy_invariants(n_queries, n_pinned, seed):
+    """The rotation tool's window composition, for ANY registry shape:
+    the output is a permutation of the registered set; every pinned
+    verdict row and every zero-evidence query lands INSIDE the window
+    (when they fit); the window's non-pinned lead is the stalest
+    available; and rows-only sketches never displace an equally-stale
+    oracle-checked query."""
+    import random
+
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from next_window import WINDOW, proposed_order
+
+    rng = random.Random(seed)
+    registered = [f"q{i:03d}" for i in range(n_queries)]
+    pinned = [f"p{i:02d}_recall" for i in range(n_pinned)]
+    registered += pinned
+    rng.shuffle(registered)
+    latest = {
+        n: rng.randint(1, 9)
+        for n in registered
+        if rng.random() < 0.9  # ~10% zero-evidence
+    }
+    rows_only = {n for n in registered if rng.random() < 0.15}
+    order = proposed_order(registered, latest, rows_only)
+    assert sorted(order) == sorted(registered)
+
+    window = set(order[:WINDOW])
+    zero = [n for n in registered
+            if n not in latest and not n.endswith("_recall")]
+    if len(pinned) + len(zero) <= WINDOW:
+        assert set(pinned) <= window
+        assert set(zero) <= window
+    # stalest-first on the lead: no query OUTSIDE the window may be
+    # strictly staler than a non-pinned, non-zero lead entry — unless
+    # the outside one is a rows-only sketch at the same staleness
+    lead = [n for n in order[:WINDOW]
+            if n in latest and not n.endswith("_recall")]
+    outside = [n for n in order[WINDOW:] if n in latest]
+    if lead and outside:
+        worst_in = max(latest[n] for n in lead)
+        for n in outside:
+            assert latest[n] >= worst_in, (n, latest[n], worst_in)
