@@ -492,6 +492,61 @@ def substring_dedup_apply(
         F.col("d2_pos").alias("s"),
         (F.col("d2_pos") + F.col("span_tokens")).alias("e"),
     )
+    return _apply_doc_intervals(df, text_col, id_col, iv)
+
+
+def substring_probe_apply(
+    new_df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_tokens: int = 20,
+    max_occ: int = 1000,
+) -> DataFrame:
+    """SCRUB an arriving batch against the substring store — the
+    serving-shape Lee et al. flow: instead of dropping a whole batch
+    doc that shares a passage with the admitted corpus, cut just the
+    duplicated span and admit the rest. Keep-ADMITTED-first: a span
+    against a store doc always cuts the BATCH copy (admission order
+    outranks id order — the corpus is immutable); spans between two
+    batch docs cut the higher id, matching :func:`substring_dedup_apply`.
+    Returns only the batch docs that lost tokens
+    (doc_id, n_tokens, n_removed, clean_text); union the untouched
+    batch docs back for the admit write."""
+    spans = substring_probe_store(
+        new_df, path, text_col, id_col, n, min_tokens, max_occ
+    )
+    b2 = new_df.select(
+        F.col(id_col).alias("d2"), F.lit(True).alias("_in2")
+    ).distinct()
+    # every probe span touches the batch, so: d2 in batch → cut d2
+    # (covers batch×batch keep-first too); else d1 is the batch side
+    sp = spans.join(b2, "d2", "left")
+    cut_d2 = F.coalesce(F.col("_in2"), F.lit(False))
+    iv = sp.select(
+        F.when(cut_d2, F.col("d2")).otherwise(F.col("d1")).alias("_did"),
+        F.when(cut_d2, F.col("d2_pos"))
+        .otherwise(F.col("d1_pos"))
+        .alias("s"),
+        (
+            F.when(cut_d2, F.col("d2_pos")).otherwise(F.col("d1_pos"))
+            + F.col("span_tokens")
+        ).alias("e"),
+    )
+    return _apply_doc_intervals(new_df, text_col, id_col, iv)
+
+
+def _apply_doc_intervals(
+    df: DataFrame, text_col: str, id_col: str, iv: DataFrame
+) -> DataFrame:
+    """Cut token intervals ``(_did, s, e)`` out of their documents:
+    overlapping intervals MERGE (islands trick — sort by start,
+    running-max end, cumulative island id; windows partitioned per
+    doc, one exchange on the doc id), the merged set rides back to
+    the document as ONE in-row array, and the token drop is a per-row
+    higher-order filter — no exploded token join, the document body
+    crosses the wire exactly once. Affected docs only."""
     wo = Window.partitionBy("_did").orderBy("s", "e")
     # merge overlaps: an interval starts a new island iff it begins
     # past every earlier interval's end (running max over the order) —

@@ -631,6 +631,41 @@ def test_substring_store_compact_preserves_probe(spark, docs, tmp_path):
     assert rows() == pre and pre
 
 
+def test_substring_probe_apply_keep_admitted_first(spark, tmp_path):
+    """Scrubbing a batch against the store must cut the BATCH copy
+    even when the batch doc has the LOWER id (admission order outranks
+    id order — the corpus is immutable), cut the higher id inside
+    batch×batch pairs, and omit untouched batch docs."""
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_apply,
+        substring_store_build,
+    )
+
+    P = " ".join(f"cp{i}" for i in range(25))
+    Q = " ".join(f"cq{i}" for i in range(25))
+    store = spark.createDataFrame([(5000, P)], "doc_id long, text string")
+    path = str(tmp_path / "astore")
+    substring_store_build(store, path, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, "a b " + P + " c"),  # store passage, LOWER id than 5000
+            (11, Q),                  # canonical inside the batch
+            (12, Q + " tail w1 w2"),  # batch×batch dup of 11
+            (13, " ".join(f"u{j}" for j in range(30))),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in substring_probe_apply(
+            batch, path, "text", "doc_id"
+        ).collect()
+    }
+    assert set(got) == {10, 12}
+    assert got[10] == (28, 25, "a b c")
+    assert got[12] == (28, 25, "tail w1 w2")
+
+
 def test_substring_store_cap_counts_store_plus_batch(spark, tmp_path):
     """The occurrence cap must apply to store+batch TOTALS: a passage
     under the cap against one store copy is reported, but a second
