@@ -250,12 +250,14 @@ def substring_store_build(
     import json
     import os
 
-    fps = _bucketed_fps(df, text_col, id_col, n, n_buckets)
-    fps.write.mode("overwrite").partitionBy("bkt").parquet(path + "/fps")
-    stored = df.sparkSession.read.parquet(path + "/fps")
-    stored.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
-        "overwrite"
-    ).parquet(path + "/counts")
+    fps = _bucketed_fps(df, text_col, id_col, n, n_buckets).cache()
+    try:  # one fingerprint pass feeds both writes (the append pattern)
+        fps.write.mode("overwrite").partitionBy("bkt").parquet(path + "/fps")
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
+            "overwrite"
+        ).parquet(path + "/counts")
+    finally:
+        fps.unpersist()
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump({"n": n, "max_occ": max_occ, "n_buckets": n_buckets}, fh)
 
@@ -343,6 +345,20 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
     }
 
 
+def _read_store_table(spark, d: str, schema: str) -> DataFrame:
+    """Read a store table, tolerating the DEGENERATE empty store: a
+    corpus whose docs are all shorter than n writes zero part files
+    (only _SUCCESS), and a raw parquet read of a file-less directory
+    fails schema inference — a batch probed against such a store
+    should see an empty corpus (batch×batch pairs only), not crash."""
+    import glob as _glob
+    import os
+
+    if not _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(d)
+
+
 def substring_probe_store(
     new_df: DataFrame,
     path: str,
@@ -403,13 +419,15 @@ def substring_probe_store(
         .collect()  # bounded: ≤ n_buckets ints
     ]
     store_fp = (
-        spark.read.parquet(path + "/fps")
+        _read_store_table(
+            spark, path + "/fps", "doc_id bigint, pos int, fp bigint, bkt int"
+        )
         .where(F.col("bkt").isin(batch_bkts) if batch_bkts else F.lit(False))
         .drop("bkt")
         .join(batch_ids, "doc_id", "left_anti")
     )
     store_counts = (
-        spark.read.parquet(path + "/counts")
+        _read_store_table(spark, path + "/counts", "fp bigint, cnt bigint")
         .groupBy("fp")
         .agg(F.sum("cnt").alias("cnt"))
     )

@@ -455,6 +455,65 @@ def _ref_substring_spans(docs, n, min_tokens, max_occ):
     return out
 
 
+def test_substring_probe_differential_vs_reference(spark, tmp_path):
+    """Differential stress for the INCREMENTAL path: on seeded random
+    small-vocab corpora with random store/batch splits, build→append→
+    probe must equal the naive reference's spans restricted to
+    batch-touching pairs — cap totals, diagonals and all."""
+    import random
+
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_append,
+        substring_store_build,
+    )
+
+    n, min_tokens = 3, 5
+    for seed in range(4):
+        rng = random.Random(1000 + seed)
+        max_occ = rng.choice([3, 10, 1000])
+        docs = {
+            did: [
+                rng.choice(["a", "b", "c", "d"])
+                for _ in range(rng.randrange(0, 26))
+            ]
+            for did in range(rng.randrange(4, 9))
+        }
+        roles = {did: rng.choice(["store", "append", "batch"])
+                 for did in docs}
+        it = iter(sorted(roles))
+        if "batch" not in roles.values():
+            roles[next(it)] = "batch"
+        if "store" not in roles.values():
+            roles[next(it)] = "store"
+
+        def frame(role):
+            rows = [(d, " ".join(t)) for d, t in docs.items()
+                    if roles[d] == role]
+            return spark.createDataFrame(rows, "doc_id long, text string")
+
+        path = str(tmp_path / f"dstore{seed}")
+        substring_store_build(
+            frame("store"), path, "text", "doc_id", n=n, max_occ=max_occ
+        )
+        if any(r == "append" for r in roles.values()):
+            substring_store_append(frame("append"), path, "text", "doc_id")
+        got = {
+            (r.d1, r.d2, r.d1_pos, r.d2_pos, r.span_tokens)
+            for r in substring_probe_store(
+                frame("batch"), path, "text", "doc_id", n, min_tokens,
+                max_occ,
+            ).collect()
+        }
+        batch_ids = {d for d, r in roles.items() if r == "batch"}
+        want = {
+            s
+            for s in _ref_substring_spans(docs, n, min_tokens, max_occ)
+            if s[0] in batch_ids or s[1] in batch_ids
+        }
+        assert got == want, (seed, max_occ, roles, docs)
+
+
 def test_substring_spans_differential_vs_reference(spark):
     """Differential stress: seeded random corpora over a 4-token
     vocabulary (dense repeated shingles ⇒ many diagonals, in-doc
@@ -664,6 +723,33 @@ def test_substring_probe_apply_keep_admitted_first(spark, tmp_path):
     assert set(got) == {10, 12}
     assert got[10] == (28, 25, "a b c")
     assert got[12] == (28, 25, "tail w1 w2")
+
+
+def test_substring_store_degenerate_empty_store(spark, tmp_path):
+    """A store built from docs too short to fingerprint has zero data
+    files; probing it must see an empty corpus — batch×batch spans
+    still found, no schema-inference crash."""
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_build,
+    )
+
+    shorties = spark.createDataFrame(
+        [(1, "too short"), (2, "tiny")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "estore")
+    substring_store_build(shorties, path, "text", "doc_id")
+    R = " ".join(f"r{i}" for i in range(25))
+    batch = spark.createDataFrame(
+        [(10, R), (11, R + " tail")], "doc_id long, text string"
+    )
+    got = [
+        (r.d1, r.d2, r.span_tokens)
+        for r in substring_probe_store(
+            batch, path, "text", "doc_id"
+        ).collect()
+    ]
+    assert got == [(10, 11, 25)]
 
 
 def test_substring_store_cap_counts_store_plus_batch(spark, tmp_path):
