@@ -325,12 +325,14 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
 
     before = {"fps": len(_files("fps")), "counts": len(_files("counts"))}
     counts = (
-        spark.read.parquet(path + "/counts")
+        _read_store_table(spark, path + "/counts", "fp bigint, cnt bigint")
         .groupBy("fp")
         .agg(F.sum("cnt").alias("cnt"))
     )
     counts.coalesce(1).write.mode("overwrite").parquet(path + "/counts_new")
-    fps = spark.read.parquet(path + "/fps")
+    fps = _read_store_table(
+        spark, path + "/fps", "doc_id bigint, pos int, fp bigint, bkt int"
+    )
     fps.repartition("bkt").write.mode("overwrite").partitionBy(
         "bkt"
     ).parquet(path + "/fps_new")

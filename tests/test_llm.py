@@ -752,6 +752,29 @@ def test_substring_store_degenerate_empty_store(spark, tmp_path):
     assert got == [(10, 11, 25)]
 
 
+def test_substring_store_compact_degenerate_empty_store(spark, tmp_path):
+    """Compacting a store with zero data files must not crash and must
+    leave it probeable (still an empty corpus)."""
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_build,
+        substring_store_compact,
+    )
+
+    path = str(tmp_path / "cestore")
+    substring_store_build(
+        spark.createDataFrame([(1, "tiny")], "doc_id long, text string"),
+        path, "text", "doc_id",
+    )
+    substring_store_compact(spark, path)
+    R = " ".join(f"e{i}" for i in range(25))
+    batch = spark.createDataFrame(
+        [(10, R), (11, R)], "doc_id long, text string"
+    )
+    got = substring_probe_store(batch, path, "text", "doc_id").collect()
+    assert [(r.d1, r.d2, r.span_tokens) for r in got] == [(10, 11, 25)]
+
+
 def test_substring_store_cap_counts_store_plus_batch(spark, tmp_path):
     """The occurrence cap must apply to store+batch TOTALS: a passage
     under the cap against one store copy is reported, but a second
