@@ -1138,6 +1138,36 @@ def test_sq_scale_degenerate_corpora(spark):
         sq_scale(zeros)
 
 
+def test_pq_trained_codebooks_small_corpus(spark):
+    """Driver-side Lloyd's on a corpus SMALLER than k: the codebook
+    simply holds every vector's subspaces (no crash, no padding), all
+    codewords stay finite, and encode round-trips — the shape contract
+    of the trained path at any corpus size."""
+    import math
+
+    from full_docker_etl_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+        for i in range(6)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books, d = pq_codebooks(corpus, m=2, k=16, train_iters=2)
+    assert d == 4
+    brow = books.first()
+    assert len(brow._books) == 2
+    assert all(len(bm) == 6 for bm in brow._books)  # corpus < k
+    assert all(
+        math.isfinite(x) for bm in brow._books for cw in bm for x in cw
+    )
+    enc = pq_encode(corpus, books, d, m=2).collect()
+    assert all(0 <= c < 6 for r in enc for c in r._pqc)
+    assert all(math.isfinite(r._pqn) for r in enc)
+
+
 def test_ivf_pq_encode_and_recall(spark, sf_dir):
     """Product quantization: every code must index the genuinely
     L2-nearest codeword of its subspace (checked against a NumPy

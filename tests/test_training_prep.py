@@ -149,6 +149,29 @@ def test_leakage_safe_split_no_pair_straddles_on_fixture(spark, sf_dir):
     assert any(naive[a] != naive[b] for a, b in got_pairs)
 
 
+def test_leakage_safe_split_no_pairs_degenerates_to_hash_split(spark):
+    """A corpus with zero shared passages (empty span graph) must
+    degrade exactly to per-doc hash splitting — every doc its own
+    cluster, empty-graph connected components handled."""
+    from full_docker_etl_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"v{i}_{j}" for j in range(30))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster, r.split)
+        for r in leakage_safe_split(df, "text", "doc_id").collect()
+    }
+    naive = {
+        r.doc_id: r.split for r in hash_split(df, "doc_id").collect()
+    }
+    assert got == {i: (i, naive[i]) for i in range(4)}
+
+
 def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
     """Every row keeps exactly one (shard, pos) slot; positions are
     dense 1..n per shard; a different seed yields a different order;
