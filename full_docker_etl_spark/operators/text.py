@@ -411,3 +411,66 @@ def compression_features(
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def bigram_cross_entropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document LANGUAGE-MODEL cross-entropy under a bigram model
+    trained on the corpus itself — the CCNet/Gopher-style perplexity
+    quality filter (their KenLM stage, re-expressed relationally): a
+    doc whose word transitions are typical of the corpus scores low,
+    gibberish / boilerplate-shuffled text scores high. Add-k smoothing
+    (``k``) over the corpus vocabulary; ``xent`` is the mean −log2
+    bigram probability, so perplexity = 2^xent.
+
+    Everything is counting and joins — the canonical map-reduce LM
+    shape, no UDFs: in-row bigram arrays (arrays_zip of two slices —
+    no per-token explode before the pair is formed), one count shuffle
+    per table (bigram, left-unigram), a broadcast one-row vocabulary
+    scalar, and a per-doc mean. At 100 TB the count tables are the
+    standard n-gram-corpus build; nothing here is quadratic.
+
+    Returns (doc_id, n_bigrams, xent) for every doc with ≥ 1 bigram,
+    ``xent`` rounded to 4 decimals (the repo's AVG determinism rule)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("_t"), 1, F.size("_t") - 1),
+        F.slice(F.col("_t"), 2, F.size("_t") - 1),
+    )
+    bg = (
+        base.where(F.size("_t") >= 2)
+        .select("doc_id", F.explode(pairs).alias("_p"))
+        .select(
+            "doc_id",
+            F.col("_p")["0"].alias("w1"),
+            F.col("_p")["1"].alias("w2"),
+        )
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = base.select(F.explode("_t").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.col("c12") + F.lit(k))
+                    / (F.col("c1") + F.lit(k) * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("xent"),
+    )

@@ -319,6 +319,39 @@ def text_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_lm_perplexity",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1)) AS i) g),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT w) AS v
+            FROM (SELECT unnest(toks) AS w FROM t)),
+      s AS (SELECT bg.doc_id,
+                   -log2((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS nll
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(nll), 4) AS xent
+      FROM s GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality scoring (the CCNet/Gopher KenLM-stage
+    shape, relational): per-doc mean −log2 bigram probability under an
+    add-0.5-smoothed bigram model trained on the corpus itself —
+    perplexity = 2^xent. Completes the quality-filter triad beside the
+    heuristic features (text_quality) and the compression-ratio signal
+    (text_compression): this one scores LINGUISTIC typicality. The
+    oracle recomputes the same counts, smoothing, and mean in SQL, so
+    the driver value-checks every doc's score."""
+    from full_docker_etl_spark.operators.text import bigram_cross_entropy
+
+    return bigram_cross_entropy(_docs(spark, sf_dir), "text", "doc_id")
+
+
 @query("dedup_minhash")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=32)+LSH(8 bands×4 rows) candidate pairs with estimated

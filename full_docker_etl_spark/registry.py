@@ -56,14 +56,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ("any query whose code changes later in the round must displace a
 # pinned-adjacent slot"): the four queries NEW this round
 # (text_substring_dedup, text_substring_dedup_apply,
-# sample_leakage_safe_split, text_substring_incremental — all with
-# full DuckDB oracles) take the slots of dedup_minhash,
-# dedup_embedding, ann_lsh_topk, and ann_ivf_topk — the cheapest
-# displacements, because all four are rows-only and their
-# oracle-checked siblings (dedup_minhash_recall /
-# dedup_embedding_recall / ann_lsh_recall / ann_ivf_recall) ride in
-# this window anyway; the displaced sketches lead the post-boundary
-# tail and re-enter in round 11. The driver-side PQ Lloyd's change (operators/similarity.py)
+# sample_leakage_safe_split, text_substring_incremental,
+# text_lm_perplexity — all with full DuckDB oracles) take the slots
+# of dedup_minhash, dedup_embedding, ann_lsh_topk, ann_ivf_topk, and
+# ann_ivf_serve — the cheapest displacements, because all five are
+# rows-only and their oracle-checked siblings (dedup_minhash_recall /
+# dedup_embedding_recall / ann_lsh_recall / ann_ivf_recall /
+# ann_ivf_serve_consistency) ride in this window anyway; the
+# displaced sketches lead the post-boundary tail and re-enter in
+# round 11. The driver-side PQ Lloyd's change (operators/similarity.py)
 # is externally evidenced through the pinned ann_ivf_pq_recall slot —
 # its rows-only sibling ann_ivf_pq_topk runs the identical
 # encode/probe path. tools/next_window.py --check verifies this window
@@ -74,7 +75,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     # -- tier 1: the 36 round-5-stale rows (VERDICT r9 #1, verbatim)
     "agg_approx_distinct",
     "ann_ivf_kmeans_topk",
-    "ann_ivf_serve",
     "dedup_exact",
     "dedup_natural_key",
     "embed_norm",
@@ -125,14 +125,17 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_substring_dedup_apply",
     "sample_leakage_safe_split",
     "text_substring_incremental",
+    "text_lm_perplexity",
     # ---- window boundary (50) ----
     # -- tier 4: the displaced rows-only sketches (siblings
     #    dedup_minhash_recall / dedup_embedding_recall / ann_lsh_recall
-    #    / ann_ivf_recall pinned above); they re-enter round 11
+    #    / ann_ivf_recall / ann_ivf_serve_consistency pinned above);
+    #    they re-enter round 11
     "dedup_minhash",
     "dedup_embedding",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_serve",
     # -- tier 5: r6-sampled rows (next-stalest after the window)
     "agg_approx_percentiles",
     "agg_cohort_retention",

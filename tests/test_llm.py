@@ -812,6 +812,28 @@ def test_substring_store_cap_counts_store_plus_batch(spark, tmp_path):
         )
 
 
+def test_bigram_cross_entropy_ranks_gibberish_highest(spark):
+    """The LM-perplexity filter's one job: text whose transitions are
+    typical of the corpus scores LOW, gibberish (bigrams seen nowhere
+    else) scores HIGHEST; identical docs score identically; docs with
+    fewer than two tokens are absent."""
+    from full_docker_etl_spark.operators.text import bigram_cross_entropy
+
+    common = "alpha beta gamma delta epsilon zeta " * 3
+    rows = [(i, common.strip()) for i in range(4)]
+    rows.append((99, "zq1 xv2 kw3 jr4 qp5 mn6"))
+    rows.append((100, "solo"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.xent for r in bigram_cross_entropy(
+            df, "text", "doc_id"
+        ).collect()
+    }
+    assert 100 not in got
+    assert len({got[i] for i in range(4)}) == 1  # identical docs tie
+    assert got[99] > got[0]
+
+
 def test_contamination_hits_planted_overlap(spark):
     """A corpus doc embedding a benchmark 5-gram must be flagged with
     the right distinct-hit count; clean docs must not appear."""
