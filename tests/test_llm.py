@@ -834,6 +834,59 @@ def test_bigram_cross_entropy_ranks_gibberish_highest(spark):
     assert got[99] > got[0]
 
 
+def test_bigram_cross_entropy_differential_vs_reference(spark):
+    """Differential stress: seeded random small-vocab corpora must
+    match a naive Python reference of the same model (counts, add-k
+    smoothing, mean −log2) to within the 4-dp rounding grid."""
+    import math
+    import random
+    from collections import Counter
+
+    from full_docker_etl_spark.operators.text import bigram_cross_entropy
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        docs = {
+            did: [
+                rng.choice(["a", "b", "c", "d"])
+                for _ in range(rng.randrange(0, 12))
+            ]
+            for did in range(rng.randrange(2, 7))
+        }
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.xent)
+            for r in bigram_cross_entropy(df, "text", "doc_id").collect()
+        }
+        # naive reference
+        bigrams = {
+            d: list(zip(t, t[1:])) for d, t in docs.items() if len(t) >= 2
+        }
+        c12 = Counter(b for bs in bigrams.values() for b in bs)
+        c1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+        # NOTE: split('') yields one empty token, so zero-length docs
+        # still contribute '' to the engine's vocabulary — mirror that
+        vocab = len({w for t in docs.values() for w in t} | (
+            {""} if any(len(t) == 0 for t in docs.values()) else set()
+        ))
+        want = {}
+        for d, bs in bigrams.items():
+            if not bs:
+                continue
+            nll = [
+                -math.log2((c12[b] + 0.5) / (c1[b[0]] + 0.5 * vocab))
+                for b in bs
+            ]
+            want[d] = (len(bs), round(sum(nll) / len(nll), 4))
+        assert set(got) == set(want), (seed, docs)
+        for d in want:
+            assert got[d][0] == want[d][0]
+            assert abs(got[d][1] - want[d][1]) <= 1e-4, (seed, d, docs)
+
+
 def test_contamination_hits_planted_overlap(spark):
     """A corpus doc embedding a benchmark 5-gram must be flagged with
     the right distinct-hit count; clean docs must not appear."""
