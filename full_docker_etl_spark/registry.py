@@ -45,98 +45,30 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-10 window (50 slots), per VERDICT r9 #1:
-# FIRST the 36 rows whose last external sample ran on round-5 code (the
-# stalest evidence in the registry — four rounds old); THEN every
+# everything every round. Round-11 window (50 slots), per VERDICT r10 #1,
+# computed by tools/next_window.py (stalest-first policy): FIRST the five
+# rows-only sketches displaced in round 10 whose last external sample ran
+# on round-5 code (ann_ivf_serve, ann_ivf_topk, ann_lsh_topk,
+# dedup_embedding, dedup_minhash — the stalest evidence in the registry);
+# THEN 33 of the 37 round-6-stale rows (the remaining four —
+# win_time_range, xbrl_metrics, xlsx_scan, dedup_simhash — lead the
+# post-boundary tail and re-enter round 12; dedup_simhash sorts last
+# within the tier because it is rows-only and its oracle-checked sibling
+# dedup_simhash_recall is pinned below); THEN every
 # *_recall/*_consistency/*_verdict row (12, pinned in EVERY window —
 # they are the oracle-checked external evidence for the rows-only
-# sketch queries); THEN the two round-9 queries that have ZERO external
-# evidence (sink_versioned_delete_dv, sink_versioned_constraints).
-# Code changed later in round 10, per the verdict's displacement rule
-# ("any query whose code changes later in the round must displace a
-# pinned-adjacent slot"): the four queries NEW this round
-# (text_substring_dedup, text_substring_dedup_apply,
-# sample_leakage_safe_split, text_substring_incremental,
-# text_lm_perplexity — all with full DuckDB oracles) take the slots
-# of dedup_minhash, dedup_embedding, ann_lsh_topk, ann_ivf_topk, and
-# ann_ivf_serve — the cheapest displacements, because all five are
-# rows-only and their oracle-checked siblings (dedup_minhash_recall /
-# dedup_embedding_recall / ann_lsh_recall / ann_ivf_recall /
-# ann_ivf_serve_consistency) ride in this window anyway; the
-# displaced sketches lead the post-boundary tail and re-enter in
-# round 11. The driver-side PQ Lloyd's change (operators/similarity.py)
-# is externally evidenced through the pinned ann_ivf_pq_recall slot —
-# its rows-only sibling ann_ivf_pq_topk runs the identical
-# encode/probe path. tools/next_window.py --check verifies this window
-# against the policy; run it before freezing. Names absent from this
-# list keep their registration (import) order after it; names listed
-# but not registered are ignored, so the list can never drop a query.
+# sketch queries). Queries registered NEW this round enter under the
+# zero-evidence rule via a re-run of tools/next_window.py before the
+# freeze. tools/next_window.py --check verifies this window against the
+# policy; run it before freezing. Names absent from this list keep
+# their registration (import) order after it; names listed but not
+# registered are ignored, so the list can never drop a query.
 _SAMPLE_ORDER: tuple[str, ...] = (
-    # -- tier 1: the 36 round-5-stale rows (VERDICT r9 #1, verbatim)
-    "agg_approx_distinct",
-    "ann_ivf_kmeans_topk",
-    "dedup_exact",
-    "dedup_natural_key",
-    "embed_norm",
-    "fn_coalesce_cast",
-    "fn_compact",
-    "fn_dates",
-    "fn_rupiah",
-    "fn_safe_div",
-    "fn_strings",
-    "fn_to_json",
-    "join_range",
-    "mm_decode_meta",
-    "paginate",
-    "sample_hash_split",
-    "sample_pack_sequences",
-    "sample_quota_per_source",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf",
-    "text_tokens",
-    "union_by_name",
-    "win_lag_change",
-    "win_latest_per_group",
-    "win_moving_avg",
-    "win_rank_topn",
-    "win_running_total",
-    # -- tier 2: verdict rows, pinned in every window (12)
-    "ann_ivf_recall",
-    "ann_ivf_kmeans_recall",
-    "ann_lsh_recall",
-    "ann_ivf_sq_recall",
-    "ann_ivf_pq_recall",
-    "ann_ivf_serve_consistency",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "dedup_incremental_recall",
-    "text_compression_verdict",
-    "join_fuzzy_recall",
-    # -- tier 3: zero-external-evidence queries (r9's two sinks + this
-    #    round's substring dedup, in via the displacement rule)
-    "sink_versioned_delete_dv",
-    "sink_versioned_constraints",
-    "text_substring_dedup",
-    "text_substring_dedup_apply",
-    "sample_leakage_safe_split",
-    "text_substring_incremental",
-    "text_lm_perplexity",
-    # ---- window boundary (50) ----
-    # -- tier 4: the displaced rows-only sketches (siblings
-    #    dedup_minhash_recall / dedup_embedding_recall / ann_lsh_recall
-    #    / ann_ivf_recall / ann_ivf_serve_consistency pinned above);
-    #    they re-enter round 11
-    "dedup_minhash",
-    "dedup_embedding",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "ann_ivf_serve",
-    # -- tier 5: r6-sampled rows (next-stalest after the window)
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_minhash",
     "agg_approx_percentiles",
     "agg_cohort_retention",
     "agg_cube",
@@ -148,7 +80,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_components",
     "dedup_jaccard",
     "dedup_pipeline",
-    "dedup_simhash",
     "dim_scd2",
     "fn_arrays",
     "fn_maps",
@@ -171,11 +102,23 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_bm25",
     "text_pii_scrub",
     "win_rank_family",
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "ann_ivf_sq_recall",
+    "ann_ivf_pq_recall",
+    "ann_ivf_serve_consistency",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    "text_compression_verdict",
+    "join_fuzzy_recall",
+    # ---- window boundary (50) ----
     "win_time_range",
     "xbrl_metrics",
     "xlsx_scan",
-    # -- tier 6: r7-sampled rows; the r9-fresh remainder keeps its
-    #    registration (import) order after this list
+    "dedup_simhash",
     "agg_count_distinct",
     "agg_multigrain",
     "agg_pivot",
@@ -205,6 +148,82 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_tumbling",
     "text_chunk_windows",
     "zip_xml_ingest",
+    "agg_percentiles",
+    "agg_salted",
+    "ann_ivf_incremental",
+    "catalog_tables",
+    "column_max",
+    "distinct_values",
+    "explode_tokens",
+    "filter_contains_ci",
+    "filter_or_search",
+    "filter_pending",
+    "global_count",
+    "group_counts",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_equi",
+    "join_fuzzy_names",
+    "join_semi",
+    "limit_one",
+    "nested_reshape",
+    "point_lookup",
+    "set_except_intersect",
+    "sink_clustered_scan",
+    "sink_versioned_cdf",
+    "sink_versioned_clone",
+    "sink_versioned_compact",
+    "sink_versioned_delete",
+    "sink_versioned_merge",
+    "sink_versioned_merge_cdc",
+    "sink_versioned_replicate",
+    "sink_versioned_restore",
+    "sink_versioned_update",
+    "sink_zorder_scan",
+    "topk_by_value",
+    "word_counts",
+    "ann_ivf_pq_topk",
+    "ann_ivf_sq_topk",
+    "text_compression",
+    "agg_approx_distinct",
+    "dedup_exact",
+    "dedup_natural_key",
+    "embed_norm",
+    "fn_coalesce_cast",
+    "fn_compact",
+    "fn_dates",
+    "fn_rupiah",
+    "fn_safe_div",
+    "fn_strings",
+    "fn_to_json",
+    "join_range",
+    "mm_decode_meta",
+    "paginate",
+    "sample_hash_split",
+    "sample_leakage_safe_split",
+    "sample_pack_sequences",
+    "sample_quota_per_source",
+    "sink_versioned_constraints",
+    "sink_versioned_delete_dv",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_perplexity",
+    "text_quality",
+    "text_repetition",
+    "text_substring_dedup",
+    "text_substring_dedup_apply",
+    "text_substring_incremental",
+    "text_tfidf",
+    "text_tokens",
+    "union_by_name",
+    "win_lag_change",
+    "win_latest_per_group",
+    "win_moving_avg",
+    "win_rank_topn",
+    "win_running_total",
+    "ann_ivf_kmeans_topk",
 )
 
 
