@@ -169,20 +169,37 @@ def substring_spans(
     groupBy, no iteration. Span token length = run length + n − 1.
 
     Returns (d1, d2, d1_pos, d2_pos, span_tokens): one row per maximal
-    duplicated span; positions are 0-based token offsets."""
+    duplicated span; positions are 0-based token offsets. The result is
+    MATERIALIZED (eager localCheckpoint) so the fingerprint cache that
+    feeds the cap and both self-join sides can be released before
+    returning — otherwise every call pins the full fingerprint set in
+    executor storage for the life of the session, which is fatal in a
+    per-batch admit loop. The returned frame holds only span rows
+    (bounded); a long-running caller that is done with it can free even
+    those via ``util.release_checkpoint``."""
     fps = _positional_fps(df, text_col, id_col, n).cache()
-    # cached: feeds the occurrence cap AND both self-join sides
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") <= max_occ)
-        .select("fp")
-    )
-    kept = fps.join(rare, "fp")
-    a = kept.select(F.col("_did").alias("d1"), F.col("pos").alias("p1"), "fp")
-    b = kept.select(F.col("_did").alias("d2"), F.col("pos").alias("p2"), "fp")
-    matches = a.join(b, "fp").where(F.col("d1") < F.col("d2"))
-    return _diag_spans(matches, n, min_tokens)
+    # cached: feeds the occurrence cap AND both self-join sides within
+    # the single materializing job below, then released
+    try:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .where(F.col("occ") <= max_occ)
+            .select("fp")
+        )
+        kept = fps.join(rare, "fp")
+        a = kept.select(
+            F.col("_did").alias("d1"), F.col("pos").alias("p1"), "fp"
+        )
+        b = kept.select(
+            F.col("_did").alias("d2"), F.col("pos").alias("p2"), "fp"
+        )
+        matches = a.join(b, "fp").where(F.col("d1") < F.col("d2"))
+        return _diag_spans(matches, n, min_tokens).localCheckpoint(
+            eager=True
+        )
+    finally:
+        fps.unpersist()
 
 
 def _positional_fps(
@@ -310,10 +327,38 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
     then swaps directories via rename — the store is byte-equivalent
     to a fresh build of the same corpus (pinned by a probe-equality
     test). Same single-writer contract as build/append; quiesce probes
-    for the swap window. Returns before/after file counts."""
+    for the swap window. Returns before/after file counts.
+
+    Crash safety: each table's swap is a rename pair (live → ``_gc``,
+    ``_new`` → live); a crash BETWEEN the two renames leaves the live
+    directory missing, which :func:`_read_store_table` refuses to read
+    (loud FileNotFoundError naming the ``_gc``/``_new`` siblings that
+    hold the data) rather than silently treating the store as empty —
+    a missing counts table would otherwise drop the occurrence cap and
+    a missing fps table would admit every duplicate. A crash between
+    the two TABLES' swaps is harmless (compaction is a semantic no-op,
+    so a compacted counts table next to un-compacted fps is still the
+    same store). Leftover ``_gc``/``_new`` directories from a crashed
+    prior run are detected up front with recovery guidance, and the
+    swap only proceeds once Spark's ``_SUCCESS`` marker confirms each
+    rewrite completed."""
     import glob as _glob
     import os
     import shutil
+
+    for sub in ("counts", "fps"):
+        for suffix in ("_gc", "_new"):
+            leftover = os.path.join(path, sub + suffix)
+            if os.path.isdir(leftover):
+                raise RuntimeError(
+                    f"substring-store compaction leftover at {leftover}: a "
+                    "previous compaction crashed mid-run. Recover before "
+                    f"compacting again — if '{os.path.join(path, sub)}' "
+                    f"exists, delete the leftover; if not, '{sub}_gc' IS "
+                    "the pre-compaction table (rename it back) and "
+                    f"'{sub}_new' is a complete rewrite only if it "
+                    "contains _SUCCESS"
+                )
 
     def _files(sub):
         return [
@@ -337,6 +382,13 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
         "bkt"
     ).parquet(path + "/fps_new")
     for sub in ("counts", "fps"):
+        # sentinel gate: only swap in a rewrite Spark marked complete —
+        # a torn _new directory must never become the live table
+        if not os.path.exists(os.path.join(path, sub + "_new", "_SUCCESS")):
+            raise RuntimeError(
+                f"compaction rewrite of {path}/{sub}_new left no _SUCCESS "
+                "marker; aborting the swap (live table untouched)"
+            )
         old = os.path.join(path, sub + "_gc")
         os.rename(os.path.join(path, sub), old)
         os.rename(os.path.join(path, sub + "_new"), os.path.join(path, sub))
@@ -352,10 +404,25 @@ def _read_store_table(spark, d: str, schema: str) -> DataFrame:
     corpus whose docs are all shorter than n writes zero part files
     (only _SUCCESS), and a raw parquet read of a file-less directory
     fails schema inference — a batch probed against such a store
-    should see an empty corpus (batch×batch pairs only), not crash."""
+    should see an empty corpus (batch×batch pairs only), not crash.
+
+    The empty path applies ONLY to a directory that exists: a MISSING
+    table directory means the path is wrong or a compaction crashed
+    mid-swap, and silently treating it as empty would drop the
+    occurrence cap (counts) or admit every duplicate (fps) — raise
+    instead, naming the recovery siblings."""
     import glob as _glob
     import os
 
+    if not os.path.isdir(d):
+        base = os.path.basename(d)
+        raise FileNotFoundError(
+            f"substring-store table missing: {d} — either the store path "
+            "is wrong or a compaction crashed between its swap renames "
+            f"(look for sibling '{base}_gc' / '{base}_new' directories "
+            "holding the data); refusing to treat a missing table as an "
+            "empty corpus"
+        )
     if not _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
         return spark.createDataFrame([], schema)
     return spark.read.parquet(d)
@@ -369,6 +436,7 @@ def substring_probe_store(
     n: int = 5,
     min_tokens: int = 20,
     max_occ: int = 1000,
+    eager: bool = True,
 ) -> DataFrame:
     """Probe the substring store with a NEW batch: duplicated-span
     candidates are (batch × store) fingerprint matches plus
@@ -388,7 +456,21 @@ def substring_probe_store(
     IO and probe compute both track the batch, not the corpus. A batch
     doc already admitted to the store (a retried/re-delivered batch)
     is matched from its BATCH copy only — the store copy is
-    anti-joined out, so a retry never pairs a document with itself."""
+    anti-joined out of the match side AND subtracted from the
+    occurrence totals (otherwise the doc's fingerprints count twice,
+    over-capping near ``max_occ`` so the retry probe returns FEWER
+    spans than the original), so a retry never pairs a document with
+    itself and caps exactly as a from-scratch run over store ∪ batch
+    with each document counted once.
+
+    ``eager=True`` (the default) materializes the result (eager
+    localCheckpoint of the bounded span rows) so the per-probe caches
+    — the batch fingerprints and the capped-fingerprint set — are
+    released before returning; a lazy probe would pin both in executor
+    storage for the life of the session, leaking one cache pair per
+    batch in a long-running admit loop. ``eager=False`` skips caching
+    entirely and returns the fully lazy plan (subtrees replay across
+    consumers) — a plan-inspection/debug mode, not a serving shape."""
     import json
     import os
 
@@ -405,10 +487,19 @@ def substring_probe_store(
             "different n are incomparable and a different cap changes "
             "which candidates exist; rebuild or match parameters"
         )
-    bfp = (
-        _positional_fps(new_df, text_col, id_col, n)
-        .withColumnRenamed("_did", "doc_id")
-        .cache()  # feeds counts, the cap filter, and both join sides
+    pinned: list[DataFrame] = []  # caches to release before returning
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        if eager:
+            frame = frame.cache()
+            pinned.append(frame)
+        return frame
+
+    # feeds counts, the cap filter, and both join sides
+    bfp = _pin(
+        _positional_fps(new_df, text_col, id_col, n).withColumnRenamed(
+            "_did", "doc_id"
+        )
     )
     batch_ids = new_df.select(F.col(id_col).alias("doc_id")).distinct()
     n_buckets = meta["n_buckets"]
@@ -420,32 +511,45 @@ def substring_probe_store(
         .distinct()
         .collect()  # bounded: ≤ n_buckets ints
     ]
-    store_fp = (
-        _read_store_table(
-            spark, path + "/fps", "doc_id bigint, pos int, fp bigint, bkt int"
-        )
-        .where(F.col("bkt").isin(batch_bkts) if batch_bkts else F.lit(False))
-        .drop("bkt")
-        .join(batch_ids, "doc_id", "left_anti")
+    store_all = _read_store_table(
+        spark, path + "/fps", "doc_id bigint, pos int, fp bigint, bkt int"
+    ).where(F.col("bkt").isin(batch_bkts) if batch_bkts else F.lit(False))
+    store_fp = store_all.drop("bkt").join(batch_ids, "doc_id", "left_anti")
+    # retry exactness: the store copies of the batch's own docs (empty
+    # unless the batch was already admitted) are excluded from the
+    # match side above, so exclude their fingerprints from the totals
+    # too — the additive log still counts them, and the batch copy
+    # re-adds them via batch_counts. The semi-join side is tiny (the
+    # batch docs' own store fingerprints, under the same bucket
+    # pruning), so the subtraction costs one bounded aggregate.
+    dup_counts = (
+        store_all.join(batch_ids, "doc_id", "left_semi")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup"))
     )
     store_counts = (
         _read_store_table(spark, path + "/counts", "fp bigint, cnt bigint")
         .groupBy("fp")
         .agg(F.sum("cnt").alias("cnt"))
+        .join(dup_counts, "fp", "left")
+        .select(
+            "fp",
+            (F.col("cnt") - F.coalesce(F.col("dup"), F.lit(0))).alias("cnt"),
+        )
     )
     batch_counts = bfp.groupBy("fp").agg(F.count(F.lit(1)).alias("bcnt"))
-    # corpus-total occurrences = store log + this batch; cap on the sum.
-    # Cached: the set is batch-bounded (distinct batch fps) and feeds
-    # FOUR consumers (both batch self-join sides, the store filter,
-    # and the batch filter) — uncached, the counts-log aggregation
-    # subtree replays once per consumer in the physical plan.
-    kept_fp = (
+    # corpus-total occurrences = (store log minus the batch docs' store
+    # copies) + this batch; cap on the sum. Cached: the set is
+    # batch-bounded (distinct batch fps) and feeds FOUR consumers
+    # (both batch self-join sides, the store filter, and the batch
+    # filter) — uncached, the counts-log aggregation subtree replays
+    # once per consumer in the physical plan.
+    kept_fp = _pin(
         batch_counts.join(store_counts, "fp", "left")
         .where(
             F.col("bcnt") + F.coalesce(F.col("cnt"), F.lit(0)) <= max_occ
         )
         .select("fp")
-        .cache()
     )
     bkept = bfp.join(kept_fp, "fp")
     # store side: only fingerprints the batch carries, under the cap
@@ -477,7 +581,14 @@ def substring_probe_store(
     matches_bb = a.join(b, "fp").where(F.col("d1") < F.col("d2")).select(
         "d1", "d2", "p1", "p2"
     )
-    return _diag_spans(matches_sb.unionByName(matches_bb), n, min_tokens)
+    out = _diag_spans(matches_sb.unionByName(matches_bb), n, min_tokens)
+    if not eager:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        for frame in pinned:
+            frame.unpersist()
 
 
 def substring_dedup_apply(

@@ -586,92 +586,85 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     k: int = 16,
     max_iter: int = 10,
+    train_sample: int = 4096,
 ) -> DataFrame:
-    """Lloyd's k-means over the embedding column, built from DataFrame
-    ops: assignment is :func:`assign_nearest` — a per-row argmax over
-    the broadcast (tiny, k-row) centroid set scored by cosine; the
-    update step is a groupBy-mean via element-wise array aggregation.
-    Deterministic: init = the k lowest-id vectors, ties in assignment
-    break by centroid id.
+    """Lloyd's k-means over the embedding column. Deterministic:
+    init = the k lowest-id vectors, assignment by cosine with ties
+    breaking to the lowest centroid id.
 
-    Scale shape: per round, ONE pass over the corpus with zero
-    corpus-side exchange in assignment (the only shuffle carries k·dim
-    partial sums per partition, not vectors). Lineage is truncated
-    every round (localCheckpoint) — iterative plans otherwise compound
-    and OOM the driver planning, not the executors. Returns
-    (centroid, cvec, n_members)."""
-    from full_docker_etl_spark.operators.util import release_checkpoint
+    Training runs DRIVER-SIDE on a bounded hash-spread sample — the
+    same treatment :func:`pq_codebooks` got and the FAISS convention
+    (coarse quantizers train on a sample, so training cost is CONSTANT
+    in corpus size): two bounded collects (the k init vectors and
+    ≤``train_sample`` md5-ordered training vectors, ~2 MB of float64
+    at the defaults) feed plain NumPy Lloyd's rounds, replacing
+    ``max_iter`` distributed assign+aggregate jobs with zero per-round
+    cluster work. Only the trained k-row centroid literal goes back to
+    the cluster; the corpus then pays exactly ONE distributed
+    :func:`assign_nearest` pass to report true full-corpus membership.
+    Empty clusters keep their previous codeword (the PQ convention).
+    Returns (centroid, cvec, n_members) with n_members lazily computed
+    under the FINAL centroids."""
+    import numpy as np
 
-    # Degenerate vectors poison the update step silently: an EMPTY
-    # embedding emits no posexplode rows (the member joins a cluster in
-    # assignment but vanishes from both sums and counts), and a NULL
-    # element is counted by count() but skipped by sum() — either way
-    # the reported means/membership drift with no error. Filter them
-    # up front; they carry no geometry to cluster on anyway.
+    # Degenerate vectors carry no geometry and would poison means
+    # silently (an empty embedding has no components, a NULL element
+    # breaks the mean) — filter them up front, as every consumer of
+    # the centroid set does for assignment anyway.
     corpus = corpus.where(
         (F.size(F.col(vec_col)) > 0)
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc())
+    spark = corpus.sparkSession
+    init_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.col("_id").asc())
         .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.col(id_col).asc()))
-            .alias("centroid"),
-            F.col(vec_col).alias("cvec"),
-        )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    prev_ckpt = centroids
+    if not init_rows:
+        raise ValueError("cannot train k-means centroids: empty corpus")
+    cents = np.array([list(r._v) for r in init_rows], dtype=np.float64)
+    th = F.md5(F.concat(F.lit("kmsample:"), F.col(id_col).cast("string")))
+    train = np.array(
+        [
+            list(r._v)
+            for r in corpus.select(F.col(vec_col).alias("_v"), th.alias("_h"))
+            .orderBy("_h")
+            .limit(train_sample)
+            .select("_v")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    tn = np.linalg.norm(train, axis=1)
+    tn[tn == 0.0] = 1.0
+    unit = train / tn[:, None]
     for _ in range(max_iter):
-        assigned = assign_nearest(
-            corpus, vec_col, centroids.select("centroid", "cvec"), 1
-        ).select(id_col, vec_col, "centroid")
-        # Update step with the map-reduce shape: explode to
-        # (centroid, dim, x), sum with MAP-SIDE partial aggregation
-        # (k·dim partial (sum, count) rows leave each partition, never
-        # member vectors — collect_list of vectors would ship whole
-        # clusters to single reducers), then re-assemble the mean
-        # vector from the k·dim tiny rows. Member counts ride the SAME
-        # aggregation (every pos of a centroid sees every member), so
-        # the assignment subtree has exactly ONE consumer — a separate
-        # counts groupBy would recompute the whole per-row argmax.
-        parts = assigned.select(
-            "centroid", F.posexplode(F.col(vec_col)).alias("pos", "x")
-        )
-        dim_sums = parts.groupBy("centroid", "pos").agg(
-            F.sum(F.col("x").cast("double")).alias("s"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        # n_members = the pos-0 count: every surviving member (filtered
-        # non-empty above) contributes exactly one pos-0 row, so this
-        # is the true membership; max(cnt) over positions would let a
-        # ragged corpus over- or under-state it per dimension.
-        new_centroids = (
-            dim_sums.groupBy("centroid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
-                F.max(F.when(F.col("pos") == 0, F.col("cnt"))).alias(
-                    "n_members"
-                ),
-            )
-            .select(
-                "centroid",
-                F.transform(
-                    "ps", lambda e: (e["s"] / F.col("n_members")).cast("float")
-                ).alias("cvec"),
-                "n_members",
-            )
-            .localCheckpoint(eager=True)
-        )
-        # the new round is materialized; the previous round's blocks
-        # are dead weight — release them (they'd otherwise stay pinned
-        # in executor storage for the rest of the session)
-        release_checkpoint(prev_ckpt)
-        prev_ckpt = new_centroids
-        centroids = new_centroids.select("centroid", "cvec", "n_members")
-    return centroids
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0.0] = 1.0
+        sims = unit @ (cents / cn[:, None]).T
+        # argmax first-occurrence = lowest centroid index, matching
+        # assign_nearest's tie-break
+        assign = sims.argmax(axis=1)
+        for j in range(len(cents)):
+            members = train[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    cents_df = spark.createDataFrame(
+        [(j + 1, [float(x) for x in c]) for j, c in enumerate(cents)],
+        "centroid int, cvec array<float>",
+    )
+    n_members = (
+        assign_nearest(corpus, vec_col, cents_df, 1)
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return cents_df.join(n_members, "centroid", "left").select(
+        "centroid",
+        "cvec",
+        F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+    )
 
 
 def sq_quantize(vec: Column, scale: float) -> Column:

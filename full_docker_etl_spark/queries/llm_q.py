@@ -375,7 +375,10 @@ _MINHASH_SLICE_SQL = """(
 )"""
 
 
-def _judge_slice(docs_all: DataFrame) -> DataFrame:
+_JUDGE_SLICE_COUNTS: dict[str, int] = {}
+
+
+def _judge_slice(docs_all: DataFrame, memo_key: str | None = None) -> DataFrame:
     """The deterministic content-prefix judge slice (Spark mirror of
     ``_MINHASH_SLICE_SQL`` — keep the two in lockstep, the driver
     compares them value-by-value): ~625 docs whose opening-5-token md5
@@ -391,9 +394,21 @@ def _judge_slice(docs_all: DataFrame) -> DataFrame:
     engines disagree); and the bucket is 8 hex chars (32 bits, ~4B
     buckets), so the modulus never outgrows the bucket range — a
     2-hex bucket silently degenerates past m=256 (~160k docs) and the
-    slice starts growing as n/256 again."""
+    slice starts growing as n/625 again.
+
+    The modulus needs the non-null doc COUNT — an eager scan. It is
+    memoized per ``memo_key`` (callers pass ``sf_dir``: the driver
+    testdata is immutable, so the count is a property of the dataset,
+    not the session) — three verdict queries share the slice, so the
+    memo turns three scans per run into one."""
     docs_all = docs_all.where(F.col("text").isNotNull())
-    m = max(2, docs_all.count() // 625)
+    if memo_key is not None and memo_key in _JUDGE_SLICE_COUNTS:
+        n_docs = _JUDGE_SLICE_COUNTS[memo_key]
+    else:
+        n_docs = docs_all.count()
+        if memo_key is not None:
+            _JUDGE_SLICE_COUNTS[memo_key] = n_docs
+    m = max(2, n_docs // 625)
     prefix = F.concat_ws(
         " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
     )
@@ -432,7 +447,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (32 bits) keeps the modulus inside the bucket range at any
     realistic corpus size (see _judge_slice). This is how you audit a
     sketch at 100 TB: exact-vs-approx on a blocking-aware sample."""
-    docs = _judge_slice(_docs(spark, sf_dir))
+    docs = _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
     exact = jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
     ).select("d1", "d2")
@@ -484,7 +499,7 @@ def dedup_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_store_build,
     )
 
-    docs = _judge_slice(_docs(spark, sf_dir))
+    docs = _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
     batch = docs.where(F.col("doc_id") % 10 == 0)
     store = docs.where(F.col("doc_id") % 10 != 0)
     path = tempfile.mkdtemp(prefix="fde_mhstore_") + "/store"
@@ -560,7 +575,7 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     not Jaccard recall, is the invariant this tier actually offers."""
     from full_docker_etl_spark.operators.dedup import simhash
 
-    docs = _judge_slice(_docs(spark, sf_dir))
+    docs = _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
     sig = simhash(docs, "text", "doc_id")
     left = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
     right = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
@@ -981,11 +996,14 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_kmeans_recall", oracle=_ANN_RECALL_ORACLE)
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall verdict for the TRAINED-centroid IVF path: 3 rounds of
-    distributed Lloyd's, then the same nprobe=6 / 2-way-assign probe;
-    floor 0.75 (measured 0.86-0.90 across SFs on the hash-spread probe
-    slice). Catches k-means regressions (bad init, mean drift, empty
-    clusters) as an external red row, not just a pytest."""
+    """Recall verdict for the TRAINED-centroid IVF path: 3 Lloyd's
+    rounds trained driver-side on a bounded hash-spread sample (the
+    FAISS convention — constant in corpus size; the corpus pays one
+    distributed membership pass), then the same nprobe=6 /
+    2-way-assign probe; floor 0.75 (measured 0.86-0.90 across SFs on
+    the hash-spread probe slice). Catches k-means regressions (bad
+    init, mean drift, empty clusters) as an external red row, not just
+    a pytest."""
     from full_docker_etl_spark.operators.similarity import kmeans_centroids
 
     queries, corpus = _ann_query_corpus(spark, sf_dir)
@@ -1696,14 +1714,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_kmeans_topk")
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat with TRAINED centroids: 3 rounds of distributed
-    Lloyd's k-means (broadcast assignment, map-side-combined
-    per-dimension sums — member vectors never ship to a reducer),
-    then the same inverted-list probe as ann_ivf_topk. On corpora
-    without a convenient id-ordered sample, training is what keeps
-    lists balanced (cluster sizes here come out within ~1.3x of each
-    other vs the luck of the sample). Rows-only; determinism and
-    recall floor pinned in tests/test_llm.py."""
+    """IVF-Flat with TRAINED centroids: 3 Lloyd's rounds trained
+    driver-side on a bounded hash-spread sample (the FAISS
+    convention — training cost constant in corpus size; the corpus
+    pays ONE distributed assignment pass for true membership), then
+    the same inverted-list probe as ann_ivf_topk. On corpora without
+    a convenient id-ordered sample, training is what keeps lists
+    balanced (cluster sizes here come out within ~1.3x of each other
+    vs the luck of the sample). Rows-only; determinism and recall
+    floor pinned in tests/test_llm.py."""
     from full_docker_etl_spark.operators.similarity import kmeans_centroids
 
     queries, corpus = _ann_query_corpus(spark, sf_dir)

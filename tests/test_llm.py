@@ -611,6 +611,91 @@ def test_substring_store_probe_equals_batch_restricted_full(
     assert all(d1 != d2 for d1, d2, *_ in again)
 
 
+def test_substring_store_retry_cap_counts_each_doc_once(spark, tmp_path):
+    """Retry exactness AT the occurrence cap: a re-delivered batch's
+    doc sits in the store AND the batch, and double-counting its
+    fingerprints (store log + batch copy) pushes totals past
+    ``max_occ`` and silently drops the retry's spans. A from-scratch
+    run over store ∪ batch counts each document ONCE, so with three
+    docs sharing a passage and max_occ=3 the spans must survive a
+    retry probe of one of them."""
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_build,
+    )
+
+    passage = " ".join(f"p{j}" for j in range(25))
+    corpus = spark.createDataFrame(
+        [(i, f"{passage} uniq{i}_a uniq{i}_b") for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "rstore")
+    substring_store_build(corpus, path, "text", "doc_id", max_occ=3)
+    # retry: doc 1 is already admitted; its passage fps occur exactly
+    # 3 times corpus-wide (the cap) counting each doc once
+    batch = corpus.where("doc_id = 1")
+    got = {
+        (r.d1, r.d2, r.span_tokens)
+        for r in substring_probe_store(
+            batch, path, "text", "doc_id", max_occ=3
+        ).collect()
+    }
+    assert got == {(1, 2, 25), (1, 3, 25)}
+
+
+def test_substring_store_missing_table_raises(spark, tmp_path):
+    """A MISSING store table directory (wrong path, or a compaction
+    crash between its swap renames) must raise loudly — silently
+    treating it as an empty corpus would admit every duplicate (fps)
+    or drop the occurrence cap (counts)."""
+    import shutil
+
+    from full_docker_etl_spark.operators.dedup import (
+        substring_probe_store,
+        substring_store_build,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mstore")
+    substring_store_build(corpus, path, "text", "doc_id")
+    shutil.rmtree(path + "/fps")
+    with pytest.raises(FileNotFoundError, match="compaction crashed"):
+        substring_probe_store(corpus, path, "text", "doc_id").collect()
+    # a present-but-empty table is still the tolerated degenerate case
+    import os
+
+    os.makedirs(path + "/fps")
+    spans = substring_probe_store(corpus, path, "text", "doc_id")
+    assert spans.count() == 0
+
+
+def test_substring_store_compact_leftover_raises(spark, tmp_path):
+    """Compaction must refuse to run over a crashed prior compaction's
+    leftovers (``_gc``/``_new`` directories) and point at the
+    recovery, instead of renaming over them."""
+    import os
+
+    from full_docker_etl_spark.operators.dedup import (
+        substring_store_build,
+        substring_store_compact,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"c{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lstore")
+    substring_store_build(corpus, path, "text", "doc_id")
+    os.makedirs(path + "/counts_gc")
+    with pytest.raises(RuntimeError, match="crashed mid-run"):
+        substring_store_compact(spark, path)
+    os.rmdir(path + "/counts_gc")
+    assert substring_store_compact(spark, path)["after"]["counts"] == 1
+
+
 def test_substring_store_probe_prunes_buckets(spark, tmp_path):
     """The probe must reach the store through a PARTITION FILTER on
     the fingerprint bucket — probe IO tracks the batch's bucket set,
@@ -635,7 +720,12 @@ def test_substring_store_probe_prunes_buckets(spark, tmp_path):
         [(2000, " ".join(f"pp{j}" for j in range(25)) + " tail x y")],
         "doc_id long, text string",
     )
-    probe = substring_probe_store(batch, path, "text", "doc_id")
+    # eager=False: the serving default materializes the result (an
+    # eager localCheckpoint, so the per-probe caches can be released),
+    # which collapses the returned plan to a LogicalRDD scan — the
+    # lazy mode exposes the SAME logical plan the eager mode executes,
+    # which is what this pin inspects.
+    probe = substring_probe_store(batch, path, "text", "doc_id", eager=False)
     plan = probe._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
