@@ -917,6 +917,88 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curate_domains",
+    oracle="""
+      WITH u AS (
+        SELECT doc_id,
+               (CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+                  ELSE 'HTTPS://' END)
+               || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+               || upper(substr(source, 1, 1)) || substr(source, 2)
+               || '.Example.COM'
+               || (CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END)
+               || '/a/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               regexp_replace(
+                 lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+                 '^www\\.', '') AS host
+        FROM u),
+      f AS (SELECT * FROM h
+            WHERE host NOT IN ('src17.example.com', 'src18.example.com')),
+      r AS (
+        SELECT doc_id, host,
+               CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+                    AS BIGINT) AS host_rank,
+               CAST(COUNT(*) OVER (PARTITION BY host)
+                    AS BIGINT) AS n_host_docs
+        FROM f)
+      SELECT doc_id, host, host_rank, n_host_docs
+      FROM r WHERE host_rank <= 15
+    """,
+)
+def curate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/URL-level curation — the C4/CCNet pre-filter stage
+    (reference analogue: category-from-link,
+    transform_iqplus_news_dags.py:138-141): normalize each document's
+    URL to its canonical host (scheme/userinfo/port/path stripped,
+    lowercased, leading www. removed), anti-join a host blocklist
+    (broadcast — the blocklist never shuffles the corpus), then cap
+    each host at 15 docs by admission order (lowest doc_id first),
+    reporting each survivor's rank and its host's pre-cap size.
+
+    The documents table carries no URL column, so the URL is DERIVED
+    deterministically from (source, doc_id) — mixed-case scheme/host,
+    alternating www. prefixes and ports — exercising every
+    normalization rule; the oracle builds the identical URLs in SQL,
+    so the driver value-checks normalization, blocklist, and quota
+    end to end. One exchange total: the blocklist filter rides the
+    scan (broadcast anti-join) and rank + census share the single
+    host-hash window shuffle."""
+    from full_docker_etl_spark.operators.curation import (
+        blocklist_filter,
+        host_quota_cap,
+        normalized_host,
+    )
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("HTTPS://")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.expr("concat(upper(substring(source, 1, 1)), substring(source, 2))"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/a/"),
+        F.col("doc_id").cast("string"),
+    )
+    hosts = docs.select(
+        "doc_id", normalized_host(url).alias("host")
+    )
+    blocked = spark.createDataFrame(
+        [("src17.example.com",), ("src18.example.com",)], "host string"
+    )
+    kept = blocklist_filter(hosts, "host", blocked)
+    return host_quota_cap(kept, "host", [("doc_id", True)], quota=15).select(
+        "doc_id", "host", "host_rank", "n_host_docs"
+    )
+
+
 def _ann_query_corpus(spark, sf_dir):
     """The shared 10-query probe slice for every ANN query and recall
     verdict: the 10 vectors with the SMALLEST md5('annprobe:'||vec_id)

@@ -292,3 +292,55 @@ def test_negative_samples_never_self_and_deterministic(spark, sf_dir):
     assert out.exceptAll(other).count() > 0
     with pytest.raises(ValueError):
         negative_samples(docs, "doc_id", n_rows=1)
+
+
+def test_normalized_host_rules(spark):
+    """Table-driven pin of every normalization rule: scheme case,
+    userinfo, port, path/query/fragment, www. stripping (leading only,
+    exactly once), case folding, and the malformed-URL → '' contract."""
+    from full_docker_etl_spark.operators.curation import normalized_host
+
+    cases = [
+        ("https://example.com/a", "example.com"),
+        ("HTTPS://Example.COM", "example.com"),
+        ("http://WWW.News.Example.COM:8443/p?q=1#f", "news.example.com"),
+        ("ftp://user:pw@www.Files.org/x", "files.org"),
+        ("https://wwwx.example.com", "wwwx.example.com"),
+        ("https://www.www.example.com", "www.example.com"),
+        ("not a url", ""),
+        ("//no-scheme.example.com/a", ""),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    got = df.select("want", normalized_host(F.col("url")).alias("got"))
+    assert all(r.got == r.want for r in got.collect()), got.collect()
+
+
+def test_blocklist_and_quota_semantics(spark):
+    """Blocklist drops exactly the listed hosts; the quota keeps the
+    ``quota`` LOWEST-order rows per host, ranks them 1..quota, and
+    reports the PRE-cap host size; an under-quota host survives
+    whole."""
+    from full_docker_etl_spark.operators.curation import (
+        blocklist_filter,
+        host_quota_cap,
+    )
+
+    rows = [(i, "big.com") for i in range(10)]
+    rows += [(100 + i, "small.com") for i in range(3)]
+    rows += [(200 + i, "evil.com") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    blocked = spark.createDataFrame([("evil.com",)], "host string")
+    kept = blocklist_filter(df, "host", blocked)
+    assert kept.where("host = 'evil.com'").count() == 0
+    capped = host_quota_cap(kept, "host", [("doc_id", True)], quota=4)
+    got = {
+        (r.doc_id, r.host_rank, r.n_host_docs) for r in capped.collect()
+    }
+    want = {(i, i + 1, 10) for i in range(4)} | {
+        (100 + i, i + 1, 3) for i in range(3)
+    }
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError, match="quota"):
+        host_quota_cap(kept, "host", [("doc_id", True)], quota=0)
