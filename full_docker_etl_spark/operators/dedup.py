@@ -1158,6 +1158,100 @@ def connected_components(
     return labels
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    threshold: float = 0.95,
+    max_cluster: int = 2000,
+    train_iter: int = 3,
+) -> DataFrame:
+    """SemDeDup-style embedding-CLUSTER dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): instead of pruning candidate PAIRS (the LSH tier),
+    cluster the corpus coarsely and compare only WITHIN clusters —
+    the published semantic-dedup shape for web-scale corpora. Assign
+    every vector to a trained centroid (:func:`kmeans_centroids` —
+    driver-side sample training, constant in corpus size — then ONE
+    zero-shuffle :func:`assign_nearest` pass), find within-cluster
+    cosine ≥ ``threshold`` pairs by a cluster-keyed self-join, link
+    them with :func:`connected_components`, and keep the LOWEST id per
+    component as the representative.
+
+    Cluster-size cap (the scale guard): the self-join is the quadratic
+    step, bounded by the largest cluster. A cluster over
+    ``max_cluster`` members is sub-bucketed by a deterministic id hash
+    into ⌈size/max_cluster⌉ buckets, so no join key ever fans out past
+    ~max_cluster² candidate rows; pairs straddling sub-buckets of an
+    over-cap cluster are forgone — the same accepted miss class as
+    SemDeDup's own cross-cluster pairs (near-identical vectors land in
+    the same cluster with overwhelming probability, and a representative
+    merely splits when they don't). Raise ``k`` so expected cluster
+    size sits well under the cap; the cap is the backstop for skewed
+    embedding spaces, not the steady state.
+
+    Returns one row per input vector: (``id_col``, rep_id), rep_id =
+    own id for component heads, unique vectors, and degenerate
+    (empty / null-element) vectors that carry no geometry."""
+    from full_docker_etl_spark.operators.similarity import (
+        assign_nearest,
+        cosine,
+        kmeans_centroids,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_cluster < 2:
+        raise ValueError(f"max_cluster must be >= 2, got {max_cluster}")
+    ids_all = corpus.select(F.col(id_col).alias("_sd_id"))
+    valid = corpus.where(
+        (F.size(F.col(vec_col)) > 0)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_v"))
+    cents = kmeans_centroids(
+        valid, "_v", "_sd_id", k=k, max_iter=train_iter
+    )
+    assigned = assign_nearest(
+        valid, "_v", cents.select("centroid", "cvec"), 1
+    ).select("_sd_id", "_v", "centroid")
+    # cluster census (k tiny rows) broadcast back to derive the
+    # sub-bucket key; clusters at or under the cap keep one bucket
+    sizes = assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("_csz")
+    )
+    keyed = assigned.join(F.broadcast(sizes), "centroid").withColumn(
+        "_sub",
+        F.when(F.col("_csz") <= max_cluster, F.lit(0).cast("long")).otherwise(
+            F.pmod(
+                F.xxhash64(F.col("_sd_id")),
+                F.ceil(F.col("_csz") / F.lit(max_cluster)),
+            )
+        ),
+    )
+    a = keyed.select(
+        "centroid", "_sub", F.col("_sd_id").alias("d1"),
+        F.col("_v").alias("_v1"),
+    )
+    b = keyed.select(
+        "centroid", "_sub", F.col("_sd_id").alias("d2"),
+        F.col("_v").alias("_v2"),
+    )
+    pairs = (
+        a.join(b, ["centroid", "_sub"])
+        .where(F.col("d1") < F.col("d2"))
+        .where(cosine(F.col("_v1"), F.col("_v2")) >= threshold)
+        .select("d1", "d2")
+    )
+    labels = connected_components(pairs)
+    return ids_all.join(
+        labels, ids_all["_sd_id"] == labels["node"], "left"
+    ).select(
+        F.col("_sd_id").alias(id_col),
+        F.coalesce(F.col("comp"), F.col("_sd_id")).alias("rep_id"),
+    )
+
+
 def _band_rows(sig_arr: DataFrame, k: int, bands: int) -> DataFrame:
     """(doc_id, band, bucket) rows from array signatures — one explode
     of an in-row band array; input must be MATERIALIZED (parquet or

@@ -837,6 +837,70 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_semantic")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-CLUSTER dedup (Abbas et al. 2023): the
+    cluster form of the vector tier — coarse k-means clusters, exact
+    cosine ≥ 0.95 only WITHIN a cluster, connected components, keep
+    the lowest id per component. Complements dedup_embedding (which
+    prunes candidate PAIRS via LSH) with the published web-scale
+    semantic-dedup shape. Runs over the planted near-dup frame; one
+    row per vector, rep_id = component minimum. Rows-only (trained
+    centroids + the hash sub-bucket cap are engine-internal); the
+    oracle-checked sibling dedup_semantic_verdict pins recall AND
+    precision on the planted pairs."""
+    from full_docker_etl_spark.operators.dedup import semantic_dedup
+
+    frame = planted_near_dup_embeddings(spark, sf_dir)
+    return semantic_dedup(
+        frame, "embedding", "vec_id", k=16, threshold=0.95, max_cluster=400
+    )
+
+
+@query(
+    "dedup_semantic_verdict",
+    oracle="""
+      SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 200)
+                  AS BIGINT) AS n_planted,
+             TRUE AS recall_ok, TRUE AS precision_ok
+    """,
+)
+def dedup_semantic_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-cluster tier's quality as an externally-checked
+    VERDICT row: every planted perturbed copy (i+1_000_000, cosine
+    ≈0.9999 to its base — see planted_near_dup_embeddings) should fold
+    to its base representative, and NO far-apart base vector (max
+    pairwise cosine ≈0.48, well under the 0.95 threshold) may lose its
+    own representation. recall_ok asserts ≥90% of planted copies
+    linked (the <10% slack is the SemDeDup-inherent miss class: a copy
+    landing across a cluster boundary); precision_ok asserts ZERO
+    false merges among base vectors. A clustering or threshold
+    regression flips either boolean and fails the driver's hash
+    compare."""
+    out = dedup_semantic(spark, sf_dir)
+    return out.agg(
+        F.count(F.when(F.col("vec_id") >= 1_000_000, 1)).alias("_np"),
+        F.count(
+            F.when(
+                (F.col("vec_id") >= 1_000_000)
+                & (F.col("rep_id") == F.col("vec_id") - 1_000_000),
+                1,
+            )
+        ).alias("_nl"),
+        F.count(
+            F.when(
+                (F.col("vec_id") < 1_000_000)
+                & (F.col("rep_id") != F.col("vec_id")),
+                1,
+            )
+        ).alias("_nf"),
+    ).select(
+        F.col("_np").cast("long").alias("n_planted"),
+        (F.col("_nl") >= F.lit(0.9) * F.col("_np")).alias("recall_ok"),
+        (F.col("_nf") == 0).alias("precision_ok"),
+    )
+
+
 @query(
     "pipeline_curate",
     oracle=f"""

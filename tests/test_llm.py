@@ -1427,3 +1427,63 @@ def test_pq_incremental_merge_equals_rebuild(spark, sf_dir, tmp_path):
         for r in lists(corpus).collect()
     }
     assert inc == full
+
+
+def test_semantic_dedup_links_planted_and_keeps_singletons(spark, embs):
+    """SemDeDup tier semantics: near-identical vectors fold to the
+    lowest id of their component, far-apart vectors keep themselves,
+    every input id appears exactly once, and degenerate vectors
+    self-represent."""
+    from full_docker_etl_spark.operators.dedup import semantic_dedup
+
+    base = embs.where(F.col("vec_id") < 40).select("vec_id", "embedding")
+    # two perturbed copies of vector 0 (a 3-node component) and one of
+    # vector 7; copies get HIGH ids so rep = the base id
+    def pert(src_id, new_id, eps):
+        return base.where(F.col("vec_id") == src_id).select(
+            F.lit(new_id).cast("long").alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * (1.0 + F.lit(eps))).cast("float")
+            ).alias("embedding"),
+        )
+
+    degenerate = spark.createDataFrame(
+        [(9001, []), (9002, None)], "vec_id long, embedding array<float>"
+    ).where(F.col("vec_id") > 0)
+    frame = (
+        base.unionByName(pert(0, 500, 0.004))
+        .unionByName(pert(0, 501, -0.004))
+        .unionByName(pert(7, 502, 0.006))
+        .unionByName(degenerate)
+    )
+    out = semantic_dedup(frame, "embedding", "vec_id", k=4, threshold=0.95)
+    reps = {r.vec_id: r.rep_id for r in out.collect()}
+    assert len(reps) == 45  # 40 base + 3 copies + 2 degenerate
+    assert reps[500] == 0 and reps[501] == 0 and reps[502] == 7
+    assert reps[9001] == 9001 and reps[9002] == 9002
+    # precision: the testdata base vectors are mutually far (cos~0.48)
+    assert all(reps[i] == i for i in range(40))
+
+
+def test_semantic_dedup_cluster_cap_bounds_fanout(spark, embs):
+    """With max_cluster forced tiny, over-cap clusters sub-bucket: the
+    output stays one-row-per-input and every rep is a valid lower-or-
+    equal id; a pair split across sub-buckets may split representatives
+    (the documented miss class) but never merges wrong vectors."""
+    from full_docker_etl_spark.operators.dedup import semantic_dedup
+
+    base = embs.where(F.col("vec_id") < 60).select("vec_id", "embedding")
+    out = semantic_dedup(
+        base, "embedding", "vec_id", k=2, threshold=0.95, max_cluster=5
+    )
+    rows = out.collect()
+    assert len(rows) == 60
+    assert all(r.rep_id <= r.vec_id for r in rows)
+    # far-apart corpus: nothing may merge regardless of bucketing
+    assert all(r.rep_id == r.vec_id for r in rows)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup(base, "embedding", "vec_id", max_cluster=1)
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(base, "embedding", "vec_id", threshold=1.5)
