@@ -343,3 +343,133 @@ def negative_samples(
         cand == F.col(key_col), F.pmod(cand + 1, F.lit(n_rows))
     ).otherwise(cand)
     return out.select(key_col, "neg_rank", neg.cast("long").alias("neg_id"))
+
+
+def dsir_importance(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every SOURCE
+    document by how much more likely its hashed n-gram features are
+    under the TARGET corpus's feature distribution than the source's —
+    log w(doc) = Σ_grams [log p̂_target(bucket) − log p̂_source(bucket)]
+    over unigram+bigram occurrences hashed into ``n_buckets`` buckets,
+    both distributions add-k smoothed over the bucket space. The
+    hashing is the paper's trick: the two LMs collapse to two
+    bucket-count vectors, so "train two n-gram models and score a
+    100 TB corpus" is three counting aggregations and one broadcast
+    join.
+
+    Scale shape: gram explosion is in-row (tokens ∪ bigrams, one
+    posexplode-free concat); each corpus pays ONE map-side-combined
+    count to ≤ n_buckets rows; the log-ratio table (≤ n_buckets rows,
+    a few hundred KB) BROADCASTS onto the per-(doc, bucket) counts, so
+    scoring never shuffles the corpus beyond its own (doc, bucket)
+    combine. The bucket hash is md5-derived (engine-portable, no
+    xxhash) so a DuckDB oracle can replicate every weight.
+
+    Returns one row per source doc with ≥1 token:
+    (``id_col``, n_grams, logw, avg_logw) — logw is the paper's
+    resampling weight (length-correlated, as published), avg_logw the
+    length-normalized variant; both rounded to 4 decimals (the repo's
+    cross-engine float contract)."""
+    from full_docker_etl_spark.operators.dedup import tokens, word_ngrams
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = F.concat(
+            tokens(F.col(text_col)), word_ngrams(F.col(text_col), 2)
+        )
+        bkt = F.pmod(
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast(
+                "long"
+            ),
+            F.lit(n_buckets),
+        )
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_did"), F.explode(g).alias("_g"))
+            .select("_did", bkt.alias("_bkt"))
+        )
+
+    src_g = grams(source)
+    # per-(doc, bucket) counts: the corpus-side combine that both the
+    # source model AND the scoring pass reuse — one wide child, two
+    # cheap parents
+    doc_feats = src_g.groupBy("_did", "_bkt").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    src_counts = doc_feats.groupBy("_bkt").agg(F.sum("_cnt").alias("_cq"))
+    tgt_counts = grams(target).groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_cp")
+    )
+    # corpus totals as a broadcast one-row scalar (the sanctioned
+    # crossJoin shape) — smoothing denominators, never collected
+    totals = (
+        src_counts.agg(F.sum("_cq").alias("_tq"))
+        .crossJoin(
+            tgt_counts.agg(
+                F.coalesce(F.sum("_cp"), F.lit(0)).alias("_tp")
+            )
+        )
+    )
+    denom = F.lit(add_k) * F.lit(float(n_buckets))
+    ratios = (
+        src_counts.join(tgt_counts, "_bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_bkt",
+            (
+                F.log(F.coalesce(F.col("_cp"), F.lit(0)) + F.lit(add_k))
+                - F.log(F.col("_tp") + denom)
+                - F.log(F.col("_cq") + F.lit(add_k))
+                + F.log(F.col("_tq") + denom)
+            ).alias("_lw"),
+        )
+    )
+    return (
+        doc_feats.join(F.broadcast(ratios), "_bkt")
+        .groupBy("_did")
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("_cnt") * F.col("_lw")).alias("_s"),
+        )
+        .select(
+            F.col("_did").alias(id_col),
+            "n_grams",
+            F.round(F.col("_s"), 4).alias("logw"),
+            F.round(F.col("_s") / F.col("n_grams"), 4).alias("avg_logw"),
+        )
+    )
+
+
+def dsir_resample(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    frac: float = 0.2,
+    n_buckets: int = 4096,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """The DSIR selection step: keep the ⌊frac·|source|⌋ source docs
+    with the highest importance weight, deterministically (rounded
+    logw desc, then id asc — ranking on the ROUNDED weight so the
+    boundary is engine-portable). The top-k compiles to
+    TakeOrderedAndProject (no global-sort exchange); |source| is one
+    bounded scalar count."""
+    import math
+
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    n = source.where(F.col(text_col).isNotNull()).count()
+    k = max(1, math.floor(frac * n))
+    w = dsir_importance(source, target, text_col, id_col, n_buckets, add_k)
+    return w.orderBy(F.col("logw").desc(), F.col(id_col).asc()).limit(k)

@@ -1563,6 +1563,76 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_importance_dsir",
+    oracle="""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      uni AS (SELECT doc_id, unnest(toks) AS g FROM t),
+      bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+             FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-1))
+                              AS i) s),
+      g AS (SELECT doc_id,
+                   CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 512 AS bkt
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      df AS (SELECT doc_id, bkt, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      tgt AS (SELECT doc_id FROM documents
+              WHERE text IS NOT NULL
+                AND CAST(('0x' || substr(md5('dsirtgt:'
+                      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 8 = 0),
+      cq AS (SELECT bkt, SUM(cnt) AS cq FROM df GROUP BY 1),
+      cp AS (SELECT bkt, COUNT(*) AS cp FROM g JOIN tgt USING (doc_id)
+             GROUP BY 1),
+      tot AS (SELECT (SELECT SUM(cq) FROM cq) AS tq,
+                     (SELECT COALESCE(SUM(cp), 0) FROM cp) AS tp),
+      r AS (SELECT cq.bkt,
+                   ln(COALESCE(cp.cp, 0) + 0.5) - ln(tot.tp + 0.5 * 512)
+                   - ln(cq.cq + 0.5) + ln(tot.tq + 0.5 * 512) AS lw
+            FROM cq LEFT JOIN cp USING (bkt) CROSS JOIN tot),
+      d AS (SELECT df.doc_id, CAST(SUM(df.cnt) AS BIGINT) AS n_grams,
+                   SUM(df.cnt * r.lw) AS s
+            FROM df JOIN r USING (bkt) GROUP BY 1)
+      SELECT doc_id, n_grams, ROUND(s, 4) AS logw,
+             ROUND(s / n_grams, 4) AS avg_logw
+      FROM d
+      QUALIFY ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id)
+              <= (SELECT GREATEST(1, FLOOR(0.2 * COUNT(*)))
+                  FROM documents WHERE text IS NOT NULL)
+    """,
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance-resample the
+    corpus toward a target distribution using hashed unigram+bigram
+    models — the published scale trick that turns 'train two n-gram
+    LMs and score everything' into three counting aggregations and a
+    broadcast join. Target here = the md5('dsirtgt:') 1/8 hash slice
+    (the testdata has no engineered subpopulation, so the weights are
+    honest sampling noise — the selection is still fully
+    deterministic); a real run passes a seed corpus. Keeps the top 20%
+    by weight (rounded-weight desc, doc_id tie-break →
+    TakeOrderedAndProject, no global sort). The oracle recomputes
+    buckets, both smoothed models, every weight, and the selection
+    boundary value for value. Distribution-shift semantics pinned in
+    tests/test_training_prep.py."""
+    from full_docker_etl_spark.operators.sampling import dsir_resample
+
+    docs = _docs(spark, sf_dir)
+    tgt_bkt = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsirtgt:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    target = docs.where(F.pmod(tgt_bkt, F.lit(8)) == 0)
+    return dsir_resample(
+        docs, target, "text", "doc_id", frac=0.2, n_buckets=512
+    )
+
+
+@query(
     "sample_hash_split",
     oracle="""
       SELECT doc_id, source,

@@ -344,3 +344,46 @@ def test_blocklist_and_quota_semantics(spark):
 
     with pytest.raises(ValueError, match="quota"):
         host_quota_cap(kept, "host", [("doc_id", True)], quota=0)
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR semantics under a REAL distribution shift: source = 30
+    vocab-A docs + 30 vocab-B docs, target = fresh vocab-A docs; the
+    resample at frac=0.5 must select exactly the A docs, and every A
+    doc must out-weigh every B doc."""
+    from full_docker_etl_spark.operators.sampling import (
+        dsir_importance,
+        dsir_resample,
+    )
+
+    def doc(i, vocab, n=40):
+        return " ".join(f"{vocab}{(i * 7 + j) % 12}" for j in range(n))
+
+    src_rows = [(i, doc(i, "alpha")) for i in range(30)]
+    src_rows += [(100 + i, doc(i, "beta")) for i in range(30)]
+    source = spark.createDataFrame(src_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, doc(i + 3, "alpha")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    w = {
+        r.doc_id: r.avg_logw
+        for r in dsir_importance(
+            source, target, "text", "doc_id", n_buckets=256
+        ).collect()
+    }
+    assert len(w) == 60
+    assert min(w[i] for i in range(30)) > max(w[100 + i] for i in range(30))
+    picked = {
+        r.doc_id
+        for r in dsir_resample(
+            source, target, "text", "doc_id", frac=0.5, n_buckets=256
+        ).collect()
+    }
+    assert picked == set(range(30))
+    import pytest
+
+    with pytest.raises(ValueError, match="frac"):
+        dsir_resample(source, target, "text", "doc_id", frac=0.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(source, target, "text", "doc_id", n_buckets=1)
