@@ -50,16 +50,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rows-only sketches displaced in round 10 whose last external sample ran
 # on round-5 code (ann_ivf_serve, ann_ivf_topk, ann_lsh_topk,
 # dedup_embedding, dedup_minhash — the stalest evidence in the registry);
-# THEN 33 of the 37 round-6-stale rows (the remaining four —
-# win_time_range, xbrl_metrics, xlsx_scan, dedup_simhash — lead the
-# post-boundary tail and re-enter round 12; dedup_simhash sorts last
-# within the tier because it is rows-only and its oracle-checked sibling
-# dedup_simhash_recall is pinned below); THEN every
-# *_recall/*_consistency/*_verdict row (12, pinned in EVERY window —
-# they are the oracle-checked external evidence for the rows-only
-# sketch queries). Queries registered NEW this round enter under the
-# zero-evidence rule via a re-run of tools/next_window.py before the
-# freeze. tools/next_window.py --check verifies this window against the
+# THEN 29 of the 37 round-6-stale rows (the remaining eight —
+# sample_temperature_upsample, text_bm25, text_pii_scrub,
+# win_rank_family, win_time_range, xbrl_metrics, xlsx_scan,
+# dedup_simhash — lead the post-boundary tail and re-enter round 12;
+# dedup_simhash sorts last within the tier because it is rows-only and
+# its oracle-checked sibling dedup_simhash_recall is pinned below);
+# THEN every *_recall/*_consistency/*_verdict row (13 including the new
+# dedup_semantic_verdict, pinned in EVERY window — they are the
+# oracle-checked external evidence for the rows-only sketch queries);
+# THEN the four zero-evidence queries registered this round
+# (dedup_semantic, curate_domains, sample_importance_dsir close the
+# window alongside the pinned dedup_semantic_verdict).
+# tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
 # registered are ignored, so the list can never drop a query.
@@ -98,10 +101,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_epoch_shuffle",
     "sample_negatives",
     "sample_temperature_mix",
-    "sample_temperature_upsample",
-    "text_bm25",
-    "text_pii_scrub",
-    "win_rank_family",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -114,7 +113,15 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_incremental_recall",
     "text_compression_verdict",
     "join_fuzzy_recall",
+    "dedup_semantic_verdict",
+    "dedup_semantic",
+    "curate_domains",
+    "sample_importance_dsir",
     # ---- window boundary (50) ----
+    "sample_temperature_upsample",
+    "text_bm25",
+    "text_pii_scrub",
+    "win_rank_family",
     "win_time_range",
     "xbrl_metrics",
     "xlsx_scan",
