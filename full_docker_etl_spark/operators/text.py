@@ -474,3 +474,87 @@ def bigram_cross_entropy(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 4).alias("xent"),
     )
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """TRAINED quality classifier — the fastText/CCNet "target-domain
+    filter" stage (GPT-3's WebText-vs-CommonCrawl classifier, CCNet's
+    fastText language/quality head), re-expressed as its exact
+    closed-form relational equivalent: multinomial Naive Bayes with
+    add-1 smoothing over whitespace tokens. fastText with a linear
+    head on bag-of-words features and log-loss converges to per-token
+    log-odds weights; NB computes those weights in closed form from
+    counts, which is why it is the standard relational surrogate.
+    ``label_col`` must be 0/1 (1 = target domain / "high quality"
+    seed); every doc is then scored by the sum of its tokens'
+    log-odds plus the (add-1 smoothed) class-prior log-odds.
+
+    Everything is counting and joins, no UDFs and no driver-side
+    training: one token explode feeds (a) the per-word class counts,
+    (b) the one-row class-total/vocab scalar (broadcast back), and
+    (c) the per-doc scoring join. At 100 TB the word-odds table is
+    vocab-sized (shuffle-join on the token, map-side-combined counts);
+    nothing is quadratic and nothing collects. The model is
+    self-trained on the scored corpus, so there is no OOV path — an
+    unseen-token default (the smoothed 0-count odds) is what serving
+    a frozen model elsewhere would add.
+
+    Returns (doc_id, n_tokens, log_odds, pred_pos) for every doc with
+    ≥ 1 token; ``log_odds`` rounded to 4 decimals (the repo's AVG/SUM
+    determinism rule) and ``pred_pos`` derived from the ROUNDED value
+    so the oracle's boundary decisions match bit-for-bit."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).cast("int").alias("y"),
+            F.explode(toks).alias("w"),
+        )
+    )
+    cw = tok.groupBy("w").agg(
+        F.sum("y").alias("c_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("c_neg"),
+    )
+    tots = tok.agg(
+        F.sum("y").alias("tot_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("tot_neg"),
+        F.count_distinct("w").alias("v"),
+    )
+    prior = (
+        df.where(F.col(text_col).isNotNull())
+        .agg(
+            F.log(
+                (F.sum(F.col(label_col).cast("int")) + F.lit(1.0))
+                / (
+                    F.count(F.lit(1))
+                    - F.sum(F.col(label_col).cast("int"))
+                    + F.lit(1.0)
+                )
+            ).alias("lp")
+        )
+    )
+    odds = cw.crossJoin(F.broadcast(tots)).select(
+        "w",
+        (
+            F.log((F.col("c_pos") + 1.0) / (F.col("tot_pos") + F.col("v")))
+            - F.log((F.col("c_neg") + 1.0) / (F.col("tot_neg") + F.col("v")))
+        ).alias("lo"),
+    )
+    scored = (
+        tok.join(odds, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lo").alias("slo"))
+        .crossJoin(F.broadcast(prior))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("slo") + F.col("lp"), 4).alias("log_odds"),
+        (F.round(F.col("slo") + F.col("lp"), 4) > 0).alias("pred_pos"),
+    )

@@ -352,6 +352,52 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_cross_entropy(_docs(spark, sf_dir), "text", "doc_id")
 
 
+@query(
+    "text_quality_classifier",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      tok AS (SELECT doc_id, y, unnest(toks) AS w FROM t),
+      cw AS (SELECT w, SUM(y) AS c_pos, COUNT(*) - SUM(y) AS c_neg
+             FROM tok GROUP BY w),
+      tots AS (SELECT SUM(y) AS tot_pos, COUNT(*) - SUM(y) AS tot_neg,
+                      COUNT(DISTINCT w) AS v
+               FROM tok),
+      prior AS (SELECT ln((SUM(y) + 1.0) / (COUNT(*) - SUM(y) + 1.0)) AS lp
+                FROM t),
+      odds AS (SELECT w,
+                      ln((c_pos + 1.0) / (tot_pos + v))
+                        - ln((c_neg + 1.0) / (tot_neg + v)) AS lo
+               FROM cw CROSS JOIN tots)
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             ROUND(SUM(lo) + ANY_VALUE(lp), 4) AS log_odds,
+             ROUND(SUM(lo) + ANY_VALUE(lp), 4) > 0 AS pred_pos
+      FROM tok JOIN odds USING (w) CROSS JOIN prior
+      GROUP BY tok.doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality-classifier stage (fastText/CCNet target-domain
+    filter; GPT-3's WebText-vs-CommonCrawl classifier shape) as its
+    closed-form relational equivalent: add-1 multinomial Naive Bayes
+    over whitespace tokens, seeded with lang='en' as the target
+    domain (CCNet seeds with Wikipedia the same way). Completes the
+    quality stack's fourth leg: heuristic features (text_quality),
+    compression signal (text_compression), LM perplexity
+    (text_lm_perplexity), and now a TRAINED discriminative score.
+    The oracle retrains the identical model in SQL, so the driver
+    value-checks every doc's log-odds and boundary decision."""
+    from full_docker_etl_spark.operators.text import nb_quality_classifier
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    return nb_quality_classifier(docs, "text", "doc_id", "y")
+
+
 @query("dedup_minhash")
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=32)+LSH(8 bands×4 rows) candidate pairs with estimated

@@ -977,6 +977,85 @@ def test_bigram_cross_entropy_differential_vs_reference(spark):
             assert abs(got[d][1] - want[d][1]) <= 1e-4, (seed, d, docs)
 
 
+def test_nb_classifier_separates_planted_domains(spark):
+    """The trained-filter's one job: docs whose tokens dominate the
+    positive seed class score positive, negative-domain docs score
+    negative, and a doc mixing both lands between them; identical
+    docs tie exactly."""
+    from full_docker_etl_spark.operators.text import nb_quality_classifier
+
+    rows = [
+        (0, "wiki wiki cite cite ref wiki", 1),
+        (1, "wiki cite ref wiki cite wiki", 1),
+        (2, "spam spam click click buy spam", 0),
+        (3, "spam click buy spam click spam", 0),
+        (4, "wiki cite spam click ref buy", 0),
+        (5, "wiki wiki cite cite ref wiki", 0),  # pos text, neg label
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    got = {
+        r.doc_id: (r.log_odds, r.pred_pos)
+        for r in nb_quality_classifier(df, "text", "doc_id", "y").collect()
+    }
+    assert len(got) == 6
+    assert got[0][1] and got[1][1]          # positive-domain docs
+    assert not got[2][1] and not got[3][1]  # negative-domain docs
+    assert got[0][0] == got[5][0]           # same text → same score
+    assert got[2][0] < got[4][0] < got[0][0]  # mixed doc in between
+
+
+def test_nb_classifier_differential_vs_reference(spark):
+    """Differential stress: seeded random small-vocab corpora with
+    random labels must match a naive Python reference of the same
+    model (add-1 NB log-odds + smoothed prior) on the 4-dp grid."""
+    import math
+    import random
+    from collections import Counter
+
+    from full_docker_etl_spark.operators.text import nb_quality_classifier
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        docs = {
+            did: (
+                [rng.choice(["a", "b", "c", "d"]) for _ in
+                 range(rng.randrange(1, 10))],
+                rng.randrange(2),
+            )
+            for did in range(rng.randrange(2, 7))
+        }
+        df = spark.createDataFrame(
+            [(d, " ".join(t), y) for d, (t, y) in docs.items()],
+            "doc_id long, text string, y int",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.log_odds, r.pred_pos)
+            for r in nb_quality_classifier(
+                df, "text", "doc_id", "y"
+            ).collect()
+        }
+        c_pos = Counter(w for t, y in docs.values() if y == 1 for w in t)
+        c_neg = Counter(w for t, y in docs.values() if y == 0 for w in t)
+        tot_pos, tot_neg = sum(c_pos.values()), sum(c_neg.values())
+        v = len({w for t, _ in docs.values() for w in t})
+        n_pos = sum(1 for _, y in docs.values() if y == 1)
+        lp = math.log((n_pos + 1.0) / (len(docs) - n_pos + 1.0))
+        want = {}
+        for d, (t, _) in docs.items():
+            slo = sum(
+                math.log((c_pos[w] + 1.0) / (tot_pos + v))
+                - math.log((c_neg[w] + 1.0) / (tot_neg + v))
+                for w in t
+            )
+            lo = round(slo + lp, 4)
+            want[d] = (len(t), lo, lo > 0)
+        assert set(got) == set(want), (seed, docs)
+        for d in want:
+            assert got[d][0] == want[d][0], (seed, d)
+            assert abs(got[d][1] - want[d][1]) <= 1e-4, (seed, d, docs)
+            assert got[d][2] == want[d][2], (seed, d)
+
+
 def test_contamination_hits_planted_overlap(spark):
     """A corpus doc embedding a benchmark 5-gram must be flagged with
     the right distinct-hit count; clean docs must not appear."""
