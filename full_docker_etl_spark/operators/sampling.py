@@ -165,6 +165,73 @@ def temperature_mix(
     )
 
 
+def token_budget_plan(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget_frac: float,
+    alpha: float,
+    max_epochs: float,
+) -> DataFrame:
+    """Pretraining-mixture PLANNER — the published data-recipe stage
+    (LLaMA/GPT-style mixture tables): given per-group available token
+    counts, α-temperature target weights (w_g ∝ availᵍᵅ), a total
+    token budget (``budget_frac`` of the corpus), and a repetition cap
+    (``max_epochs``), emit each group's planned allocation:
+
+      target_g  = budget · w_g
+      epochs_g  = min(max_epochs, target_g / avail_g)
+      planned_g = epochs_g · avail_g
+
+    plus the achieved post-cap share — the number a training run
+    actually consumes (capped groups fall short of their target; the
+    shortfall is visible as achieved_share < weight).
+
+    Scale shape: ONE map-side-combined sum over the corpus reduces it
+    to #groups rows; everything after is arithmetic and unpartitioned
+    windows over that tiny frame (domains number in the hundreds).
+    The corpus is scanned once and never shuffled. Doubles are rounded
+    (weights/shares 6 dp, token quantities 4 dp) on a ≤#groups frame
+    where FP error is ~1e-12 — far below the grid."""
+    g = (
+        df.groupBy(group_col)
+        .agg(F.sum(tokens_col).cast("double").alias("avail"))
+    )
+    w_all = Window.partitionBy()
+    weighted = g.select(
+        group_col,
+        "avail",
+        F.sum("avail").over(w_all).alias("tot"),
+        (
+            F.pow("avail", F.lit(alpha))
+            / F.sum(F.pow("avail", F.lit(alpha))).over(w_all)
+        ).alias("w"),
+    )
+    planned = weighted.select(
+        group_col,
+        "avail",
+        "w",
+        (F.lit(budget_frac) * F.col("tot") * F.col("w")).alias("target"),
+        F.least(
+            F.lit(max_epochs),
+            F.lit(budget_frac) * F.col("tot") * F.col("w") / F.col("avail"),
+        ).alias("epochs"),
+    )
+    return planned.select(
+        group_col,
+        F.col("avail").cast("long").alias("avail_tokens"),
+        F.round("w", 6).alias("weight"),
+        F.round("target", 4).alias("target_tokens"),
+        F.round("epochs", 6).alias("epochs"),
+        F.round(F.col("epochs") * F.col("avail"), 4).alias("planned_tokens"),
+        F.round(
+            F.col("epochs") * F.col("avail")
+            / F.sum(F.col("epochs") * F.col("avail")).over(w_all),
+            6,
+        ).alias("achieved_share"),
+    )
+
+
 def temperature_upsample(
     df: DataFrame,
     group_col: str,

@@ -1778,6 +1778,56 @@ def sample_temperature_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_token_budget",
+    oracle="""
+      WITH d AS (SELECT source,
+                        len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS ntok
+                 FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT source, CAST(SUM(ntok) AS DOUBLE) AS avail
+            FROM d GROUP BY source),
+      t AS (SELECT source, avail,
+                   SUM(avail) OVER () AS tot,
+                   POW(avail, 0.5) / SUM(POW(avail, 0.5)) OVER () AS w
+            FROM g),
+      p AS (SELECT source, avail, w,
+                   0.5 * tot * w AS target,
+                   LEAST(2.0, 0.5 * tot * w / avail) AS epochs
+            FROM t)
+      SELECT source,
+             CAST(avail AS BIGINT) AS avail_tokens,
+             ROUND(w, 6) AS weight,
+             ROUND(target, 4) AS target_tokens,
+             ROUND(epochs, 6) AS epochs,
+             ROUND(epochs * avail, 4) AS planned_tokens,
+             ROUND(epochs * avail / SUM(epochs * avail) OVER (), 6)
+               AS achieved_share
+      FROM p
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture PLANNER over per-source token counts (the
+    LLaMA/GPT data-recipe table): α = 0.5 temperature weights, a
+    budget of half the corpus's tokens, and a 2-epoch repetition cap.
+    Complements sample_temperature_mix (which EXECUTES a row-level
+    mix) by emitting the allocation itself — targets, epochs, planned
+    tokens, and the post-cap achieved share a training run would
+    consume. The oracle rebuilds the identical arithmetic from the
+    same token counts, so the driver value-checks every allocation."""
+    from full_docker_etl_spark.operators.sampling import token_budget_plan
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    with_tokens = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok"),
+    )
+    return token_budget_plan(
+        with_tokens, "source", "ntok",
+        budget_frac=0.5, alpha=0.5, max_epochs=2.0,
+    )
+
+
+@query(
     "sample_quota_per_source",
     oracle="""
       SELECT doc_id, source FROM (

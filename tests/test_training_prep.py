@@ -387,3 +387,34 @@ def test_dsir_selects_target_like_docs(spark):
         dsir_resample(source, target, "text", "doc_id", frac=0.0)
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_importance(source, target, "text", "doc_id", n_buckets=1)
+
+
+def test_token_budget_plan_cap_and_shares(spark):
+    """Mixture-planner semantics: a tiny upweighted source hits the
+    epoch cap (epochs == max_epochs, planned < target), an abundant
+    source stays under it (planned == target); achieved shares sum
+    to 1; total planned tokens never exceed epochs-cap × avail."""
+    from full_docker_etl_spark.operators.sampling import token_budget_plan
+
+    rows = [("big", 10_000), ("mid", 400), ("tiny", 25)]
+    df = spark.createDataFrame(
+        [(s, 1, n) for s, n in rows], "source string, doc int, ntok long"
+    )
+    got = {
+        r.source: r
+        for r in token_budget_plan(
+            df, "source", "ntok", budget_frac=0.5, alpha=0.5, max_epochs=2.0
+        ).collect()
+    }
+    assert set(got) == {"big", "mid", "tiny"}
+    # α=0.5 upweights tiny far beyond 2 epochs of its 25 tokens → capped
+    assert got["tiny"].epochs == 2.0
+    assert got["tiny"].planned_tokens == 50.0
+    assert got["tiny"].planned_tokens < got["tiny"].target_tokens
+    # big is downweighted: target below avail → uncapped, planned==target
+    assert got["big"].epochs < 2.0
+    assert abs(got["big"].planned_tokens - got["big"].target_tokens) < 1e-6
+    assert abs(sum(r.achieved_share for r in got.values()) - 1.0) < 1e-5
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
+    for r in got.values():
+        assert r.planned_tokens <= 2.0 * r.avail_tokens + 1e-9
