@@ -352,6 +352,78 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_cross_entropy(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _bpe_round_sql(n: int) -> str:
+    """One unrolled BPE merge round as DuckDB CTEs: pair counts over
+    the word-TYPE table r{n-1}, deterministic argmax, and the greedy
+    left-to-right application expressed positionally — match
+    positions, gaps-and-islands run grouping, keep every other match
+    within a run (overlapping matches share a symbol; greedy takes the
+    first), drop symbols consumed by a kept merge at i-1, rebuild the
+    symbol list ordered by position."""
+    p = n - 1
+    return f"""
+      pr{n} AS (SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS c
+             FROM r{p}, LATERAL (SELECT unnest(generate_series(
+                                   1, len(syms) - 1)) AS i) g
+             GROUP BY 1, 2),
+      best{n} AS (SELECT l, r, c FROM pr{n} ORDER BY c DESC, l, r LIMIT 1),
+      pos{n} AS (SELECT w, freq, syms,
+                    unnest(generate_series(1, len(syms))) AS i
+             FROM r{p}),
+      m{n} AS (SELECT p.w, p.i,
+                  ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.i) AS rn
+           FROM pos{n} p JOIN best{n} b
+             ON p.i < len(p.syms) AND p.syms[p.i] = b.l
+                AND p.syms[p.i+1] = b.r),
+      kept{n} AS (SELECT w, i FROM (
+                SELECT w, i, ROW_NUMBER() OVER (
+                    PARTITION BY w, i - rn ORDER BY i) AS kk
+                FROM m{n}) t
+              WHERE kk % 2 = 1),
+      r{n} AS (SELECT p.w, ANY_VALUE(p.freq) AS freq,
+                  list(CASE WHEN k1.i IS NOT NULL
+                            THEN p.syms[p.i] || p.syms[p.i+1]
+                            ELSE p.syms[p.i] END ORDER BY p.i) AS syms
+           FROM pos{n} p
+           LEFT JOIN kept{n} k1 ON k1.w = p.w AND k1.i = p.i
+           LEFT JOIN kept{n} k2 ON k2.w = p.w AND k2.i = p.i - 1
+           WHERE k2.i IS NULL
+           GROUP BY p.w)"""
+
+
+_BPE_K = 3
+
+_BPE_ORACLE = (
+    """
+      WITH r0 AS (
+        SELECT w, COUNT(*) AS freq, regexp_split_to_array(w, '') AS syms
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE len(w) > 0 GROUP BY w),"""
+    + ",".join(_bpe_round_sql(n) for n in range(1, _BPE_K + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""      SELECT {n} AS round, l AS "left", r AS "right",
+             l || r AS merged, c AS pair_count FROM best{n}"""
+        for n in range(1, _BPE_K + 1)
+    )
+)
+
+
+@query("text_bpe_merges", oracle=_BPE_ORACLE)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep: the first 3 BPE merges learned from the corpus
+    (Sennrich et al. 2016 — the GPT-2/SentencePiece vocabulary-build
+    stage), over the distributed word-type table. The oracle replays
+    every round in SQL — pair counts, deterministic argmax, and the
+    greedy left-to-right application expressed positionally — so the
+    driver value-checks each learned merge AND its corpus frequency,
+    which transitively pins the re-segmentation between rounds."""
+    from full_docker_etl_spark.operators.text import bpe_merge_table
+
+    return bpe_merge_table(_docs(spark, sf_dir), "text", _BPE_K)
+
+
 @query(
     "text_quality_classifier",
     oracle="""

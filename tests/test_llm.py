@@ -1566,3 +1566,88 @@ def test_semantic_dedup_cluster_cap_bounds_fanout(spark, embs):
         semantic_dedup(base, "embedding", "vec_id", max_cluster=1)
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(base, "embedding", "vec_id", threshold=1.5)
+
+
+def _bpe_reference(texts, k):
+    """Naive single-machine BPE (Sennrich et al.): word-type counts,
+    per-round pair argmax with (count desc, left, right) tie-break,
+    greedy left-to-right merge application."""
+    from collections import Counter
+
+    wt = Counter(w for t in texts for w in t.split() if w)
+    segs = {w: list(w) for w in wt}
+    merges = []
+    for rnd in range(1, k + 1):
+        pc = Counter()
+        for w, f in wt.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((rnd, l, r, l + r, c))
+        for w in segs:
+            s, out = segs[w], []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges
+
+
+def test_bpe_merge_table_differential_vs_reference(spark):
+    """Seeded random small-alphabet corpora: the distributed merge
+    table must equal the naive reference's, round for round — counts,
+    tie-breaks, and greedy-application semantics included."""
+    import random
+
+    from full_docker_etl_spark.operators.text import bpe_merge_table
+
+    for seed in range(5):
+        rng = random.Random(2000 + seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randrange(1, 6)))
+                for _ in range(rng.randrange(1, 15))
+            )
+            for _ in range(rng.randrange(2, 8))
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r.round, r.left, r.right, r.merged, r.pair_count)
+            for r in bpe_merge_table(df, "text", 5)
+            .orderBy("round")
+            .collect()
+        ]
+        assert got == _bpe_reference(texts, 5), (seed, texts)
+
+
+def test_bpe_merge_table_early_stop_and_validation(spark):
+    """Single-char single-word corpus has no pairs → empty table; a
+    repeated-letter word merges greedily left-to-right (aa aa, not
+    a aaa); k < 1 raises."""
+    import pytest
+
+    from full_docker_etl_spark.operators.text import bpe_merge_table
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    assert bpe_merge_table(df, "text", 3).count() == 0
+
+    df2 = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    got = [
+        (r.round, r.merged, r.pair_count)
+        for r in bpe_merge_table(df2, "text", 2).orderBy("round").collect()
+    ]
+    # pair_count is the RAW adjacent frequency before application:
+    # 'a a a a' holds three (a,a) pairs × 2 words = 6; the greedy
+    # apply still yields 'aa aa', so round 2 merges (aa,aa) count 2.
+    assert got == [(1, "aa", 6), (2, "aaaa", 2)]
+
+    with pytest.raises(ValueError, match="k"):
+        bpe_merge_table(df, "text", 0)
