@@ -44,42 +44,60 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _track(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        n, total, last = state.get
-    else:
-        n, total, last = 0, 0.0, 0
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)
-    state.update((n, total, last))
-    # evict users idle for an hour of processing time — bounded state
-    state.setTimeoutDuration(3600 * 1000)
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [total],
-            "last_seen_us": [last],
-        }
-    )
+def _make_track(idle_timeout_ms: int | None):
+    def _track(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, total, last = state.get
+        else:
+            n, total, last = 0, 0.0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)
+        state.update((n, total, last))
+        if idle_timeout_ms is not None:
+            # evict idle users — bounded state for always-on streams
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_seen_us": [last],
+            }
+        )
+
+    return _track
 
 
-def user_activity_tracker(events: DataFrame) -> DataFrame:
+def user_activity_tracker(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-user running profile as arbitrary stateful processing.
-    ``events`` must be a STREAMING frame with (user_id, ts, value)."""
+    ``events`` must be a STREAMING frame with (user_id, ts, value).
+
+    ``idle_timeout_ms`` evicts state for users idle that long — set it
+    on an ALWAYS-ON stream so state stays bounded. Leave ``None`` for
+    drain-and-stop runs (Trigger.AvailableNow): processing-time timers
+    keep the no-data-batch scheduler busy forever, so an AvailableNow
+    query with timers never terminates (verified on Spark 4.1; the
+    timer loop also defeats processAllAvailable)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        _track,
+        _make_track(idle_timeout_ms),
         outputStructType=TRACKER_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -91,4 +109,77 @@ def dedup_stream_within_watermark(
     older than the watermark is evicted."""
     return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
         keys
+    )
+
+
+QUOTA_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("host_seq", T.LongType()),
+    ]
+)
+
+_QUOTA_STATE = T.StructType([T.StructField("n_admitted", T.LongType())])
+
+
+def host_quota_admitter(
+    docs: DataFrame, quota: int, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Streaming per-host quota ADMITTER — the ingest-time form of the
+    batch domain-quota curation stage (`curate_domains` /
+    `quota_per_group`): each host's running admitted-count is GroupState
+    carried across micro-batches, and a document is admitted only while
+    its host is under ``quota``. This is the operator a 100 TB/day
+    crawl ingest actually runs — the batch quota pass needs the whole
+    corpus; this one decides per arrival with O(#hosts) state, exactly
+    the CCNet/C4-style per-domain cap applied at the firehose.
+
+    ``docs`` must be a STREAMING frame with (doc_id, host). Within a
+    micro-batch, rows are admitted in ascending doc_id order (the
+    deterministic tie-break; arrival order across batches is the
+    stream's file order). Emits ONLY admitted rows, each with its
+    1-based per-host admission ordinal ``host_seq`` — so downstream
+    can audit exactly which arrival filled each quota slot. State is
+    one long per host; ``idle_timeout_ms`` evicts hosts idle that long
+    (size it to the crawl revisit cadence on an always-on stream;
+    leave ``None`` for drain-and-stop AvailableNow runs — see
+    :func:`user_activity_tracker` on why timers block termination)."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+
+    def _admit(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        n = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("doc_id", kind="mergesort")
+        take = max(0, min(quota - n, len(batch)))
+        admitted = batch.iloc[:take]
+        out = pd.DataFrame(
+            {
+                "host": host,
+                "doc_id": admitted["doc_id"].astype("int64"),
+                "host_seq": range(n + 1, n + take + 1),
+            }
+        )
+        state.update((n + take,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield out
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return docs.groupBy("host").applyInPandasWithState(
+        _admit,
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType=_QUOTA_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
     )

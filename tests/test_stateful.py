@@ -86,3 +86,57 @@ def test_stream_dedup_within_watermark(spark, events_two_batches):
     assert total == n, "duplicates inside the watermark must be dropped"
     shutil.rmtree(dup_dir, ignore_errors=True)
     shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_host_quota_admitter_matches_batch_order(spark):
+    """Cross-batch quota state: 12 docs over 3 hosts arrive in two
+    micro-batches (one file each); with quota=3 the admitted set and
+    per-host admission ordinals must equal the batch-mode rank over
+    (batch, doc_id) arrival order — host state must CARRY across
+    batches (a host filling 2 slots in batch 1 admits only 1 more)."""
+    import pandas as pd
+
+    from full_docker_etl_spark.streaming.stateful import host_quota_admitter
+
+    rows_b0 = [(0, "a"), (1, "a"), (2, "b"), (3, "c"), (4, "b")]
+    rows_b1 = [(5, "a"), (6, "a"), (7, "b"), (8, "b"), (9, "c"),
+               (10, "a"), (11, "b")]
+    d = tempfile.mkdtemp(prefix="fde_quota_") + "/docs"
+    schema = "doc_id long, host string"
+    spark.createDataFrame(rows_b0, schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(rows_b1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    admitted = host_quota_admitter(stream, quota=3)
+    chk = _run_stream(admitted, "t_quota", "append")
+    got = {
+        (r.host, r.doc_id): r.host_seq
+        for r in spark.sql("SELECT * FROM t_quota").collect()
+    }
+    # batch-mode reference: rank per host over (batch, doc_id) arrival
+    arrival = [(b, i, h) for b, rows in enumerate([rows_b0, rows_b1])
+               for i, h in rows]
+    want = {}
+    seen: dict[str, int] = {}
+    for b, i, h in sorted(arrival):
+        if seen.get(h, 0) < 3:
+            seen[h] = seen.get(h, 0) + 1
+            want[(h, i)] = seen[h]
+    assert got == want
+    # host 'a' fills 2 slots in batch 0 and its 3rd with doc 5 in
+    # batch 1 — docs 6 and 10 arrive over quota and must be rejected
+    assert ("a", 5) in got and got[("a", 5)] == 3
+    assert ("a", 6) not in got and ("a", 10) not in got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quota"):
+        host_quota_admitter(stream, quota=0)
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
