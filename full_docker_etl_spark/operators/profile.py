@@ -181,3 +181,64 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("group_size"))
         .where(F.col("group_size") < k)
     )
+
+
+def corpus_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """CORPUS census — the know-your-data statistics every pretraining
+    report tabulates (token totals, vocabulary size, hapax share —
+    Heaps'/Zipf's-law checkpoints): one row with
+
+      n_docs      docs contributing ≥ 1 token (NULL/empty-text docs
+                  do not count),
+      n_tokens    total whitespace tokens (lowercased),
+      vocab       distinct token types,
+      n_hapax     types occurring exactly once (the Zipf tail whose
+                  share predicts vocabulary growth),
+      ttr         type-token ratio, 6 dp,
+      top_term / top_term_n   the modal token (count DESC, term ASC
+                  tie-break — deterministic cross-engine).
+
+    One token explode feeds a per-type count (map-side combined) and a
+    one-row corpus total; the three one-row frames meet in broadcast
+    cross-joins. At 100 TB: one shuffle of (token, partial count)
+    pairs — the canonical wordcount — plus scalars; nothing collects,
+    nothing is quadratic."""
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = toks.agg(
+        F.count_distinct("_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    types = wc.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    top = (
+        wc.orderBy(F.desc("c"), "w")
+        .limit(1)
+        .select(F.col("w").alias("top_term"), F.col("c").alias("top_term_n"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            F.round(
+                F.col("vocab").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+            "top_term",
+            "top_term_n",
+        )
+    )

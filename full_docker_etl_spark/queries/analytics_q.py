@@ -268,6 +268,41 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "profile_corpus",
+    oracle="""
+      WITH tok AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(
+                            lower(trim(text)), '\\s+')) AS w
+                   FROM documents WHERE text IS NOT NULL),
+      tok2 AS (SELECT * FROM tok WHERE len(w) > 0),
+      wc AS (SELECT w, COUNT(*) AS c FROM tok2 GROUP BY w),
+      s AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_tokens FROM tok2),
+      v AS (SELECT COUNT(*) AS vocab,
+                   SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+            FROM wc),
+      t AS (SELECT w AS top_term, c AS top_term_n FROM wc
+            ORDER BY c DESC, w LIMIT 1)
+      SELECT n_docs, n_tokens, vocab,
+             CAST(n_hapax AS BIGINT) AS n_hapax,
+             ROUND(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr,
+             top_term, top_term_n
+      FROM s CROSS JOIN v CROSS JOIN t
+    """,
+)
+def profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token census (the pretraining datasheet numbers:
+    token totals, vocabulary, hapax share, type-token ratio, modal
+    term) in one wordcount shuffle plus scalars. Completes the profile
+    family's fourth member: per-column census (profile_table), value
+    histograms (profile_histogram), numeric skew (profile_skew), and
+    now the TEXT-corpus statistics curation decisions cite."""
+    from full_docker_etl_spark.operators.profile import corpus_stats
+
+    return corpus_stats(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 _MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

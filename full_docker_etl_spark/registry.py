@@ -50,20 +50,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rows-only sketches displaced in round 10 whose last external sample ran
 # on round-5 code (ann_ivf_serve, ann_ivf_topk, ann_lsh_topk,
 # dedup_embedding, dedup_minhash — the stalest evidence in the registry);
-# THEN 26 of the 37 round-6-stale rows (the remaining eleven —
-# sample_epoch_shuffle, sample_negatives, sample_temperature_mix,
-# sample_temperature_upsample, text_bm25, text_pii_scrub,
-# win_rank_family, win_time_range, xbrl_metrics, xlsx_scan,
-# dedup_simhash — lead the post-boundary tail and re-enter round 12;
-# dedup_simhash sorts last within the tier because it is rows-only and
-# its oracle-checked sibling dedup_simhash_recall is pinned below);
-# THEN every *_recall/*_consistency/*_verdict row (13 including the
-# new dedup_semantic_verdict, pinned in EVERY window — they are the
-# oracle-checked external evidence for the rows-only sketch queries);
-# THEN the seven zero-evidence queries registered this round
-# (dedup_semantic, curate_domains, sample_importance_dsir,
-# text_quality_classifier, sample_token_budget, text_bpe_merges close
-# the window alongside the pinned dedup_semantic_verdict).
+# THEN 25 of the 37 round-6-stale rows (the remaining twelve —
+# profile_table, sample_epoch_shuffle, sample_negatives,
+# sample_temperature_mix, sample_temperature_upsample, text_bm25,
+# text_pii_scrub, win_rank_family, win_time_range, xbrl_metrics,
+# xlsx_scan, dedup_simhash — lead the post-boundary tail and re-enter
+# round 12; dedup_simhash sorts last within the tier because it is
+# rows-only and its oracle-checked sibling dedup_simhash_recall is
+# pinned below); THEN every *_recall/*_consistency/*_verdict row (13
+# including the new dedup_semantic_verdict, pinned in EVERY window —
+# they are the oracle-checked external evidence for the rows-only
+# sketch queries); THEN the eight zero-evidence queries registered
+# this round (dedup_semantic, curate_domains, sample_importance_dsir,
+# text_quality_classifier, sample_token_budget, text_bpe_merges,
+# profile_corpus close the window alongside the pinned
+# dedup_semantic_verdict).
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -99,7 +100,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "profile_correlations",
     "profile_histogram",
     "profile_skew",
-    "profile_table",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -119,7 +119,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_quality_classifier",
     "sample_token_budget",
     "text_bpe_merges",
+    "profile_corpus",
     # ---- window boundary (50) ----
+    "profile_table",
     "sample_epoch_shuffle",
     "sample_negatives",
     "sample_temperature_mix",

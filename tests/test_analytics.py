@@ -321,3 +321,26 @@ def test_refresh_grain_moved_key_and_null_date(spark):
     )
     with pytest.raises(ValueError, match="NULL date"):
         refresh_grain(fact_v2, null_batch, build, path, "ts")
+
+
+def test_corpus_stats_semantics(spark):
+    """Corpus census: lowercasing folds Token/token, hapax counts
+    once-only TYPES, NULL/whitespace-only docs contribute nothing,
+    and the modal-term tie breaks (count DESC, term ASC)."""
+    from full_docker_etl_spark.operators.profile import corpus_stats
+
+    rows = [
+        (0, "The the THE zeta"),     # 'the' x3 + hapax 'zeta'
+        (1, "alpha beta alpha"),     # 'alpha' x2, hapax 'beta'
+        (2, None),                   # excluded entirely
+        (3, "   "),                  # whitespace-only: no tokens
+        (4, "aaa aaa aaa"),          # ties 'the' at 3 → 'aaa' wins ASC
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = corpus_stats(df, "text", "doc_id").collect()[0]
+    assert r.n_docs == 3          # docs 0, 1, 4
+    assert r.n_tokens == 10
+    assert r.vocab == 5           # the, zeta, alpha, beta, aaa
+    assert r.n_hapax == 2         # zeta, beta
+    assert abs(r.ttr - round(5 / 10, 6)) < 1e-9
+    assert (r.top_term, r.top_term_n) == ("aaa", 3)
