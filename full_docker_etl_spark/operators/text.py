@@ -507,12 +507,32 @@ def nb_quality_classifier(
     Returns (doc_id, n_tokens, log_odds, pred_pos) for every doc with
     ≥ 1 token; ``log_odds`` rounded to 4 decimals (the repo's AVG/SUM
     determinism rule) and ``pred_pos`` derived from the ROUNDED value
-    so the oracle's boundary decisions match bit-for-bit."""
+    so the oracle's boundary decisions match bit-for-bit.
+
+    Composition of :func:`nb_train` + :func:`nb_score` — self-trained
+    on the scored corpus, so every token hits the word-odds table and
+    the OOV default never fires; serving the frozen model on OTHER
+    data (e.g. a stream — see ``stream_model_scores``) is the same
+    :func:`nb_score` call where the default does the work."""
+    return nb_score(df, text_col, id_col, *nb_train(df, text_col, label_col))
+
+
+def nb_train(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the NB/fastText-surrogate model (see
+    :func:`nb_quality_classifier`): returns ``(odds, scalars)`` —
+    ``odds`` is the vocab-sized (w, lo) log-odds table, ``scalars`` is
+    ONE row (lp = smoothed class-prior log-odds, oov_lo = the
+    smoothed zero-count log-odds an unseen token scores at serve
+    time). Both are plain DataFrames: persist them with the ordinary
+    sink path and the model is a frozen, versionable artifact."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     tok = (
         df.where(F.col(text_col).isNotNull())
         .select(
-            F.col(id_col).alias("doc_id"),
             F.col(label_col).cast("int").alias("y"),
             F.explode(toks).alias("w"),
         )
@@ -546,17 +566,51 @@ def nb_quality_classifier(
             - F.log((F.col("c_neg") + 1.0) / (F.col("tot_neg") + F.col("v")))
         ).alias("lo"),
     )
+    scalars = prior.crossJoin(F.broadcast(tots)).select(
+        "lp",
+        (
+            F.log(F.lit(1.0) / (F.col("tot_pos") + F.col("v")))
+            - F.log(F.lit(1.0) / (F.col("tot_neg") + F.col("v")))
+        ).alias("oov_lo"),
+    )
+    return odds, scalars
+
+
+def nb_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    odds: DataFrame,
+    scalars: DataFrame,
+) -> DataFrame:
+    """Score documents under a FROZEN :func:`nb_train` model: token
+    left-join against the word-odds table (unseen tokens take the
+    smoothed zero-count default ``oov_lo``), per-doc sum plus the
+    class prior. Pure join + aggregate — the same code path serves a
+    batch backfill and a foreachBatch micro-batch, and at 100 TB it
+    is one vocab-sized shuffle join per scored corpus."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
+    )
     scored = (
-        tok.join(odds, "w")
+        tok.join(odds, "w", "left")
+        .crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lo").alias("slo"))
-        .crossJoin(F.broadcast(prior))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.coalesce(F.col("lo"), F.col("oov_lo")))
+                + F.first("lp")
+            ).alias("raw"),
+        )
     )
     return scored.select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("slo") + F.col("lp"), 4).alias("log_odds"),
-        (F.round(F.col("slo") + F.col("lp"), 4) > 0).alias("pred_pos"),
+        F.round("raw", 4).alias("log_odds"),
+        (F.round("raw", 4) > 0).alias("pred_pos"),
     )
 
 

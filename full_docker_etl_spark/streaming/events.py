@@ -283,3 +283,42 @@ def stream_grain_refresh(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_model_scores(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    odds: DataFrame,
+    scalars: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Serve a FROZEN offline-trained quality model on the ingest
+    stream — the production split every LLM pipeline runs: nb_train
+    on yesterday's corpus (batch), nb_score on today's firehose.
+    foreachBatch applies the SAME nb_score used by the batch backfill
+    (stream ≡ batch by construction — per-doc scoring is stateless
+    given the model), with the frozen model's word-odds join and OOV
+    default doing the work for tokens the training corpus never saw.
+
+    Exactly-once: each epoch writes ``out_dir/epoch=<id>`` with
+    overwrite, so a replayed micro-batch rewrites its own partition
+    instead of duplicating scores. Returns the started query (caller
+    awaits termination; tests use AvailableNow)."""
+    from full_docker_etl_spark.operators.text import nb_score
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        nb_score(batch_df, "text", "doc_id", odds, scalars).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/epoch={epoch_id}")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(source_dir)
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

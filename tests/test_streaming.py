@@ -920,3 +920,62 @@ def test_stream_grain_refresh_moved_key_scrubs_old_period(spark):
     assert not os.path.exists(
         os.path.join(grain, "agg_type=day", "period_bucket=2024-02")
     )
+
+
+def test_stream_model_scores_frozen_model_with_oov(spark):
+    """Train-offline/score-on-stream: an NB model trained on batch-0
+    docs scores a two-batch stream; streamed scores must equal the
+    batch nb_score over the union, and a batch-1 doc made entirely of
+    tokens UNSEEN in training must land exactly at n·oov_lo + prior
+    (the frozen model's OOV default, not a drop or a null)."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.text import nb_score, nb_train
+    from full_docker_etl_spark.streaming.events import stream_model_scores
+
+    train_rows = [
+        (0, "wiki cite ref wiki cite", 1),
+        (1, "wiki ref cite wiki wiki", 1),
+        (2, "spam click buy spam buy", 0),
+        (3, "buy spam click click buy", 0),
+    ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string, y int"
+    )
+    odds, scalars = nb_train(train, "text", "y")
+    odds = odds.cache()
+    scalars = scalars.cache()
+
+    b0 = [(10, "wiki cite spam"), (11, "buy buy wiki")]
+    b1 = [(12, "zz qq zz"), (13, "cite cite zz")]  # doc 12 is all-OOV
+    d = tempfile.mkdtemp(prefix="fde_serve_") + "/docs"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b0, schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(b1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    out = tempfile.mkdtemp(prefix="fde_serve_out_")
+    chk = tempfile.mkdtemp(prefix="fde_serve_chk_")
+    q = stream_model_scores(spark, d, schema, odds, scalars, out, chk)
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.log_odds, r.pred_pos)
+        for r in spark.read.parquet(out).collect()
+    }
+    both = spark.createDataFrame(b0 + b1, schema)
+    want = {
+        r.doc_id: (r.n_tokens, r.log_odds, r.pred_pos)
+        for r in nb_score(both, "text", "doc_id", odds, scalars).collect()
+    }
+    assert got == want and set(got) == {10, 11, 12, 13}
+    sc = scalars.collect()[0]
+    assert got[12][1] == round(3 * sc.oov_lo + sc.lp, 4)
+
+    odds.unpersist()
+    scalars.unpersist()
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
