@@ -1099,10 +1099,30 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curate_domains",
-    oracle="""
-      WITH u AS (
+def _synth_url() -> F.Column:
+    """The deterministic URL derived from (source, doc_id) — the
+    documents table carries no URL column, so the domain-curation
+    queries synthesize one exercising every normalization rule
+    (mixed-case scheme/host, alternating www. prefixes and ports).
+    Keep in lockstep with ``_SYNTH_URL_SQL``."""
+    return F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("HTTPS://")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.expr("concat(upper(substring(source, 1, 1)), substring(source, 2))"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/a/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+# host-curation CTE block shared by curate_domains and the capstone
+# pipeline oracle: synth URL -> normalized host -> blocklist -> quota
+# rank; ends with CTE q{quota} = the surviving (doc_id, host, ranks).
+_CURATE_HOST_SQL = """
+      u AS (
         SELECT doc_id,
                (CASE CAST(doc_id % 3 AS INT)
                   WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
@@ -1128,9 +1148,16 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS host_rank,
                CAST(COUNT(*) OVER (PARTITION BY host)
                     AS BIGINT) AS n_host_docs
-        FROM f)
-      SELECT doc_id, host, host_rank, n_host_docs
-      FROM r WHERE host_rank <= 15
+        FROM f),
+      q AS (SELECT doc_id, host, host_rank, n_host_docs
+            FROM r WHERE host_rank <= 15)"""
+
+
+@query(
+    "curate_domains",
+    oracle=f"""
+      WITH {_CURATE_HOST_SQL}
+      SELECT doc_id, host, host_rank, n_host_docs FROM q
     """,
 )
 def curate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,19 +1185,8 @@ def curate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    url = F.concat(
-        F.when(F.col("doc_id") % 3 == 0, F.lit("https://"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("http://"))
-        .otherwise(F.lit("HTTPS://")),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.expr("concat(upper(substring(source, 1, 1)), substring(source, 2))"),
-        F.lit(".Example.COM"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit(":8443")).otherwise(F.lit("")),
-        F.lit("/a/"),
-        F.col("doc_id").cast("string"),
-    )
     hosts = docs.select(
-        "doc_id", normalized_host(url).alias("host")
+        "doc_id", normalized_host(_synth_url()).alias("host")
     )
     blocked = spark.createDataFrame(
         [("src17.example.com",), ("src18.example.com",)], "host string"
@@ -1178,6 +1194,109 @@ def curate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = blocklist_filter(hosts, "host", blocked)
     return host_quota_cap(kept, "host", [("doc_id", True)], quota=15).select(
         "doc_id", "host", "host_rank", "n_host_docs"
+    )
+
+
+@query(
+    "pipeline_curate_llm",
+    oracle=f"""
+      WITH {_CURATE_HOST_SQL},
+      s0 AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+      t AS (SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM s0 WHERE text IS NOT NULL),
+      tok AS (SELECT doc_id, y, unnest(toks) AS w FROM t),
+      cw AS (SELECT w, SUM(y) AS c_pos, COUNT(*) - SUM(y) AS c_neg
+             FROM tok GROUP BY w),
+      tots AS (SELECT SUM(y) AS tot_pos, COUNT(*) - SUM(y) AS tot_neg,
+                      COUNT(DISTINCT w) AS v
+               FROM tok),
+      prior AS (SELECT ln((SUM(y) + 1.0) / (COUNT(*) - SUM(y) + 1.0)) AS lp
+                FROM t),
+      odds AS (SELECT w,
+                      ln((c_pos + 1.0) / (tot_pos + v))
+                        - ln((c_neg + 1.0) / (tot_neg + v)) AS lo
+               FROM cw CROSS JOIN tots),
+      sc AS (SELECT tok.doc_id,
+                    ROUND(SUM(lo) + ANY_VALUE(lp), 4) > 0 AS pred
+             FROM tok JOIN odds USING (w) CROSS JOIN prior
+             GROUP BY tok.doc_id),
+      g AS (SELECT s0.* FROM s0 JOIN sc ON sc.doc_id = s0.doc_id
+            WHERE sc.pred),
+      d2 AS (SELECT source,
+                    len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+             FROM g WHERE text IS NOT NULL),
+      gg AS (SELECT source, CAST(SUM(ntok) AS DOUBLE) AS avail
+             FROM d2 GROUP BY source),
+      tt AS (SELECT source, avail,
+                    SUM(avail) OVER () AS tot,
+                    POW(avail, 0.5) / SUM(POW(avail, 0.5)) OVER () AS w
+             FROM gg),
+      pp AS (SELECT source, avail, w,
+                    0.5 * tot * w AS target,
+                    LEAST(2.0, 0.5 * tot * w / avail) AS epochs
+             FROM tt)
+      SELECT source,
+             CAST(avail AS BIGINT) AS avail_tokens,
+             ROUND(w, 6) AS weight,
+             ROUND(target, 4) AS target_tokens,
+             ROUND(epochs, 6) AS epochs,
+             ROUND(epochs * avail, 4) AS planned_tokens,
+             ROUND(epochs * avail / SUM(epochs * avail) OVER (), 6)
+               AS achieved_share
+      FROM pp
+    """,
+)
+def pipeline_curate_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-era CAPSTONE curation pipeline — this round's stages
+    composed the way a pretraining-data recipe chains them: URL/host
+    curation (normalize → blocklist → 15-doc host quota, the C4/CCNet
+    pre-filter) → TRAINED quality gate (NB classifier trained on the
+    quota survivors with the lang='en' target seed; only
+    predicted-positive docs pass — the GPT-3 classifier-filter step)
+    → token-budget mixture plan over the curated corpus (α = 0.5,
+    half-corpus budget, 2-epoch cap). Output = the per-source
+    allocation table a training run would consume. Every stage is the
+    SAME operator its standalone query pins (curate_domains,
+    text_quality_classifier, sample_token_budget); the oracle replays
+    the full composition in SQL, so the driver value-checks the
+    chain end to end — including the gate's effect on the final
+    allocations."""
+    from full_docker_etl_spark.operators.curation import (
+        blocklist_filter,
+        host_quota_cap,
+        normalized_host,
+    )
+    from full_docker_etl_spark.operators.sampling import token_budget_plan
+    from full_docker_etl_spark.operators.text import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select("doc_id", normalized_host(_synth_url()).alias("host"))
+    blocked = spark.createDataFrame(
+        [("src17.example.com",), ("src18.example.com",)], "host string"
+    )
+    capped = host_quota_cap(
+        blocklist_filter(hosts, "host", blocked),
+        "host",
+        [("doc_id", True)],
+        quota=15,
+    )
+    survivors = docs.join(capped.select("doc_id"), "doc_id")
+    model = nb_train(
+        survivors.withColumn("y", (F.col("lang") == "en").cast("int")),
+        "text",
+        "y",
+    )
+    passed = nb_score(survivors, "text", "doc_id", *model).where("pred_pos")
+    gated = survivors.join(passed.select("doc_id"), "doc_id")
+    with_tokens = gated.where(F.col("text").isNotNull()).select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok"),
+    )
+    return token_budget_plan(
+        with_tokens, "source", "ntok",
+        budget_frac=0.5, alpha=0.5, max_epochs=2.0,
     )
 
 
