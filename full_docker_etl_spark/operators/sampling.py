@@ -469,9 +469,16 @@ def dsir_importance(
     src_g = grams(source)
     # per-(doc, bucket) counts: the corpus-side combine that both the
     # source model AND the scoring pass reuse — one wide child, two
-    # cheap parents
-    doc_feats = src_g.groupBy("_did", "_bkt").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # cheap parents. MATERIALIZED once (eager localCheckpoint): the
+    # two parents' canonical plans diverge past Spark's ReuseExchange
+    # (measured: zero ReusedExchange, the explode+combine ran twice),
+    # and this frame is the DSIR paper's feature matrix — the thing a
+    # production run persists anyway. Released by the bench/session
+    # sweep; one-shot callers hold it for the query's lifetime only.
+    doc_feats = (
+        src_g.groupBy("_did", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
     )
     src_counts = doc_feats.groupBy("_bkt").agg(F.sum("_cnt").alias("_cq"))
     tgt_counts = grams(target).groupBy("_bkt").agg(
