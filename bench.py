@@ -53,9 +53,22 @@ def main() -> int:
     specs["global_count"].fn(spark, sf_dir).count()
     # also prime the Python worker pool + Arrow serialization path:
     # the first pandas_udf/mapInPandas stage otherwise pays worker
-    # fork + import cost inside whichever timed query hits it first
+    # fork + import cost inside whichever timed query hits it first.
+    # Import the heavy per-worker modules while we're in there: lxml
+    # alone costs ~4-5 s across 32 workers and previously landed on
+    # xbrl_metrics (the alphabetically-first lxml user), reading as a
+    # 3x regression of a 1.4 s query.
+    def _prime(it):
+        import zlib  # noqa: F401  (text_compression)
+
+        try:
+            import lxml.etree  # noqa: F401  (xbrl, zip_xml_ingest)
+        except ImportError:
+            pass
+        yield from it
+
     spark.range(cpus, numPartitions=cpus).mapInPandas(
-        lambda it: it, "id long"
+        _prime, "id long"
     ).count()
     # and prime the heavyweight JVM operator classes on a tiny range:
     # the session's first ObjectHashAggregate (percentile), KLL /
