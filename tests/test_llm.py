@@ -1651,3 +1651,41 @@ def test_bpe_merge_table_early_stop_and_validation(spark):
 
     with pytest.raises(ValueError, match="k"):
         bpe_merge_table(df, "text", 0)
+
+
+def test_new_operators_degenerate_shapes(spark):
+    """Degenerate inputs must not crash or mis-score: a single-CLASS
+    corpus still classifies (smoothed odds, all predicted positive);
+    a single-GROUP budget plan gets weight 1 and planned == target;
+    an all-null corpus yields an EMPTY census and an empty BPE table."""
+    from full_docker_etl_spark.operators.profile import corpus_stats
+    from full_docker_etl_spark.operators.sampling import token_budget_plan
+    from full_docker_etl_spark.operators.text import (
+        bpe_merge_table,
+        nb_quality_classifier,
+    )
+
+    one_class = spark.createDataFrame(
+        [(0, "wiki cite", 1), (1, "wiki ref", 1)],
+        "doc_id long, text string, y int",
+    )
+    got = {r.doc_id: r.pred_pos for r in
+           nb_quality_classifier(one_class, "text", "doc_id", "y").collect()}
+    assert got == {0: True, 1: True}  # prior ln(3/1) > 0, odds ~ ln(v)
+
+    one_group = spark.createDataFrame(
+        [("a", 100), ("a", 200)], "source string, ntok long"
+    )
+    r = token_budget_plan(
+        one_group, "source", "ntok", budget_frac=0.5, alpha=0.5,
+        max_epochs=2.0,
+    ).collect()[0]
+    assert r.weight == 1.0 and r.epochs == 0.5
+    assert r.planned_tokens == r.target_tokens == 150.0
+    assert r.achieved_share == 1.0
+
+    nulls = spark.createDataFrame(
+        [(0, None), (1, None)], "doc_id long, text string"
+    )
+    assert corpus_stats(nulls, "text", "doc_id").count() == 0
+    assert bpe_merge_table(nulls, "text", 2).count() == 0
