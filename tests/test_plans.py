@@ -327,3 +327,36 @@ def test_zorder_scan_pushes_both_predicates_to_files(spark, sf_dir):
     assert "EqualTo(user_id" in squeezed, plan
     assert "GreaterThanOrEqual(ts" in squeezed, plan
     assert "LessThan(ts" in squeezed, plan
+
+
+def test_curate_domains_blocklist_is_broadcast_anti(spark, sf_dir):
+    """The blocklist must ride the scan as a broadcast anti-join —
+    a shuffled anti would move the whole corpus for a 10³-host list."""
+    plan = plan_of(spark, sf_dir, "curate_domains")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_token_budget_single_scan(spark, sf_dir):
+    """The mixture planner reduces the corpus with ONE scan; the
+    α-weights/targets/shares are windows over the #groups frame."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "sample_token_budget")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_profile_corpus_top_term_is_take_ordered(spark, sf_dir):
+    """The modal term must compile to TakeOrderedAndProject, not a
+    global sort of the vocabulary."""
+    plan = plan_of(spark, sf_dir, "profile_corpus")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_classifier_scalars_are_broadcast(spark, sf_dir):
+    """The NB classifier's totals/prior scalars must broadcast back
+    onto the token frame (BroadcastNestedLoopJoin of one-row frames),
+    never shuffle-join it."""
+    plan = plan_of(spark, sf_dir, "text_quality_classifier")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
