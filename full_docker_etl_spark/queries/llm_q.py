@@ -1,7 +1,11 @@
 """Registered queries for the LLM-data-pipeline operators: dedup
-(exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
-(brute-force + LSH-bucketed ANN), text analysis, and multimodal
-metadata — over the ``documents`` / ``embeddings`` testdata tables.
+(exact / n-gram Jaccard / MinHash-LSH / SimHash / substring-level /
+SemDeDup embedding clusters), similarity search (brute-force +
+IVF/SQ/PQ/LSH ANN with recall verdicts), text analysis (lang-ID,
+quality heuristics, LM perplexity, trained NB classifier, BPE merge
+learning, decontamination), domain curation, DSIR selection, and
+multimodal metadata — over the ``documents`` / ``embeddings``
+testdata tables.
 
 MinHash/SimHash/LSH use engine-internal hash functions (xxhash64), so
 they register rows-only checks; everything else is oracle-checked.
