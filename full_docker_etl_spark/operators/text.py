@@ -714,3 +714,66 @@ def bpe_merge_table(df: DataFrame, text_col: str, k: int) -> DataFrame:
         "round int, left string, right string, merged string, "
         "pair_count long",
     )
+
+
+def bpe_tokenize(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Apply a corpus-LEARNED BPE vocabulary (:func:`bpe_merge_table`,
+    first ``k`` merges) back to the corpus — the second half of the
+    tokenizer-prep story, and the honest way to count training tokens
+    under the vocab that will actually tokenize them (the whitespace
+    and regex counters over-estimate once merges exist). Returns per
+    doc (doc_id, n_words, n_bpe_tokens, bpe_ratio) with bpe_ratio =
+    n_bpe_tokens / n_words rounded to 4 dp (≥ 1; 1.0 means every word
+    became a single token).
+
+    Scale shape: learning is :func:`bpe_merge_table` (one wordcount
+    shuffle + k bounded argmaxes); application is a map-LOCAL chain of
+    k greedy folds over each word occurrence — zero shuffle beyond the
+    final per-doc combine. (The alternative — join occurrences against
+    the segmented word-TYPE table — trades that map work for a
+    vocab-sized shuffle join; the fold wins while k is small, the join
+    wins for a full 30k-merge vocab. This operator demonstrates the
+    fold path; the type table from the learner is the join path's
+    input.)"""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_merge_table(df, text_col, k)
+        .orderBy("round")
+        .collect()
+    ]
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    syms = F.split(F.col("w"), r"(?!^)(?=.)")
+    for left, right in merges:
+        lt, rt = F.lit(left), F.lit(right)
+        syms = F.aggregate(
+            syms,
+            F.expr("array()").cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lt)
+                & (x == rt),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    per_word = words.select("doc_id", F.size(syms).alias("_n"))
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("_n").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("_n") / F.count(F.lit(1)), 4
+        ).alias("bpe_ratio"),
+    )

@@ -414,6 +414,42 @@ _BPE_ORACLE = (
 )
 
 
+_BPE_TOKENIZE_ORACLE = (
+    """
+      WITH r0 AS (
+        SELECT w, COUNT(*) AS freq, regexp_split_to_array(w, '') AS syms
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents WHERE text IS NOT NULL)
+        WHERE len(w) > 0 GROUP BY w),"""
+    + ",".join(_bpe_round_sql(n) for n in range(1, _BPE_K + 1))
+    + f""",
+      w2 AS (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+             FROM documents WHERE text IS NOT NULL),
+      w3 AS (SELECT doc_id, w FROM w2 WHERE len(w) > 0),
+      j AS (SELECT w3.doc_id, len(r{_BPE_K}.syms) AS n
+            FROM w3 JOIN r{_BPE_K} ON r{_BPE_K}.w = w3.w)
+      SELECT doc_id, COUNT(*) AS n_words,
+             CAST(SUM(n) AS BIGINT) AS n_bpe_tokens,
+             ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS bpe_ratio
+      FROM j GROUP BY doc_id"""
+)
+
+
+@query("text_bpe_tokenize", oracle=_BPE_TOKENIZE_ORACLE)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-learned BPE vocabulary (first 3 merges) back
+    to every document — the honest per-doc token count under the
+    vocab that will actually tokenize the corpus, completing the
+    tokenizer-prep pair with text_bpe_merges (learn → apply). The
+    oracle re-learns the same merges via the unrolled rounds, joins
+    every word occurrence to its segmented type, and value-checks
+    each doc's word/BPE-token counts and ratio."""
+    from full_docker_etl_spark.operators.text import bpe_tokenize
+
+    return bpe_tokenize(_docs(spark, sf_dir), "text", "doc_id", _BPE_K)
+
+
 @query("text_bpe_merges", oracle=_BPE_ORACLE)
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep: the first 3 BPE merges learned from the corpus

@@ -1689,3 +1689,40 @@ def test_new_operators_degenerate_shapes(spark):
     )
     assert corpus_stats(nulls, "text", "doc_id").count() == 0
     assert bpe_merge_table(nulls, "text", 2).count() == 0
+
+
+def test_bpe_tokenize_matches_reference_segmentation(spark):
+    """Applying the learned merges must count exactly what the naive
+    reference's final segmentation counts, per doc; a fully-merged
+    word reaches ratio contributions of 1 token."""
+    from full_docker_etl_spark.operators.text import bpe_tokenize
+
+    texts = ["low low lower", "new newer new", "low new"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.bpe_ratio)
+        for r in bpe_tokenize(df, "text", "doc_id", 4).collect()
+    }
+    # reference: learn 4 merges on the same corpus, segment, count
+    merges = _bpe_reference(texts, 4)
+    segs = {}
+    for t in texts:
+        for w in t.split():
+            segs.setdefault(w, list(w))
+    for _, l, r, _, _ in merges:
+        for w, s in segs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            segs[w] = out
+    want = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        nb = sum(len(segs[w]) for w in ws)
+        want[i] = (len(ws), nb, round(nb / len(ws), 4))
+    assert got == want
