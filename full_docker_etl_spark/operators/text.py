@@ -777,3 +777,24 @@ def bpe_tokenize(
             F.sum("_n") / F.count(F.lit(1)), 4
         ).alias("bpe_ratio"),
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """Text NORMALIZATION — the CCNet/C4 cleanup pass that runs before
+    any hashing or tokenization (dedup keys and shingles are only
+    stable if formatting jitter is removed first): control/format
+    characters → space, curly quotes → straight, en/em dashes → '-',
+    ellipsis → '...', whitespace runs collapsed to single spaces,
+    ends trimmed. One chain of regexp_replace built-ins — map-local,
+    whole-stage codegen, identical semantics available in ANSI SQL
+    (DuckDB needs the explicit 'g' flag; Spark replaces globally by
+    default). Compose with :func:`fingerprint` (which additionally
+    lowercases) for normalization-invariant dedup keys."""
+    s = F.regexp_replace(
+        col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", " "
+    )
+    s = F.regexp_replace(s, "[‘’‚]", "'")
+    s = F.regexp_replace(s, "[“”„]", '"')
+    s = F.regexp_replace(s, "[–—]", "-")
+    s = F.regexp_replace(s, "…", "...")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))

@@ -465,6 +465,90 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize",
+    oracle="""
+      WITH noisy AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0
+                     THEN chr(8220) || chr(9) || ' '
+                          || replace(text, ' ', '  ')
+                          || chr(8221) || chr(8230)
+                     WHEN doc_id % 3 = 1
+                     THEN chr(8216) || text || chr(8217)
+                          || chr(8212) || 'end'
+                     ELSE text END) AS raw
+        FROM documents WHERE text IS NOT NULL),
+      n AS (
+        SELECT doc_id, raw,
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(raw,
+                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                         ' ', 'g'),
+                       '[' || chr(8216) || chr(8217) || chr(8218) || ']',
+                       chr(39), 'g'),
+                     '[' || chr(8220) || chr(8221) || chr(8222) || ']',
+                     chr(34), 'g'),
+                   '[' || chr(8211) || chr(8212) || ']', '-', 'g'),
+                 '\\s+', ' ', 'g')) AS norm0
+        FROM noisy),
+      n2 AS (SELECT doc_id, raw,
+                    replace(norm0, chr(8230), '...') AS norm
+             FROM n)
+      SELECT doc_id, norm AS norm_text,
+             (norm <> raw) AS changed,
+             length(raw) AS n_chars_raw,
+             length(norm) AS n_chars_norm
+      FROM n2
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (the CCNet/C4 cleanup pass) over a corpus
+    with DETERMINISTIC noise injected per doc_id — curly quotes, tabs,
+    doubled spaces, em-dashes, ellipses — because the synthetic texts
+    are already clean and a no-op normalization would test nothing.
+    The oracle rebuilds the same noise and the same rule chain (quote
+    and dash folding, control-char strip, whitespace collapse, trim),
+    so the driver value-checks every normalized string to the byte.
+    Mirrors operators/text.py:normalize_text rule for rule (the
+    ellipsis fold rides a plain replace in SQL — DuckDB's RE2 has no
+    single-codepoint issue, the split just keeps the regex chains
+    identical)."""
+    from full_docker_etl_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("“\t "),
+                F.regexp_replace(F.col("text"), " ", "  "),
+                F.lit("”…"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("‘"), F.col("text"),
+                F.lit("’—end"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+    return noisy.select(
+        "doc_id",
+        normalize_text(F.col("raw")).alias("norm_text"),
+        (normalize_text(F.col("raw")) != F.col("raw")).alias("changed"),
+        F.length("raw").alias("n_chars_raw"),
+        F.length(normalize_text(F.col("raw"))).alias("n_chars_norm"),
+    )
+
+
+@query(
     "text_quality_classifier",
     oracle="""
       WITH t AS (SELECT doc_id,

@@ -50,22 +50,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rows-only sketches displaced in round 10 whose last external sample ran
 # on round-5 code (ann_ivf_serve, ann_ivf_topk, ann_lsh_topk,
 # dedup_embedding, dedup_minhash — the stalest evidence in the registry);
-# THEN 23 of the 37 round-6-stale rows (the remaining fourteen —
-# profile_histogram, profile_skew, profile_table,
-# sample_epoch_shuffle, sample_negatives, sample_temperature_mix,
-# sample_temperature_upsample, text_bm25, text_pii_scrub,
-# win_rank_family, win_time_range, xbrl_metrics, xlsx_scan,
-# dedup_simhash — lead the post-boundary tail and re-enter round 12;
-# dedup_simhash sorts last within the tier because it is rows-only
-# and its oracle-checked sibling dedup_simhash_recall is pinned
-# below); THEN every *_recall/*_consistency/*_verdict row (13
+# THEN 22 of the 37 round-6-stale rows (the remaining fifteen —
+# profile_correlations, profile_histogram, profile_skew,
+# profile_table, sample_epoch_shuffle, sample_negatives,
+# sample_temperature_mix, sample_temperature_upsample, text_bm25,
+# text_pii_scrub, win_rank_family, win_time_range, xbrl_metrics,
+# xlsx_scan, dedup_simhash — lead the post-boundary tail and re-enter
+# round 12; dedup_simhash sorts last within the tier because it is
+# rows-only and its oracle-checked sibling dedup_simhash_recall is
+# pinned below); THEN every *_recall/*_consistency/*_verdict row (13
 # including the new dedup_semantic_verdict, pinned in EVERY window —
 # they are the oracle-checked external evidence for the rows-only
-# sketch queries); THEN the ten zero-evidence queries registered
+# sketch queries); THEN the eleven zero-evidence queries registered
 # this round (dedup_semantic, curate_domains, sample_importance_dsir,
 # text_quality_classifier, sample_token_budget, text_bpe_merges,
-# profile_corpus, pipeline_curate_llm, text_bpe_tokenize close the
-# window alongside the pinned dedup_semantic_verdict).
+# profile_corpus, pipeline_curate_llm, text_bpe_tokenize,
+# text_normalize close the window alongside the pinned
+# dedup_semantic_verdict).
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -98,7 +99,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize",
     "pipeline_curate",
-    "profile_correlations",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -121,7 +121,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "profile_corpus",
     "pipeline_curate_llm",
     "text_bpe_tokenize",
+    "text_normalize",
     # ---- window boundary (50) ----
+    "profile_correlations",
     "profile_histogram",
     "profile_skew",
     "profile_table",

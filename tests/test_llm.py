@@ -1726,3 +1726,30 @@ def test_bpe_tokenize_matches_reference_segmentation(spark):
         nb = sum(len(segs[w]) for w in ws)
         want[i] = (len(ws), nb, round(nb / len(ws), 4))
     assert got == want
+
+
+def test_normalize_text_rules(spark):
+    """Each normalization rule pinned: control chars → space, curly
+    quotes → straight, dashes folded, ellipsis expanded, whitespace
+    collapsed and trimmed; already-clean text is a fixed point."""
+    from full_docker_etl_spark.operators.text import normalize_text
+
+    rows = [
+        (0, "a\x00b\tc\x1fd"),
+        (1, "‘quoted’ and “double„"),
+        (2, "dash–en dash—em … tail"),
+        (3, "  spaced   out  "),
+        (4, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got[0] == "a b c d"
+    assert got[1] == "'quoted' and \"double\""
+    assert got[2] == "dash-en dash-em ... tail"
+    assert got[3] == "spaced out"
+    assert got[4] == "already clean"
