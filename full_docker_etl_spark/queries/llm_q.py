@@ -2423,6 +2423,64 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audit_split_contamination",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    array_to_string(toks[i:i+4], ' ') AS shingle
+             FROM t, LATERAL (SELECT unnest(generate_series(
+                        1, greatest(len(toks)-4, 0))) AS i) g),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+      hits AS (SELECT doc_id, COUNT(*) AS n_hits
+               FROM corp JOIN bench USING (shingle) GROUP BY 1),
+      sp AS (SELECT doc_id,
+                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                              <= 'b' THEN 'train'
+                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                              IN ('c','d') THEN 'val'
+                         ELSE 'test' END AS split
+             FROM documents WHERE doc_id % 97 <> 0)
+      SELECT sp.split,
+             COUNT(*) AS n_docs,
+             COUNT(hits.doc_id) AS n_contaminated,
+             CAST(COALESCE(SUM(hits.n_hits), 0) AS BIGINT) AS n_hits,
+             ROUND(CAST(COUNT(hits.doc_id) AS DOUBLE) / COUNT(*), 6)
+               AS contamination_rate
+      FROM sp LEFT JOIN hits USING (doc_id)
+      GROUP BY sp.split
+    """,
+)
+def audit_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE-GATE audit every training-data drop runs before
+    shipping: per train/val/test split, how many docs share any
+    5-gram with the held-out benchmark slice, total overlapping
+    n-grams, and the contamination rate — decontamination
+    (text_decontaminate) tells you WHICH docs leak; this tells you
+    whether a SPLIT is shippable. Composes the same contamination and
+    hash-split operators their standalone queries pin; the oracle
+    replays both plus the rollup, value-checking the gate numbers."""
+    from full_docker_etl_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    hits = tx.contamination_hits(corpus, bench, "text", "doc_id", n=5)
+    split = hash_split(corpus, "doc_id").select("doc_id", "split")
+    joined = split.join(hits, "doc_id", "left")
+    return joined.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_hits").alias("n_contaminated"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.count("n_hits").cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination_rate"),
+    )
+
+
+@query(
     "text_bm25",
     oracle="""
       WITH toks AS (SELECT doc_id,
