@@ -729,14 +729,15 @@ def bpe_tokenize(
     became a single token).
 
     Scale shape: learning is :func:`bpe_merge_table` (one wordcount
-    shuffle + k bounded argmaxes); application is a map-LOCAL chain of
-    k greedy folds over each word occurrence — zero shuffle beyond the
-    final per-doc combine. (The alternative — join occurrences against
-    the segmented word-TYPE table — trades that map work for a
-    vocab-sized shuffle join; the fold wins while k is small, the join
-    wins for a full 30k-merge vocab. This operator demonstrates the
-    fold path; the type table from the learner is the join path's
-    input.)"""
+    shuffle + k bounded argmaxes); application segments each DISTINCT
+    word once — the k greedy folds run on the vocab-sized TYPE table,
+    not per occurrence (higher-order array lambdas are interpreted,
+    not codegen'd: folding every occurrence cost ~5× the type path
+    even at bench scale, and the gap grows with the duplication
+    ratio) — then occurrences join the (word → token count) table,
+    which AQE broadcasts while the vocab is small and shuffle-joins
+    when it is not. One extra distinct shuffle buys fold work
+    proportional to |vocab| instead of |corpus|."""
     merges = [
         (r["left"], r["right"])
         for r in bpe_merge_table(df, text_col, k)
@@ -753,6 +754,7 @@ def bpe_tokenize(
         )
         .where(F.length("w") > 0)
     )
+    types = words.select("w").distinct()
     syms = F.split(F.col("w"), r"(?!^)(?=.)")
     for left, right in merges:
         lt, rt = F.lit(left), F.lit(right)
@@ -769,7 +771,8 @@ def bpe_tokenize(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-    per_word = words.select("doc_id", F.size(syms).alias("_n"))
+    wt = types.select("w", F.size(syms).alias("_n"))
+    per_word = words.join(wt, "w").select("doc_id", "_n")
     return per_word.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("_n").alias("n_bpe_tokens"),
