@@ -2423,6 +2423,75 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_source_quality",
+    oracle="""
+      WITH t AS (SELECT doc_id, source,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+      tok AS (SELECT doc_id, y, unnest(toks) AS w FROM t),
+      cw AS (SELECT w, SUM(y) AS c_pos, COUNT(*) - SUM(y) AS c_neg
+             FROM tok GROUP BY w),
+      tots AS (SELECT SUM(y) AS tot_pos, COUNT(*) - SUM(y) AS tot_neg,
+                      COUNT(DISTINCT w) AS v
+               FROM tok),
+      prior AS (SELECT ln((SUM(y) + 1.0) / (COUNT(*) - SUM(y) + 1.0)) AS lp
+                FROM t),
+      odds AS (SELECT w,
+                      ln((c_pos + 1.0) / (tot_pos + v))
+                        - ln((c_neg + 1.0) / (tot_neg + v)) AS lo
+               FROM cw CROSS JOIN tots),
+      sc AS (SELECT tok.doc_id,
+                    ROUND(SUM(lo) + ANY_VALUE(lp), 4) AS log_odds
+             FROM tok JOIN odds USING (w) CROSS JOIN prior
+             GROUP BY tok.doc_id)
+      SELECT t.source,
+             COUNT(*) AS n_docs,
+             ROUND(CAST(SUM(CASE WHEN sc.log_odds > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS pos_share,
+             ROUND(quantile_cont(sc.log_odds, 0.1), 4) AS p10,
+             ROUND(quantile_cont(sc.log_odds, 0.5), 4) AS p50,
+             ROUND(quantile_cont(sc.log_odds, 0.9), 4) AS p90
+      FROM t JOIN sc USING (doc_id)
+      GROUP BY t.source
+    """,
+)
+def profile_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation ANALYTICS: the trained classifier's score distribution
+    per source — predicted-positive share and p10/p50/p90 of the
+    log-odds — the which-domains-are-low-quality report that decides
+    blocklists and per-source quotas (CCNet publishes exactly this
+    table per dump). Percentiles interpolate over the ROUNDED scores
+    (both engines see bit-identical 4-dp inputs, the classifier's own
+    parity contract), so the distribution numbers are engine-portable.
+    Composes nb_train/nb_score with the same seed the standalone
+    classifier query pins."""
+    from full_docker_etl_spark.operators.text import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    model = nb_train(
+        docs.withColumn("y", (F.col("lang") == "en").cast("int")),
+        "text",
+        "y",
+    )
+    scored = nb_score(docs, "text", "doc_id", *model)
+    joined = docs.select("doc_id", "source").join(scored, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.when(F.col("log_odds") > 0, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pos_share"),
+        F.round(F.expr("percentile(log_odds, 0.1)"), 4).alias("p10"),
+        F.round(F.expr("percentile(log_odds, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(log_odds, 0.9)"), 4).alias("p90"),
+    )
+
+
+@query(
     "audit_split_contamination",
     oracle="""
       WITH t AS (SELECT doc_id,

@@ -50,8 +50,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rows-only sketches displaced in round 10 whose last external sample ran
 # on round-5 code (ann_ivf_serve, ann_ivf_topk, ann_lsh_topk,
 # dedup_embedding, dedup_minhash — the stalest evidence in the registry);
-# THEN 21 of the 37 round-6-stale rows (the remaining sixteen —
-# pipeline_curate, profile_correlations, profile_histogram,
+# THEN 20 of the 37 round-6-stale rows (the remaining seventeen —
+# mm_resize, pipeline_curate, profile_correlations, profile_histogram,
 # profile_skew, profile_table, sample_epoch_shuffle, sample_negatives,
 # sample_temperature_mix, sample_temperature_upsample, text_bm25,
 # text_pii_scrub, win_rank_family, win_time_range, xbrl_metrics,
@@ -61,12 +61,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # pinned below); THEN every *_recall/*_consistency/*_verdict row (13
 # including the new dedup_semantic_verdict, pinned in EVERY window —
 # they are the oracle-checked external evidence for the rows-only
-# sketch queries); THEN the twelve zero-evidence queries registered
+# sketch queries); THEN the thirteen zero-evidence queries registered
 # this round (dedup_semantic, curate_domains, sample_importance_dsir,
 # text_quality_classifier, sample_token_budget, text_bpe_merges,
 # profile_corpus, pipeline_curate_llm, text_bpe_tokenize,
-# text_normalize, audit_split_contamination close the window
-# alongside the pinned dedup_semantic_verdict).
+# text_normalize, audit_split_contamination, profile_source_quality
+# close the window alongside the pinned dedup_semantic_verdict).
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -97,7 +97,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "jsonl_scan",
     "mm_features",
     "mm_frame_sample",
-    "mm_resize",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -122,7 +121,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_bpe_tokenize",
     "text_normalize",
     "audit_split_contamination",
+    "profile_source_quality",
     # ---- window boundary (50) ----
+    "mm_resize",
     "pipeline_curate",
     "profile_correlations",
     "profile_histogram",
