@@ -979,3 +979,97 @@ def test_stream_model_scores_frozen_model_with_oov(spark):
     scalars.unpersist()
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_ingest_loop_quota_then_score(spark):
+    """The production ingest loop end to end: per-host quota admission
+    (stateful, cross-batch) feeds frozen-model quality scoring inside
+    one foreachBatch sink — admitted docs recover their text from the
+    static corpus, get scored by the offline-trained NB model, and
+    land in per-epoch partitions. The composition must equal the
+    batch-mode pipeline: quota by (batch, doc_id) arrival order, then
+    nb_score over exactly the admitted set."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.text import nb_score, nb_train
+    from full_docker_etl_spark.streaming.stateful import host_quota_admitter
+
+    corpus_rows = [
+        (0, "a", "wiki cite ref"), (1, "a", "spam click buy"),
+        (2, "b", "wiki wiki cite"), (3, "a", "cite ref wiki"),
+        (4, "b", "buy spam click"), (5, "a", "wiki cite cite"),
+        (6, "b", "ref ref wiki"), (7, "c", "spam buy click"),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, host string, text string"
+    )
+    train = corpus.withColumn(
+        "y", (F.col("text").contains("wiki")).cast("int")
+    )
+    odds, scalars = nb_train(train, "text", "y")
+    odds = odds.cache(); scalars = scalars.cache()
+
+    b0 = [(0, "a"), (1, "a"), (2, "b")]
+    b1 = [(3, "a"), (4, "b"), (5, "a"), (6, "b"), (7, "c")]
+    d = tempfile.mkdtemp(prefix="fde_ingest_") + "/arrivals"
+    schema = "doc_id long, host string"
+    spark.createDataFrame(b0, schema).repartition(1).write.mode(
+        "overwrite").parquet(d)
+    spark.createDataFrame(b1, schema).repartition(1).write.mode(
+        "append").parquet(d)
+
+    out = tempfile.mkdtemp(prefix="fde_ingest_out_")
+    texts = corpus.select("doc_id", "text")
+
+    def apply_batch(batch_df, epoch_id):
+        scored = nb_score(
+            batch_df.join(texts, "doc_id"), "text", "doc_id", odds, scalars
+        )
+        batch_df.join(scored, "doc_id").write.mode("overwrite").parquet(
+            f"{out}/epoch={epoch_id}"
+        )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    chk = tempfile.mkdtemp(prefix="fde_ingest_chk_")
+    q = (
+        host_quota_admitter(stream, quota=2)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.host, r.host_seq, r.log_odds, r.pred_pos)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch-mode reference: quota 2 per host in (batch, doc_id) order
+    arrival = [(b, i, h) for b, rows in enumerate([b0, b1]) for i, h in rows]
+    admitted, seen = {}, {}
+    for b, i, h in sorted(arrival):
+        if seen.get(h, 0) < 2:
+            seen[h] = seen.get(h, 0) + 1
+            admitted[i] = (h, seen[h])
+    want_scores = {
+        r.doc_id: (r.log_odds, r.pred_pos)
+        for r in nb_score(
+            corpus.where(F.col("doc_id").isin(list(admitted))),
+            "text", "doc_id", odds, scalars,
+        ).collect()
+    }
+    assert set(got) == set(admitted)
+    for i, (h, seq) in admitted.items():
+        assert got[i][:2] == (h, seq), (i, got[i])
+        assert got[i][2:] == want_scores[i], (i, got[i])
+    # host 'a' had 4 arrivals; only its first two slots admitted
+    assert 5 not in got and 3 not in got
+
+    odds.unpersist(); scalars.unpersist()
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
