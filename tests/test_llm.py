@@ -1753,3 +1753,31 @@ def test_normalize_text_rules(spark):
     assert got[2] == "dash-en dash-em ... tail"
     assert got[3] == "spaced out"
     assert got[4] == "already clean"
+
+
+def test_normalize_text_idempotent_on_adversarial_strings(spark):
+    """normalize(normalize(x)) == normalize(x), and the output never
+    contains control chars, curly punctuation, or doubled spaces —
+    checked over one batch of adversarial strings mixing every rule's
+    trigger characters at boundaries."""
+    import itertools
+    import re
+
+    from full_docker_etl_spark.operators.text import normalize_text
+
+    pieces = ["", " ", "\t", "\x00", "‘", "”", "–", "—", "…", "a", "b c"]
+    rows = [
+        (i, "".join(combo))
+        for i, combo in enumerate(itertools.product(pieces, repeat=3))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("n1"),
+        normalize_text(normalize_text(F.col("text"))).alias("n2"),
+    ).collect()
+    assert len(out) == len(pieces) ** 3
+    bad = re.compile(r"[\x00-\x1f\x7f‘’‚“”„–—…]|  |^ | $")
+    for r in out:
+        assert r.n1 == r.n2, (r.doc_id, r.n1, r.n2)
+        assert not bad.search(r.n1), (r.doc_id, repr(r.n1))
