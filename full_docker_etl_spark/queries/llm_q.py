@@ -408,7 +408,7 @@ _BPE_ORACLE = (
     + "\n"
     + "\nUNION ALL\n".join(
         f"""      SELECT {n} AS round, l AS "left", r AS "right",
-             l || r AS merged, c AS pair_count FROM best{n}"""
+             l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM best{n}"""
         for n in range(1, _BPE_K + 1)
     )
 )

@@ -60,10 +60,36 @@ def _rowset(cols, rows):
     )
 
 
+# DuckDB types whose pandas conversion differs from their fetchall()
+# conversion: the driver hashes oracle results through pandas, where
+# HUGEINT (e.g. SUM over BIGINT) and DECIMAL become float64/object and
+# render as "4568.0" against Spark's long "4568". fetchall() hands back
+# Python ints, so a fetchall-based gate is blind to the class — this
+# escaped as the r11 `text_bpe_merges` red row. Reject them outright;
+# oracles must CAST aggregates to BIGINT/DOUBLE explicitly.
+_HASH_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def assert_hash_safe_oracle(oracle: str, con) -> None:
+    """Fail if any oracle output column has a DuckDB type the driver's
+    pandas hash path renders differently from Spark (HUGEINT/DECIMAL)."""
+    rel = con.sql(oracle)
+    bad = [
+        f"{c}: {t}"
+        for c, t in zip(rel.columns, (str(t) for t in rel.types))
+        if any(t.startswith(u) for u in _HASH_UNSAFE_TYPES)
+    ]
+    assert not bad, (
+        "oracle emits driver-hash-unsafe column types (CAST them to "
+        f"BIGINT/DOUBLE in the SQL): {bad}"
+    )
+
+
 def compare_query(spark_df, oracle: str, con) -> None:
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = list(spark_df.columns)
 
+    assert_hash_safe_oracle(oracle, con)
     res = con.execute(oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()

@@ -41,6 +41,46 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         compare_query(df, spec.oracle, duck)
 
 
+def test_hash_unsafe_oracle_types_rejected(duck):
+    """The r11 escape: _BPE_ORACLE emitted `c AS pair_count` where c is
+    DuckDB SUM(BIGINT) → HUGEINT; fetchall() hands back a Python int so
+    the old gate passed, but the driver's pandas hash path rendered it
+    as 4568.0 vs Spark's 4568 (CORRECTNESS_r11 red row). The gate must
+    now reject uncast HUGEINT and DECIMAL oracle outputs outright."""
+    from tests.oracle_utils import assert_hash_safe_oracle
+
+    # the exact shape the old _BPE_ORACLE had: uncast SUM over BIGINT
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_hash_safe_oracle(
+            "SELECT SUM(CAST(o_orderkey AS BIGINT)) AS pair_count "
+            "FROM orders",
+            duck,
+        )
+    with pytest.raises(AssertionError, match="DECIMAL"):
+        assert_hash_safe_oracle(
+            "SELECT CAST(1 AS DECIMAL(10,2)) AS v", duck
+        )
+    # the fixed form passes
+    assert_hash_safe_oracle(
+        "SELECT CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) "
+        "AS pair_count FROM orders",
+        duck,
+    )
+
+
+def test_all_oracles_hash_safe(duck):
+    """Registry-wide sweep: no oracle may emit a column type the
+    driver's pandas hash path renders differently from Spark."""
+    from tests.oracle_utils import assert_hash_safe_oracle
+
+    for name, spec in sorted(SPECS.items()):
+        if spec.oracle is not None:
+            try:
+                assert_hash_safe_oracle(spec.oracle, duck)
+            except AssertionError as ex:
+                raise AssertionError(f"{name}: {ex}") from None
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
