@@ -51,11 +51,19 @@ def _make_track(idle_timeout_ms: int | None):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if state.hasTimedOut or not batches:
+            # idle eviction: Spark invokes timed-out keys with NO data.
+            # Drop the state and emit nothing — re-arming the timer or
+            # re-emitting the stale row here would keep state (and the
+            # output) alive forever on an always-on stream.
+            state.remove()
+            return
         if state.exists:
             n, total, last = state.get
         else:
             n, total, last = 0, 0.0, 0
-        for pdf in pdfs:
+        for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
             last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)
@@ -123,6 +131,40 @@ QUOTA_SCHEMA = T.StructType(
 _QUOTA_STATE = T.StructType([T.StructField("n_admitted", T.LongType())])
 
 
+def _make_admit(quota: int, idle_timeout_ms: int | None):
+    def _admit(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if state.hasTimedOut or not batches:
+            # timed-out hosts arrive with an EMPTY iterator; concat of
+            # nothing would raise. Evict the counter — the host starts a
+            # fresh quota window on its next crawl revisit.
+            state.remove()
+            return
+        n = state.get[0] if state.exists else 0
+        batch = pd.concat(batches, ignore_index=True)
+        batch = batch.sort_values("doc_id", kind="mergesort")
+        take = max(0, min(quota - n, len(batch)))
+        admitted = batch.iloc[:take]
+        out = pd.DataFrame(
+            {
+                "host": host,
+                "doc_id": admitted["doc_id"].astype("int64"),
+                "host_seq": range(n + 1, n + take + 1),
+            }
+        )
+        state.update((n + take,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield out
+
+    return _admit
+
+
 def host_quota_admitter(
     docs: DataFrame, quota: int, idle_timeout_ms: int | None = None
 ) -> DataFrame:
@@ -148,36 +190,13 @@ def host_quota_admitter(
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
 
-    def _admit(
-        key: tuple,
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        (host,) = key
-        n = state.get[0] if state.exists else 0
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values("doc_id", kind="mergesort")
-        take = max(0, min(quota - n, len(batch)))
-        admitted = batch.iloc[:take]
-        out = pd.DataFrame(
-            {
-                "host": host,
-                "doc_id": admitted["doc_id"].astype("int64"),
-                "host_seq": range(n + 1, n + take + 1),
-            }
-        )
-        state.update((n + take,))
-        if idle_timeout_ms is not None:
-            state.setTimeoutDuration(idle_timeout_ms)
-        yield out
-
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if idle_timeout_ms is not None
         else GroupStateTimeout.NoTimeout
     )
     return docs.groupBy("host").applyInPandasWithState(
-        _admit,
+        _make_admit(quota, idle_timeout_ms),
         outputStructType=QUOTA_SCHEMA,
         stateStructType=_QUOTA_STATE,
         outputMode="append",

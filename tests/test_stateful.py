@@ -140,3 +140,132 @@ def test_host_quota_admitter_matches_batch_order(spark):
         host_quota_admitter(stream, quota=0)
     shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(chk, ignore_errors=True)
+
+
+class _FakeState:
+    """Duck-typed GroupState for unit-testing the handler closures'
+    timeout path without a streaming query (Spark invokes timed-out
+    keys with hasTimedOut=True and an EMPTY batch iterator)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_tracker_timeout_evicts_state_and_emits_nothing():
+    """On a timeout invocation (empty iterator) the tracker must remove
+    state and emit nothing — NOT re-arm the timer or re-emit the stale
+    row (the pre-r12 behavior, which grew state without bound)."""
+    from full_docker_etl_spark.streaming.stateful import _make_track
+
+    track = _make_track(idle_timeout_ms=500)
+    st = _FakeState(value=(3, 7.5, 123), timed_out=True)
+    out = list(track((42,), iter([]), st))
+    assert out == []
+    assert st.removed and not st.exists
+    assert st.timeout_set is None, "timer must not be re-armed on eviction"
+
+
+def test_admitter_timeout_evicts_without_crashing():
+    """Pre-r12 the admitter crashed on the timeout path:
+    pd.concat(list(empty_iterator)) raises ValueError('No objects to
+    concatenate'), killing the streaming query; and state was never
+    removed. Now: evict, emit nothing, no crash."""
+    from full_docker_etl_spark.streaming.stateful import _make_admit
+
+    admit = _make_admit(quota=3, idle_timeout_ms=500)
+    st = _FakeState(value=(2,), timed_out=True)
+    out = list(admit(("example.com",), iter([]), st))
+    assert out == []
+    assert st.removed and not st.exists
+
+    # non-timeout path still admits and re-arms the idle timer
+    import pandas as pd
+
+    st2 = _FakeState()
+    batch = pd.DataFrame({"doc_id": [5, 1, 9], "host": "h"})
+    (res,) = list(admit(("h",), iter([batch]), st2))
+    assert list(res["doc_id"]) == [1, 5, 9]
+    assert list(res["host_seq"]) == [1, 2, 3]
+    assert st2.get == (3,) and st2.timeout_set == 500
+
+
+def test_quota_admitter_idle_timeout_evicts_live_stream(spark):
+    """Integration: with a short ProcessingTimeTimeout on an always-on
+    (processingTime-trigger) stream, Spark's no-data batches must invoke
+    the timed-out host WITHOUT crashing the query, and the state row
+    must actually be removed (numRowsRemoved in the progress metrics).
+    A host revisiting AFTER eviction starts a fresh quota window."""
+    import time
+
+    from full_docker_etl_spark.streaming.stateful import host_quota_admitter
+
+    d = tempfile.mkdtemp(prefix="fde_evict_") + "/docs"
+    chk = tempfile.mkdtemp(prefix="fde_evict_chk_")
+    schema = "doc_id long, host string"
+    spark.createDataFrame([(0, "a"), (1, "a")], schema).repartition(
+        1
+    ).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    admitted = host_quota_admitter(stream, quota=2, idle_timeout_ms=500)
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("t_evict")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        evicted = False
+        while time.time() < deadline and not evicted:
+            time.sleep(1)
+            if q.exception() is not None:
+                raise AssertionError(
+                    f"query crashed on timeout path: {q.exception()}"
+                )
+            for p in q.recentProgress:
+                for op in p.get("stateOperators", []):
+                    if op.get("numRowsRemoved", 0) > 0:
+                        evicted = True
+        assert evicted, "idle host state was never evicted within 90 s"
+        # revisit after eviction: the quota window restarts (host_seq 1)
+        spark.createDataFrame([(10, "a")], schema).repartition(
+            1
+        ).write.mode("append").parquet(d)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = {
+                (r.doc_id, r.host_seq)
+                for r in spark.sql("SELECT * FROM t_evict").collect()
+            }
+            if (10, 1) in rows:
+                break
+            time.sleep(1)
+        assert (10, 1) in rows, f"fresh window not observed: {rows}"
+    finally:
+        q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
