@@ -183,6 +183,80 @@ def k_anonymity_violations(
     )
 
 
+def grouped_percentiles_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: dict[str, float],
+) -> DataFrame:
+    """EXACT type-7 (linear-interpolation) percentiles per group —
+    the same definition as Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` — computed from VALUE COUNTS instead of
+    buffering every group member.
+
+    Spark's exact ``percentile`` aggregate holds every value of a
+    group in one ObjectHashAggregate buffer: at 100 TB one hot group
+    is an executor OOM. This operator exploits that analytics values
+    are usually discretized (the repo rounds scores to 4 dp): state is
+    O(distinct values per group), not O(rows per group) —
+    one map-side-combined count shuffle, one per-group cumulative
+    window over the (small) distinct-value frame, one final agg.
+    ``approx_percentile`` is the alternative when values are truly
+    continuous; this form keeps EXACT cross-engine parity.
+
+    ``ps`` maps output column name → fraction, e.g.
+    ``{"p50": 0.5}``. For fraction p over n values sorted ascending
+    (0-indexed), h = (n-1)·p, and the result is
+    ``v[floor(h)] + (h - floor(h)) · (v[floor(h)+1] - v[floor(h)])``
+    — value at 0-indexed position j is the distinct value whose
+    cumulative count first reaches j+1. Returns one row per group:
+    (group_col, n = group row count, <one column per ps entry>)."""
+    vc = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return grouped_percentiles_from_counts(
+        vc, group_col, value_col, "_c", ps
+    )
+
+
+def grouped_percentiles_from_counts(
+    vc: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str,
+    ps: dict[str, float],
+) -> DataFrame:
+    """:func:`grouped_percentiles_exact`'s primitive: ``vc`` is an
+    already-counted frame with one row per (group, distinct value) and
+    ``count_col`` occurrences. Pass this directly when the caller
+    needs the value-count frame for other statistics too (shares,
+    modes) — one scoring pass feeds everything."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wg = Window.partitionBy(group_col)
+    vc = vc.withColumn(
+        "_cum", F.sum(count_col).over(w)
+    ).withColumn("_n", F.sum(count_col).over(wg))
+    v = F.col(value_col).cast("double")
+    aggs = [F.first("_n").alias("n")]
+    # h/k are constant within a group (they depend only on _n): inside
+    # the min() arguments they ride each row; in the outer interpolation
+    # they are rebuilt from first(_n) so the projection stays aggregate.
+    for name, p in ps.items():
+        h = (F.col("_n") - F.lit(1)).cast("double") * F.lit(float(p))
+        k = F.floor(h)
+        lower = F.min(F.when(F.col("_cum") >= k + 1, v))
+        upper = F.min(F.when(F.col("_cum") >= k + 2, v))
+        h_g = (F.first("_n") - F.lit(1)).cast("double") * F.lit(float(p))
+        frac = h_g - F.floor(h_g)
+        aggs.append(
+            (lower + frac * (F.coalesce(upper, lower) - lower))
+            .alias(name)
+        )
+    return vc.groupBy(group_col).agg(*aggs)
+
+
 def corpus_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """CORPUS census — the know-your-data statistics every pretraining
     report tabulates (token totals, vocabulary size, hapax share —

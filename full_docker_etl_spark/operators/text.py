@@ -536,6 +536,10 @@ def nb_train(
             F.col(label_col).cast("int").alias("y"),
             F.explode(toks).alias("w"),
         )
+        # split of an empty/whitespace-only text yields one '' token;
+        # counting it would inflate vocab and class totals (and shift
+        # every smoothed odds) — same predicate corpus_stats/BPE apply
+        .where(F.length("w") > 0)
     )
     cw = tok.groupBy("w").agg(
         F.sum("y").alias("c_pos"),
@@ -593,6 +597,7 @@ def nb_score(
     tok = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
+        .where(F.length("w") > 0)
     )
     scored = (
         tok.join(odds, "w", "left")

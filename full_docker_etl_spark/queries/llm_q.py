@@ -555,7 +555,8 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
                         regexp_split_to_array(trim(text), '\\s+') AS toks
                  FROM documents WHERE text IS NOT NULL),
-      tok AS (SELECT doc_id, y, unnest(toks) AS w FROM t),
+      tok AS (SELECT * FROM (SELECT doc_id, y, unnest(toks) AS w FROM t)
+              WHERE len(w) > 0),
       cw AS (SELECT w, SUM(y) AS c_pos, COUNT(*) - SUM(y) AS c_neg
              FROM tok GROUP BY w),
       tots AS (SELECT SUM(y) AS tot_pos, COUNT(*) - SUM(y) AS tot_neg,
@@ -1330,7 +1331,8 @@ def curate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
                    regexp_split_to_array(trim(text), '\\s+') AS toks
             FROM s0 WHERE text IS NOT NULL),
-      tok AS (SELECT doc_id, y, unnest(toks) AS w FROM t),
+      tok AS (SELECT * FROM (SELECT doc_id, y, unnest(toks) AS w FROM t)
+              WHERE len(w) > 0),
       cw AS (SELECT w, SUM(y) AS c_pos, COUNT(*) - SUM(y) AS c_neg
              FROM tok GROUP BY w),
       tots AS (SELECT SUM(y) AS tot_pos, COUNT(*) - SUM(y) AS tot_neg,
@@ -2429,7 +2431,8 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
                         regexp_split_to_array(trim(text), '\\s+') AS toks
                  FROM documents WHERE text IS NOT NULL),
-      tok AS (SELECT doc_id, y, unnest(toks) AS w FROM t),
+      tok AS (SELECT * FROM (SELECT doc_id, y, unnest(toks) AS w FROM t)
+              WHERE len(w) > 0),
       cw AS (SELECT w, SUM(y) AS c_pos, COUNT(*) - SUM(y) AS c_neg
              FROM tok GROUP BY w),
       tots AS (SELECT SUM(y) AS tot_pos, COUNT(*) - SUM(y) AS tot_neg,
@@ -2463,9 +2466,19 @@ def profile_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklists and per-source quotas (CCNet publishes exactly this
     table per dump). Percentiles interpolate over the ROUNDED scores
     (both engines see bit-identical 4-dp inputs, the classifier's own
-    parity contract), so the distribution numbers are engine-portable.
+    parity contract), so the distribution numbers are engine-portable
+    — and they are computed EXACTLY from per-(source, score) value
+    counts (grouped_percentiles_exact), not Spark's buffer-everything
+    ``percentile`` aggregate: one hot source at 100 TB would OOM an
+    ObjectHashAggregate, while the count-based form keeps state at
+    O(distinct 4-dp scores per source). pos_share and n_docs ride the
+    same value-count frame, so the whole report is one count shuffle
+    plus one small per-source window.
     Composes nb_train/nb_score with the same seed the standalone
     classifier query pins."""
+    from full_docker_etl_spark.operators.profile import (
+        grouped_percentiles_from_counts,
+    )
     from full_docker_etl_spark.operators.text import nb_score, nb_train
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -2476,18 +2489,30 @@ def profile_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = nb_score(docs, "text", "doc_id", *model)
     joined = docs.select("doc_id", "source").join(scored, "doc_id")
-    return joined.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
+    # ONE scoring pass: the (source, score) value-count frame feeds
+    # both the exact percentiles and the positive-share/doc counts
+    vc = joined.groupBy("source", "log_odds").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pcts = grouped_percentiles_from_counts(
+        vc, "source", "log_odds", "cnt",
+        {"p10": 0.1, "p50": 0.5, "p90": 0.9},
+    )
+    shares = vc.groupBy("source").agg(
         F.round(
-            F.sum(F.when(F.col("log_odds") > 0, 1).otherwise(0)).cast(
-                "double"
-            )
-            / F.count(F.lit(1)),
+            F.sum(F.when(F.col("log_odds") > 0, F.col("cnt")).otherwise(0))
+            .cast("double")
+            / F.sum("cnt"),
             6,
         ).alias("pos_share"),
-        F.round(F.expr("percentile(log_odds, 0.1)"), 4).alias("p10"),
-        F.round(F.expr("percentile(log_odds, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(log_odds, 0.9)"), 4).alias("p90"),
+    )
+    return pcts.join(shares, "source").select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "pos_share",
+        F.round("p10", 4).alias("p10"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
     )
 
 

@@ -122,6 +122,52 @@ def test_histogram_counts_and_edges(spark):
         histogram_equi_width(df, "v", 0)
 
 
+def test_grouped_percentiles_exact_matches_spark_percentile(spark):
+    """The count-based exact percentile must equal Spark's own
+    buffer-everything `percentile` aggregate (type-7 interpolation)
+    bit-for-bit on the 4-dp grid — including a heavily-tied hot group,
+    a single-row group, and a two-row group (frac interpolation)."""
+    import random
+
+    from full_docker_etl_spark.operators.profile import (
+        grouped_percentiles_exact,
+    )
+
+    rng = random.Random(12)
+    rows = (
+        [("hot", round(rng.choice([1.5, 2.25, 7.0, -3.5]), 4))
+         for _ in range(997)]
+        + [("spread", round(rng.uniform(-10, 10), 4)) for _ in range(200)]
+        + [("one", 42.0)]
+        + [("two", 1.0), ("two", 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    got = {
+        r.g: (r.n, round(r.p10, 4), round(r.p50, 4), round(r.p90, 4),
+              round(r.p99, 4))
+        for r in grouped_percentiles_exact(df, "g", "v", ps).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        r.g: (r.n, round(r.p10, 4), round(r.p50, 4), round(r.p90, 4),
+              round(r.p99, 4))
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.expr(f"percentile(v, {p})").alias(name)
+                for name, p in ps.items()
+            ],
+        )
+        .collect()
+    }
+    assert got == want
+    assert got["one"][1:] == (42.0, 42.0, 42.0, 42.0)
+    assert got["two"][2] == 1.5  # true interpolation between the 2 rows
+
+
 def test_incremental_grain_refresh_touches_only_affected_buckets(spark, sf_dir):
     """refresh_grain must (a) equal a full rebuild row-for-row, (b)
     leave untouched bucket directories' files untouched (same inodes),

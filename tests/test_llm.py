@@ -1673,6 +1673,40 @@ def test_new_operators_degenerate_shapes(spark):
            nb_quality_classifier(one_class, "text", "doc_id", "y").collect()}
     assert got == {0: True, 1: True}  # prior ln(3/1) > 0, odds ~ ln(v)
 
+    # empty/whitespace-only texts must contribute NO tokens: '' must
+    # not enter the vocab or the class totals (r11 advice item — the
+    # other token operators already apply the length>0 predicate), and
+    # a model trained with such docs present must score untouched docs
+    # identically to one trained without them.
+    clean = spark.createDataFrame(
+        [(0, "wiki cite", 1), (1, "spam buy", 0)],
+        "doc_id long, text string, y int",
+    )
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [(2, "   ", 1), (3, "", 0)],
+            "doc_id long, text string, y int",
+        )
+    )
+    from full_docker_etl_spark.operators.text import nb_train
+
+    odds_noisy, _ = nb_train(noisy, "text", "y")
+    assert "" not in {r.w for r in odds_noisy.collect()}
+    score_clean = {
+        (r.doc_id, r.n_tokens, r.log_odds)
+        for r in nb_quality_classifier(
+            clean, "text", "doc_id", "y"
+        ).collect()
+    }
+    score_noisy = {
+        (r.doc_id, r.n_tokens, r.log_odds)
+        for r in nb_quality_classifier(
+            noisy, "text", "doc_id", "y"
+        ).collect()
+        if r.doc_id in (0, 1)
+    }
+    assert score_clean != set() and score_clean == score_noisy
+
     one_group = spark.createDataFrame(
         [("a", 100), ("a", 200)], "source string, ntok long"
     )
