@@ -619,6 +619,22 @@ def nb_score(
     )
 
 
+def _bpe_initial_syms(w) -> "Column":
+    """Initial BPE segmentation of a word: characters, with the
+    end-of-word marker ``</w>`` FUSED onto the final character —
+    the published Sennrich et al. learn_bpe form (word[:-1] +
+    [word[-1] + '</w>']). The marker lets merges distinguish
+    word-final pairs ('e','r</w>') from word-internal ones ('e','r'),
+    which is what makes the learned vocab match real BPE tokenizers;
+    fusing (rather than appending a separate symbol) keeps the initial
+    symbol count equal to the word length."""
+    chars = F.split(w, r"(?!^)(?=.)")
+    return F.concat(
+        F.slice(chars, 1, F.size(chars) - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit("</w>"))),
+    )
+
+
 def bpe_merge_table(df: DataFrame, text_col: str, k: int) -> DataFrame:
     """Distributed BPE merge LEARNING — the tokenizer-prep stage
     (Sennrich et al. 2016, the GPT-2/SentencePiece vocabulary build):
@@ -649,8 +665,10 @@ def bpe_merge_table(df: DataFrame, text_col: str, k: int) -> DataFrame:
     The one-row argmax is collected driver-side each round (bounded:
     exactly ≤ 1 row — the repo's bounded-collect rule) both to build
     the next round's literal and to early-stop when no pair remains.
-    No end-of-word marker symbol (documented simplification; adding
-    one is a one-line change to the initial segmentation)."""
+    Initial segmentation carries the ``</w>`` end-of-word marker fused
+    onto the final character (:func:`_bpe_initial_syms` — the
+    published learn_bpe setup), so word-final merges are learned as
+    distinct symbols, matching real BPE vocabularies."""
     from full_docker_etl_spark.operators.util import release_checkpoint
 
     if k < 1:
@@ -665,7 +683,7 @@ def bpe_merge_table(df: DataFrame, text_col: str, k: int) -> DataFrame:
     cur = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select("freq", F.split("w", r"(?!^)(?=.)").alias("syms"))
+        .select("freq", _bpe_initial_syms(F.col("w")).alias("syms"))
         .localCheckpoint(eager=True)
     )
     spark = df.sparkSession
@@ -760,7 +778,7 @@ def bpe_tokenize(
         .where(F.length("w") > 0)
     )
     types = words.select("w").distinct()
-    syms = F.split(F.col("w"), r"(?!^)(?=.)")
+    syms = _bpe_initial_syms(F.col("w"))
     for left, right in merges:
         lt, rt = F.lit(left), F.lit(right)
         syms = F.aggregate(

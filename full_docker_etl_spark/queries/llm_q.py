@@ -400,7 +400,9 @@ _BPE_K = 3
 _BPE_ORACLE = (
     """
       WITH r0 AS (
-        SELECT w, COUNT(*) AS freq, regexp_split_to_array(w, '') AS syms
+        SELECT w, COUNT(*) AS freq,
+               regexp_split_to_array(w, '')[1:len(w)-1]
+                 || [regexp_split_to_array(w, '')[-1] || '</w>'] AS syms
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
               FROM documents WHERE text IS NOT NULL)
         WHERE len(w) > 0 GROUP BY w),"""
@@ -417,7 +419,9 @@ _BPE_ORACLE = (
 _BPE_TOKENIZE_ORACLE = (
     """
       WITH r0 AS (
-        SELECT w, COUNT(*) AS freq, regexp_split_to_array(w, '') AS syms
+        SELECT w, COUNT(*) AS freq,
+               regexp_split_to_array(w, '')[1:len(w)-1]
+                 || [regexp_split_to_array(w, '')[-1] || '</w>'] AS syms
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
               FROM documents WHERE text IS NOT NULL)
         WHERE len(w) > 0 GROUP BY w),"""

@@ -1570,12 +1570,14 @@ def test_semantic_dedup_cluster_cap_bounds_fanout(spark, embs):
 
 def _bpe_reference(texts, k):
     """Naive single-machine BPE (Sennrich et al.): word-type counts,
-    per-round pair argmax with (count desc, left, right) tie-break,
-    greedy left-to-right merge application."""
+    initial segmentation with '</w>' fused onto the final character
+    (the published learn_bpe form), per-round pair argmax with
+    (count desc, left, right) tie-break, greedy left-to-right merge
+    application."""
     from collections import Counter
 
     wt = Counter(w for t in texts for w in t.split() if w)
-    segs = {w: list(w) for w in wt}
+    segs = {w: list(w[:-1]) + [w[-1] + "</w>"] for w in wt}
     merges = []
     for rnd in range(1, k + 1):
         pc = Counter()
@@ -1644,10 +1646,11 @@ def test_bpe_merge_table_early_stop_and_validation(spark):
         (r.round, r.merged, r.pair_count)
         for r in bpe_merge_table(df2, "text", 2).orderBy("round").collect()
     ]
-    # pair_count is the RAW adjacent frequency before application:
-    # 'a a a a' holds three (a,a) pairs × 2 words = 6; the greedy
-    # apply still yields 'aa aa', so round 2 merges (aa,aa) count 2.
-    assert got == [(1, "aa", 6), (2, "aaaa", 2)]
+    # initial segs: a a a a</w> — raw pairs per word: (a,a)×2,
+    # (a,a</w>)×1, so ×2 words round 1 merges (a,a) count 4 →
+    # 'aa a a</w>'; round 2 ties (aa,a) and (a,a</w>) at 2 and the
+    # (left, right) tie-break picks left='a' < 'aa'.
+    assert got == [(1, "aa", 4), (2, "aa</w>", 2)]
 
     with pytest.raises(ValueError, match="k"):
         bpe_merge_table(df, "text", 0)
@@ -1744,7 +1747,7 @@ def test_bpe_tokenize_matches_reference_segmentation(spark):
     segs = {}
     for t in texts:
         for w in t.split():
-            segs.setdefault(w, list(w))
+            segs.setdefault(w, list(w[:-1]) + [w[-1] + "</w>"])
     for _, l, r, _, _ in merges:
         for w, s in segs.items():
             out = []
