@@ -45,84 +45,40 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-11 window (50 slots), per VERDICT r10 #1,
-# computed by tools/next_window.py (stalest-first policy): FIRST the five
-# rows-only sketches displaced in round 10 whose last external sample ran
-# on round-5 code (ann_ivf_serve, ann_ivf_topk, ann_lsh_topk,
-# dedup_embedding, dedup_minhash — the stalest evidence in the registry);
-# THEN 20 of the 37 round-6-stale rows (the remaining seventeen —
-# mm_resize, pipeline_curate, profile_correlations, profile_histogram,
-# profile_skew, profile_table, sample_epoch_shuffle, sample_negatives,
-# sample_temperature_mix, sample_temperature_upsample, text_bm25,
-# text_pii_scrub, win_rank_family, win_time_range, xbrl_metrics,
-# xlsx_scan, dedup_simhash — lead the post-boundary tail and re-enter
-# round 12; dedup_simhash sorts last within the tier because it is
-# rows-only and its oracle-checked sibling dedup_simhash_recall is
-# pinned below); THEN every *_recall/*_consistency/*_verdict row (13
-# including the new dedup_semantic_verdict, pinned in EVERY window —
-# they are the oracle-checked external evidence for the rows-only
-# sketch queries); THEN the thirteen zero-evidence queries registered
-# this round (dedup_semantic, curate_domains, sample_importance_dsir,
-# text_quality_classifier, sample_token_budget, text_bpe_merges,
-# profile_corpus, pipeline_curate_llm, text_bpe_tokenize,
-# text_normalize, audit_split_contamination, profile_source_quality
-# close the window alongside the pinned dedup_semantic_verdict).
+# everything every round. Round-12 window (50 slots), per VERDICT r11 #3,
+# computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
+# FIRST the seventeen round-6-stale rows the r11 verdict ordered back in
+# (mm_resize .. dedup_simhash — after this round no query's latest
+# evidence is older than r7); THEN 15 of the 29 round-7-stale rows
+# (the remaining fourteen — observe_metrics, rest_batch_fetch, the
+# serve_* pair, three sink rows, sort_topk, the stream_* four,
+# text_chunk_windows, zip_xml_ingest — lead the post-boundary tail and
+# re-enter round 13); THEN the five FORCE_NEXT rows whose semantics
+# changed this round (see below — fresh r11 evidence describes code
+# that no longer exists); THEN every *_recall/*_consistency/*_verdict
+# row (13, pinned in EVERY window — they are the oracle-checked
+# external evidence for the rows-only sketch queries).
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
 # registered are ignored, so the list can never drop a query.
-_SAMPLE_ORDER: tuple[str, ...] = (
-    "ann_ivf_serve",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding",
-    "dedup_minhash",
-    "agg_approx_percentiles",
-    "agg_cohort_retention",
-    "agg_cube",
-    "agg_daily",
-    "agg_funnel",
-    "agg_monthly",
-    "agg_unpivot",
-    "audit_referential",
-    "dedup_components",
-    "dedup_jaccard",
-    "dedup_pipeline",
-    "dim_scd2",
-    "fn_arrays",
-    "fn_maps",
-    "join_pit",
-    "join_salted",
-    "join_star_revenue",
-    "jsonl_scan",
-    "mm_features",
-    "mm_frame_sample",
-    "ann_ivf_recall",
-    "ann_ivf_kmeans_recall",
-    "ann_lsh_recall",
-    "ann_ivf_sq_recall",
-    "ann_ivf_pq_recall",
-    "ann_ivf_serve_consistency",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "dedup_incremental_recall",
-    "text_compression_verdict",
-    "join_fuzzy_recall",
-    "dedup_semantic_verdict",
-    "dedup_semantic",
-    "curate_domains",
-    "sample_importance_dsir",
-    "text_quality_classifier",
-    "sample_token_budget",
+# Queries whose SEMANTICS changed this round: tools/next_window.py
+# forces them into the next window regardless of evidence freshness
+# (a green sample of code that no longer exists proves nothing).
+# Round 12: the BPE pair got the end-of-word marker (both queries'
+# values changed), profile_source_quality moved to count-based exact
+# percentiles, and the NB-based pair got the empty-token filter (same
+# values on clean corpora, but operator + oracle both changed).
+# RESET this tuple when rotating for the round AFTER the changes ship.
+FORCE_NEXT: tuple[str, ...] = (
     "text_bpe_merges",
-    "profile_corpus",
-    "pipeline_curate_llm",
     "text_bpe_tokenize",
-    "text_normalize",
-    "audit_split_contamination",
     "profile_source_quality",
-    # ---- window boundary (50) ----
+    "text_quality_classifier",
+    "pipeline_curate_llm",
+)
+
+_SAMPLE_ORDER: tuple[str, ...] = (
     "mm_resize",
     "pipeline_curate",
     "profile_correlations",
@@ -155,6 +111,25 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "incr_status_flag",
     "manifest_semi_join",
     "news_transform",
+    "text_quality_classifier",
+    "text_bpe_merges",
+    "pipeline_curate_llm",
+    "text_bpe_tokenize",
+    "profile_source_quality",
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "ann_ivf_sq_recall",
+    "ann_ivf_pq_recall",
+    "ann_ivf_serve_consistency",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    "text_compression_verdict",
+    "join_fuzzy_recall",
+    "dedup_semantic_verdict",
+    # ---- window boundary (50) ----
     "observe_metrics",
     "rest_batch_fetch",
     "serve_incremental_grain",
@@ -245,6 +220,38 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "win_rank_topn",
     "win_running_total",
     "ann_ivf_kmeans_topk",
+    "agg_approx_percentiles",
+    "agg_cohort_retention",
+    "agg_cube",
+    "agg_daily",
+    "agg_funnel",
+    "agg_monthly",
+    "agg_unpivot",
+    "audit_referential",
+    "audit_split_contamination",
+    "curate_domains",
+    "dedup_components",
+    "dedup_jaccard",
+    "dedup_pipeline",
+    "dim_scd2",
+    "fn_arrays",
+    "fn_maps",
+    "join_pit",
+    "join_salted",
+    "join_star_revenue",
+    "jsonl_scan",
+    "mm_features",
+    "mm_frame_sample",
+    "profile_corpus",
+    "sample_importance_dsir",
+    "sample_token_budget",
+    "text_normalize",
+    "ann_ivf_serve",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_minhash",
+    "dedup_semantic",
 )
 
 

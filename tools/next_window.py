@@ -63,9 +63,16 @@ def proposed_order(
     registered: list[str],
     latest: dict[str, int],
     rows_only: set[str] | None = None,
+    forced: tuple[str, ...] = (),
 ) -> list[str]:
     """The full rotation order under the policy above. ``registered``
     supplies the tie-break (registration order) and the universe.
+
+    ``forced`` (registry.FORCE_NEXT) names queries whose SEMANTICS
+    changed this round: they re-enter the window regardless of how
+    fresh their last sample is — stale-but-green evidence describes
+    code that no longer exists. They displace the least-stale lead
+    entries (which simply wait one more round).
 
     Among equally-stale queries, rows-only sketches (no oracle — their
     value evidence is the pinned ``*_recall``/``*_verdict`` sibling
@@ -73,31 +80,41 @@ def proposed_order(
     window is tight, so they sort behind oracle-checked peers."""
     pos = {n: i for i, n in enumerate(registered)}
     rows_only = rows_only or set()
+    fset = set(forced)
     pinned = [n for n in registered if n.endswith(PIN_SUFFIXES)]
-    zero = [n for n in registered if n not in latest and n not in pinned]
-    rest = [n for n in registered if n not in zero and n not in pinned]
+    force = [n for n in registered if n in fset and n not in pinned]
+    zero = [
+        n for n in registered
+        if n not in latest and n not in pinned and n not in force
+    ]
+    rest = [
+        n for n in registered
+        if n not in zero and n not in pinned and n not in force
+    ]
     # stalest first; rows-only sketches last within a staleness class;
     # then by name for a stable, reviewable diff
     rest.sort(key=lambda n: (latest.get(n, 0), n in rows_only, n))
-    n_lead = max(0, WINDOW - len(pinned) - len(zero))
+    n_lead = max(0, WINDOW - len(pinned) - len(zero) - len(force))
     lead, tail = rest[:n_lead], rest[n_lead:]
-    order = lead + pinned + zero + tail
+    order = lead + force + pinned + zero + tail
     assert sorted(order, key=pos.get) == registered
     return order
 
 
 def main() -> int:
+    import full_docker_etl_spark.registry as registry
     from full_docker_etl_spark.registry import _SAMPLE_ORDER, all_specs
 
     specs = all_specs()
     registered = list(specs)
     rows_only = {n for n, s in specs.items() if s.oracle is None}
+    forced = tuple(getattr(registry, "FORCE_NEXT", ()))
     latest = latest_evidence()
     unknown = sorted(set(latest) - set(registered))
     if unknown:
         print(f"note: {len(unknown)} evidence names no longer registered: "
               f"{unknown}", file=sys.stderr)
-    order = proposed_order(registered, latest, rows_only)
+    order = proposed_order(registered, latest, rows_only, forced)
 
     if "--check" in sys.argv:
         current = [n for n in _SAMPLE_ORDER if n in set(registered)][:WINDOW]
