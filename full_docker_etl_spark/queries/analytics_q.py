@@ -143,13 +143,27 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (both engines use the
     same linear-interpolation definition; rounded to absorb the last
-    ulp of the interpolation arithmetic). The approx companion at scale
-    is percentile_approx — same call shape."""
+    ulp of the interpolation arithmetic), computed from (group, value)
+    COUNTS rather than Spark's buffer-every-row ``percentile``
+    aggregate: prices are cent-discretized, so state per group is
+    O(distinct prices), not O(rows) — the hot-group ('N' is half of
+    lineitem) OOM shape never materializes at 100 TB. Differential
+    test pins it bit-equal to ``percentile()``; the approx companion
+    at scale for truly continuous values is percentile_approx."""
+    from full_docker_etl_spark.operators.profile import (
+        grouped_percentiles_exact,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    pct = grouped_percentiles_exact(
+        li, "l_returnflag", "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+    return pct.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
     )
 
 

@@ -49,11 +49,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
 # FIRST the seventeen round-6-stale rows the r11 verdict ordered back in
 # (mm_resize .. dedup_simhash — after this round no query's latest
-# evidence is older than r7); THEN 15 of the 29 round-7-stale rows
-# (the remaining fourteen — observe_metrics, rest_batch_fetch, the
-# serve_* pair, three sink rows, sort_topk, the stream_* four,
-# text_chunk_windows, zip_xml_ingest — lead the post-boundary tail and
-# re-enter round 13); THEN the five FORCE_NEXT rows whose semantics
+# evidence is older than r7); THEN 14 of the 29 round-7-stale rows
+# (the remaining fifteen — news_transform, observe_metrics,
+# rest_batch_fetch, the serve_* pair, three sink rows, sort_topk, the
+# stream_* four, text_chunk_windows, zip_xml_ingest — lead the
+# post-boundary tail and re-enter round 13); THEN the six FORCE_NEXT
+# rows whose semantics
 # changed this round (see below — fresh r11 evidence describes code
 # that no longer exists); THEN every *_recall/*_consistency/*_verdict
 # row (13, pinned in EVERY window — they are the oracle-checked
@@ -66,9 +67,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # forces them into the next window regardless of evidence freshness
 # (a green sample of code that no longer exists proves nothing).
 # Round 12: the BPE pair got the end-of-word marker (both queries'
-# values changed), profile_source_quality moved to count-based exact
-# percentiles, and the NB-based pair got the empty-token filter (same
-# values on clean corpora, but operator + oracle both changed).
+# values changed); profile_source_quality AND agg_percentiles moved to
+# count-based exact percentiles; the NB-based pair got the empty-token
+# filter (same values on clean corpora, but operator + oracle both
+# changed).
 # RESET this tuple when rotating for the round AFTER the changes ship.
 FORCE_NEXT: tuple[str, ...] = (
     "text_bpe_merges",
@@ -76,6 +78,7 @@ FORCE_NEXT: tuple[str, ...] = (
     "profile_source_quality",
     "text_quality_classifier",
     "pipeline_curate_llm",
+    "agg_percentiles",  # moved to count-based exact percentiles
 )
 
 _SAMPLE_ORDER: tuple[str, ...] = (
@@ -110,12 +113,12 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "filter_range",
     "incr_status_flag",
     "manifest_semi_join",
-    "news_transform",
     "text_quality_classifier",
     "text_bpe_merges",
     "pipeline_curate_llm",
     "text_bpe_tokenize",
     "profile_source_quality",
+    "agg_percentiles",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -130,6 +133,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_fuzzy_recall",
     "dedup_semantic_verdict",
     # ---- window boundary (50) ----
+    "news_transform",
     "observe_metrics",
     "rest_batch_fetch",
     "serve_incremental_grain",
@@ -144,7 +148,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_tumbling",
     "text_chunk_windows",
     "zip_xml_ingest",
-    "agg_percentiles",
     "agg_salted",
     "ann_ivf_incremental",
     "catalog_tables",
