@@ -328,6 +328,78 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_quota_admit",
+    oracle="""
+      WITH d AS (SELECT doc_id, source AS host, doc_id % 2 AS b
+                 FROM documents),
+      r AS (SELECT host, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY host
+                                      ORDER BY b, doc_id) AS host_seq
+            FROM d)
+      SELECT host, doc_id, host_seq FROM r WHERE host_seq <= 150
+    """,
+)
+def stream_quota_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE registered query that drains a REAL Structured
+    Streaming query — cross-batch GroupState under the driver's exact
+    value check, not just pytest. The per-host quota admitter
+    (streaming/stateful.py, the ingest-time C4/CCNet domain cap) runs
+    over a two-micro-batch file stream built from the documents table
+    (batch b = doc_id % 2, one file per batch, mtime-ordered,
+    maxFilesPerTrigger=1) into a parquet sink via Trigger.AvailableNow;
+    the returned frame is what landed ON DISK. The oracle is the
+    batch-mode truth the operator's state-carry must reproduce:
+    ROW_NUMBER per host over (batch, doc_id) arrival order, capped at
+    quota 150 — at the driver's sf0.01 each source holds ~250 docs
+    (~125 per batch), so batch 1 admissions genuinely depend on state
+    carried from batch 0, and over-quota arrivals must be dropped."""
+    import os
+
+    from full_docker_etl_spark.streaming.stateful import host_quota_admitter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("host")
+    )
+    src = _tmp("quota_src")
+    docs.where(F.col("doc_id") % 2 == 0).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    batch0 = {
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    docs.where(F.col("doc_id") % 2 == 1).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    # FileStreamSource orders files by modification time: force batch-1
+    # files strictly later so the two-batch arrival order is
+    # deterministic even on coarse-mtime filesystems
+    t1 = max(
+        os.path.getmtime(os.path.join(src, f)) for f in batch0
+    )
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in batch0:
+            os.utime(os.path.join(src, f), (t1 + 10, t1 + 10))
+
+    out, chk = _tmp("quota_out"), _tmp("quota_chk")
+    stream = (
+        spark.readStream.schema("doc_id long, host string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        host_quota_admitter(stream, quota=150)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("host", "doc_id", "host_seq")
+
+
+@query(
     "sink_versioned_compact",
     oracle="""
       SELECT COUNT(*) AS n_rows,
