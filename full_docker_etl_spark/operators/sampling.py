@@ -323,6 +323,87 @@ def pack_chunks(
     return chunks.withColumn("seq_bin", bin_.cast("long"))
 
 
+def balanced_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target_weight: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Contiguous WEIGHT-balanced shard assignment — the
+    tokenizer-output sharding step: cut the corpus, kept in ``id_col``
+    order, into shards of ~``target_weight`` tokens each (a shard may
+    overflow by at most one document, the same streaming-packing
+    approximation as :func:`pack_chunks`). Contiguity is the point:
+    curriculum order, resumable ingestion, and range-readable shards
+    all need "shard k = ids between two cut points", which hash
+    sharding (:func:`epoch_shuffle`) cannot give.
+
+    A contiguous cut needs the GLOBAL running weight sum — the naive
+    form is a global sort + single window, both forbidden at scale.
+    This is the classic two-level distributed prefix sum instead:
+
+    1. map each row to one of ``n_buckets`` deterministic id-range
+       buckets (one bounded 1-row max-id aggregate, broadcast back);
+    2. per-bucket weight totals — ≤ n_buckets rows (one
+       map-side-combined shuffle);
+    3. EXCLUSIVE prefix over that tiny frame (the only
+       single-partition window, bounded at n_buckets rows by
+       construction) → each bucket's starting offset;
+    4. broadcast offsets back; the in-bucket running sum windows
+       per bucket (scalable: partition-local sort, no
+       rangepartitioning anywhere) and adds the bucket offset.
+
+    shard = floor(start_offset / target_weight), where start_offset =
+    global cumulative weight BEFORE the row — so a document belongs to
+    the shard its first token lands in. Returns the input columns plus
+    (cum_weight inclusive, shard). Id-range bucketing assumes ids are
+    roughly dense/uniform (true for generated doc ids); a pathological
+    id distribution degrades to fewer effective buckets, never to
+    wrong results."""
+    if target_weight < 1:
+        raise ValueError(f"target_weight must be >= 1, got {target_weight}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    idc = F.col(id_col).cast("long")
+    max_row = df.agg(F.max(idc).alias("_max_id"))
+    bucketed = df.crossJoin(F.broadcast(max_row)).withColumn(
+        "_bucket",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(idc * n_buckets / (F.col("_max_id") + 1)),
+        ),
+    )
+    totals = bucketed.groupBy("_bucket").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_bw")
+    )
+    # partitionBy(lit) keeps the (bounded, <= n_buckets rows) prefix
+    # window on one partition — same execution as an empty partition
+    # spec without WindowExec's move-all-data warning on every run
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bw").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_bucket").orderBy(idc.asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.col("_off") + F.sum(F.col(weight_col).cast("long")).over(w_in)
+    start = cum - F.col(weight_col).cast("long")
+    return (
+        bucketed.join(F.broadcast(offsets), "_bucket")
+        .withColumn("cum_weight", cum.cast("long"))
+        .withColumn(
+            "shard", F.floor(start / F.lit(target_weight)).cast("long")
+        )
+        .drop("_bucket", "_max_id", "_off")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     key_col: str,

@@ -2316,6 +2316,52 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_balanced_shards",
+    oracle="""
+      WITH d AS (SELECT doc_id,
+                        len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS tokens
+                 FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id, tokens,
+                   SUM(tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+      SELECT doc_id,
+             CAST(tokens AS BIGINT) AS tokens,
+             CAST(cum AS BIGINT) AS cum_weight,
+             CAST(FLOOR((cum - tokens) / 30000) AS BIGINT) AS shard
+      FROM c
+    """,
+)
+def sample_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous TOKEN-balanced shard cuts over the id-ordered corpus
+    (~30k tokens per shard) — the tokenizer-output sharding step, and
+    the registry's demonstration of the two-level distributed prefix
+    sum: per-id-range-bucket subtotals, an exclusive prefix over the
+    ≤1024-row bucket frame (the only single-partition window, bounded
+    by construction), broadcast offsets, per-bucket running windows.
+    The ORACLE is the semantic spec — one naive global window — which
+    DuckDB can afford at sf0.01; the engine plan must reproduce it
+    with no rangepartitioning exchange (plan-gated). Every doc's
+    inclusive cumulative weight and shard id are value-checked."""
+    from full_docker_etl_spark.operators.sampling import balanced_shards
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("tokens"),
+        )
+    )
+    return balanced_shards(d, "doc_id", "tokens", target_weight=30000).select(
+        "doc_id", "tokens", "cum_weight", "shard"
+    )
+
+
+@query(
     "dedup_components",
     oracle=f"""
       WITH RECURSIVE pairs AS ({_jaccard_pairs_sql("documents")}),

@@ -72,7 +72,82 @@ def test_packing_overflow_bound(spark):
         assert bins == list(range(len(bins))), f"shard {shard} bins not dense"
 
 
-def test_hash_split_partitions_corpus(spark, sf_dir):
+def test_balanced_shards_matches_naive_prefix_sum(spark):
+    """The two-level distributed prefix sum must equal a naive Python
+    running sum exactly — cumulative weights, shard cut points, and
+    the contiguity/size invariants: shards are contiguous id ranges,
+    every shard except the last carries >= target (overflowing by at
+    most one doc), and ids with sparse gaps still work (bucketing by
+    id RANGE, not position)."""
+    import random
+
+    from full_docker_etl_spark.operators.sampling import balanced_shards
+
+    rng = random.Random(7)
+    # sparse, gappy ids — the bucket map must not require density
+    ids = sorted(rng.sample(range(100_000), 500))
+    rows = [(i, rng.randrange(1, 200)) for i in ids]
+    target = 3_000
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r.doc_id: (r.cum_weight, r.shard)
+        for r in balanced_shards(
+            df, "doc_id", "w", target, n_buckets=32
+        ).collect()
+    }
+    cum = 0
+    want = {}
+    for i, w in rows:
+        want[i] = (cum + w, cum // target)
+        cum += w
+    assert got == want
+
+    # invariants over the result
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, w in rows:
+        by_shard.setdefault(want[i][1], []).append((i, w))
+    shards = sorted(by_shard)
+    assert shards == list(range(len(shards)))  # dense from 0
+    for s in shards:
+        ids_s = [i for i, _ in by_shard[s]]
+        lo, hi = min(ids_s), max(ids_s)
+        assert all(
+            not (lo <= i <= hi) or want[i][1] == s for i, _ in rows
+        ), f"shard {s} not a contiguous id range"
+        if s != shards[-1]:
+            # start-offset cuts: a shard reaches the next multiple of
+            # target but may have started late (the previous doc
+            # overflowed into its range), so its total is within one
+            # max-doc-weight of target on either side
+            tot = sum(w for _, w in by_shard[s])
+            max_w = max(w for _, w in rows)
+            assert target - max_w < tot <= target + max_w, (s, tot)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_weight"):
+        balanced_shards(df, "doc_id", "w", 0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        balanced_shards(df, "doc_id", "w", 10, n_buckets=0)
+
+
+def test_balanced_shards_plan_is_bucketed_not_global(spark, sf_dir):
+    """The scalable-prefix-sum contract in the PLAN: no
+    rangepartitioning exchange anywhere (the naive form would global-
+    sort the corpus), and the only single-partition exchange feeds the
+    <= n_buckets offsets frame — i.e. it sits downstream of the bucket
+    aggregation, never under the full-corpus window."""
+    from full_docker_etl_spark.operators.sampling import balanced_shards
+    from full_docker_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    out = balanced_shards(d, "doc_id", "w", 10_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    # the in-bucket window must be hash-partitioned on the bucket
+    assert "hashpartitioning(_bucket" in plan, plan
     """Every doc gets exactly one split; proportions land near
     75/12.5/12.5; assignment depends only on the key (re-running on a
     subset never reassigns)."""
