@@ -67,7 +67,10 @@ def _rowset(cols, rows):
 # Python ints, so a fetchall-based gate is blind to the class — this
 # escaped as the r11 `text_bpe_merges` red row. Reject them outright;
 # oracles must CAST aggregates to BIGINT/DOUBLE explicitly.
-_HASH_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+# TIMESTAMP/TIME enforce the registry's determinism rule mechanically:
+# time instants surface as epoch microseconds (BIGINT) or DATE, never
+# raw TIMESTAMP, to avoid tz-annotation mismatches between engines.
+_HASH_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "TIMESTAMP", "TIME")
 
 
 def assert_hash_safe_oracle(oracle: str, con) -> None:
