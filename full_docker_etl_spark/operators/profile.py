@@ -211,8 +211,13 @@ def grouped_percentiles_exact(
     — value at 0-indexed position j is the distinct value whose
     cumulative count first reaches j+1. Returns one row per group:
     (group_col, n = group row count, <one column per ps entry>)."""
-    vc = df.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    # percentile()/quantile_cont ignore NULL values — match that here
+    # (a NULL (group, value) row would otherwise enter the counts and
+    # shift every position)
+    vc = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     return grouped_percentiles_from_counts(
         vc, group_col, value_col, "_c", ps
@@ -227,10 +232,12 @@ def grouped_percentiles_from_counts(
     ps: dict[str, float],
 ) -> DataFrame:
     """:func:`grouped_percentiles_exact`'s primitive: ``vc`` is an
-    already-counted frame with one row per (group, distinct value) and
-    ``count_col`` occurrences. Pass this directly when the caller
-    needs the value-count frame for other statistics too (shares,
-    modes) — one scoring pass feeds everything."""
+    already-counted frame with EXACTLY one row per (group, distinct
+    non-null value) and ``count_col`` occurrences (duplicate
+    (group, value) rows or null values would corrupt the cumulative
+    positions). Pass this directly when the caller needs the
+    value-count frame for other statistics too (shares, modes) — one
+    scoring pass feeds everything."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(value_col)

@@ -140,6 +140,8 @@ def test_grouped_percentiles_exact_matches_spark_percentile(spark):
         + [("spread", round(rng.uniform(-10, 10), 4)) for _ in range(200)]
         + [("one", 42.0)]
         + [("two", 1.0), ("two", 2.0)]
+        # percentile() ignores nulls — the count-based form must too
+        + [("hot", None), ("two", None)]
     )
     df = spark.createDataFrame(rows, "g string, v double")
     ps = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
@@ -155,7 +157,9 @@ def test_grouped_percentiles_exact_matches_spark_percentile(spark):
               round(r.p99, 4))
         for r in df.groupBy("g")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            # count("v") skips nulls, matching the operator's n (which
+            # counts only the rows percentile() actually considers)
+            F.count("v").alias("n"),
             *[
                 F.expr(f"percentile(v, {p})").alias(name)
                 for name, p in ps.items()
