@@ -119,15 +119,21 @@ def main() -> int:
     if "--check" in sys.argv:
         current = [n for n in _SAMPLE_ORDER if n in set(registered)][:WINDOW]
         want = order[:WINDOW]
-        # a FORCE_NEXT entry whose evidence is already from the newest
-        # round has been served — leaving it forced burns a window slot
-        # on fresh evidence next round; remind the rotator to reset
+        # a FORCE_NEXT entry sampled by the newest recorded round may
+        # already be served: if that round ran on the POST-change code,
+        # leaving it forced burns a window slot repeating fresh
+        # evidence. The tool can't see which code the round ran on —
+        # surface the decision instead of guessing.
         newest = max(latest.values(), default=0)
         served = sorted(n for n in forced if latest.get(n) == newest)
         if served:
-            print(f"note: FORCE_NEXT already served by r{newest} "
-                  f"(reset before the next rotation): {served}",
-                  file=sys.stderr)
+            print(
+                f"note: FORCE_NEXT entries with r{newest} evidence: "
+                f"{served} — if r{newest} ran on the post-change code, "
+                "reset FORCE_NEXT; if the change landed after "
+                f"r{newest}, keep them forced.",
+                file=sys.stderr,
+            )
         if set(current) == set(want):
             print(f"OK: current window matches policy ({WINDOW} slots, "
                   f"{sum(1 for n in current if n not in latest)} zero-evidence, "
