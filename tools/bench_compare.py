@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Compare two bench artifacts query-by-query.
+
+Accepts either shape the repo produces:
+- ``BENCH_DETAIL.json`` (bench.py's full per-query detail), or
+- ``BENCH_r{N}.json`` (the driver's record: per-query timings live
+  under ``parsed.queries`` and cover only the stdout-visible tail).
+
+Usage:
+    python tools/bench_compare.py BENCH_r11.json BENCH_DETAIL.json
+
+Prints the shared-query median ratio (the round-over-round headline),
+the biggest movers in both directions, and flags regressions that are
+both large relative (>1.5x) and absolute (>1 s) — the threshold below
+which the documented first-touch variance envelope (SCALE.md) makes
+single draws uninformative.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    data = json.load(open(path))
+    if "queries" in data and isinstance(data["queries"], dict):
+        q = data["queries"]
+    else:
+        q = (data.get("parsed") or {}).get("queries") or {}
+    return {k: float(v) for k, v in q.items() if v is not None and v >= 0}
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    shared = sorted(set(old) & set(new))
+    if not shared:
+        print("no shared queries between the two artifacts")
+        return 1
+    ratios = sorted(new[k] / old[k] for k in shared if old[k] > 0)
+    med = ratios[len(ratios) // 2]
+    print(
+        f"{len(shared)} shared queries; median per-query ratio "
+        f"{med:.3f} (new/old)"
+    )
+    movers = sorted(shared, key=lambda k: new[k] - old[k])
+    print("\nbiggest improvements (s):")
+    for k in movers[:5]:
+        print(f"  {k:32s} {old[k]:7.2f} -> {new[k]:7.2f}")
+    print("biggest regressions (s):")
+    for k in movers[-5:][::-1]:
+        print(f"  {k:32s} {old[k]:7.2f} -> {new[k]:7.2f}")
+    flagged = [
+        k for k in shared
+        if old[k] > 0 and new[k] / old[k] > 1.5 and new[k] - old[k] > 1.0
+    ]
+    if flagged:
+        print("\nFLAG (>1.5x and >1 s — re-measure in isolation before "
+              "calling it real):")
+        for k in sorted(flagged, key=lambda k: old[k] - new[k]):
+            print(f"  {k:32s} {old[k]:7.2f} -> {new[k]:7.2f}")
+        return 1
+    print("\nno regressions past the variance envelope")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
