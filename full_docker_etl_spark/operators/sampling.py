@@ -357,7 +357,9 @@ def balanced_shards(
     shard = floor(start_offset / target_weight), where start_offset =
     global cumulative weight BEFORE the row — so a document belongs to
     the shard its first token lands in. Returns the input columns plus
-    (cum_weight inclusive, shard). Id-range bucketing assumes ids are
+    (cum_weight inclusive, shard). ``id_col`` must be UNIQUE (ties in
+    the ROWS-frame running sum would make cum_weight order-dependent
+    between the tied rows). Id-range bucketing assumes ids are
     roughly dense/uniform (true for generated doc ids); a pathological
     id distribution degrades to fewer effective buckets, never to
     wrong results."""
