@@ -1283,6 +1283,70 @@ _CURATE_HOST_SQL = """
 
 
 @query(
+    "curate_adaptive_cutoff",
+    oracle="""
+      WITH t AS (
+        SELECT doc_id, source,
+               ROUND(CAST(len(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> list_contains(['the','and','of','to','a','in',
+                                         'is','it','that','for'], t)))
+                     AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+')), 1),
+                 4) AS score
+        FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT source, ROUND(quantile_cont(score, 0.25), 4) AS cutoff
+            FROM t GROUP BY source)
+      SELECT t.doc_id, t.source, t.score, c.cutoff,
+             t.score >= c.cutoff AS keep
+      FROM t JOIN c USING (source)
+    """,
+)
+def curate_adaptive_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE adaptive quality threshold — the FineWeb-style
+    refinement of a fixed global cutoff: each source's p25 of the
+    stopword-density score becomes ITS OWN keep threshold, so the
+    filter drops every source's least-natural quartile instead of
+    letting one verbose domain set the bar for all (fixed thresholds
+    over-prune terse sources and under-prune boilerplate-heavy ones).
+    Composes the cheap quality features with the count-based exact
+    percentile (grouped_percentiles_from_counts): scores round to the
+    4-dp grid first, so the percentile state is O(distinct scores per
+    source) and the interpolated threshold is engine-portable under
+    the same rounding argument the registry's AVG rule uses. The
+    #sources-row cutoff table broadcasts back; keep decisions compare
+    ROUNDED score to ROUNDED cutoff, so the driver value-checks every
+    doc's boundary decision."""
+    from full_docker_etl_spark.operators.profile import (
+        grouped_percentiles_from_counts,
+    )
+    from full_docker_etl_spark.operators.text import quality_features
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            quality_features(F.col("text"))["stopword_ratio"], 4
+        ).alias("score"),
+    )
+    vc = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cut = grouped_percentiles_from_counts(
+        vc, "source", "score", "cnt", {"cutoff": 0.25}
+    ).select("source", F.round("cutoff", 4).alias("cutoff"))
+    return scored.join(F.broadcast(cut), "source").select(
+        "doc_id",
+        "source",
+        "score",
+        "cutoff",
+        (F.col("score") >= F.col("cutoff")).alias("keep"),
+    )
+
+
+@query(
     "curate_domains",
     oracle=f"""
       WITH {_CURATE_HOST_SQL}

@@ -49,19 +49,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
 # FIRST the seventeen round-6-stale rows the r11 verdict ordered back in
 # (mm_resize .. dedup_simhash — after this round no query's latest
-# evidence is older than r7); THEN 12 of the 29 round-7-stale rows
-# (the remaining seventeen — incr_status_flag, manifest_semi_join,
-# news_transform, observe_metrics, rest_batch_fetch, the serve_* pair,
-# three sink rows, sort_topk, the stream_* four, text_chunk_windows,
-# zip_xml_ingest — lead the post-boundary tail and re-enter round 13);
+# evidence is older than r7); THEN 11 of the 29 round-7-stale rows
+# (the remaining eighteen — filter_range, incr_status_flag,
+# manifest_semi_join, news_transform, observe_metrics,
+# rest_batch_fetch, the serve_* pair, three sink rows, sort_topk, the
+# stream_* four, text_chunk_windows, zip_xml_ingest — lead the
+# post-boundary tail and re-enter round 13);
 # THEN the six FORCE_NEXT rows whose semantics changed this round (see
 # below — fresh r11 evidence describes code that no longer exists);
 # THEN every *_recall/*_consistency/*_verdict row (13, pinned in EVERY
 # window — they are the oracle-checked external evidence for the
-# rows-only sketch queries); THEN the round's two zero-evidence new
-# queries close the window (stream_quota_admit — the first registered
-# query that drains a REAL Structured Streaming query — and
-# sample_balanced_shards, the two-level distributed prefix sum).
+# rows-only sketch queries); THEN the round's three zero-evidence
+# new queries close the window (stream_quota_admit — the first
+# registered query that drains a REAL Structured Streaming query —
+# sample_balanced_shards, the two-level distributed prefix sum, and
+# curate_adaptive_cutoff, the per-source adaptive quality threshold).
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -113,7 +115,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "csv_scan",
     "filter_eq",
     "filter_in",
-    "filter_range",
     "text_quality_classifier",
     "text_bpe_merges",
     "pipeline_curate_llm",
@@ -135,7 +136,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_semantic_verdict",
     "stream_quota_admit",
     "sample_balanced_shards",
+    "curate_adaptive_cutoff",
     # ---- window boundary (50) ----
+    "filter_range",
     "incr_status_flag",
     "manifest_semi_join",
     "news_transform",
