@@ -142,6 +142,68 @@ def test_host_quota_admitter_matches_batch_order(spark):
     shutil.rmtree(chk, ignore_errors=True)
 
 
+def test_quota_admitter_restart_resumes_state_exactly_once(spark):
+    """Production restart semantics: a NEW streaming query over the
+    SAME checkpoint must resume — offsets (batch 0 is not reprocessed),
+    GroupState (host counts continue, not reset), and the file sink
+    (no duplicate rows). A third run with no new data emits nothing.
+    This is the crash/redeploy path every always-on ingest hits."""
+    from full_docker_etl_spark.streaming.stateful import host_quota_admitter
+
+    d = tempfile.mkdtemp(prefix="fde_restart_") + "/docs"
+    out = tempfile.mkdtemp(prefix="fde_restart_out_")
+    chk = tempfile.mkdtemp(prefix="fde_restart_chk_")
+    schema = "doc_id long, host string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (
+            host_quota_admitter(stream, quota=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: batch 0 — host a fills 2 of 3 slots
+    spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")], schema
+    ).repartition(1).write.mode("overwrite").parquet(d)
+    run_once()
+    first = {
+        (r.host, r.doc_id, r.host_seq)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == {("a", 0, 1), ("a", 1, 2), ("b", 2, 1)}
+
+    # run 2 (restart): batch 1 — host a admits ONE more (state carried
+    # across the restart), doc 4 is over quota; batch 0 NOT reprocessed
+    spark.createDataFrame(
+        [(3, "a"), (4, "a"), (5, "b")], schema
+    ).repartition(1).write.mode("append").parquet(d)
+    run_once()
+    second = {
+        (r.host, r.doc_id, r.host_seq)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert second == first | {("a", 3, 3), ("b", 5, 2)}, second
+
+    # run 3 (restart, no new data): exactly-once — nothing re-emitted
+    run_once()
+    third = {
+        (r.host, r.doc_id, r.host_seq)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert third == second
+
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+
+
 class _FakeState:
     """Duck-typed GroupState for unit-testing the handler closures'
     timeout path without a streaming query (Spark invokes timed-out
