@@ -368,13 +368,26 @@ def balanced_shards(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     idc = F.col(id_col).cast("long")
-    max_row = df.agg(F.max(idc).alias("_max_id"))
-    bucketed = df.crossJoin(F.broadcast(max_row)).withColumn(
+    # Bucket arithmetic runs in DOUBLE space: long math (id * n_buckets)
+    # silently wraps for snowflake-scale 64-bit ids (>= 2^63/n_buckets)
+    # and would produce a NON-monotone id->bucket map — wrong cuts, no
+    # error. long->double conversion and division by a positive
+    # constant are both monotone (adjacent huge ids may collapse into
+    # one bucket past 2^53 — fewer effective buckets, never wrong
+    # results), and min-anchoring keeps all-negative id ranges valid.
+    bounds = df.agg(
+        F.min(idc).cast("double").alias("_min_id"),
+        F.max(idc).cast("double").alias("_max_id"),
+    )
+    width = F.greatest(
+        F.lit(1.0),
+        F.ceil(
+            (F.col("_max_id") - F.col("_min_id") + 1.0) / n_buckets
+        ).cast("double"),
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
         "_bucket",
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor(idc * n_buckets / (F.col("_max_id") + 1)),
-        ),
+        F.floor((idc.cast("double") - F.col("_min_id")) / width),
     )
     totals = bucketed.groupBy("_bucket").agg(
         F.sum(F.col(weight_col).cast("long")).alias("_bw")
@@ -402,7 +415,7 @@ def balanced_shards(
         .withColumn(
             "shard", F.floor(start / F.lit(target_weight)).cast("long")
         )
-        .drop("_bucket", "_max_id", "_off")
+        .drop("_bucket", "_min_id", "_max_id", "_off")
     )
 
 

@@ -395,7 +395,15 @@ def stream_quota_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False WITHOUT raising on
+    # timeout — proceeding would read a partial sink (a value-mismatch
+    # that masquerades as an admitter bug) and leak a running query
+    # into the shared session
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_quota_admit: AvailableNow drain exceeded 300 s"
+        )
     return spark.read.parquet(out).select("host", "doc_id", "host_seq")
 
 

@@ -123,6 +123,31 @@ def test_balanced_shards_matches_naive_prefix_sum(spark):
             max_w = max(w for _, w in rows)
             assert target - max_w < tot <= target + max_w, (s, tot)
 
+    # snowflake-scale 64-bit ids: long math (id * n_buckets) would wrap
+    # negative and scramble the cuts; the double-space bucket map must
+    # stay monotone and exact (reviewed-in regression)
+    big_base = 1_400_000_000_000_000_000  # ~2^60.3, wraps at n_buckets=1024
+    big_rows = [(big_base + i * 1_000_003, rng.randrange(1, 50))
+                for i in range(200)]
+    big = spark.createDataFrame(big_rows, "doc_id long, w long")
+    got_big = {
+        r.doc_id: (r.cum_weight, r.shard)
+        for r in balanced_shards(big, "doc_id", "w", 500).collect()
+    }
+    cum = 0
+    for i, w in big_rows:
+        assert got_big[i] == (cum + w, cum // 500), (i, got_big[i])
+        cum += w
+
+    # all-negative ids: min-anchored width must stay >= 1
+    neg = spark.createDataFrame(
+        [(-30, 5), (-20, 5), (-10, 5)], "doc_id long, w long"
+    )
+    got_neg = {
+        r.doc_id: r.shard for r in balanced_shards(neg, "doc_id", "w", 7).collect()
+    }
+    assert got_neg == {-30: 0, -20: 0, -10: 1}
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="target_weight"):
@@ -148,6 +173,9 @@ def test_balanced_shards_plan_is_bucketed_not_global(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
     # the in-bucket window must be hash-partitioned on the bucket
     assert "hashpartitioning(_bucket" in plan, plan
+
+
+def test_hash_split_partitions_corpus(spark, sf_dir):
     """Every doc gets exactly one split; proportions land near
     75/12.5/12.5; assignment depends only on the key (re-running on a
     subset never reassigns)."""
