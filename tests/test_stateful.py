@@ -38,7 +38,7 @@ def _run_stream(df, name, mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream drain timed out'
     return chk
 
 
@@ -166,7 +166,7 @@ def test_quota_admitter_restart_resumes_state_exactly_once(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream drain timed out'
 
     # run 1: batch 0 — host a fills 2 of 3 slots
     spark.createDataFrame(

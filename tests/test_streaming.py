@@ -39,7 +39,7 @@ def test_stream_equals_batch(spark, sf_dir, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
     streamed = {
         (r.bucket_s, r.event_type): (r.n_events, str(r.sum_value))
         for r in spark.sql("SELECT * FROM t_stream").collect()
@@ -70,14 +70,14 @@ def test_stream_foreachbatch_upsert_exactly_once(spark, sf_dir):
     ev.where("event_id % 2 = 0").write.mode("overwrite").parquet(src)
     chk = tempfile.mkdtemp(prefix="fde_ups_chk_")
     q = stream_upsert(spark, src, ev.schema, target, ["event_id"], chk)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
     n1 = spark.read.parquet(target).count()
     assert n1 == ev.where("event_id % 2 = 0").count()
 
     # batch 2: ALL rows, overlapping batch 1, with updated values
     ev.withColumn("value", F.col("value") + 1000.0).write.mode("append").parquet(src)
     q = stream_upsert(spark, src, ev.schema, target, ["event_id"], chk)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
 
     out = spark.read.parquet(target)
     assert out.count() == ev.count()  # one row per key, no dups
@@ -89,7 +89,7 @@ def test_stream_foreachbatch_upsert_exactly_once(spark, sf_dir):
     # replaying the SAME source with a FRESH checkpoint converges
     chk2 = tempfile.mkdtemp(prefix="fde_ups_chk2_")
     q = stream_upsert(spark, src, ev.schema, target, ["event_id"], chk2)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
     again = spark.read.parquet(target)
     assert again.count() == ev.count()
     for d in (src, target, chk, chk2):
@@ -129,7 +129,7 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
     streamed = {
         r.c_mktsegment: (r.n_events, str(r.sum_value))
         for r in spark.sql("SELECT * FROM t_enrich").collect()
@@ -179,7 +179,7 @@ def test_stream_stream_range_join_equals_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream drain timed out'
     streamed = {
         (r.click_id, r.purchase_id)
         for r in spark.sql("SELECT * FROM t_ssjoin").collect()
@@ -324,14 +324,14 @@ def test_stream_upsert_versioned_atomic_epochs(spark, sf_dir):
     chk = tempfile.mkdtemp(prefix="fde_vups_chk_")
     q = stream_upsert(spark, src, ev.schema, root, ["event_id"], chk,
                       versioned=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
     t = VersionedTable(root)
     assert t.read(spark).count() == ev.where("event_id % 2 = 0").count()
 
     ev.withColumn("value", F.col("value") + 1000.0).write.mode("append").parquet(src)
     q = stream_upsert(spark, src, ev.schema, root, ["event_id"], chk,
                       versioned=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
     out = t.read(spark)
     assert out.count() == ev.count()
     assert out.groupBy("event_id").count().where("count > 1").count() == 0
@@ -415,7 +415,7 @@ def test_streaming_incremental_dedup_against_sketch_store(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), 'stream drain timed out'
         return set(admitted)
 
     streamed = run_pipeline(tempfile.mkdtemp(prefix="fde_sdedup_a_") + "/s")
@@ -554,7 +554,7 @@ def test_streaming_incremental_substring_dedup_loop(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream drain timed out'
 
     sequential = run(
         tempfile.mkdtemp(prefix="fde_ssdst_b_") + "/s",
@@ -671,7 +671,7 @@ def test_stream_grain_refresh_equals_batch_rebuild(spark, sf_dir, events_dir):
             spark, d, schema, fact, grain, build, "ts",
             keys=["event_id"], checkpoint_dir=chk,
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), 'stream drain timed out'
 
     run(base + "/chk1")
     cols = ["series", "period_key", "n", "sum_value"]
@@ -896,7 +896,7 @@ def test_stream_grain_refresh_moved_key_scrubs_old_period(spark):
             spark, src, schema, fact, grain, build, "ts",
             keys=["event_id"], checkpoint_dir=base + "/chk",
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), 'stream drain timed out'
 
     # delivery 1: two January events, one lone February event
     mk(
@@ -960,7 +960,7 @@ def test_stream_model_scores_frozen_model_with_oov(spark):
     out = tempfile.mkdtemp(prefix="fde_serve_out_")
     chk = tempfile.mkdtemp(prefix="fde_serve_chk_")
     q = stream_model_scores(spark, d, schema, odds, scalars, out, chk)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
 
     got = {
         r.doc_id: (r.n_tokens, r.log_odds, r.pred_pos)
@@ -1042,7 +1042,7 @@ def test_streaming_ingest_loop_quota_then_score(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream drain timed out'
 
     got = {
         r.doc_id: (r.host, r.host_seq, r.log_odds, r.pred_pos)
