@@ -230,6 +230,7 @@ def grouped_percentiles_from_counts(
     value_col: str,
     count_col: str,
     ps: dict[str, float],
+    discrete: bool = False,
 ) -> DataFrame:
     """:func:`grouped_percentiles_exact`'s primitive: ``vc`` is an
     already-counted frame with EXACTLY one row per (group, distinct
@@ -237,7 +238,17 @@ def grouped_percentiles_from_counts(
     (group, value) rows or null values would corrupt the cumulative
     positions). Pass this directly when the caller needs the
     value-count frame for other statistics too (shares, modes) — one
-    scoring pass feeds everything."""
+    scoring pass feeds everything.
+
+    ``discrete=True`` switches every ``ps`` entry from type-7
+    interpolation to the NEAREST-RANK definition (DuckDB's
+    ``quantile_disc``): the attained value at 1-indexed position
+    ceil(p·n). Use it when the result feeds a THRESHOLD comparison:
+    interpolation can land exactly on a rounding-grid midpoint where a
+    1-ulp cross-engine difference flips the rounded digit (observed at
+    sf0.1 — a p25 of 4-dp scores interpolated to x.xxxx5), while a
+    nearest-rank cutoff is a member of the value set and exact in any
+    engine."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(value_col)
@@ -251,6 +262,17 @@ def grouped_percentiles_from_counts(
     # the min() arguments they ride each row; in the outer interpolation
     # they are rebuilt from first(_n) so the projection stays aggregate.
     for name, p in ps.items():
+        if discrete:
+            # nearest-rank (quantile_disc): 1-indexed position
+            # ceil(p*n), identical double arithmetic in both engines
+            k1 = F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_n").cast("double") * F.lit(float(p))),
+            )
+            aggs.append(
+                F.min(F.when(F.col("_cum") >= k1, v)).alias(name)
+            )
+            continue
         h = (F.col("_n") - F.lit(1)).cast("double") * F.lit(float(p))
         k = F.floor(h)
         lower = F.min(F.when(F.col("_cum") >= k + 1, v))

@@ -1296,7 +1296,7 @@ _CURATE_HOST_SQL = """
                                                       '\\s+')), 1),
                  4) AS score
         FROM documents WHERE text IS NOT NULL),
-      c AS (SELECT source, ROUND(quantile_cont(score, 0.25), 4) AS cutoff
+      c AS (SELECT source, quantile_disc(score, 0.25) AS cutoff
             FROM t GROUP BY source)
       SELECT t.doc_id, t.source, t.score, c.cutoff,
              t.score >= c.cutoff AS keep
@@ -1310,14 +1310,16 @@ def curate_adaptive_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter drops every source's least-natural quartile instead of
     letting one verbose domain set the bar for all (fixed thresholds
     over-prune terse sources and under-prune boilerplate-heavy ones).
-    Composes the cheap quality features with the count-based exact
-    percentile (grouped_percentiles_from_counts): scores round to the
-    4-dp grid first, so the percentile state is O(distinct scores per
-    source) and the interpolated threshold is engine-portable under
-    the same rounding argument the registry's AVG rule uses. The
-    #sources-row cutoff table broadcasts back; keep decisions compare
-    ROUNDED score to ROUNDED cutoff, so the driver value-checks every
-    doc's boundary decision."""
+    Composes the cheap quality features with the count-based
+    percentile (grouped_percentiles_from_counts) in its DISCRETE
+    nearest-rank form: the cutoff is an ACTUALLY-ATTAINED 4-dp score
+    (quantile_disc), so it is bit-exact in any engine — an
+    interpolated p25 of grid-spaced scores can land exactly on a
+    rounding midpoint where a 1-ulp cross-engine difference flips the
+    rounded digit (caught by the 10x parity sweep at sf0.1, src13).
+    Percentile state stays O(distinct scores per source); the
+    #sources-row cutoff table broadcasts back; the driver value-checks
+    every doc's boundary decision."""
     from full_docker_etl_spark.operators.profile import (
         grouped_percentiles_from_counts,
     )
@@ -1335,8 +1337,8 @@ def curate_adaptive_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     cut = grouped_percentiles_from_counts(
-        vc, "source", "score", "cnt", {"cutoff": 0.25}
-    ).select("source", F.round("cutoff", 4).alias("cutoff"))
+        vc, "source", "score", "cnt", {"cutoff": 0.25}, discrete=True
+    ).select("source", "cutoff")
     return scored.join(F.broadcast(cut), "source").select(
         "doc_id",
         "source",
@@ -2566,9 +2568,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_docs,
              ROUND(CAST(SUM(CASE WHEN sc.log_odds > 0 THEN 1 ELSE 0 END)
                         AS DOUBLE) / COUNT(*), 6) AS pos_share,
-             ROUND(quantile_cont(sc.log_odds, 0.1), 4) AS p10,
-             ROUND(quantile_cont(sc.log_odds, 0.5), 4) AS p50,
-             ROUND(quantile_cont(sc.log_odds, 0.9), 4) AS p90
+             quantile_disc(sc.log_odds, 0.1) AS p10,
+             quantile_disc(sc.log_odds, 0.5) AS p50,
+             quantile_disc(sc.log_odds, 0.9) AS p90
       FROM t JOIN sc USING (doc_id)
       GROUP BY t.source
     """,
@@ -2578,16 +2580,17 @@ def profile_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source — predicted-positive share and p10/p50/p90 of the
     log-odds — the which-domains-are-low-quality report that decides
     blocklists and per-source quotas (CCNet publishes exactly this
-    table per dump). Percentiles interpolate over the ROUNDED scores
-    (both engines see bit-identical 4-dp inputs, the classifier's own
-    parity contract), so the distribution numbers are engine-portable
-    — and they are computed EXACTLY from per-(source, score) value
-    counts (grouped_percentiles_exact), not Spark's buffer-everything
-    ``percentile`` aggregate: one hot source at 100 TB would OOM an
-    ObjectHashAggregate, while the count-based form keeps state at
-    O(distinct 4-dp scores per source). pos_share and n_docs ride the
-    same value-count frame, so the whole report is one count shuffle
-    plus one small per-source window.
+    table per dump). Percentiles are NEAREST-RANK (quantile_disc) over
+    the ROUNDED scores: each reported p10/p50/p90 is an attained 4-dp
+    score, bit-exact in any engine (interpolation over grid-spaced
+    inputs can land on a rounding midpoint where 1 ulp flips the
+    digit) — and they are computed from per-(source, score) value
+    counts (grouped_percentiles_from_counts), not Spark's
+    buffer-everything ``percentile`` aggregate: one hot source at
+    100 TB would OOM an ObjectHashAggregate, while the count-based
+    form keeps state at O(distinct 4-dp scores per source). pos_share
+    and n_docs ride the same value-count frame, so the whole report is
+    one count shuffle plus one small per-source window.
     Composes nb_train/nb_score with the same seed the standalone
     classifier query pins."""
     from full_docker_etl_spark.operators.profile import (
@@ -2608,9 +2611,16 @@ def profile_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = joined.groupBy("source", "log_odds").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # DISCRETE (nearest-rank) percentiles: the reported p10/p50/p90
+    # are attained 4-dp scores, bit-exact in any engine. Interpolation
+    # over 4-dp-grid inputs can land exactly on a 5e-5 rounding
+    # midpoint (frac 0.5 x one grid step), where a 1-ulp cross-engine
+    # difference flips the rounded digit — the class the 10x sweep
+    # caught on curate_adaptive_cutoff.
     pcts = grouped_percentiles_from_counts(
         vc, "source", "log_odds", "cnt",
         {"p10": 0.1, "p50": 0.5, "p90": 0.9},
+        discrete=True,
     )
     shares = vc.groupBy("source").agg(
         F.round(
@@ -2624,9 +2634,9 @@ def profile_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n").alias("n_docs"),
         "pos_share",
-        F.round("p10", 4).alias("p10"),
-        F.round("p50", 4).alias("p50"),
-        F.round("p90", 4).alias("p90"),
+        "p10",
+        "p50",
+        "p90",
     )
 
 

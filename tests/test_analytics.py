@@ -171,6 +171,47 @@ def test_grouped_percentiles_exact_matches_spark_percentile(spark):
     assert got["one"][1:] == (42.0, 42.0, 42.0, 42.0)
     assert got["two"][2] == 1.5  # true interpolation between the 2 rows
 
+    # DISCRETE (nearest-rank / quantile_disc) mode: the value at
+    # 1-indexed position ceil(p*n) — always an attained value, matching
+    # DuckDB's quantile_disc semantics (pinned empirically: [1,2] at
+    # p=0.75 -> 2, i.e. ceil, not floor); must also agree with DuckDB
+    # itself on the same data
+    import duckdb
+
+    from full_docker_etl_spark.operators.profile import (
+        grouped_percentiles_from_counts,
+    )
+
+    vals = sorted(v for g, v in rows if g == "spread" and v is not None)
+    vc = (
+        df.where("v IS NOT NULL")
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    disc = {
+        r.g: (r.p10, r.p50, r.p90, r.p99)
+        for r in grouped_percentiles_from_counts(
+            vc, "g", "v", "c", ps, discrete=True
+        ).collect()
+    }
+    import math
+
+    want_disc = tuple(
+        vals[max(0, math.ceil(p * len(vals)) - 1)]
+        for p in (0.1, 0.5, 0.9, 0.99)
+    )
+    assert disc["spread"] == want_disc
+    assert disc["two"] == (1.0, 1.0, 2.0, 2.0)  # ceil semantics on n=2
+    con = duckdb.connect()
+    duck = tuple(
+        con.execute(
+            f"SELECT quantile_disc(x, {p}) FROM (SELECT unnest(?) AS x)",
+            [vals],
+        ).fetchone()[0]
+        for p in (0.1, 0.5, 0.9, 0.99)
+    )
+    assert disc["spread"] == duck
+
 
 def test_incremental_grain_refresh_touches_only_affected_buckets(spark, sf_dir):
     """refresh_grain must (a) equal a full rebuild row-for-row, (b)
