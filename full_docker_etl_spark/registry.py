@@ -45,25 +45,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-12 window (50 slots), per VERDICT r11 #3,
+# everything every round. Round-13 window (50 slots), per VERDICT r12 #1,
 # computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
-# FIRST the seventeen round-6-stale rows the r11 verdict ordered back in
-# (mm_resize .. dedup_simhash — after this round no query's latest
-# evidence is older than r7); THEN 11 of the 29 round-7-stale rows
-# (the remaining eighteen — filter_range, incr_status_flag,
-# manifest_semi_join, news_transform, observe_metrics,
-# rest_batch_fetch, the serve_* pair, three sink rows, sort_topk, the
-# stream_* four, text_chunk_windows, zip_xml_ingest — lead the
-# post-boundary tail and re-enter round 13);
-# THEN the six FORCE_NEXT rows whose semantics changed this round (see
-# below — fresh r11 evidence describes code that no longer exists);
+# FIRST all 18 round-7-stale rows (filter_range .. zip_xml_ingest —
+# after this round no query's latest evidence is older than r9);
+# THEN 19 of the 37 round-9-stale rows in staleness order (the
+# remaining eighteen — point_lookup through word_counts — lead the
+# post-boundary tail and re-enter round 14);
 # THEN every *_recall/*_consistency/*_verdict row (13, pinned in EVERY
 # window — they are the oracle-checked external evidence for the
-# rows-only sketch queries); THEN the round's three zero-evidence
-# new queries close the window (stream_quota_admit — the first
-# registered query that drains a REAL Structured Streaming query —
-# sample_balanced_shards, the two-level distributed prefix sum, and
-# curate_adaptive_cutoff, the per-source adaptive quality threshold).
+# rows-only sketch queries). No FORCE_NEXT entries and no zero-evidence
+# new queries this round at rotation time.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -71,73 +63,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Queries whose SEMANTICS changed this round: tools/next_window.py
 # forces them into the next window regardless of evidence freshness
 # (a green sample of code that no longer exists proves nothing).
-# Round 12: the BPE pair got the end-of-word marker (both queries'
-# values changed); profile_source_quality AND agg_percentiles moved to
-# count-based exact percentiles; the NB-based pair got the empty-token
-# filter (same values on clean corpora, but operator + oracle both
-# changed).
 # RESET this tuple when rotating for the round AFTER the changes ship.
-FORCE_NEXT: tuple[str, ...] = (
-    "text_bpe_merges",
-    "text_bpe_tokenize",
-    "profile_source_quality",
-    "text_quality_classifier",
-    "pipeline_curate_llm",
-    "agg_percentiles",  # moved to count-based exact percentiles
-)
+FORCE_NEXT: tuple[str, ...] = ()
+# Round 13: reset — all six round-12 semantic-change rows (BPE pair,
+# profile_source_quality, text_quality_classifier, pipeline_curate_llm,
+# agg_percentiles) drew fresh r12 evidence on the post-change code, so
+# per this tuple's own rule they rotate out of the forced set.
 
 _SAMPLE_ORDER: tuple[str, ...] = (
-    "mm_resize",
-    "pipeline_curate",
-    "profile_correlations",
-    "profile_histogram",
-    "profile_skew",
-    "profile_table",
-    "sample_epoch_shuffle",
-    "sample_negatives",
-    "sample_temperature_mix",
-    "sample_temperature_upsample",
-    "text_bm25",
-    "text_pii_scrub",
-    "win_rank_family",
-    "win_time_range",
-    "xbrl_metrics",
-    "xlsx_scan",
-    "dedup_simhash",
-    "agg_count_distinct",
-    "agg_multigrain",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_yearly",
-    "ann_cosine_topk",
-    "audit_k_anonymity",
-    "conform_schema",
-    "csv_scan",
-    "filter_eq",
-    "filter_in",
-    "text_quality_classifier",
-    "text_bpe_merges",
-    "pipeline_curate_llm",
-    "text_bpe_tokenize",
-    "profile_source_quality",
-    "agg_percentiles",
-    "ann_ivf_recall",
-    "ann_ivf_kmeans_recall",
-    "ann_lsh_recall",
-    "ann_ivf_sq_recall",
-    "ann_ivf_pq_recall",
-    "ann_ivf_serve_consistency",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "dedup_incremental_recall",
-    "text_compression_verdict",
-    "join_fuzzy_recall",
-    "dedup_semantic_verdict",
-    "stream_quota_admit",
-    "sample_balanced_shards",
-    "curate_adaptive_cutoff",
-    # ---- window boundary (50) ----
     "filter_range",
     "incr_status_flag",
     "manifest_semi_join",
@@ -175,6 +108,20 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_semi",
     "limit_one",
     "nested_reshape",
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "ann_ivf_sq_recall",
+    "ann_ivf_pq_recall",
+    "ann_ivf_serve_consistency",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    "text_compression_verdict",
+    "join_fuzzy_recall",
+    "dedup_semantic_verdict",
+    # ---- window boundary (50) ----
     "point_lookup",
     "set_except_intersect",
     "sink_clustered_scan",
@@ -263,6 +210,43 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_embedding",
     "dedup_minhash",
     "dedup_semantic",
+    "agg_count_distinct",
+    "agg_multigrain",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_yearly",
+    "ann_cosine_topk",
+    "audit_k_anonymity",
+    "conform_schema",
+    "csv_scan",
+    "curate_adaptive_cutoff",
+    "filter_eq",
+    "filter_in",
+    "mm_resize",
+    "pipeline_curate",
+    "pipeline_curate_llm",
+    "profile_correlations",
+    "profile_histogram",
+    "profile_skew",
+    "profile_source_quality",
+    "profile_table",
+    "sample_balanced_shards",
+    "sample_epoch_shuffle",
+    "sample_negatives",
+    "sample_temperature_mix",
+    "sample_temperature_upsample",
+    "stream_quota_admit",
+    "text_bm25",
+    "text_bpe_merges",
+    "text_bpe_tokenize",
+    "text_pii_scrub",
+    "text_quality_classifier",
+    "win_rank_family",
+    "win_time_range",
+    "xbrl_metrics",
+    "xlsx_scan",
+    "dedup_simhash",
 )
 
 
