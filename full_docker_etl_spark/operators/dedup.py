@@ -1051,21 +1051,32 @@ def connected_components(
     b_col: str = "d2",
     max_iter: int = 20,
 ) -> DataFrame:
-    """Connected components of the near-dup pair graph by iterative
-    min-label propagation: every node repeatedly takes the minimum
-    label among itself and its neighbors until a fixpoint. Converges in
-    O(diameter) rounds — near-dup components are shallow (stars/small
-    cliques), so 2-3 rounds in practice; ``max_iter`` only guards
-    pathological chains.
+    """Connected components of the near-dup pair graph by min-label
+    propagation WITH pointer doubling: each round every node takes the
+    minimum label among itself and its neighbors (propagation), then
+    jumps to its label's label (``comp ← comp(comp)``, the
+    Shiloach–Vishkin shortcut). Propagation alone needs O(diameter)
+    rounds; the jump makes the reachable-min horizon grow
+    geometrically (f ← 2·f + 2 per round on a path), so convergence is
+    O(log diameter) — a 100-node chain settles in 7 rounds, and the
+    shallow star/clique graphs real near-dup corpora produce still
+    finish in 2-3. ``max_iter`` stays as the loud non-convergence
+    guard (2^20-diameter graphs do not occur).
 
-    Scale shape: each round is one self-join on the node key plus a
-    groupBy-min — both hash-partitioned on the same key, so AQE reuses
-    the partitioning; per-round driver work is a single convergence
-    count. This is the standard distributed CC formulation (hash-to-min)
-    — no driver-side union-find, no component ever materialized on one
-    machine. Returns (node, component) with component = min node id in
-    the component; deterministic, so it is oracle-checkable against a
-    recursive-CTE transitive closure."""
+    Correctness of the jump: labels are monotone non-increasing and
+    always a node id inside the same component (min of self/neighbor
+    labels, then a label's label — both stay in-component), so the
+    fixpoint has a constant label per component; the constant c
+    satisfies comp(c)=c and comp(min)≤min, forcing c = component min.
+
+    Scale shape: each round is one join on the node key + groupBy-min
+    (propagation) and one label-keyed self-join (the jump) — all
+    hash-partitioned, no range exchange; per-round driver work is a
+    single convergence count riding the checkpoint job as an
+    observe() metric. No driver-side union-find, no component ever
+    materialized on one machine. Returns (node, component) with
+    component = min node id in the component; deterministic, so it is
+    oracle-checkable against a recursive-CTE transitive closure."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     from full_docker_etl_spark.operators.util import release_checkpoint
@@ -1111,8 +1122,7 @@ def connected_components(
             # materialization as an observe() metric — one job per
             # round does propagate + truncate + count, instead of a
             # second pass over the checkpointed labels.
-            obs = Observation()
-            new_labels = (
+            prop = (
                 labels.join(
                     neighbor_min, labels["node"] == neighbor_min["src"], "left"
                 )
@@ -1120,8 +1130,27 @@ def connected_components(
                     "node",
                     F.least(
                         F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
-                    ).alias("comp"),
+                    ).alias("p_comp"),
                     F.col("comp").alias("prev_comp"),
+                )
+            )
+            # pointer doubling: comp ← comp(comp). The jump table is the
+            # propagated frame itself re-keyed by node; a left join
+            # because a label can be a node whose own row is filtered
+            # only on an empty graph, but coalesce keeps it total.
+            jump = prop.select(
+                F.col("node").alias("j_node"), F.col("p_comp").alias("j_comp")
+            )
+            obs = Observation()
+            new_labels = (
+                prop.join(jump, prop["p_comp"] == jump["j_node"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("p_comp"),
+                        F.coalesce(F.col("j_comp"), F.col("p_comp")),
+                    ).alias("comp"),
+                    "prev_comp",
                 )
                 .observe(
                     obs,

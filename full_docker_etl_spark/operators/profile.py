@@ -188,6 +188,7 @@ def grouped_percentiles_exact(
     group_col: str,
     value_col: str,
     ps: dict[str, float],
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """EXACT type-7 (linear-interpolation) percentiles per group —
     the same definition as Spark's ``percentile`` and DuckDB's
@@ -203,6 +204,14 @@ def grouped_percentiles_exact(
     window over the (small) distinct-value frame, one final agg.
     ``approx_percentile`` is the alternative when values are truly
     continuous; this form keeps EXACT cross-engine parity.
+
+    PRECONDITION (enforced): the value column must be a bounded grid —
+    rounded scores, integer counts, fixed-point cents. A continuous
+    double column would silently rebuild the O(rows-per-group) state
+    this operator exists to avoid, so any group exceeding
+    ``max_distinct`` distinct values raises at execution time with a
+    pointer to the approx path (pass ``max_distinct=None`` only when
+    the grid bound is proven elsewhere).
 
     ``ps`` maps output column name → fraction, e.g.
     ``{"p50": 0.5}``. For fraction p over n values sorted ascending
@@ -220,7 +229,7 @@ def grouped_percentiles_exact(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     return grouped_percentiles_from_counts(
-        vc, group_col, value_col, "_c", ps
+        vc, group_col, value_col, "_c", ps, max_distinct=max_distinct
     )
 
 
@@ -231,6 +240,7 @@ def grouped_percentiles_from_counts(
     count_col: str,
     ps: dict[str, float],
     discrete: bool = False,
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """:func:`grouped_percentiles_exact`'s primitive: ``vc`` is an
     already-counted frame with EXACTLY one row per (group, distinct
@@ -257,6 +267,31 @@ def grouped_percentiles_from_counts(
         "_cum", F.sum(count_col).over(w)
     ).withColumn("_n", F.sum(count_col).over(wg))
     v = F.col(value_col).cast("double")
+    if max_distinct is not None:
+        # bounded-grid precondition, enforced IN the plan: the distinct
+        # count rides the existing per-group window pass (same
+        # partition key, no extra shuffle), and the raise is folded
+        # into the value expression so every percentile evaluation
+        # trips it — a continuous-double caller fails loudly instead of
+        # silently rebuilding the O(rows-per-group) buffer this
+        # operator replaces.
+        vc = vc.withColumn("_nd", F.count(F.lit(1)).over(wg))
+        v = F.when(
+            F.col("_nd") > F.lit(int(max_distinct)),
+            F.raise_error(
+                F.concat(
+                    F.lit("grouped_percentiles: group "),
+                    F.col(group_col).cast("string"),
+                    F.lit(
+                        f" exceeds max_distinct={max_distinct} distinct"
+                        " values — the value column is not a bounded"
+                        " grid; use approx_percentile (see"
+                        " agg_approx_percentiles) or raise/disable"
+                        " max_distinct if the state size is acceptable"
+                    ),
+                )
+            ).cast("double"),
+        ).otherwise(v)
     aggs = [F.first("_n").alias("n")]
     # h/k are constant within a group (they depend only on _n): inside
     # the min() arguments they ride each row; in the outer interpolation

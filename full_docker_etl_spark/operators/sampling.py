@@ -359,7 +359,12 @@ def balanced_shards(
     the shard its first token lands in. Returns the input columns plus
     (cum_weight inclusive, shard). ``id_col`` must be UNIQUE (ties in
     the ROWS-frame running sum would make cum_weight order-dependent
-    between the tied rows). Id-range bucketing assumes ids are
+    between the tied rows), and ``weight_col`` must be NON-NULL —
+    both preconditions are on corrupt input, so the null case raises
+    at execution time (sum() would skip the null but the running
+    `cum - weight` and the shard floor would both go NULL, yielding
+    wrong-looking rows instead of an error). Id-range bucketing
+    assumes ids are
     roughly dense/uniform (true for generated doc ids); a pathological
     id distribution degrades to fewer effective buckets, never to
     wrong results."""
@@ -368,6 +373,20 @@ def balanced_shards(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     idc = F.col(id_col).cast("long")
+    # non-null weight precondition, enforced IN the plan: a NULL weight
+    # would be skipped by the bucket-total sum() yet null out the
+    # running cum/shard of its own row — corrupt input must fail
+    # loudly, not emit wrong-looking rows
+    wgt = F.when(
+        F.col(weight_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"balanced_shards: NULL {weight_col} at {id_col}="),
+                F.col(id_col).cast("string"),
+                F.lit(" — weights must be non-null"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(weight_col).cast("long"))
     # Bucket arithmetic runs in DOUBLE space: long math (id * n_buckets)
     # silently wraps for snowflake-scale 64-bit ids (>= 2^63/n_buckets)
     # and would produce a NON-monotone id->bucket map — wrong cuts, no
@@ -390,7 +409,7 @@ def balanced_shards(
         F.floor((idc.cast("double") - F.col("_min_id")) / width),
     )
     totals = bucketed.groupBy("_bucket").agg(
-        F.sum(F.col(weight_col).cast("long")).alias("_bw")
+        F.sum(wgt).alias("_bw")
     )
     # partitionBy(lit) keeps the (bounded, <= n_buckets rows) prefix
     # window on one partition — same execution as an empty partition
@@ -407,8 +426,8 @@ def balanced_shards(
     w_in = Window.partitionBy("_bucket").orderBy(idc.asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = F.col("_off") + F.sum(F.col(weight_col).cast("long")).over(w_in)
-    start = cum - F.col(weight_col).cast("long")
+    cum = F.col("_off") + F.sum(wgt).over(w_in)
+    start = cum - wgt
     return (
         bucketed.join(F.broadcast(offsets), "_bucket")
         .withColumn("cum_weight", cum.cast("long"))

@@ -73,10 +73,9 @@ def _rowset(cols, rows):
 _HASH_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "TIMESTAMP", "TIME")
 
 
-def assert_hash_safe_oracle(oracle: str, con) -> None:
+def _assert_hash_safe_relation(rel) -> None:
     """Fail if any oracle output column has a DuckDB type the driver's
     pandas hash path renders differently from Spark (HUGEINT/DECIMAL)."""
-    rel = con.sql(oracle)
     bad = [
         f"{c}: {t}"
         for c, t in zip(rel.columns, (str(t) for t in rel.types))
@@ -88,14 +87,21 @@ def assert_hash_safe_oracle(oracle: str, con) -> None:
     )
 
 
+def assert_hash_safe_oracle(oracle: str, con) -> None:
+    _assert_hash_safe_relation(con.sql(oracle))
+
+
 def compare_query(spark_df, oracle: str, con) -> None:
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = list(spark_df.columns)
 
-    assert_hash_safe_oracle(oracle, con)
-    res = con.execute(oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # ONE relation serves both the type gate and the row fetch —
+    # con.execute() after con.sql() would plan/run heavy oracles (the
+    # recursive BPE CTE chains) twice per parity test.
+    rel = con.sql(oracle)
+    _assert_hash_safe_relation(rel)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"

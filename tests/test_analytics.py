@@ -213,6 +213,39 @@ def test_grouped_percentiles_exact_matches_spark_percentile(spark):
     assert disc["spread"] == duck
 
 
+def test_grouped_percentiles_refuses_unbounded_grid(spark):
+    """The bounded-distinct precondition is ENFORCED, not just
+    documented: a group with more distinct values than max_distinct
+    raises at execution time (pointing at the approx path) instead of
+    silently rebuilding the O(rows-per-group) state the count-based
+    operator exists to avoid; max_distinct=None opts out."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from full_docker_etl_spark.operators.profile import (
+        grouped_percentiles_exact,
+    )
+
+    # 50 distinct doubles in one group — "continuous" relative to a
+    # tiny max_distinct so the test stays fast
+    df = spark.createDataFrame(
+        [("g", i + 0.5) for i in range(50)], "g string, v double"
+    )
+    out = grouped_percentiles_exact(
+        df, "g", "v", {"p50": 0.5}, max_distinct=10
+    )
+    with pytest.raises(SparkRuntimeException, match="max_distinct=10"):
+        out.collect()
+    # opt-out still computes (grid bound proven by the caller)
+    row = grouped_percentiles_exact(
+        df, "g", "v", {"p50": 0.5}, max_distinct=None
+    ).collect()[0]
+    assert row.n == 50 and row.p50 == 25.0
+    # and the default budget admits the shipped rounded-grid callers
+    ok = grouped_percentiles_exact(df, "g", "v", {"p50": 0.5}).collect()
+    assert ok[0].p50 == 25.0
+
+
 def test_incremental_grain_refresh_touches_only_affected_buckets(spark, sf_dir):
     """refresh_grain must (a) equal a full rebuild row-for-row, (b)
     leave untouched bucket directories' files untouched (same inodes),

@@ -241,6 +241,25 @@ def test_connected_components_transitive(spark):
     assert set(got.values()) == {1} and len(got) == 12
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 100-node chain (diameter 99) converges within the default
+    budget: pointer doubling makes the reachable-min horizon grow
+    geometrically, so ~7 rounds suffice where plain min-propagation
+    needs ~99 and would blow the max_iter=20 guard."""
+    from full_docker_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 100)], "d1 long, d2 long"
+    )
+    # max_iter=10 < diameter proves the O(log d) shape, not just "fits
+    # in 20"; the default 20 then carries ~2^18-diameter headroom.
+    got = {
+        r.node: r.comp
+        for r in connected_components(chain, max_iter=10).collect()
+    }
+    assert set(got.values()) == {1} and len(got) == 100
+
+
 def test_kmeans_centroids_deterministic_and_balanced(spark, embs):
     """Two independent trainings converge to identical centroids
     (deterministic init + tie-breaks); every list is populated; the

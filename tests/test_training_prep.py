@@ -155,6 +155,17 @@ def test_balanced_shards_matches_naive_prefix_sum(spark):
     with _pytest.raises(ValueError, match="n_buckets"):
         balanced_shards(df, "doc_id", "w", 10, n_buckets=0)
 
+    # NULL weight = corrupt input: must fail loudly at execution time
+    # (sum() would skip the null but cum/shard of that row would go
+    # NULL — wrong-looking rows, no error)
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    nullw = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 5)], "doc_id long, w long"
+    )
+    with _pytest.raises(SparkRuntimeException, match="NULL w at doc_id=2"):
+        balanced_shards(nullw, "doc_id", "w", 7).collect()
+
 
 def test_balanced_shards_plan_is_bucketed_not_global(spark, sf_dir):
     """The scalable-prefix-sum contract in the PLAN: no
