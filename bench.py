@@ -95,6 +95,22 @@ def main() -> int:
     ).count()
     warm.join(warm.groupBy("k").count(), "k").count()
 
+    def _anchor_sec() -> float:
+        # environment-drift anchor: one fixed cheap query, timed AFTER
+        # warm-up at bench start and again at bench end. Cross-round
+        # comparisons (tools/bench_compare.py) divide per-query ratios
+        # by the anchor ratio to normalize out session-wide drift
+        # (CPU contention, JIT state) instead of adjudicating flags by
+        # hand. Not part of `timings` — the registry's own
+        # global_count row stays an independent measurement.
+        t0 = time.perf_counter()
+        specs["global_count"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 4)
+
+    anchor_start = _anchor_sec()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -122,7 +138,14 @@ def main() -> int:
         except Exception:
             pass
 
+    anchor_end = _anchor_sec()
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    anchor = {
+        "query": "global_count",
+        "start_sec": anchor_start,
+        "end_sec": anchor_end,
+    }
     base = {
         "metric": "total_wall_sec_all_queries",
         "value": total,
@@ -143,7 +166,10 @@ def main() -> int:
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_DETAIL.json")
         with open(detail_path, "w") as fh:
-            json.dump({**base, "queries": timings}, fh, indent=1, sort_keys=True)
+            json.dump(
+                {**base, "anchor": anchor, "queries": timings},
+                fh, indent=1, sort_keys=True,
+            )
 
     ordered = sorted(timings.items(), key=lambda kv: -kv[1])
     shown = [(n, round(t, 2)) for n, t in ordered]

@@ -267,7 +267,12 @@ def test_bart_summarizer_real_model_smoke(spark):
     import pytest
 
     if os.environ.get("FDE_BART_SMOKE") != "1":
-        pytest.skip("real-model smoke is opt-in: set FDE_BART_SMOKE=1")
+        pytest.skip(
+            "permanent environment constraint (COVERAGE.md D4 caveat): "
+            "no transformers/torch in this container and installs are "
+            "prohibited; opt in with FDE_BART_SMOKE=1 where the model "
+            "exists"
+        )
     pytest.importorskip("transformers")
 
     from full_docker_etl_spark.operators.news import BartSummarizer, summarize

@@ -19,33 +19,59 @@ single draws uninformative.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> tuple[dict[str, float], float | None]:
+    """Per-query timings plus the environment-drift anchor (mean of the
+    start/end global_count runs bench.py stamps into BENCH_DETAIL.json;
+    None for driver BENCH_r{N}.json artifacts, which carry no anchor)."""
     data = json.load(open(path))
     if "queries" in data and isinstance(data["queries"], dict):
         q = data["queries"]
     else:
         q = (data.get("parsed") or {}).get("queries") or {}
-    return {k: float(v) for k, v in q.items() if v is not None and v >= 0}
+    a = data.get("anchor") or {}
+    anchor = (
+        (float(a["start_sec"]) + float(a["end_sec"])) / 2.0
+        if "start_sec" in a and "end_sec" in a
+        else None
+    )
+    return (
+        {k: float(v) for k, v in q.items() if v is not None and v >= 0},
+        anchor,
+    )
 
 
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, a_old), (new, a_new) = load(sys.argv[1]), load(sys.argv[2])
     shared = sorted(set(old) & set(new))
     if not shared:
         print("no shared queries between the two artifacts")
         return 1
     ratios = sorted(new[k] / old[k] for k in shared if old[k] > 0)
-    med = ratios[len(ratios) // 2]
+    if not ratios:
+        print(f"{len(shared)} shared queries, all zero-baseline — "
+              "no ratios to compare")
+        return 1
+    med = statistics.median(ratios)
+    excluded = len(shared) - len(ratios)
+    note = f" ({excluded} zero-baseline excluded)" if excluded else ""
     print(
-        f"{len(shared)} shared queries; median per-query ratio "
+        f"{len(ratios)} shared queries{note}; median per-query ratio "
         f"{med:.3f} (new/old)"
     )
+    if a_old and a_new and a_old > 0:
+        drift = a_new / a_old
+        print(
+            f"anchor drift {drift:.3f} (global_count {a_old:.2f}s -> "
+            f"{a_new:.2f}s); drift-normalized median "
+            f"{med / drift:.3f}"
+        )
     movers = sorted(shared, key=lambda k: new[k] - old[k])
     print("\nbiggest improvements (s):")
     for k in movers[:5]:
