@@ -138,6 +138,78 @@ def jaccard_pairs(
     return out.select("d1", "d2", "shared", "n1", "n2", "jaccard")
 
 
+def source_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    n: int = 5,
+    max_source_df: int = 16,
+) -> DataFrame:
+    """Cross-SOURCE n-gram overlap matrix — the corpus-governance
+    report behind "is dump B a re-crawl of dump A?" and cross-source
+    contamination audits: for every source pair, the count and Jaccard
+    of shared DISTINCT n-gram shingles over the discriminative shingle
+    set (shingles present in ≤ ``max_source_df`` sources; ubiquitous
+    boilerplate n-grams carry no overlap signal and are excluded by
+    both the engine and the oracle, the :func:`jaccard_pairs` posting
+    cap applied at source granularity).
+
+    Scale posture: shingles hash to 64-bit INSIDE the source row
+    (xxhash64 — no shingle string ever leaves its row; collision effect
+    on distinct counts is ~m²/2⁶⁴, the same accepted class as
+    :func:`jaccard_pairs`); the first shuffle carries distinct
+    (source, long) pairs — corpus text never moves. The self-join
+    fans out per shingle as (#sources sharing it)², bounded by
+    ``max_source_df``² per shingle and |sources|² overall — sources
+    are a dimension (hundreds), not the corpus. Returns one row per
+    co-occurring pair: (s1, s2, shared, n1, n2, jaccard), s1 < s2."""
+    sh = (
+        _spread(df)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_ngrams(F.col(text_col), n),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        .cache()
+    )
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_sdf"))
+        .where(F.col("_sdf") <= max_source_df)
+        .select("sh")
+    )
+    shr = sh.join(rare, "sh")
+    sizes = shr.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shr.select(F.col("source").alias("s1"), "sh")
+    b = shr.select(F.col("source").alias("s2"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n1 = sizes.select(F.col("source").alias("s1"), F.col("n_shingles").alias("n1"))
+    n2 = sizes.select(F.col("source").alias("s2"), F.col("n_shingles").alias("n2"))
+    # sizes is |sources| rows — broadcast both lookups
+    return (
+        shared.join(F.broadcast(n1), "s1")
+        .join(F.broadcast(n2), "s2")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .select("s1", "s2", "shared", "n1", "n2", "jaccard")
+    )
+
+
 def substring_spans(
     df: DataFrame,
     text_col: str,

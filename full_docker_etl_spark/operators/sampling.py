@@ -58,6 +58,72 @@ def hash_split(df: DataFrame, key_col: str, out_col: str = "split") -> DataFrame
     return df.withColumn(out_col, split)
 
 
+def stratified_split(
+    df: DataFrame,
+    stratum_cols: list[str],
+    key_col: str,
+    seed: str = "strat0",
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT-proportion stratified train/val/test split: within each
+    stratum, rows ordered by md5(seed:key) take dense 0-indexed ranks
+    r among the stratum's n rows and split by INTEGER bands —
+    8r < 6n → train (75%), 8r < 7n → val (12.5%), else test — so every
+    stratum's split sizes are exact to the row. :func:`hash_split` is
+    exact only in expectation, which under-represents small strata in
+    eval sets; this is the balanced-eval-set form. Pure integer
+    comparisons → bit-identical on any engine that can md5.
+
+    Scale shape: a per-stratum rank semantically needs a per-stratum
+    total order — naively one window per stratum, a corpus-sized sort
+    partition for a hot stratum. This is the two-level rank instead
+    (the :func:`balanced_shards` pattern): the first 2 hex chars of the
+    order hash give 256 ORDERED buckets per stratum (a hex prefix
+    orders consistently with the full string); per-(stratum, bucket)
+    counts aggregate map-side; the exclusive prefix and stratum total
+    run over that bounded frame (≤ 256 rows per stratum); offsets
+    broadcast back; the in-bucket row_number windows per
+    (stratum, bucket) — partition-local sort, no rangepartitioning
+    anywhere. The broadcast frame is |strata|·256 rows — strata are
+    languages/domains/sources, hundreds not millions.
+
+    ``key_col`` must be UNIQUE (it is the tie-break after the hash;
+    duplicates would make ranks retry- and engine-dependent)."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))
+    )
+    tagged = df.withColumn("_h", h).withColumn(
+        "_bkt", F.substring("_h", 1, 2)
+    )
+    counts = tagged.groupBy(*stratum_cols, "_bkt").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_off = (
+        Window.partitionBy(*stratum_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*stratum_cols)
+    offsets = counts.select(
+        *stratum_cols,
+        "_bkt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(w_tot).alias("_n"),
+    )
+    w_in = Window.partitionBy(*stratum_cols, "_bkt").orderBy("_h", key_col)
+    r = F.col("_off") + F.row_number().over(w_in) - 1
+    split = (
+        F.when(r * 8 < F.col("_n") * 6, F.lit("train"))
+        .when(r * 8 < F.col("_n") * 7, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        tagged.join(F.broadcast(offsets), [*stratum_cols, "_bkt"])
+        .withColumn(out_col, split)
+        .drop("_h", "_bkt", "_off", "_n")
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     text_col: str,

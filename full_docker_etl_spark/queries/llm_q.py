@@ -102,6 +102,49 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_source_overlap",
+    oracle="""
+      WITH t AS (SELECT source,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT source,
+                    array_to_string(toks[i:i+4], ' ') AS shingle
+             FROM t, LATERAL (SELECT unnest(generate_series(1,
+                      greatest(len(toks)-4, 0))) AS i) g),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING COUNT(*) <= 16),
+      shr AS (SELECT sh.source, sh.shingle FROM sh JOIN rare
+              USING (shingle)),
+      sizes AS (SELECT source, COUNT(*) AS n FROM shr GROUP BY source),
+      shared AS (SELECT a.source AS s1, b.source AS s2,
+                        COUNT(*) AS shared
+                 FROM shr a JOIN shr b
+                   ON a.shingle = b.shingle AND a.source < b.source
+                 GROUP BY 1, 2)
+      SELECT s1, s2, CAST(shared AS BIGINT) AS shared,
+             CAST(z1.n AS BIGINT) AS n1, CAST(z2.n AS BIGINT) AS n2,
+             CAST(shared AS DOUBLE) / (z1.n + z2.n - shared) AS jaccard
+      FROM shared JOIN sizes z1 ON s1 = z1.source
+                  JOIN sizes z2 ON s2 = z2.source
+    """,
+)
+def profile_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 5-gram overlap matrix (shared-shingle count +
+    Jaccard per source pair over the discriminative shingle set) — the
+    corpus-governance report behind re-crawl detection and
+    cross-source contamination audits. Shingles hash to 64-bit inside
+    the source row; the self-join fan-out is bounded per shingle by
+    the source-granularity posting cap and overall by |sources|² — a
+    dimension, not the corpus."""
+    from full_docker_etl_spark.operators.dedup import source_overlap
+
+    return source_overlap(
+        _docs(spark, sf_dir), "text", "doc_id", "source",
+        n=5, max_source_df=16,
+    )
+
+
+@query(
     "text_substring_dedup",
     oracle="""
       WITH t AS (SELECT doc_id,
@@ -2090,6 +2133,42 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified_split",
+    oracle="""
+      WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5('strat0:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS r,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN r * 8 < n * 6 THEN 'train'
+                  WHEN r * 8 < n * 7 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r
+    """,
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion stratified split: every language's
+    train/val/test sizes are exact to the row (integer rank bands over
+    an md5 order), where hash-banding is exact only in expectation and
+    under-represents small strata in eval sets. The ORACLE is the
+    semantic spec — one naive per-stratum window; the engine computes
+    the same ranks with the two-level bucketed rank (per-(stratum,
+    2-hex-prefix-bucket) counts, exclusive prefix over the bounded
+    bucket frame, broadcast offsets, in-bucket windows) — no
+    rangepartitioning, no corpus-sized sort partition (plan-gated
+    with the rest of the registry)."""
+    from full_docker_etl_spark.operators.sampling import stratified_split
+
+    return stratified_split(
+        _docs(spark, sf_dir), ["lang"], "doc_id", seed="strat0"
+    ).select("doc_id", "lang", "split")
+
+
+@query(
     "sample_temperature_mix",
     oracle="""
       WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents
@@ -2446,9 +2525,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the ≥0.8-Jaccard near-dup graph —
     the exact duplicate-cluster resolution (transitive: a~b, b~c puts
     a,c in one cluster even if a,c never paired). Distributed
-    min-label propagation, O(component diameter) rounds; the DuckDB
-    oracle computes the same labels via a recursive-CTE transitive
-    closure, so the iterative algorithm is value-checked end to end."""
+    min-label propagation with pointer doubling, O(log diameter)
+    rounds; the DuckDB oracle computes the same labels via a
+    recursive-CTE transitive closure, so the iterative algorithm is
+    value-checked end to end."""
     from full_docker_etl_spark.operators.dedup import connected_components
 
     pairs = jaccard_pairs(

@@ -49,13 +49,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
 # FIRST all 18 round-7-stale rows (filter_range .. zip_xml_ingest —
 # after this round no query's latest evidence is older than r9);
-# THEN 19 of the 37 round-9-stale rows in staleness order (the
-# remaining eighteen — point_lookup through word_counts — lead the
-# post-boundary tail and re-enter round 14);
+# THEN 17 of the 37 round-9-stale rows in staleness order (the
+# remaining twenty — limit_one through word_counts — lead the
+# post-boundary tail and re-enter round 14; staying at r9 still meets
+# the verdict's "nothing older than r9" bar);
 # THEN every *_recall/*_consistency/*_verdict row (13, pinned in EVERY
 # window — they are the oracle-checked external evidence for the
-# rows-only sketch queries). No FORCE_NEXT entries and no zero-evidence
-# new queries this round at rotation time.
+# rows-only sketch queries);
+# THEN the round's two zero-evidence new queries close the window
+# (profile_source_overlap — the cross-source n-gram contamination
+# matrix — and sample_stratified_split, the exact-proportion
+# two-level-rank stratified split). No FORCE_NEXT entries this round.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -106,8 +110,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_equi",
     "join_fuzzy_names",
     "join_semi",
-    "limit_one",
-    "nested_reshape",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -121,7 +123,11 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_compression_verdict",
     "join_fuzzy_recall",
     "dedup_semantic_verdict",
+    "profile_source_overlap",
+    "sample_stratified_split",
     # ---- window boundary (50) ----
+    "limit_one",
+    "nested_reshape",
     "point_lookup",
     "set_except_intersect",
     "sink_clustered_scan",

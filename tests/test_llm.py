@@ -241,6 +241,56 @@ def test_connected_components_transitive(spark):
     assert set(got.values()) == {1} and len(got) == 12
 
 
+def test_source_overlap_matches_naive(spark):
+    """The cross-source shingle overlap matrix must equal a Python
+    reimplementation exactly — distinct-per-source shingles, the
+    source-granularity posting cap, shared counts and Jaccard per
+    ordered pair — on a corpus with a ubiquitous shingle that the cap
+    must exclude from every pair."""
+    from full_docker_etl_spark.operators.dedup import source_overlap
+
+    common = "w1 w2 w3 w4 w5"  # one 5-gram present in ALL 3 sources
+    rows = [
+        # A and B share "a1..a5"; the duplicate doc in A must not
+        # double-count it (distinct per source)
+        (1, "A", common + " a1 a2 a3 a4 a5"),
+        (2, "A", "a1 a2 a3 a4 a5"),
+        (3, "B", common + " a1 a2 a3 a4 a5 b1 b2 b3 b4"),
+        (4, "C", common + " c1 c2 c3 c4 c5 c6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.s1, r.s2): (r.shared, r.n1, r.n2, r.jaccard)
+        for r in source_overlap(
+            df, "text", "doc_id", "source", n=5, max_source_df=2
+        ).collect()
+    }
+
+    def grams(t: str) -> set[str]:
+        toks = t.split()
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    per_src: dict[str, set[str]] = {}
+    for _, s, t in rows:
+        per_src.setdefault(s, set()).update(grams(t))
+    from collections import Counter
+
+    sdf = Counter(g for gs in per_src.values() for g in gs)
+    kept = {s: {g for g in gs if sdf[g] <= 2} for s, gs in per_src.items()}
+    want = {}
+    for s1 in per_src:
+        for s2 in per_src:
+            if s1 < s2 and kept[s1] & kept[s2]:
+                sh = len(kept[s1] & kept[s2])
+                n1, n2 = len(kept[s1]), len(kept[s2])
+                want[(s1, s2)] = (sh, n1, n2, sh / (n1 + n2 - sh))
+    assert got == want
+    assert ("A", "B") in got  # the a-run survives the cap
+    # the ubiquitous shingle (3 sources > max_source_df=2) must not
+    # create an A-C or B-C pair on its own
+    assert ("A", "C") not in got and ("B", "C") not in got
+
+
 def test_connected_components_long_chain_pointer_doubling(spark):
     """A 100-node chain (diameter 99) converges within the default
     budget: pointer doubling makes the reachable-min horizon grow

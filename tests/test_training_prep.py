@@ -167,6 +167,64 @@ def test_balanced_shards_matches_naive_prefix_sum(spark):
         balanced_shards(nullw, "doc_id", "w", 7).collect()
 
 
+def test_stratified_split_exact_proportions(spark):
+    """The two-level bucketed rank must equal the naive per-stratum
+    md5-order rank exactly (every row's split identical to a Python
+    reimplementation), and per-stratum split sizes must be EXACT
+    integer bands — including 1-row and 2-row strata where
+    expectation-based hash banding can return an empty eval set."""
+    import hashlib
+
+    from full_docker_etl_spark.operators.sampling import stratified_split
+
+    rows = (
+        [("big", i) for i in range(100)]
+        + [("mid", 1000 + i) for i in range(7)]
+        + [("two", 2000), ("two", 2001)]
+        + [("one", 3000)]
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = {
+        r.doc_id: r.split
+        for r in stratified_split(df, ["lang"], "doc_id").collect()
+    }
+
+    def md5(k: int) -> str:
+        return hashlib.md5(f"strat0:{k}".encode()).hexdigest()
+
+    want = {}
+    by_stratum: dict[str, list[int]] = {}
+    for lang, k in rows:
+        by_stratum.setdefault(lang, []).append(k)
+    for lang, ks in by_stratum.items():
+        ordered = sorted(ks, key=lambda k: (md5(k), k))
+        n = len(ordered)
+        for r, k in enumerate(ordered):
+            want[k] = (
+                "train" if r * 8 < n * 6
+                else "val" if r * 8 < n * 7
+                else "test"
+            )
+    assert got == want
+
+    # exact integer band sizes per stratum
+    from collections import Counter
+
+    for lang, ks in by_stratum.items():
+        n = len(ks)
+        c = Counter(got[k] for k in ks)
+        n_train = sum(1 for r in range(n) if r * 8 < n * 6)
+        n_val = sum(1 for r in range(n) if n * 6 <= r * 8 < n * 7)
+        assert c["train"] == n_train and c["val"] == n_val, (lang, c)
+    # band arithmetic on tiny strata: n=1 → train; n=2 → both train
+    # (ceil(6n/8) rows are train; val/test appear from n=3 and n=7)
+    assert got[3000] == "train"
+    assert [got[2000], got[2001]] == ["train", "train"]
+    # the 100-row stratum hits the exact 75/12.5/12.5 counts
+    c100 = Counter(got[k] for k in by_stratum["big"])
+    assert (c100["train"], c100["val"], c100["test"]) == (75, 13, 12)
+
+
 def test_balanced_shards_plan_is_bucketed_not_global(spark, sf_dir):
     """The scalable-prefix-sum contract in the PLAN: no
     rangepartitioning exchange anywhere (the naive form would global-
