@@ -69,15 +69,19 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
     )
 
 
-def jaccard_pairs(
+def _blocked_shared_counts(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n: int = 5,
-    threshold: float = 0.8,
-    max_df: int = 1000,
+    n: int,
+    max_df: int,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, blocked by shared shingles.
+    """Shared machinery for the set-overlap dedup family
+    (:func:`jaccard_pairs`, :func:`containment_pairs`): per candidate
+    pair (d1 < d2, blocked by a shared rare shingle) the shared
+    distinct-shingle count and both docs' shingle-set sizes —
+    (d1, d2, shared, n1, n2). The measures differ only in the final
+    arithmetic/filter.
 
     Scale posture: the shingle self-join's fan-out is Σ df(s)² over
     shingles; the ``max_df`` cap (drop shingles appearing in more
@@ -126,16 +130,66 @@ def jaccard_pairs(
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
-    out = (
+    return (
         shared.join(s1, "d1")
         .join(s2, "d2")
+        .select("d1", "d2", "shared", "n1", "n2")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by shared rare
+    shingles (scale posture in :func:`_blocked_shared_counts`)."""
+    return (
+        _blocked_shared_counts(df, text_col, id_col, n, max_df)
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
         )
         .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "shared", "n1", "n2", "jaccard")
     )
-    return out.select("d1", "d2", "shared", "n1", "n2", "jaccard")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.9,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs (Broder's c(A,B) =
+    |sh(A) ∩ sh(B)| / |sh(A)|): keep pairs where EITHER document's
+    shingle set is ≥ ``threshold`` contained in the other's. The
+    modality Jaccard structurally misses: a short document quoted
+    verbatim inside a long aggregator page has containment 1.0 but
+    Jaccard ≈ |short|/|long| — far below any sane symmetric
+    threshold. Training corpora de-duplicated only by Jaccard keep
+    every such quotation; containment is the standard companion
+    measure (same shingle machinery, different final arithmetic).
+
+    Returns (d1, d2, shared, n1, n2, c1, c2) with d1 < d2 and
+    c1 = shared/n1 (containment of d1 in d2), c2 = shared/n2; the
+    filter is greatest(c1, c2) ≥ threshold. Blocking, hashing, and
+    the posting-list cap are :func:`_blocked_shared_counts`'s —
+    identical scale posture to :func:`jaccard_pairs`."""
+    c1 = F.col("shared") / F.col("n1")
+    c2 = F.col("shared") / F.col("n2")
+    return (
+        _blocked_shared_counts(df, text_col, id_col, n, max_df)
+        .withColumn("c1", c1)
+        .withColumn("c2", c2)
+        .where(F.greatest(F.col("c1"), F.col("c2")) >= threshold)
+        .select("d1", "d2", "shared", "n1", "n2", "c1", "c2")
+    )
 
 
 def source_overlap(

@@ -102,6 +102,50 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment",
+    oracle="""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(text), '\\s+') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    array_to_string(toks[i:i+4], ' ') AS shingle
+             FROM t, LATERAL (SELECT unnest(generate_series(1,
+                      greatest(len(toks)-4, 0))) AS i) g),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle
+               HAVING COUNT(*) <= 1000),
+      shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare
+              USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+      shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                        COUNT(*) AS shared
+                 FROM shr a JOIN shr b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT d1, d2, shared, z1.n AS n1, z2.n AS n2,
+             CAST(shared AS DOUBLE) / z1.n AS c1,
+             CAST(shared AS DOUBLE) / z2.n AS c2
+      FROM shared JOIN sizes z1 ON d1 = z1.doc_id
+                  JOIN sizes z2 ON d2 = z2.doc_id
+      WHERE greatest(CAST(shared AS DOUBLE) / z1.n,
+                     CAST(shared AS DOUBLE) / z2.n) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs (Broder): either doc's
+    5-gram set ≥90% contained in the other's — the quotation /
+    aggregator-page duplication mode that symmetric Jaccard
+    structurally misses (a short doc inside a long one has Jaccard
+    ≈ |short|/|long|). Same rare-shingle blocking, in-row 64-bit
+    hashing, and posting-list cap as dedup_jaccard."""
+    from full_docker_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        n=5, threshold=0.9, max_df=1000,
+    )
+
+
+@query(
     "profile_source_overlap",
     oracle="""
       WITH t AS (SELECT source,

@@ -49,16 +49,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
 # FIRST all 18 round-7-stale rows (filter_range .. zip_xml_ingest —
 # after this round no query's latest evidence is older than r9);
-# THEN 17 of the 37 round-9-stale rows in staleness order (the
-# remaining twenty — limit_one through word_counts — lead the
-# post-boundary tail and re-enter round 14; staying at r9 still meets
-# the verdict's "nothing older than r9" bar);
+# THEN 16 of the 37 round-9-stale rows in staleness order (the
+# remaining twenty-one — join_semi, limit_one through word_counts —
+# lead the post-boundary tail and re-enter round 14; staying at r9
+# still meets the verdict's "nothing older than r9" bar);
 # THEN every *_recall/*_consistency/*_verdict row (13, pinned in EVERY
 # window — they are the oracle-checked external evidence for the
 # rows-only sketch queries);
-# THEN the round's two zero-evidence new queries close the window
-# (profile_source_overlap — the cross-source n-gram contamination
-# matrix — and sample_stratified_split, the exact-proportion
+# THEN the round's three zero-evidence new queries close the window
+# (dedup_containment — Broder asymmetric containment pairs —
+# profile_source_overlap, the cross-source n-gram contamination
+# matrix, and sample_stratified_split, the exact-proportion
 # two-level-rank stratified split). No FORCE_NEXT entries this round.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
@@ -109,7 +110,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_broadcast",
     "join_equi",
     "join_fuzzy_names",
-    "join_semi",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -125,7 +125,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_semantic_verdict",
     "profile_source_overlap",
     "sample_stratified_split",
+    "dedup_containment",
     # ---- window boundary (50) ----
+    "join_semi",
     "limit_one",
     "nested_reshape",
     "point_lookup",

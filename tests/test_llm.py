@@ -241,6 +241,47 @@ def test_connected_components_transitive(spark):
     assert set(got.values()) == {1} and len(got) == 12
 
 
+def test_containment_pairs_catches_quotation_jaccard_misses(spark):
+    """The asymmetric measure's reason to exist: a short doc quoted
+    verbatim inside a long page has containment 1.0 but Jaccard far
+    below threshold — containment_pairs must emit the pair, and its
+    values must match a naive Python reimplementation exactly."""
+    from full_docker_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "q1 q2 q3 q4 q5 q6 q7"  # 3 distinct 5-grams
+    filler = " ".join(f"f{i}" for i in range(60))
+    rows = [
+        (1, short),
+        (2, filler + " " + short),  # quotes doc 1 in full
+        (3, "z1 z2 z3 z4 z5 z6"),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d1, r.d2): (r.shared, r.n1, r.n2, r.c1, r.c2)
+        for r in containment_pairs(
+            df, "text", "doc_id", n=5, threshold=0.9
+        ).collect()
+    }
+
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    g1, g2 = grams(rows[0][1]), grams(rows[1][1])
+    sh = len(g1 & g2)
+    assert got == {
+        (1, 2): (sh, len(g1), len(g2), sh / len(g1), sh / len(g2))
+    }
+    assert got[(1, 2)][3] == 1.0  # doc 1 fully contained
+    # and Jaccard at any sane threshold misses it
+    assert (
+        jaccard_pairs(df, "text", "doc_id", n=5, threshold=0.5).count() == 0
+    )
+
+
 def test_source_overlap_matches_naive(spark):
     """The cross-source shingle overlap matrix must equal a Python
     reimplementation exactly — distinct-per-source shingles, the
