@@ -1,0 +1,69 @@
+"""Tests for the repo-level tooling contracts: bench_compare's
+headline arithmetic (ADVICE r12: median must be a true median and the
+printed N must match the ratio sample) and its drift-anchor
+normalization (VERDICT r12 #7)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPT = REPO / "tools" / "bench_compare.py"
+
+
+def _run(old: dict, new: dict, tmp: Path) -> str:
+    a, b = tmp / "old.json", tmp / "new.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    res = subprocess.run(
+        [sys.executable, str(SCRIPT), str(a), str(b)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    return res.stdout
+
+
+def test_bench_compare_true_median_and_sample_count(tmp_path):
+    """Even-length ratio lists take the true (interpolated) median, and
+    the headline N counts only entries that produced a ratio —
+    zero-baseline rows are excluded AND called out."""
+    old = {"queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "z": 0.0}}
+    new = {"queries": {"a": 1.0, "b": 2.0, "c": 3.0, "d": 4.0, "z": 5.0}}
+    out = _run(old, new, tmp_path)
+    # ratios 1,2,3,4 -> true median 2.5 (upper-middle would say 3.0)
+    assert "median per-query ratio 2.500" in out
+    assert "4 shared queries (1 zero-baseline excluded)" in out
+
+
+def test_bench_compare_anchor_normalizes_drift(tmp_path):
+    """When both artifacts carry the drift anchor, the normalized
+    median divides out the anchor ratio — a uniform 2x environment
+    slowdown reads as 1.000 normalized."""
+    old = {
+        "queries": {"a": 1.0, "b": 2.0},
+        "anchor": {"query": "global_count", "start_sec": 0.1,
+                   "end_sec": 0.1},
+    }
+    new = {
+        "queries": {"a": 2.0, "b": 4.0},
+        "anchor": {"query": "global_count", "start_sec": 0.2,
+                   "end_sec": 0.2},
+    }
+    out = _run(old, new, tmp_path)
+    assert "median per-query ratio 2.000" in out
+    assert "anchor drift 2.000" in out
+    assert "drift-normalized median 1.000" in out
+
+
+def test_bench_compare_driver_artifact_shape_no_anchor(tmp_path):
+    """Driver BENCH_r{N}.json artifacts nest timings under
+    parsed.queries and carry no anchor — both must parse, and the
+    anchor line must not print."""
+    old = {"parsed": {"queries": {"a": 1.0}}}
+    new = {"queries": {"a": 1.5},
+           "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1}}
+    out = _run(old, new, tmp_path)
+    assert "1 shared queries" in out
+    assert "anchor drift" not in out  # needs BOTH sides
