@@ -249,6 +249,24 @@ def test_next_window_policy_invariants(n_queries, n_pinned, seed):
             assert latest[n] >= worst_in, (n, latest[n], worst_in)
 
 
+def test_sample_order_is_a_permutation_of_the_registry():
+    """_SAMPLE_ORDER must list every registered query exactly once:
+    a duplicate would silently shrink the external-evidence window
+    (the driver samples a prefix), and an omission would pin a query
+    to unrotated registration order forever. next_window.py --check
+    validates the WINDOW against policy; this pins the full list."""
+    from full_docker_etl_spark import registry
+    from full_docker_etl_spark.registry import all_specs
+
+    specs = all_specs()
+    order = registry._SAMPLE_ORDER
+    assert len(order) == len(set(order)), "duplicate names in _SAMPLE_ORDER"
+    assert set(order) == set(specs), (
+        f"missing from order: {sorted(set(specs) - set(order))}; "
+        f"stale in order: {sorted(set(order) - set(specs))}"
+    )
+
+
 def test_coverage_md_totals_match_registry():
     """COVERAGE.md's headline registry totals must equal the live
     registry (VERDICT r10 #4: the header drifted to 155/145 while the
