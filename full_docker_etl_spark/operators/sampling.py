@@ -84,8 +84,13 @@ def stratified_split(
     run over that bounded frame (≤ 256 rows per stratum); offsets
     broadcast back; the in-bucket row_number windows per
     (stratum, bucket) — partition-local sort, no rangepartitioning
-    anywhere. The broadcast frame is |strata|·256 rows — strata are
-    languages/domains/sources, hundreds not millions.
+    anywhere. The offsets frame is |strata|·256 rows — tiny for the
+    intended strata (languages/domains/sources), so AQE converts its
+    join to broadcast at runtime; it is deliberately NOT hinted
+    broadcast, so a pathological high-cardinality stratum column
+    (stratifying by near-unique keys) degrades to a shuffle join
+    instead of a driver OOM — the same rule as the rare-shingle frame
+    in ``jaccard_pairs``.
 
     ``key_col`` must be UNIQUE (it is the tie-break after the hash;
     duplicates would make ranks retry- and engine-dependent)."""
@@ -118,7 +123,7 @@ def stratified_split(
         .otherwise(F.lit("test"))
     )
     return (
-        tagged.join(F.broadcast(offsets), [*stratum_cols, "_bkt"])
+        tagged.join(offsets, [*stratum_cols, "_bkt"])
         .withColumn(out_col, split)
         .drop("_h", "_bkt", "_off", "_n")
     )
