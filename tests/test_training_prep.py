@@ -244,6 +244,23 @@ def test_balanced_shards_plan_is_bucketed_not_global(spark, sf_dir):
     assert "hashpartitioning(_bucket" in plan, plan
 
 
+def test_stratified_split_plan_is_bucketed_not_global(spark, sf_dir):
+    """The two-level-rank contract in the PLAN: no rangepartitioning
+    exchange (the naive form would sort each stratum globally — a
+    corpus-sized partition for a dominant stratum), and the in-bucket
+    row_number window is hash-partitioned on (stratum, bucket) so the
+    per-partition sort is bounded by the bucket, not the stratum."""
+    from full_docker_etl_spark.operators.sampling import stratified_split
+    from full_docker_etl_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_split(d, ["lang"], "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    assert "hashpartitioning(lang" in plan, plan
+    assert "_bkt" in plan, plan
+
+
 def test_hash_split_partitions_corpus(spark, sf_dir):
     """Every doc gets exactly one split; proportions land near
     75/12.5/12.5; assignment depends only on the key (re-running on a
