@@ -122,8 +122,20 @@ def stratified_split(
         .when(r * 8 < F.col("_n") * 7, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    # NULL-SAFE join on the stratum keys: window partitioning groups
+    # NULL strata together (matching SQL PARTITION BY), so the join
+    # back must too — a plain equi-join would silently DROP every
+    # NULL-stratum row while the oracle keeps them ranked. Explicit
+    # aliases keep the self-derived frames' attributes distinct.
+    keys = [*stratum_cols, "_bkt"]
+    t, o = tagged.alias("_t"), offsets.alias("_o")
+    cond = None
+    for c in keys:
+        eq = F.col(f"_t.{c}").eqNullSafe(F.col(f"_o.{c}"))
+        cond = eq if cond is None else cond & eq
     return (
-        tagged.join(offsets, [*stratum_cols, "_bkt"])
+        t.join(o, cond)
+        .drop(*[o[c] for c in keys])
         .withColumn(out_col, split)
         .drop("_h", "_bkt", "_off", "_n")
     )

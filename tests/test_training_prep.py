@@ -220,6 +220,23 @@ def test_stratified_split_exact_proportions(spark):
     # (ceil(6n/8) rows are train; val/test appear from n=3 and n=7)
     assert got[3000] == "train"
     assert [got[2000], got[2001]] == ["train", "train"]
+
+    # NULL strata form their own group (SQL PARTITION BY semantics) —
+    # a null-unsafe join-back would silently drop these rows
+    withnull = spark.createDataFrame(
+        [(None, 9000 + i) for i in range(8)] + [("en", 9100)],
+        "lang string, doc_id long",
+    )
+    nres = {
+        r.doc_id: (r.lang, r.split)
+        for r in stratified_split(withnull, ["lang"], "doc_id").collect()
+    }
+    assert len(nres) == 9, "NULL-stratum rows were dropped"
+    null_splits = sorted(
+        s for k, (lang, s) in nres.items() if lang is None
+    )
+    assert null_splits.count("train") == 6  # exact band on n=8
+    assert null_splits.count("val") == 1 and null_splits.count("test") == 1
     # the 100-row stratum hits the exact 75/12.5/12.5 counts
     c100 = Counter(got[k] for k in by_stratum["big"])
     assert (c100["train"], c100["val"], c100["test"]) == (75, 13, 12)
