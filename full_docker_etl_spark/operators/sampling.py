@@ -92,10 +92,20 @@ def stratified_split(
     instead of a driver OOM — the same rule as the rare-shingle frame
     in ``jaccard_pairs``.
 
-    ``key_col`` must be UNIQUE (it is the tie-break after the hash;
-    duplicates would make ranks retry- and engine-dependent)."""
-    h = F.md5(
-        F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))
+    ``key_col`` must be UNIQUE and NON-NULL (it is the tie-break after
+    the hash; duplicates would make ranks retry- and engine-dependent,
+    and concat_ws SKIPS a null key so every null-key row would share
+    one hash with a null tie-break — enforced in-plan, fails loudly)."""
+    h = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"stratified_split: NULL {key_col} — the order key must"
+                " be unique and non-null"
+            )
+        ).cast("string"),
+    ).otherwise(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
     )
     tagged = df.withColumn("_h", h).withColumn(
         "_bkt", F.substring("_h", 1, 2)
@@ -456,20 +466,36 @@ def balanced_shards(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     idc = F.col(id_col).cast("long")
-    # non-null weight precondition, enforced IN the plan: a NULL weight
-    # would be skipped by the bucket-total sum() yet null out the
-    # running cum/shard of its own row — corrupt input must fail
-    # loudly, not emit wrong-looking rows
-    wgt = F.when(
-        F.col(weight_col).isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(f"balanced_shards: NULL {weight_col} at {id_col}="),
-                F.col(id_col).cast("string"),
-                F.lit(" — weights must be non-null"),
-            )
-        ).cast("long"),
-    ).otherwise(F.col(weight_col).cast("long"))
+    # non-null id/weight preconditions, enforced IN the plan (corrupt
+    # input must fail loudly, not emit wrong-looking rows): a NULL id
+    # maps to a NULL bucket that the null-unsafe offsets join silently
+    # drops; a NULL weight would be skipped by the bucket-total sum()
+    # yet null out the running cum/shard of its own row. The guard
+    # rides the weight expression, which every row evaluates in both
+    # the bucket-total aggregate and the in-bucket window.
+    wgt = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"balanced_shards: NULL {id_col} — ids must be"
+                    " unique and non-null (a NULL id's bucket would be"
+                    " silently dropped)"
+                )
+            ).cast("long"),
+        )
+        .when(
+            F.col(weight_col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"balanced_shards: NULL {weight_col} at {id_col}="),
+                    F.col(id_col).cast("string"),
+                    F.lit(" — weights must be non-null"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col(weight_col).cast("long"))
+    )
     # Bucket arithmetic runs in DOUBLE space: long math (id * n_buckets)
     # silently wraps for snowflake-scale 64-bit ids (>= 2^63/n_buckets)
     # and would produce a NON-monotone id->bucket map — wrong cuts, no

@@ -166,6 +166,14 @@ def test_balanced_shards_matches_naive_prefix_sum(spark):
     with _pytest.raises(SparkRuntimeException, match="NULL w at doc_id=2"):
         balanced_shards(nullw, "doc_id", "w", 7).collect()
 
+    # NULL id = corrupt input too: its NULL bucket would be silently
+    # dropped by the offsets join — must fail loudly instead
+    nullid = spark.createDataFrame(
+        [(1, 5), (None, 5), (3, 5)], "doc_id long, w long"
+    )
+    with _pytest.raises(SparkRuntimeException, match="NULL doc_id"):
+        balanced_shards(nullid, "doc_id", "w", 7).collect()
+
 
 def test_stratified_split_exact_proportions(spark):
     """The two-level bucketed rank must equal the naive per-stratum
@@ -237,6 +245,17 @@ def test_stratified_split_exact_proportions(spark):
     )
     assert null_splits.count("train") == 6  # exact band on n=8
     assert null_splits.count("val") == 1 and null_splits.count("test") == 1
+
+    # a NULL order KEY (vs stratum) is corrupt input — concat_ws would
+    # silently fold it into one shared hash; must raise instead
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    nullkey = spark.createDataFrame(
+        [("en", 1), ("en", None)], "lang string, doc_id long"
+    )
+    with _pytest.raises(SparkRuntimeException, match="NULL doc_id"):
+        stratified_split(nullkey, ["lang"], "doc_id").collect()
     # the 100-row stratum hits the exact 75/12.5/12.5 counts
     c100 = Counter(got[k] for k in by_stratum["big"])
     assert (c100["train"], c100["val"], c100["test"]) == (75, 13, 12)
