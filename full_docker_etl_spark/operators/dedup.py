@@ -195,7 +195,6 @@ def containment_pairs(
 def source_overlap(
     df: DataFrame,
     text_col: str,
-    id_col: str,
     source_col: str,
     n: int = 5,
     max_source_df: int = 16,

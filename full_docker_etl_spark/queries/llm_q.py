@@ -67,10 +67,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
 
 
-def _jaccard_pairs_sql(rel: str) -> str:
-    """DuckDB SQL for 5-gram Jaccard ≥0.8 pairs over relation ``rel``
-    (must expose doc_id, text) — shared by the standalone pair query
-    and the end-to-end dedup pipeline oracle."""
+def _blocked_counts_cte(rel: str) -> str:
+    """The set-overlap oracle family's SHARED CTE prefix (mirror of
+    operators/dedup._blocked_shared_counts): per candidate pair the
+    shared distinct-shingle count + both docs' set sizes over relation
+    ``rel`` (must expose doc_id, text). Jaccard and containment
+    oracles append only their measure-specific SELECT — one copy of
+    the shingle/blocking SQL, so a tokenization fix can never
+    desynchronize the two."""
     return f"""
       WITH t AS (SELECT doc_id,
                         regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -82,12 +86,33 @@ def _jaccard_pairs_sql(rel: str) -> str:
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
       shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
                  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
+                 GROUP BY 1, 2)"""
+
+
+def _jaccard_pairs_sql(rel: str) -> str:
+    """DuckDB SQL for 5-gram Jaccard ≥0.8 pairs over relation ``rel``
+    — shared by the standalone pair query, the end-to-end dedup
+    pipeline oracle, and the CC/recall oracles."""
+    return _blocked_counts_cte(rel) + """
       SELECT d1, d2, shared, s1.n AS n1, s2.n AS n2,
              CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard
       FROM shared JOIN sizes s1 ON d1 = s1.doc_id
                   JOIN sizes s2 ON d2 = s2.doc_id
       WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.8
+    """
+
+
+def _containment_pairs_sql(rel: str) -> str:
+    """DuckDB SQL for ≥0.9 asymmetric containment pairs over ``rel``
+    — the same blocked-counts prefix with the containment tail."""
+    return _blocked_counts_cte(rel) + """
+      SELECT d1, d2, shared, s1.n AS n1, s2.n AS n2,
+             CAST(shared AS DOUBLE) / s1.n AS c1,
+             CAST(shared AS DOUBLE) / s2.n AS c2
+      FROM shared JOIN sizes s1 ON d1 = s1.doc_id
+                  JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE greatest(CAST(shared AS DOUBLE) / s1.n,
+                     CAST(shared AS DOUBLE) / s2.n) >= 0.9
     """
 
 
@@ -103,32 +128,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_containment",
-    oracle="""
-      WITH t AS (SELECT doc_id,
-                        regexp_split_to_array(trim(text), '\\s+') AS toks
-                 FROM documents),
-      sh AS (SELECT DISTINCT doc_id,
-                    array_to_string(toks[i:i+4], ' ') AS shingle
-             FROM t, LATERAL (SELECT unnest(generate_series(1,
-                      greatest(len(toks)-4, 0))) AS i) g),
-      rare AS (SELECT shingle FROM sh GROUP BY shingle
-               HAVING COUNT(*) <= 1000),
-      shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare
-              USING (shingle)),
-      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
-      shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-                        COUNT(*) AS shared
-                 FROM shr a JOIN shr b
-                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
-      SELECT d1, d2, shared, z1.n AS n1, z2.n AS n2,
-             CAST(shared AS DOUBLE) / z1.n AS c1,
-             CAST(shared AS DOUBLE) / z2.n AS c2
-      FROM shared JOIN sizes z1 ON d1 = z1.doc_id
-                  JOIN sizes z2 ON d2 = z2.doc_id
-      WHERE greatest(CAST(shared AS DOUBLE) / z1.n,
-                     CAST(shared AS DOUBLE) / z2.n) >= 0.9
-    """,
+    oracle=_containment_pairs_sql("documents"),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC containment near-dup pairs (Broder): either doc's
@@ -183,8 +183,7 @@ def profile_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from full_docker_etl_spark.operators.dedup import source_overlap
 
     return source_overlap(
-        _docs(spark, sf_dir), "text", "doc_id", "source",
-        n=5, max_source_df=16,
+        _docs(spark, sf_dir), "text", "source", n=5, max_source_df=16,
     )
 
 

@@ -303,7 +303,7 @@ def test_source_overlap_matches_naive(spark):
     got = {
         (r.s1, r.s2): (r.shared, r.n1, r.n2, r.jaccard)
         for r in source_overlap(
-            df, "text", "doc_id", "source", n=5, max_source_df=2
+            df, "text", "source", n=5, max_source_df=2
         ).collect()
     }
 

@@ -14,7 +14,7 @@ REPO = Path(__file__).resolve().parent.parent
 SCRIPT = REPO / "tools" / "bench_compare.py"
 
 
-def _run(old: dict, new: dict, tmp: Path) -> str:
+def _run(old: dict, new: dict, tmp: Path) -> tuple[str, int]:
     a, b = tmp / "old.json", tmp / "new.json"
     a.write_text(json.dumps(old))
     b.write_text(json.dumps(new))
@@ -22,7 +22,10 @@ def _run(old: dict, new: dict, tmp: Path) -> str:
         [sys.executable, str(SCRIPT), str(a), str(b)],
         capture_output=True, text=True, cwd=REPO,
     )
-    return res.stdout
+    # 0 = clean compare, 1 = flagged/degenerate; anything else is a
+    # crash — surface the traceback instead of an opaque stdout assert
+    assert res.returncode in (0, 1), res.stderr
+    return res.stdout, res.returncode
 
 
 def test_bench_compare_true_median_and_sample_count(tmp_path):
@@ -31,7 +34,7 @@ def test_bench_compare_true_median_and_sample_count(tmp_path):
     zero-baseline rows are excluded AND called out."""
     old = {"queries": {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "z": 0.0}}
     new = {"queries": {"a": 1.0, "b": 2.0, "c": 3.0, "d": 4.0, "z": 5.0}}
-    out = _run(old, new, tmp_path)
+    out, _rc = _run(old, new, tmp_path)
     # ratios 1,2,3,4 -> true median 2.5 (upper-middle would say 3.0)
     assert "median per-query ratio 2.500" in out
     assert "4 shared queries (1 zero-baseline excluded)" in out
@@ -51,10 +54,13 @@ def test_bench_compare_anchor_normalizes_drift(tmp_path):
         "anchor": {"query": "global_count", "start_sec": 0.2,
                    "end_sec": 0.2},
     }
-    out = _run(old, new, tmp_path)
+    out, rc = _run(old, new, tmp_path)
     assert "median per-query ratio 2.000" in out
     assert "anchor drift 2.000" in out
     assert "drift-normalized median 1.000" in out
+    # the FLAG decision (and exit code) must consume the anchor too: a
+    # uniform 2x environment slowdown is NOT a regression
+    assert "FLAG" not in out and rc == 0
 
 
 def test_bench_compare_driver_artifact_shape_no_anchor(tmp_path):
@@ -64,6 +70,25 @@ def test_bench_compare_driver_artifact_shape_no_anchor(tmp_path):
     old = {"parsed": {"queries": {"a": 1.0}}}
     new = {"queries": {"a": 1.5},
            "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1}}
-    out = _run(old, new, tmp_path)
+    out, _rc = _run(old, new, tmp_path)
     assert "1 shared queries" in out
     assert "anchor drift" not in out  # needs BOTH sides
+
+
+def test_bench_compare_flags_only_past_normalized_envelope(tmp_path):
+    """A real regression (one query 3x slower while the anchor is
+    flat) still flags and exits 1; zero-baseline rows never appear in
+    the movers/regressions lists."""
+    old = {
+        "queries": {"a": 2.0, "b": 2.0, "z": 0.0},
+        "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1},
+    }
+    new = {
+        "queries": {"a": 6.0, "b": 2.0, "z": 9.0},
+        "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1},
+    }
+    out, rc = _run(old, new, tmp_path)
+    assert rc == 1 and "FLAG" in out
+    assert "a   " in out.split("FLAG")[1]
+    # z (zero-baseline) is excluded everywhere, not just the headline
+    assert "z   " not in out

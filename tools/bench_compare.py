@@ -65,6 +65,7 @@ def main() -> int:
         f"{len(ratios)} shared queries{note}; median per-query ratio "
         f"{med:.3f} (new/old)"
     )
+    drift = 1.0
     if a_old and a_new and a_old > 0:
         drift = a_new / a_old
         print(
@@ -72,20 +73,28 @@ def main() -> int:
             f"{a_new:.2f}s); drift-normalized median "
             f"{med / drift:.3f}"
         )
-    movers = sorted(shared, key=lambda k: new[k] - old[k])
+    # movers and flags stay consistent with the headline: only queries
+    # that produced a ratio participate (zero-baseline rows are the
+    # exact entries the headline just excluded as uninformative)
+    comparable = [k for k in shared if old[k] > 0]
+    movers = sorted(comparable, key=lambda k: new[k] - old[k])
     print("\nbiggest improvements (s):")
     for k in movers[:5]:
         print(f"  {k:32s} {old[k]:7.2f} -> {new[k]:7.2f}")
     print("biggest regressions (s):")
     for k in movers[-5:][::-1]:
         print(f"  {k:32s} {old[k]:7.2f} -> {new[k]:7.2f}")
+    # flag on DRIFT-NORMALIZED ratio and drift-adjusted delta — the
+    # anchor exists to retire by-hand adjudication of environment
+    # drift, so the exit-code decision must consume it too, not just
+    # the printed median
     flagged = [
-        k for k in shared
-        if old[k] > 0 and new[k] / old[k] > 1.5 and new[k] - old[k] > 1.0
+        k for k in comparable
+        if new[k] / (old[k] * drift) > 1.5 and new[k] - old[k] * drift > 1.0
     ]
     if flagged:
-        print("\nFLAG (>1.5x and >1 s — re-measure in isolation before "
-              "calling it real):")
+        print("\nFLAG (>1.5x and >1 s after drift normalization — "
+              "re-measure in isolation before calling it real):")
         for k in sorted(flagged, key=lambda k: old[k] - new[k]):
             print(f"  {k:32s} {old[k]:7.2f} -> {new[k]:7.2f}")
         return 1
