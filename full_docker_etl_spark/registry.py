@@ -45,22 +45,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-13 window (50 slots), per VERDICT r12 #1,
+# everything every round. Round-14 window (50 slots), per VERDICT r13 #1,
 # computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
-# FIRST all 18 round-7-stale rows (filter_range .. zip_xml_ingest —
-# after this round no query's latest evidence is older than r9);
-# THEN 16 of the 37 round-9-stale rows in staleness order (the
-# remaining twenty-one — join_semi, limit_one through word_counts —
-# lead the post-boundary tail and re-enter round 14; staying at r9
-# still meets the verdict's "nothing older than r9" bar);
-# THEN every *_recall/*_consistency/*_verdict row (13, pinned in EVERY
-# window — they are the oracle-checked external evidence for the
-# rows-only sketch queries);
-# THEN the round's three zero-evidence new queries close the window
-# (dedup_containment — Broder asymmetric containment pairs —
-# profile_source_overlap, the cross-source n-gram contamination
-# matrix, and sample_stratified_split, the exact-proportion
-# two-level-rank stratified split). No FORCE_NEXT entries this round.
+# FIRST all 21 round-9-stale rows (join_semi, limit_one,
+# nested_reshape, point_lookup, set_except_intersect, the
+# sink_versioned_* family, sink_zorder/clustered_scan, topk_by_value,
+# word_counts, ann_ivf_pq/sq_topk, text_compression — after this round
+# no query's latest evidence is older than r10);
+# THEN 15 of the 38 round-10-stale rows in staleness order
+# (agg_approx_distinct .. sample_leakage_safe_split);
+# THEN every *_recall/*_consistency/*_verdict row (14 now, pinned in
+# EVERY window — they are the oracle-checked external evidence for the
+# rows-only sketch queries), including this round's zero-evidence
+# dedup_containment_lsh_recall, the LSH-Ensemble containment sketch
+# verdict (VERDICT r13 #3).
+# ROUND-15 PLAN (VERDICT r13 #8): the 23 r10 rows left after this
+# window (dedup_exact tier .. sample_hash_split tail) lead the r15
+# window, then the r11 tier fills it — keeping every query's external
+# evidence within a 4-round horizon without displacing the 14 pinned
+# verdict rows.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -70,63 +73,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (a green sample of code that no longer exists proves nothing).
 # RESET this tuple when rotating for the round AFTER the changes ship.
 FORCE_NEXT: tuple[str, ...] = ()
-# Round 13: reset — all six round-12 semantic-change rows (BPE pair,
-# profile_source_quality, text_quality_classifier, pipeline_curate_llm,
-# agg_percentiles) drew fresh r12 evidence on the post-change code, so
-# per this tuple's own rule they rotate out of the forced set.
+# Round 14: stays empty — round 13 shipped no semantic changes to
+# previously-registered queries (the three new r13 queries drew fresh
+# r13 evidence; pointer-doubling CC and the percentile grid guard drew
+# fresh green rows on the post-change code in the r13 window itself).
 
 _SAMPLE_ORDER: tuple[str, ...] = (
-    "filter_range",
-    "incr_status_flag",
-    "manifest_semi_join",
-    "news_transform",
-    "observe_metrics",
-    "rest_batch_fetch",
-    "serve_incremental_grain",
-    "serve_materialized_grain",
-    "sink_partition_overwrite",
-    "sink_roundtrip",
-    "sink_upsert",
-    "sort_topk",
-    "stream_range_join",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "text_chunk_windows",
-    "zip_xml_ingest",
-    "agg_salted",
-    "ann_ivf_incremental",
-    "catalog_tables",
-    "column_max",
-    "distinct_values",
-    "explode_tokens",
-    "filter_contains_ci",
-    "filter_or_search",
-    "filter_pending",
-    "global_count",
-    "group_counts",
-    "join_anti",
-    "join_asof",
-    "join_broadcast",
-    "join_equi",
-    "join_fuzzy_names",
-    "ann_ivf_recall",
-    "ann_ivf_kmeans_recall",
-    "ann_lsh_recall",
-    "ann_ivf_sq_recall",
-    "ann_ivf_pq_recall",
-    "ann_ivf_serve_consistency",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "dedup_incremental_recall",
-    "text_compression_verdict",
-    "join_fuzzy_recall",
-    "dedup_semantic_verdict",
-    "profile_source_overlap",
-    "sample_stratified_split",
-    "dedup_containment",
-    # ---- window boundary (50) ----
     "join_semi",
     "limit_one",
     "nested_reshape",
@@ -164,6 +116,20 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "paginate",
     "sample_hash_split",
     "sample_leakage_safe_split",
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "ann_ivf_sq_recall",
+    "ann_ivf_pq_recall",
+    "ann_ivf_serve_consistency",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    "text_compression_verdict",
+    "join_fuzzy_recall",
+    "dedup_semantic_verdict",
+    # ---- window boundary (50) ----
     "sample_pack_sequences",
     "sample_quota_per_source",
     "sink_versioned_constraints",
@@ -255,6 +221,43 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "xbrl_metrics",
     "xlsx_scan",
     "dedup_simhash",
+    "agg_salted",
+    "ann_ivf_incremental",
+    "catalog_tables",
+    "column_max",
+    "dedup_containment",
+    "distinct_values",
+    "explode_tokens",
+    "filter_contains_ci",
+    "filter_or_search",
+    "filter_pending",
+    "filter_range",
+    "global_count",
+    "group_counts",
+    "incr_status_flag",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_equi",
+    "join_fuzzy_names",
+    "manifest_semi_join",
+    "news_transform",
+    "observe_metrics",
+    "profile_source_overlap",
+    "rest_batch_fetch",
+    "sample_stratified_split",
+    "serve_incremental_grain",
+    "serve_materialized_grain",
+    "sink_partition_overwrite",
+    "sink_roundtrip",
+    "sink_upsert",
+    "sort_topk",
+    "stream_range_join",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
+    "text_chunk_windows",
+    "zip_xml_ingest",
 )
 
 
