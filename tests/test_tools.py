@@ -64,7 +64,7 @@ def test_bench_compare_anchor_normalizes_drift(tmp_path):
 
 
 def test_bench_compare_driver_artifact_shape_no_anchor(tmp_path):
-    """Driver BENCH_r{N}.json artifacts nest timings under
+    """Pre-r14 driver BENCH_r{N}.json artifacts nest timings under
     parsed.queries and carry no anchor — both must parse, and the
     anchor line must not print."""
     old = {"parsed": {"queries": {"a": 1.0}}}
@@ -73,6 +73,56 @@ def test_bench_compare_driver_artifact_shape_no_anchor(tmp_path):
     out, _rc = _run(old, new, tmp_path)
     assert "1 shared queries" in out
     assert "anchor drift" not in out  # needs BOTH sides
+
+
+def test_bench_compare_driver_artifact_anchor_under_parsed(tmp_path):
+    """From r14 the bench stdout line carries the anchor, so driver
+    artifacts expose it under ``parsed`` — bench_compare must find it
+    there and drift-normalize driver-to-driver comparisons too
+    (VERDICT r13 #4)."""
+    old = {"parsed": {
+        "queries": {"a": 1.0, "b": 2.0},
+        "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1},
+    }}
+    new = {"parsed": {
+        "queries": {"a": 2.0, "b": 4.0},
+        "anchor": {"query": "g", "start_sec": 0.2, "end_sec": 0.2},
+    }}
+    out, rc = _run(old, new, tmp_path)
+    assert "anchor drift 2.000" in out
+    assert "drift-normalized median 1.000" in out
+    assert rc == 0
+
+
+def test_bench_compare_unstable_anchor_falls_back_to_raw(tmp_path):
+    """An anchor whose own start/end draws disagree >1.5x marks an
+    unstable session — normalization is discarded for that artifact
+    and the compare proceeds on raw ratios (ADVICE r13: one noisy
+    anchor draw must not scale the flag decision)."""
+    old = {"queries": {"a": 1.0},
+           "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1}}
+    new = {"queries": {"a": 1.2},
+           "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.4}}
+    out, rc = _run(old, new, tmp_path)
+    assert "anchor unstable" in out
+    assert "anchor drift" not in out
+    assert "median per-query ratio 1.200" in out and rc == 0
+
+
+def test_bench_default_detail_path_outside_repo(monkeypatch):
+    """bench.py's default detail path must live outside the repo so a
+    driver-initiated bench run never dirties a judged tree (VERDICT
+    r13 #2); the env override must win when set."""
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.remove(str(REPO))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_DETAIL", raising=False)
+    default = Path(bench.default_detail_path()).resolve()
+    assert REPO.resolve() not in default.parents
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", "/x/y.json")
+    assert bench.default_detail_path() == "/x/y.json"
 
 
 def test_bench_compare_flags_only_past_normalized_envelope(tmp_path):

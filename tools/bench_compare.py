@@ -25,19 +25,32 @@ import sys
 
 def load(path: str) -> tuple[dict[str, float], float | None]:
     """Per-query timings plus the environment-drift anchor (mean of the
-    start/end global_count runs bench.py stamps into BENCH_DETAIL.json;
-    None for driver BENCH_r{N}.json artifacts, which carry no anchor)."""
+    start/end median-of-3 global_count draws bench.py stamps into both
+    the detail file and the stdout line — so driver BENCH_r{N}.json
+    artifacts carry it under ``parsed`` from r14 on; None for older
+    driver artifacts). An anchor whose start/end draws disagree beyond
+    1.5x marks an unstable session: normalizing by it would inject more
+    noise than it removes, so it is discarded (raw-ratio fallback,
+    ADVICE r13)."""
     data = json.load(open(path))
+    parsed = data.get("parsed") or {}
     if "queries" in data and isinstance(data["queries"], dict):
         q = data["queries"]
     else:
-        q = (data.get("parsed") or {}).get("queries") or {}
-    a = data.get("anchor") or {}
-    anchor = (
-        (float(a["start_sec"]) + float(a["end_sec"])) / 2.0
-        if "start_sec" in a and "end_sec" in a
-        else None
-    )
+        q = parsed.get("queries") or {}
+    a = data.get("anchor") or parsed.get("anchor") or {}
+    anchor = None
+    if "start_sec" in a and "end_sec" in a:
+        s, e = float(a["start_sec"]), float(a["end_sec"])
+        if s > 0 and e > 0:
+            if max(s, e) / min(s, e) <= 1.5:
+                anchor = (s + e) / 2.0
+            else:
+                print(
+                    f"note: {path} anchor unstable "
+                    f"({s:.2f}s -> {e:.2f}s within one run); "
+                    "falling back to raw ratios"
+                )
     return (
         {k: float(v) for k, v in q.items() if v is not None and v >= 0},
         anchor,
