@@ -192,6 +192,231 @@ def containment_pairs(
     )
 
 
+def _ensemble_gap_specs(
+    threshold: float,
+    k: int,
+    target_recall: float,
+    floor_recall: float,
+) -> list[tuple[int, int, int]]:
+    """Per-size-partition-gap band tuning for :func:`containment_lsh_pairs`
+    (the LSH Ensemble construction, Zhu et al., VLDB 2016): documents are
+    size-partitioned geometrically (partition = floor(log2(|shingles|))),
+    and a probe of size a targeting the partition ``gap`` steps above its
+    own faces a worst-case equivalent Jaccard of
+
+        J_min(gap) = t / (1 + 2^(gap+1) - t)
+
+    (containment t of the smaller set in the larger, sizes a ≥ 2^p and
+    b < 2^(p+gap+1) ⇒ J = t·a/(a+b-t·a) > t/(1+2^(gap+1)-t)). For each
+    gap this picks the most selective rows-per-band r ∈ {8,4,2,1} whose
+    k/r bands still reach ``target_recall`` at J_min — selective banding
+    (large r) minimizes false-positive candidates, which matters most
+    for same-size pairs where J is highest. When even r=1 with all k
+    bands cannot reach the target, the gap is included best-effort while
+    the achievable worst-case recall stays ≥ ``floor_recall``; beyond
+    that the ensemble STOPS — pairs with a size ratio past the last
+    covered gap are this tier's documented truncation (the exact
+    :func:`containment_pairs` tier has no such cutoff; SCALE.md).
+
+    Pure driver-side arithmetic on parameters — no data touched.
+    Returns [(gap, r, n_bands), ...]; at the defaults (t=0.9, k=32,
+    target 0.95, floor 0.8) this is [(0,2,15), (1,1,13), (2,1,26),
+    (3,1,32)] — ratio-16+ pairs are past the cutoff."""
+    import math
+
+    specs: list[tuple[int, int, int]] = []
+    gap = 0
+    while True:
+        j_min = threshold / (1.0 + 2.0 ** (gap + 1) - threshold)
+        chosen = None
+        for r in (8, 4, 2, 1):
+            p_band = j_min**r
+            if p_band >= 1.0:  # degenerate (threshold ~1, gap 0)
+                chosen = (r, 1)
+                break
+            b_needed = math.ceil(
+                math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+            )
+            if b_needed <= k // r:
+                chosen = (r, b_needed)
+                break
+        if chosen is None:
+            # best-effort tail: all k bands at r=1, while worst-case
+            # recall 1-(1-J)^k still clears the floor
+            achievable = 1.0 - (1.0 - j_min) ** k
+            if achievable < floor_recall:
+                break
+            chosen = (1, k)
+        specs.append((gap, chosen[0], chosen[1]))
+        gap += 1
+    return specs
+
+
+def containment_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    k: int = 32,
+    threshold: float = 0.9,
+    target_recall: float = 0.95,
+    floor_recall: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH Ensemble sketch tier for ASYMMETRIC containment dedup
+    (Zhu et al., VLDB 2016) — the sub-quadratic candidate generator for
+    :func:`containment_pairs` (same measure: greatest(c1, c2) ≥
+    ``threshold``). Symmetric MinHash LSH is tuned for Jaccard and
+    structurally misses the short-doc-quoted-in-long-page pairs
+    containment targets (their Jaccard ≈ |short|/|long|); the ensemble
+    fixes this by partitioning documents by shingle-set size (geometric:
+    partition = floor(log2(size))) and probing each LARGER partition
+    with banding tuned to that partition's worst-case equivalent
+    Jaccard (:func:`_ensemble_gap_specs` — more bands / smaller rows
+    for larger size gaps).
+
+    Shape: every document emits O(k) index rows banded per scheme, and
+    each smaller-side document emits probe rows into its own and the
+    covered larger partitions — O(k · #gaps) rows of (partition, r,
+    band, 64-bit bucket, id, size) per document, proportional to
+    document COUNT, never corpus text. Candidates are bucket collisions
+    only (inner join on the bucket key); buckets larger than
+    ``max_bucket`` index entries are dropped (boilerplate-dominated
+    minhash values — the posting-cap idiom of :func:`jaccard_pairs`
+    applied to sketch buckets). Candidates are then verified EXACTLY
+    (array_intersect on the per-doc hashed-shingle arrays), so
+    precision is 1.0 by construction and only candidate-generation
+    recall is approximate.
+
+    Semantics note vs :func:`containment_pairs`: sizes/shared counts
+    here are over ALL distinct shingles — the sketch tier has no global
+    document-frequency pass by design (that pass IS the exact tier's
+    shuffle), so the ``max_df`` posting filter does not apply. Pairs
+    with size ratio beyond the last covered gap (16x at the defaults)
+    are the tier's documented truncation; SCALE.md.
+
+    Returns (d1, d2, shared, n1, n2, c1, c2), d1 < d2 — the
+    :func:`containment_pairs` contract."""
+    from pyspark import StorageLevel
+
+    specs = _ensemble_gap_specs(threshold, k, target_recall, floor_recall)
+
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    max_long = (1 << 63) - 1
+    sig = F.aggregate(
+        F.col("harr"),
+        F.array_repeat(F.lit(max_long), k),
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))
+        ),
+    )
+    # One corpus scan feeds four consumers (index bands, probe bands,
+    # both verify sides) — persisted SERIALIZED with disk spill: the
+    # frame carries the per-doc hashed-shingle array (corpus-scale at
+    # 100 TB), where the deserialized default would pin executor heap.
+    # Release is the caller's (bench clears caches between queries).
+    docs = (
+        shingle_arrays(df, text_col, id_col, n)
+        .where(F.size("sh_arr") > 0)
+        .select(
+            "doc_id",
+            F.transform("sh_arr", lambda s: F.xxhash64(s)).alias("harr"),
+        )
+        .select("doc_id", "harr", F.size("harr").alias("sz"))
+        .select(
+            "doc_id", "harr", "sz", sig.alias("sig"),
+            F.floor(F.log2("sz")).cast("int").alias("p"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _bucket(r: int) -> Column:
+        # r consecutive signature positions per band, hashed to one key
+        return F.xxhash64(F.slice("sig", F.col("band") * r + 1, r))
+
+    # INDEX side: each doc banded in its OWN partition, once per
+    # distinct r-scheme any probe may use, with the max band count that
+    # scheme is probed at.
+    bands_per_r: dict[int, int] = {}
+    for _gap, r, nb in specs:
+        bands_per_r[r] = max(bands_per_r.get(r, 0), nb)
+    index = None
+    for r, nb in sorted(bands_per_r.items()):
+        part = docs.select(
+            "doc_id", "sz", "p", "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
+        ).select(
+            "doc_id", "sz", "p",
+            F.lit(r).alias("r"), "band", _bucket(r).alias("bucket"),
+        )
+        index = part if index is None else index.unionByName(part)
+
+    # PROBE side: each doc probes partition p+gap with that gap's
+    # (r, n_bands) tuning — the per-partition band tuning that makes
+    # the ensemble catch low-equivalent-Jaccard containment pairs.
+    probe = None
+    for gap, r, nb in specs:
+        part = docs.select(
+            "doc_id", "sz",
+            (F.col("p") + gap).alias("p"), "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
+        ).select(
+            "doc_id", "sz", "p",
+            F.lit(r).alias("r"), "band", _bucket(r).alias("bucket"),
+        )
+        probe = part if probe is None else probe.unionByName(part)
+
+    key = ["p", "r", "band", "bucket"]
+    # Bucket cap: a bucket with > max_bucket index entries is dominated
+    # by one ubiquitous minhash value (boilerplate); it carries no
+    # discriminative signal and its fan-out is quadratic. Kept-keys
+    # inner join, the `rare` idiom of _blocked_shared_counts.
+    kept = (
+        index.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") <= max_bucket)
+        .select(*key)
+    )
+    a = probe.select(
+        F.col("doc_id").alias("ds"), F.col("sz").alias("zs"), *key
+    )
+    b = index.join(kept, key).select(
+        F.col("doc_id").alias("dl"), F.col("sz").alias("zl"), *key
+    )
+    cand = (
+        a.join(b, key)
+        # smaller probes larger; equal sizes pair both ways and collapse
+        # under the (least, greatest) normalization + distinct
+        .where(
+            (F.col("zs") < F.col("zl"))
+            | ((F.col("zs") == F.col("zl")) & (F.col("ds") != F.col("dl")))
+        )
+        .select(
+            F.least("ds", "dl").alias("d1"),
+            F.greatest("ds", "dl").alias("d2"),
+        )
+        .distinct()
+    )
+
+    h1 = docs.select(
+        F.col("doc_id").alias("d1"),
+        F.col("harr").alias("h1"), F.col("sz").alias("n1"),
+    )
+    h2 = docs.select(
+        F.col("doc_id").alias("d2"),
+        F.col("harr").alias("h2"), F.col("sz").alias("n2"),
+    )
+    return (
+        cand.join(h1, "d1")
+        .join(h2, "d2")
+        .withColumn("shared", F.size(F.array_intersect("h1", "h2")))
+        .withColumn("c1", F.col("shared") / F.col("n1"))
+        .withColumn("c2", F.col("shared") / F.col("n2"))
+        .where(F.greatest(F.col("c1"), F.col("c2")) >= threshold)
+        .select("d1", "d2", "shared", "n1", "n2", "c1", "c2")
+    )
+
+
 def source_overlap(
     df: DataFrame,
     text_col: str,
@@ -217,6 +442,15 @@ def source_overlap(
     ``max_source_df``² per shingle and |sources|² overall — sources
     are a dimension (hundreds), not the corpus. Returns one row per
     co-occurring pair: (s1, s2, shared, n1, n2, jaccard), s1 < s2."""
+    from pyspark import StorageLevel
+
+    # Persisted because it feeds two consumers (the source-df filter and
+    # the kept-keys join input) — but SERIALIZED with disk spill, not the
+    # deserialized default: this frame is O(distinct (source, shingle))
+    # — corpus-scale at 100 TB — and MEMORY_ONLY_DESER would pin executor
+    # heap for the whole session. Release is the caller's (bench clears
+    # caches between queries; a long-lived library caller unpersists via
+    # spark.catalog.clearCache or df.unpersist after materializing).
     sh = (
         _spread(df)
         .select(
@@ -231,7 +465,7 @@ def source_overlap(
             ).alias("sh"),
         )
         .distinct()
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rare = (
         sh.groupBy("sh")

@@ -802,6 +802,135 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_containment_lsh")
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH Ensemble sketch tier for containment dedup (size-partitioned
+    MinHash LSH with per-partition band tuning — Zhu et al., VLDB 2016):
+    the sub-quadratic candidate generator for dedup_containment that
+    does NOT lean on the exact tier's global document-frequency pass.
+    Candidates come only from size-partition bucket collisions and are
+    verified exactly (precision 1.0); rows-only check (xxhash64 is
+    engine-internal) — candidate-generation recall is the
+    oracle-checked dedup_containment_lsh_recall verdict row."""
+    from full_docker_etl_spark.operators.dedup import containment_lsh_pairs
+
+    return containment_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=5, k=32, threshold=0.9,
+    )
+
+
+def _quotation_corpus(docs: DataFrame) -> DataFrame:
+    """Judge corpus for the containment-sketch verdict: the
+    deterministic judge slice PLUS planted quotation pairs — one
+    synthetic aggregator page per doc_id%211 residue, concatenating
+    (space-joined, doc_id order) the residue's first two ≥40-token
+    slice docs, under doc_id -(residue+1). Every member is 100%
+    contained in its aggregator (containment 1.0, Jaccard ≈ size
+    ratio⁻¹ — exactly the modality Jaccard-tuned LSH misses), the
+    ≥40-token member floor bounds the aggregator/member size ratio
+    within the ensemble's covered gaps, and the construction is pure
+    SQL so the DuckDB oracle rebuilds it verbatim. The partitioned
+    window (partitionBy residue) keeps the plan on hash partitioning —
+    no global sort."""
+    from pyspark.sql import Window
+
+    slim = docs.select("doc_id", "text")
+    members = (
+        slim.where(F.size(F.split(F.trim("text"), r"\s+")) >= 40)
+        .withColumn("g", F.col("doc_id") % 211)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") <= 2)
+    )
+    agg = (
+        members.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .where(F.col("_m") == 2)
+        .select((-(F.col("g") + 1)).cast("long").alias("doc_id"), "text")
+    )
+    return slim.unionByName(agg)
+
+
+_QUOTATION_CORPUS_SQL = f"""(
+  WITH jslice AS (SELECT doc_id, text FROM {_MINHASH_SLICE_SQL}),
+  qgrp AS (SELECT doc_id, text, doc_id % 211 AS g,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id % 211
+                                     ORDER BY doc_id) AS rn
+           FROM jslice
+           WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 40),
+  qagg AS (SELECT -(g+1) AS doc_id,
+                  string_agg(text, ' ' ORDER BY doc_id) AS text
+           FROM qgrp WHERE rn <= 2 GROUP BY g HAVING COUNT(*) = 2)
+  SELECT doc_id, text FROM jslice
+  UNION ALL SELECT doc_id, text FROM qagg
+)"""
+
+
+@query(
+    "dedup_containment_lsh_recall",
+    oracle=f"""
+      WITH pairs AS (
+        {_containment_pairs_sql(_QUOTATION_CORPUS_SQL)}
+      )
+      SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM pairs
+    """,
+)
+def dedup_containment_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment sketch tier's recall bound as an externally
+    checked VERDICT row (the dedup_minhash_recall pattern): on the
+    judge slice plus PLANTED quotation pairs (short docs concatenated
+    into synthetic aggregator pages — containment 1.0, low Jaccard),
+    count the exact ≥0.9 containment pairs (the oracle recomputes that
+    count portably) and assert ≥80% of them are also produced by the
+    LSH Ensemble tier. A sketch regression — wrong per-partition band
+    tuning, broken size partitioning, a probe that stops short — flips
+    recall_ok and fails the driver's hash compare. Planting is what
+    makes the verdict non-vacuous at every scale factor: natural
+    containment pairs in a thin judge slice can be scarce, but the
+    planted aggregators guarantee a dense, known-answer positive set
+    whose size ratios sit inside the ensemble's covered gaps."""
+    corpus = _quotation_corpus(_judge_slice(_docs(spark, sf_dir), memo_key=sf_dir))
+    from full_docker_etl_spark.operators.dedup import (
+        containment_lsh_pairs,
+        containment_pairs,
+    )
+
+    exact = containment_pairs(
+        corpus, "text", "doc_id", n=5, threshold=0.9, max_df=1000
+    ).select("d1", "d2")
+    approx = containment_lsh_pairs(
+        corpus, "text", "doc_id", n=5, k=32, threshold=0.9
+    ).select("d1", "d2", F.lit(1).alias("_hit"))
+    return (
+        exact.join(approx, ["d1", "d2"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            "n_exact",
+            (F.col("n_found") >= F.lit(0.8) * F.col("n_exact")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 @query(
     "dedup_incremental_recall",
     oracle=f"""

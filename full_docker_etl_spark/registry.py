@@ -52,15 +52,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # sink_versioned_* family, sink_zorder/clustered_scan, topk_by_value,
 # word_counts, ann_ivf_pq/sq_topk, text_compression — after this round
 # no query's latest evidence is older than r10);
-# THEN 15 of the 38 round-10-stale rows in staleness order
-# (agg_approx_distinct .. sample_leakage_safe_split);
+# THEN 14 of the 38 round-10-stale rows in staleness order
+# (agg_approx_distinct .. paginate);
 # THEN every *_recall/*_consistency/*_verdict row (14 now, pinned in
 # EVERY window — they are the oracle-checked external evidence for the
 # rows-only sketch queries), including this round's zero-evidence
 # dedup_containment_lsh_recall, the LSH-Ensemble containment sketch
-# verdict (VERDICT r13 #3).
-# ROUND-15 PLAN (VERDICT r13 #8): the 23 r10 rows left after this
-# window (dedup_exact tier .. sample_hash_split tail) lead the r15
+# verdict (VERDICT r13 #3);
+# THEN the round's other zero-evidence query closes the window
+# (dedup_containment_lsh, the rows-only sketch tier itself).
+# ROUND-15 PLAN (VERDICT r13 #8): the 24 r10 rows left after this
+# window (sample_hash_split .. dedup_simhash tail) lead the r15
 # window, then the r11 tier fills it — keeping every query's external
 # evidence within a 4-round horizon without displacing the 14 pinned
 # verdict rows.
@@ -114,8 +116,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_range",
     "mm_decode_meta",
     "paginate",
-    "sample_hash_split",
-    "sample_leakage_safe_split",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -129,7 +129,11 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_compression_verdict",
     "join_fuzzy_recall",
     "dedup_semantic_verdict",
+    "dedup_containment_lsh_recall",
+    "dedup_containment_lsh",
     # ---- window boundary (50) ----
+    "sample_hash_split",
+    "sample_leakage_safe_split",
     "sample_pack_sequences",
     "sample_quota_per_source",
     "sink_versioned_constraints",

@@ -282,6 +282,84 @@ def test_containment_pairs_catches_quotation_jaccard_misses(spark):
     )
 
 
+def test_containment_lsh_ensemble_gap_specs():
+    """The per-gap band tuning is pure arithmetic — pin the defaults
+    and re-derive the guarantees: every covered gap's worst-case
+    detection probability 1-(1-J^r)^b clears the target (or at least
+    the floor for the best-effort tail), and the first uncovered gap
+    is genuinely past the floor with all k bands."""
+    import math
+
+    from full_docker_etl_spark.operators.dedup import _ensemble_gap_specs
+
+    t, k, target, floor = 0.9, 32, 0.95, 0.8
+    specs = _ensemble_gap_specs(t, k, target, floor)
+    assert specs == [(0, 2, 15), (1, 1, 13), (2, 1, 26), (3, 1, 32)]
+    for gap, r, b in specs:
+        j = t / (1 + 2 ** (gap + 1) - t)
+        p = 1 - (1 - j**r) ** b
+        assert p >= (target if b < k // r else floor) - 1e-12, (gap, p)
+        assert b <= k // r
+    # gap 4 must be past the floor even with every band at r=1
+    j4 = t / (1 + 2**5 - t)
+    assert 1 - (1 - j4) ** k < floor
+    # a permissive floor extends coverage; a strict target never
+    # shrinks a covered gap's bands
+    assert len(_ensemble_gap_specs(t, k, target, 0.5)) > len(specs)
+    assert math.isclose(_ensemble_gap_specs(0.99, k, 0.95, 0.8)[0][0], 0)
+
+
+def test_containment_lsh_finds_planted_quotations_values_exact(spark):
+    """Differential test vs a naive Python reimplementation: planted
+    quotation pairs (short docs concatenated into aggregator pages,
+    containment 1.0, size ratio inside the covered gaps) must ALL be
+    found, every emitted pair must appear in the naive exact ≥0.9
+    containment pair set (precision 1.0 — candidates are verified
+    exactly), and shared/n1/n2/c1/c2 must match the naive values.
+    Deterministic: xxhash64 and the seeded corpus are both fixed."""
+    import random
+
+    from full_docker_etl_spark.operators.dedup import containment_lsh_pairs
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(500)]
+    rows = []
+    for d in range(40):
+        rows.append(
+            (d, " ".join(rng.choice(words) for _ in range(rng.randint(40, 100))))
+        )
+    for i in range(10):  # aggregator quoting docs i and i+1 in full
+        rows.append((100 + i, rows[i][1] + " " + rows[i + 1][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    g = {d: grams(t) for d, t in rows}
+    naive = {}
+    ids = sorted(g)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            sh = len(g[d1] & g[d2])
+            n1, n2 = len(g[d1]), len(g[d2])
+            if sh and max(sh / n1, sh / n2) >= 0.9:
+                naive[(d1, d2)] = (sh, n1, n2, sh / n1, sh / n2)
+
+    got = {
+        (r.d1, r.d2): (r.shared, r.n1, r.n2, r.c1, r.c2)
+        for r in containment_lsh_pairs(df, "text", "doc_id").collect()
+    }
+    # precision 1.0 with exact values
+    for pair, vals in got.items():
+        assert pair in naive and vals == naive[pair], pair
+    # every planted quotation pair is found (sizes sit at ratio ~2-3,
+    # i.e. gaps 0-2 — squarely inside the covered range)
+    for i in range(10):
+        assert (i, 100 + i) in got and got[(i, 100 + i)][3] == 1.0
+        assert (i + 1, 100 + i) in got
+
+
 def test_source_overlap_matches_naive(spark):
     """The cross-source shingle overlap matrix must equal a Python
     reimplementation exactly — distinct-per-source shingles, the
