@@ -252,6 +252,104 @@ def _ensemble_gap_specs(
     return specs
 
 
+def _ensemble_docs(
+    df: DataFrame, text_col: str, id_col: str, n: int, k: int
+) -> DataFrame:
+    """Per-document ensemble state: (doc_id, harr, sz, sig, p) — the
+    hashed distinct-shingle array (verification side), its size, the
+    k-minhash signature (one in-row fold, the
+    :func:`minhash_signature_array` shape over pre-hashed shingles),
+    and the geometric size partition floor(log2(sz)). Zero-shingle
+    docs are dropped (nothing to contain or be contained in)."""
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    max_long = (1 << 63) - 1
+    sig = F.aggregate(
+        F.col("harr"),
+        F.array_repeat(F.lit(max_long), k),
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))
+        ),
+    )
+    return (
+        shingle_arrays(df, text_col, id_col, n)
+        .where(F.size("sh_arr") > 0)
+        .select(
+            "doc_id",
+            F.transform("sh_arr", lambda s: F.xxhash64(s)).alias("harr"),
+        )
+        .select("doc_id", "harr", F.size("harr").alias("sz"))
+        .select(
+            "doc_id", "harr", "sz", sig.alias("sig"),
+            F.floor(F.log2("sz")).cast("int").alias("p"),
+        )
+    )
+
+
+def _ensemble_rows(
+    docs: DataFrame, schemes: list[tuple[int, int, int]]
+) -> DataFrame:
+    """Band-bucket rows (doc_id, sz, p, r, band, bucket) for a list of
+    (partition_shift, r, n_bands) schemes — shift 0 for index rows
+    (a doc is indexed in its OWN partition), shift=gap for probe rows
+    (a doc probes LARGER partitions). Input must be materialized
+    (cache or parquet) or projection collapse re-inlines the k-hash
+    signature fold into every band's bucket hash (the
+    :func:`_band_rows` caveat)."""
+    out = None
+    for shift, r, nb in schemes:
+        part = docs.select(
+            "doc_id", "sz",
+            (F.col("p") + shift).alias("p"), "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
+        ).select(
+            "doc_id", "sz", "p",
+            F.lit(r).alias("r"), "band",
+            F.xxhash64(
+                F.slice("sig", F.col("band") * r + 1, r)
+            ).alias("bucket"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _ensemble_index_schemes(
+    specs: list[tuple[int, int, int]],
+) -> list[tuple[int, int, int]]:
+    """Index-side schemes: one per distinct r any probe uses, at the
+    max band count that r is probed at, shift 0 (own partition)."""
+    bands_per_r: dict[int, int] = {}
+    for _gap, r, nb in specs:
+        bands_per_r[r] = max(bands_per_r.get(r, 0), nb)
+    return [(0, r, nb) for r, nb in sorted(bands_per_r.items())]
+
+
+def _ensemble_verify(
+    cand: DataFrame, lookup: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact containment verification of candidate (d1, d2[, extra])
+    rows against a (doc_id, harr, sz) lookup frame: array_intersect of
+    the hashed-shingle arrays, both containments, greatest ≥ threshold.
+    Extra candidate columns ride through."""
+    extra = [c for c in cand.columns if c not in ("d1", "d2")]
+    h1 = lookup.select(
+        F.col("doc_id").alias("d1"),
+        F.col("harr").alias("h1"), F.col("sz").alias("n1"),
+    )
+    h2 = lookup.select(
+        F.col("doc_id").alias("d2"),
+        F.col("harr").alias("h2"), F.col("sz").alias("n2"),
+    )
+    return (
+        cand.join(h1, "d1")
+        .join(h2, "d2")
+        .withColumn("shared", F.size(F.array_intersect("h1", "h2")))
+        .withColumn("c1", F.col("shared") / F.col("n1"))
+        .withColumn("c2", F.col("shared") / F.col("n2"))
+        .where(F.greatest(F.col("c1"), F.col("c2")) >= threshold)
+        .select("d1", "d2", *extra, "shared", "n1", "n2", "c1", "c2")
+    )
+
+
 def containment_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -301,70 +399,22 @@ def containment_lsh_pairs(
 
     specs = _ensemble_gap_specs(threshold, k, target_recall, floor_recall)
 
-    seeds = F.array(*[F.lit(i) for i in range(k)])
-    max_long = (1 << 63) - 1
-    sig = F.aggregate(
-        F.col("harr"),
-        F.array_repeat(F.lit(max_long), k),
-        lambda acc, h: F.zip_with(
-            acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))
-        ),
-    )
     # One corpus scan feeds four consumers (index bands, probe bands,
     # both verify sides) — persisted SERIALIZED with disk spill: the
     # frame carries the per-doc hashed-shingle array (corpus-scale at
     # 100 TB), where the deserialized default would pin executor heap.
     # Release is the caller's (bench clears caches between queries).
-    docs = (
-        shingle_arrays(df, text_col, id_col, n)
-        .where(F.size("sh_arr") > 0)
-        .select(
-            "doc_id",
-            F.transform("sh_arr", lambda s: F.xxhash64(s)).alias("harr"),
-        )
-        .select("doc_id", "harr", F.size("harr").alias("sz"))
-        .select(
-            "doc_id", "harr", "sz", sig.alias("sig"),
-            F.floor(F.log2("sz")).cast("int").alias("p"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    docs = _ensemble_docs(df, text_col, id_col, n, k).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
 
-    def _bucket(r: int) -> Column:
-        # r consecutive signature positions per band, hashed to one key
-        return F.xxhash64(F.slice("sig", F.col("band") * r + 1, r))
-
     # INDEX side: each doc banded in its OWN partition, once per
-    # distinct r-scheme any probe may use, with the max band count that
-    # scheme is probed at.
-    bands_per_r: dict[int, int] = {}
-    for _gap, r, nb in specs:
-        bands_per_r[r] = max(bands_per_r.get(r, 0), nb)
-    index = None
-    for r, nb in sorted(bands_per_r.items()):
-        part = docs.select(
-            "doc_id", "sz", "p", "sig",
-            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
-        ).select(
-            "doc_id", "sz", "p",
-            F.lit(r).alias("r"), "band", _bucket(r).alias("bucket"),
-        )
-        index = part if index is None else index.unionByName(part)
-
-    # PROBE side: each doc probes partition p+gap with that gap's
-    # (r, n_bands) tuning — the per-partition band tuning that makes
-    # the ensemble catch low-equivalent-Jaccard containment pairs.
-    probe = None
-    for gap, r, nb in specs:
-        part = docs.select(
-            "doc_id", "sz",
-            (F.col("p") + gap).alias("p"), "sig",
-            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
-        ).select(
-            "doc_id", "sz", "p",
-            F.lit(r).alias("r"), "band", _bucket(r).alias("bucket"),
-        )
-        probe = part if probe is None else probe.unionByName(part)
+    # distinct r-scheme any probe may use. PROBE side: each doc probes
+    # partition p+gap with that gap's (r, n_bands) tuning — the
+    # per-partition band tuning that makes the ensemble catch
+    # low-equivalent-Jaccard containment pairs.
+    index = _ensemble_rows(docs, _ensemble_index_schemes(specs))
+    probe = _ensemble_rows(docs, specs)
 
     key = ["p", "r", "band", "bucket"]
     # Bucket cap: a bucket with > max_bucket index entries is dominated
@@ -398,23 +448,223 @@ def containment_lsh_pairs(
         .distinct()
     )
 
-    h1 = docs.select(
-        F.col("doc_id").alias("d1"),
-        F.col("harr").alias("h1"), F.col("sz").alias("n1"),
+    return _ensemble_verify(cand, docs, threshold)
+
+
+def containment_store_build(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    k: int = 32,
+    threshold: float = 0.9,
+    target_recall: float = 0.95,
+    floor_recall: float = 0.8,
+    max_bucket: int = 200,
+) -> None:
+    """Build the PERSISTENT LSH-Ensemble store for INCREMENTAL
+    containment dedup — the :func:`minhash_store_build` pattern applied
+    to the asymmetric tier: at 100 TB each arriving batch probes the
+    corpus's persisted sketch, the corpus is never re-sketched. Writes
+    under ``path``:
+
+    - ``/docs``  (doc_id, harr, sz, sig, p) — verification arrays +
+      signatures; fetched per candidate only.
+    - ``/index`` (doc_id, sz, p, r, band, bucket) — the corpus banded
+      in its OWN size partitions (what batch probes collide into).
+    - ``/probe`` (doc_id, sz, p, r, band, bucket) — the corpus's
+      gap-shifted probe rows (what collides into BATCH index rows:
+      containment is asymmetric, so a stored short doc must still find
+      a NEW long page that quotes it — the direction a symmetric store
+      would silently drop).
+    - ``/counts`` (p, r, band, bucket, cnt) — bucket occupancy, rolled
+      up at build/append time so probes never rescan ``/index`` to
+      enforce the ``max_bucket`` cap.
+
+    Parameters persist in ``_meta.json`` and are VALIDATED at probe
+    time — mismatched sketches would otherwise fail silently as zero
+    candidates (disjoint bucket spaces), admitting every duplicate."""
+    import json
+    import os
+
+    specs = _ensemble_gap_specs(threshold, k, target_recall, floor_recall)
+    _ensemble_docs(df, text_col, id_col, n, k).write.mode(
+        "overwrite"
+    ).parquet(path + "/docs")
+    stored = df.sparkSession.read.parquet(path + "/docs")
+    index = _ensemble_rows(stored, _ensemble_index_schemes(specs))
+    index.write.mode("overwrite").parquet(path + "/index")
+    _ensemble_rows(stored, specs).write.mode("overwrite").parquet(
+        path + "/probe"
     )
-    h2 = docs.select(
-        F.col("doc_id").alias("d2"),
-        F.col("harr").alias("h2"), F.col("sz").alias("n2"),
+    (
+        df.sparkSession.read.parquet(path + "/index")
+        .groupBy("p", "r", "band", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(path + "/counts")
     )
-    return (
-        cand.join(h1, "d1")
-        .join(h2, "d2")
-        .withColumn("shared", F.size(F.array_intersect("h1", "h2")))
-        .withColumn("c1", F.col("shared") / F.col("n1"))
-        .withColumn("c2", F.col("shared") / F.col("n2"))
-        .where(F.greatest(F.col("c1"), F.col("c2")) >= threshold)
-        .select("d1", "d2", "shared", "n1", "n2", "c1", "c2")
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump(
+            {
+                "n": n, "k": k, "threshold": threshold,
+                "target_recall": target_recall,
+                "floor_recall": floor_recall, "max_bucket": max_bucket,
+            },
+            fh,
+        )
+
+
+def _containment_store_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        return json.load(fh)
+
+
+def containment_store_append(
+    df: DataFrame, path: str, text_col: str, id_col: str
+) -> None:
+    """Admit a batch into an existing ensemble store using the STORE'S
+    OWN parameters (read from ``_meta.json`` — the caller cannot
+    desynchronize them): append per-doc state, index rows, probe rows,
+    and PARTIAL bucket counts (``/counts`` is additive — probes sum it,
+    so appends never rewrite existing files). The write half of the
+    incremental loop: probe → drop duplicates → append the admitted
+    remainder."""
+    meta = _containment_store_meta(path)
+    specs = _ensemble_gap_specs(
+        meta["threshold"], meta["k"],
+        meta["target_recall"], meta["floor_recall"],
     )
+    docs = _ensemble_docs(df, text_col, id_col, meta["n"], meta["k"]).cache()
+    docs.write.mode("append").parquet(path + "/docs")
+    index = _ensemble_rows(docs, _ensemble_index_schemes(specs))
+    index.write.mode("append").parquet(path + "/index")
+    _ensemble_rows(docs, specs).write.mode("append").parquet(path + "/probe")
+    (
+        index.groupBy("p", "r", "band", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("append")
+        .parquet(path + "/counts")
+    )
+
+
+def containment_probe_store(
+    new_df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    k: int = 32,
+    threshold: float = 0.9,
+    target_recall: float = 0.95,
+    floor_recall: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Probe a :func:`containment_store_build` store with a NEW batch:
+    candidates are (batch probes → store ∪ batch index) plus (store
+    probes → batch index) bucket collisions — store×store is NEVER
+    regenerated, which is the point of incrementality, and the second
+    direction exists because containment is asymmetric: a stored short
+    doc must still match a new long page quoting it. Exactly the
+    batch-touching subset of :func:`containment_lsh_pairs` over
+    (store ∪ batch) — the bucket cap sums persisted ``/counts`` with
+    the batch's own index counts, so capping decisions match the
+    from-scratch run's (pinned by the equivalence unit test).
+
+    Returns (d1, d2, d1_in_store, shared, n1, n2, c1, c2) with d1 the
+    store side for cross pairs (id order for batch×batch), verified
+    exactly — precision 1.0, like the batch tier. Parameters are
+    validated against ``_meta.json`` (a mismatch would fail silently
+    as zero candidates). A retried batch whose ids already sit in the
+    store never emits the degenerate self-pair.
+
+    Scale shape: the wide side is the bucket join; the batch's bucket
+    rows are tiny (broadcastable), the store's arrive pre-banded from
+    parquet, and verification fetches hashed-shingle arrays for
+    candidate ids only. The batch frame is cached for the plan's
+    lifetime; long-lived sessions unpersist between batches."""
+    from pyspark import StorageLevel
+
+    spark = new_df.sparkSession
+    meta = _containment_store_meta(path)
+    called = {
+        "n": n, "k": k, "threshold": threshold,
+        "target_recall": target_recall,
+        "floor_recall": floor_recall, "max_bucket": max_bucket,
+    }
+    if meta != called:
+        raise ValueError(
+            f"sketch-parameter mismatch: store at {path} was built with "
+            f"{meta}, probe called with {called} — ensemble sketches "
+            "with different parameters are incomparable (the probe "
+            "would silently return zero candidates)"
+        )
+    specs = _ensemble_gap_specs(threshold, k, target_recall, floor_recall)
+    batch = _ensemble_docs(new_df, text_col, id_col, n, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    batch_index = _ensemble_rows(batch, _ensemble_index_schemes(specs))
+    batch_probe = _ensemble_rows(batch, specs)
+    store_docs = spark.read.parquet(path + "/docs")
+    store_index = spark.read.parquet(path + "/index")
+    store_probe = spark.read.parquet(path + "/probe")
+
+    key = ["p", "r", "band", "bucket"]
+    kept = (
+        spark.read.parquet(path + "/counts")
+        .select(*key, "cnt")
+        .unionByName(
+            batch_index.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        .groupBy(*key)
+        .agg(F.sum("cnt").alias("_n"))
+        .where(F.col("_n") <= max_bucket)
+        .select(*key)
+    )
+
+    def _side(rows: DataFrame, in_store: bool, role: str) -> DataFrame:
+        d, z = (f"{role}d", f"{role}z")
+        return rows.select(
+            F.col("doc_id").alias(d), F.col("sz").alias(z),
+            F.lit(in_store).alias(f"{role}s"), *key,
+        )
+
+    index_all = _side(store_index, True, "i").unionByName(
+        _side(batch_index, False, "i")
+    ).join(kept, key)
+    collisions = (
+        _side(batch_probe, False, "p").join(index_all, key)
+    ).unionByName(
+        _side(store_probe, True, "p").join(
+            _side(batch_index, False, "i").join(kept, key), key
+        )
+    )
+    cand = (
+        collisions.where(F.col("pd") != F.col("id"))
+        .where(
+            (F.col("pz") < F.col("iz"))
+            | (F.col("pz") == F.col("iz"))
+        )
+        .select(
+            # cross pairs: store side is d1; batch×batch: id order
+            F.when(F.col("ps"), F.col("pd"))
+            .when(F.col("is"), F.col("id"))
+            .otherwise(F.least("pd", "id")).alias("d1"),
+            F.when(F.col("ps"), F.col("id"))
+            .when(F.col("is"), F.col("pd"))
+            .otherwise(F.greatest("pd", "id")).alias("d2"),
+            (F.col("ps") | F.col("is")).alias("d1_in_store"),
+        )
+        .distinct()
+    )
+    lookup = store_docs.select("doc_id", "harr", "sz").unionByName(
+        batch.select("doc_id", "harr", "sz")
+    )
+    return _ensemble_verify(cand, lookup, threshold)
 
 
 def source_overlap(

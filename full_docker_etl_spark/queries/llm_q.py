@@ -932,6 +932,85 @@ def dedup_containment_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_containment_incremental_recall",
+    oracle=f"""
+      WITH pairs AS (
+        {_containment_pairs_sql(_QUOTATION_CORPUS_SQL)}
+      )
+      SELECT COUNT(*) AS n_exact, TRUE AS recall_ok
+      FROM pairs WHERE d1 % 10 = 0 OR d2 % 10 = 0
+    """,
+)
+def dedup_containment_incremental_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL containment dedup at serving shape, driver-checked
+    (the dedup_incremental_recall pattern applied to the asymmetric
+    tier): at 100 TB each arriving batch probes a PERSISTED
+    LSH-Ensemble store (containment_store_build / _append /
+    containment_probe_store — batch×store and batch×batch candidates
+    only, PLUS the store-probes-batch direction containment uniquely
+    needs: a stored short doc must still match a NEW long page quoting
+    it). The quotation corpus splits 10%-batch / 90%-store, the store
+    is built from one half and APPENDED with the other (both write
+    paths exercised), the batch probes it, and recall is judged
+    against the exact ≥0.9 containment pairs touching the batch —
+    whose count the oracle recomputes portably, with the ≥80% floor as
+    the hash-checked boolean. A store-format, counts-rollup,
+    probe-direction, or gap-tuning regression flips the row red."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.dedup import (
+        containment_pairs,
+        containment_probe_store,
+        containment_store_append,
+        containment_store_build,
+    )
+
+    corpus = _quotation_corpus(
+        _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
+    )
+    batch = corpus.where(F.col("doc_id") % 10 == 0)
+    rest = corpus.where(F.col("doc_id") % 10 != 0)
+    path = tempfile.mkdtemp(prefix="fde_cstore_") + "/store"
+    containment_store_build(
+        rest.where(F.col("doc_id") % 2 != 0), path, "text", "doc_id"
+    )
+    containment_store_append(
+        rest.where(F.col("doc_id") % 2 == 0), path, "text", "doc_id"
+    )
+    found = (
+        containment_probe_store(batch, path, "text", "doc_id")
+        .select(
+            F.least("d1", "d2").alias("d1"),
+            F.greatest("d1", "d2").alias("d2"),
+            F.lit(1).alias("_hit"),
+        )
+        .distinct()
+    )
+    exact = (
+        containment_pairs(
+            corpus, "text", "doc_id", n=5, threshold=0.9, max_df=1000
+        )
+        .where((F.col("d1") % 10 == 0) | (F.col("d2") % 10 == 0))
+        .select("d1", "d2")
+    )
+    return (
+        exact.join(found, ["d1", "d2"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            "n_exact",
+            (F.col("n_found") >= F.lit(0.8) * F.col("n_exact")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+@query(
     "dedup_incremental_recall",
     oracle=f"""
       WITH pairs AS (

@@ -52,20 +52,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # sink_versioned_* family, sink_zorder/clustered_scan, topk_by_value,
 # word_counts, ann_ivf_pq/sq_topk, text_compression — after this round
 # no query's latest evidence is older than r10);
-# THEN 14 of the 38 round-10-stale rows in staleness order
-# (agg_approx_distinct .. paginate);
-# THEN every *_recall/*_consistency/*_verdict row (14 now, pinned in
+# THEN 13 of the 38 round-10-stale rows in staleness order
+# (agg_approx_distinct .. mm_decode_meta);
+# THEN every *_recall/*_consistency/*_verdict row (15 now, pinned in
 # EVERY window — they are the oracle-checked external evidence for the
-# rows-only sketch queries), including this round's zero-evidence
-# dedup_containment_lsh_recall, the LSH-Ensemble containment sketch
-# verdict (VERDICT r13 #3);
+# rows-only sketch queries), including this round's two zero-evidence
+# verdicts: dedup_containment_lsh_recall (the LSH-Ensemble containment
+# sketch, VERDICT r13 #3) and dedup_containment_incremental_recall
+# (its persisted-store build→append→probe serving path);
 # THEN the round's other zero-evidence query closes the window
 # (dedup_containment_lsh, the rows-only sketch tier itself).
-# ROUND-15 PLAN (VERDICT r13 #8): the 24 r10 rows left after this
-# window (sample_hash_split .. dedup_simhash tail) lead the r15
-# window, then the r11 tier fills it — keeping every query's external
-# evidence within a 4-round horizon without displacing the 14 pinned
-# verdict rows.
+# ROUND-15 PLAN (VERDICT r13 #8): the 25 r10 rows left after this
+# window (paginate, sample_hash_split .. dedup_simhash tail) lead the
+# r15 window, then the r11 tier fills it — keeping every query's
+# external evidence within a 4-round horizon without displacing the
+# 15 pinned verdict rows.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -115,7 +116,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "fn_to_json",
     "join_range",
     "mm_decode_meta",
-    "paginate",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -130,8 +130,10 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "join_fuzzy_recall",
     "dedup_semantic_verdict",
     "dedup_containment_lsh_recall",
+    "dedup_containment_incremental_recall",
     "dedup_containment_lsh",
     # ---- window boundary (50) ----
+    "paginate",
     "sample_hash_split",
     "sample_leakage_safe_split",
     "sample_pack_sequences",

@@ -360,6 +360,70 @@ def test_containment_lsh_finds_planted_quotations_values_exact(spark):
         assert (i + 1, 100 + i) in got
 
 
+def test_containment_store_probe_equals_batch_restricted_full_pairs(spark):
+    """The incremental ensemble (build → append → probe) must return
+    EXACTLY the batch-touching subset of the from-scratch
+    containment_lsh_pairs over store∪batch, values included — the
+    candidate sets differ only by store×store collisions, which are
+    precisely the non-batch-touching pairs, and the bucket cap sums
+    persisted counts with batch counts so capping decisions match.
+    Pair orientation differs by contract (d1 = store side for cross
+    pairs), so compare id-normalized. Also: mismatched parameters must
+    raise, and a retried batch (ids already in the store) must never
+    pair a doc with itself."""
+    import random
+    import tempfile
+
+    from full_docker_etl_spark.operators.dedup import (
+        containment_lsh_pairs,
+        containment_probe_store,
+        containment_store_append,
+        containment_store_build,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(500)]
+    rows = []
+    for d in range(40):
+        rows.append(
+            (d, " ".join(rng.choice(words) for _ in range(rng.randint(40, 100))))
+        )
+    for i in range(10):
+        rows.append((100 + i, rows[i][1] + " " + rows[i + 1][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = df.where("doc_id % 10 = 0")
+    store = df.where("doc_id % 10 != 0")
+    path = tempfile.mkdtemp(prefix="fde_cstore_") + "/store"
+    containment_store_build(store.where("doc_id % 2 = 1"), path, "text", "doc_id")
+    containment_store_append(store.where("doc_id % 2 != 1"), path, "text", "doc_id")
+
+    def norm(rows):
+        out = {}
+        for r in rows:
+            if r.d1 <= r.d2:
+                out[(r.d1, r.d2)] = (r.shared, r.n1, r.n2)
+            else:  # orientation flip swaps the per-side set sizes too
+                out[(r.d2, r.d1)] = (r.shared, r.n2, r.n1)
+        return out
+
+    inc = norm(containment_probe_store(batch, path, "text", "doc_id").collect())
+    full = norm(containment_lsh_pairs(df, "text", "doc_id").collect())
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    touching = {
+        p: v for p, v in full.items() if p[0] in batch_ids or p[1] in batch_ids
+    }
+    assert inc == touching and inc  # non-vacuous: planted pairs touch batch
+
+    with pytest.raises(ValueError, match="sketch-parameter mismatch"):
+        containment_probe_store(batch, path, "text", "doc_id", k=64)
+
+    # retried batch: its ids are now IN the store; re-probing must not
+    # emit (X, X) self-pairs
+    containment_store_append(batch, path, "text", "doc_id")
+    retry = containment_probe_store(batch, path, "text", "doc_id").collect()
+    assert all(r.d1 != r.d2 for r in retry)
+
+
 def test_source_overlap_matches_naive(spark):
     """The cross-source shingle overlap matrix must equal a Python
     reimplementation exactly — distinct-per-source shingles, the
