@@ -94,19 +94,36 @@ def test_bench_compare_driver_artifact_anchor_under_parsed(tmp_path):
     assert rc == 0
 
 
-def test_bench_compare_unstable_anchor_falls_back_to_raw(tmp_path):
-    """An anchor whose own start/end draws disagree >1.5x marks an
-    unstable session — normalization is discarded for that artifact
-    and the compare proceeds on raw ratios (ADVICE r13: one noisy
-    anchor draw must not scale the flag decision)."""
+def test_bench_compare_anomalous_gradient_falls_back_to_raw(tmp_path):
+    """Every healthy run has a systematic warm-up gradient (end draw
+    ~2x faster than start), so intra-run start/end agreement is NOT
+    the stability test — but when the two runs' GRADIENTS diverge
+    >1.5x, one session was anomalous and normalization is discarded
+    (ADVICE r13 recast cross-artifact: a noisy anchor must not scale
+    the flag decision)."""
     old = {"queries": {"a": 1.0},
-           "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1}}
+           "anchor": {"query": "g", "start_sec": 0.2, "end_sec": 0.1}}
     new = {"queries": {"a": 1.2},
            "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.4}}
     out, rc = _run(old, new, tmp_path)
-    assert "anchor unstable" in out
+    assert "anchor gradients diverge" in out
     assert "anchor drift" not in out
     assert "median per-query ratio 1.200" in out and rc == 0
+
+
+def test_bench_compare_shared_warmup_gradient_still_normalizes(tmp_path):
+    """Two runs with the SAME ~2x warm-up gradient (the normal case —
+    r13's committed anchor was 0.256 -> 0.116) must still normalize by
+    the mean ratio: a uniform 2x environment slowdown reads as 1.000
+    and never flags."""
+    old = {"queries": {"a": 1.0, "b": 2.0},
+           "anchor": {"query": "g", "start_sec": 0.2, "end_sec": 0.1}}
+    new = {"queries": {"a": 2.0, "b": 4.0},
+           "anchor": {"query": "g", "start_sec": 0.4, "end_sec": 0.2}}
+    out, rc = _run(old, new, tmp_path)
+    assert "anchor drift 2.000" in out
+    assert "drift-normalized median 1.000" in out
+    assert "FLAG" not in out and rc == 0
 
 
 def test_bench_default_detail_path_outside_repo(monkeypatch):
