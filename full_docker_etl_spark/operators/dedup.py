@@ -224,6 +224,18 @@ def _ensemble_gap_specs(
     (3,1,32)] — ratio-16+ pairs are past the cutoff."""
     import math
 
+    # The floor is what terminates the gap loop (achievable recall is
+    # strictly positive at every gap, so floor<=0 would spin forever),
+    # and threshold=0 makes J_min=0 (log-of-1 division) — validate both
+    # loudly instead of hanging the driver.
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not 0.0 < floor_recall <= target_recall < 1.0:
+        raise ValueError(
+            "need 0 < floor_recall <= target_recall < 1, got "
+            f"floor={floor_recall}, target={target_recall}"
+        )
+
     specs: list[tuple[int, int, int]] = []
     gap = 0
     while True:
@@ -252,24 +264,39 @@ def _ensemble_gap_specs(
     return specs
 
 
+def _minhash_fold(arr: Column, k: int) -> Column:
+    """THE k-minhash running-min fold, shared by the symmetric tier
+    (:func:`minhash_signature_array`, over shingle strings) and the
+    containment ensemble (:func:`_ensemble_docs`, over pre-hashed
+    shingle longs) — the i-th hash function is xxhash64 seeded with i
+    over the element (any type), the accumulator a k-element running
+    min, so every element is traversed once and contributes to all k
+    functions via zip_with. ONE definition on purpose: a seeding or
+    hash-family change applied to one copy would silently make stored
+    and fresh sketches incomparable — exactly what the store tiers'
+    ``_meta.json`` validation exists to prevent. Empty arrays yield
+    max-long sentinels."""
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    max_long = (1 << 63) - 1
+    return F.aggregate(
+        arr,
+        F.array_repeat(F.lit(max_long), k),
+        lambda acc, s: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, F.xxhash64(s, i))
+        ),
+    )
+
+
 def _ensemble_docs(
     df: DataFrame, text_col: str, id_col: str, n: int, k: int
 ) -> DataFrame:
     """Per-document ensemble state: (doc_id, harr, sz, sig, p) — the
     hashed distinct-shingle array (verification side), its size, the
-    k-minhash signature (one in-row fold, the
-    :func:`minhash_signature_array` shape over pre-hashed shingles),
-    and the geometric size partition floor(log2(sz)). Zero-shingle
-    docs are dropped (nothing to contain or be contained in)."""
-    seeds = F.array(*[F.lit(i) for i in range(k)])
-    max_long = (1 << 63) - 1
-    sig = F.aggregate(
-        F.col("harr"),
-        F.array_repeat(F.lit(max_long), k),
-        lambda acc, h: F.zip_with(
-            acc, seeds, lambda a, i: F.least(a, F.xxhash64(h, i))
-        ),
-    )
+    k-minhash signature (one in-row :func:`_minhash_fold` over the
+    pre-hashed shingles), and the geometric size partition
+    floor(log2(sz)). Zero-shingle docs are dropped (nothing to
+    contain or be contained in)."""
+    sig = _minhash_fold(F.col("harr"), k)
     return (
         shingle_arrays(df, text_col, id_col, n)
         .where(F.size("sh_arr") > 0)
@@ -521,10 +548,17 @@ def _containment_store_write(
 ) -> None:
     """Shared write half of build/append: per-doc state, both band
     sides (one pass, one side-partitioned write), and the additive
-    bucket-count rollup. The docs frame is cached as the
-    materialization boundary (the :func:`_ensemble_rows` caveat) and
-    released once the derived tables are on disk."""
-    docs = _ensemble_docs(df, text_col, id_col, n, k).cache()
+    bucket-count rollup. The docs frame is the materialization
+    boundary (the :func:`_ensemble_rows` caveat) — persisted
+    SERIALIZED with disk spill like every other corpus-scale
+    hashed-shingle frame in this tier (it carries harr for the whole
+    build/append input; the deserialized default would pin executor
+    heap), and released once the derived tables are on disk."""
+    from pyspark import StorageLevel
+
+    docs = _ensemble_docs(df, text_col, id_col, n, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     docs.write.mode(mode).parquet(path + "/docs")
     index = _ensemble_rows(docs, _ensemble_index_schemes(specs))
     bands = index.withColumn("side", F.lit("i")).unionByName(
@@ -664,10 +698,7 @@ def containment_probe_store(
     )
     cand = (
         collisions.where(F.col("pd") != F.col("id"))
-        .where(
-            (F.col("pz") < F.col("iz"))
-            | (F.col("pz") == F.col("iz"))
-        )
+        .where(F.col("pz") <= F.col("iz"))  # smaller (or equal) probes larger
         .select(
             # cross pairs: store side is d1; batch×batch: id order
             F.when(F.col("ps"), F.col("pd"))
@@ -678,12 +709,32 @@ def containment_probe_store(
             .otherwise(F.greatest("pd", "id")).alias("d2"),
             (F.col("ps") | F.col("is")).alias("d1_in_store"),
         )
-        .distinct()
+        # ONE row per unordered pair: a RETRIED batch doc exists on
+        # both sides (store copy + batch copy), so the same logical
+        # pair can surface both as a cross row (store-first,
+        # d1_in_store=true) and a batch×batch row (id-order, false) —
+        # plain distinct would keep both, handing consumers duplicated
+        # and contradictory rows. Keep the store-flagged orientation
+        # when both exist (the store fact is the durable one).
+        .groupBy(
+            F.least("d1", "d2").alias("_lo"),
+            F.greatest("d1", "d2").alias("_hi"),
+        )
+        .agg(
+            F.max_by(
+                F.struct("d1", "d2", "d1_in_store"),
+                F.col("d1_in_store").cast("int"),
+            ).alias("_c")
+        )
+        .select("_c.d1", "_c.d2", "_c.d1_in_store")
     )
     lookup = store_docs.select("doc_id", "harr", "sz").unionByName(
         batch.select("doc_id", "harr", "sz")
     )
-    return _ensemble_verify(cand, lookup, threshold)
+    # the retried-batch doc also duplicates its verification row in
+    # `lookup` (identical bytes from both sides) — the verify joins
+    # then multiply the pair; collapse the identical output rows
+    return _ensemble_verify(cand, lookup, threshold).dropDuplicates()
 
 
 def source_overlap(
@@ -1383,19 +1434,11 @@ def minhash_signature_array(docs: DataFrame, k: int = 32) -> DataFrame:
     rescans the shingle array k times, for the same result. (A
     universal-hash family in decimal(38) arithmetic is ~5x slower per
     row — ANSI mode forbids wrapping long multiplication, and seeded
-    xxhash64 is the idiomatic escape.) Input: (doc_id, sh_arr) from
-    shingle_arrays. Output: (doc_id, sig array<long>); empty shingle
-    arrays yield max-long sentinels."""
-    seeds = F.array(*[F.lit(i) for i in range(k)])
-    max_long = (1 << 63) - 1
-    sig = F.aggregate(
-        F.col("sh_arr"),
-        F.array_repeat(F.lit(max_long), k),
-        lambda acc, s: F.zip_with(
-            acc, seeds, lambda a, i: F.least(a, F.xxhash64(s, i))
-        ),
-    )
-    return docs.select("doc_id", sig.alias("sig"))
+    xxhash64 is the idiomatic escape.) The fold itself is the shared
+    :func:`_minhash_fold` (one definition across tiers). Input:
+    (doc_id, sh_arr) from shingle_arrays. Output: (doc_id, sig
+    array<long>); empty shingle arrays yield max-long sentinels."""
+    return docs.select("doc_id", _minhash_fold(F.col("sh_arr"), k).alias("sig"))
 
 
 def minhash_signatures(docs: DataFrame, k: int = 32) -> DataFrame:

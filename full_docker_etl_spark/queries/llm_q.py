@@ -823,20 +823,28 @@ def _quotation_corpus(docs: DataFrame) -> DataFrame:
     """Judge corpus for the containment-sketch verdict: the
     deterministic judge slice PLUS planted quotation pairs — one
     synthetic aggregator page per doc_id%211 residue, concatenating
-    (space-joined, doc_id order) the residue's first two ≥40-token
+    (space-joined, doc_id order) the residue's first two 40-400-token
     slice docs, under doc_id -(residue+1). Every member is 100%
     contained in its aggregator (containment 1.0, Jaccard ≈ size
-    ratio⁻¹ — exactly the modality Jaccard-tuned LSH misses), the
-    ≥40-token member floor bounds the aggregator/member size ratio
-    within the ensemble's covered gaps, and the construction is pure
-    SQL so the DuckDB oracle rebuilds it verbatim. The partitioned
-    window (partitionBy residue) keeps the plan on hash partitioning —
-    no global sort."""
+    ratio⁻¹ — exactly the modality Jaccard-tuned LSH misses). The
+    member band is BOTH floored and CEILED because the planted pair's
+    size ratio is driven by the CO-member: with member shingle sizes
+    in [36, 396], aggregator/member ≤ (36+396+4)/36 ≈ 12.1 < 16 — a
+    PROOF the planted pairs sit inside the ensemble's covered gaps
+    (≤3 at the defaults) at ANY scale factor and document-length
+    distribution; a floor alone would let one huge co-member push a
+    planted pair past the sketch's documented ratio cutoff and flake
+    the hash-checked recall verdict on correct code. The construction
+    is pure SQL so the DuckDB oracle rebuilds it verbatim. The
+    partitioned window (partitionBy residue) keeps the plan on hash
+    partitioning — no global sort."""
     from pyspark.sql import Window
 
     slim = docs.select("doc_id", "text")
     members = (
-        slim.where(F.size(F.split(F.trim("text"), r"\s+")) >= 40)
+        slim.where(
+            F.size(F.split(F.trim("text"), r"\s+")).between(40, 400)
+        )
         .withColumn("g", F.col("doc_id") % 211)
         .withColumn(
             "rn",
@@ -872,7 +880,8 @@ _QUOTATION_CORPUS_SQL = f"""(
                   ROW_NUMBER() OVER (PARTITION BY doc_id % 211
                                      ORDER BY doc_id) AS rn
            FROM jslice
-           WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 40),
+           WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+                 BETWEEN 40 AND 400),
   qagg AS (SELECT -(g+1) AS doc_id,
                   string_agg(text, ' ' ORDER BY doc_id) AS text
            FROM qgrp WHERE rn <= 2 GROUP BY g HAVING COUNT(*) = 2)

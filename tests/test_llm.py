@@ -307,6 +307,16 @@ def test_containment_lsh_ensemble_gap_specs():
     # shrinks a covered gap's bands
     assert len(_ensemble_gap_specs(t, k, target, 0.5)) > len(specs)
     assert math.isclose(_ensemble_gap_specs(0.99, k, 0.95, 0.8)[0][0], 0)
+    # degenerate parameters must raise loudly, not hang (floor<=0
+    # never terminates the gap loop) or divide by zero (threshold=0)
+    for bad in (
+        dict(threshold=0.0), dict(threshold=1.5),
+        dict(floor=0.0), dict(floor=0.99),  # floor > target
+        dict(target=1.0),
+    ):
+        kw = dict(threshold=t, target=target, floor=floor) | bad
+        with pytest.raises(ValueError):
+            _ensemble_gap_specs(kw["threshold"], k, kw["target"], kw["floor"])
 
 
 def test_containment_lsh_finds_planted_quotations_values_exact(spark):
@@ -418,10 +428,19 @@ def test_containment_store_probe_equals_batch_restricted_full_pairs(spark):
         containment_probe_store(batch, path, "text", "doc_id", k=64)
 
     # retried batch: its ids are now IN the store; re-probing must not
-    # emit (X, X) self-pairs
+    # emit (X, X) self-pairs, and each logical pair must surface as
+    # EXACTLY ONE row — with the store-flagged orientation preferred
+    # (a retried doc exists on both sides, so the same pair would
+    # otherwise appear as both a cross row and a batch×batch row with
+    # contradictory d1_in_store)
     containment_store_append(batch, path, "text", "doc_id")
     retry = containment_probe_store(batch, path, "text", "doc_id").collect()
     assert all(r.d1 != r.d2 for r in retry)
+    keys = [(min(r.d1, r.d2), max(r.d1, r.d2)) for r in retry]
+    assert len(keys) == len(set(keys)), "duplicate rows for one pair"
+    assert retry and all(r.d1_in_store for r in retry)
+    # and the retried probe still finds the same logical pairs
+    assert set(keys) == set(inc)
 
 
 def test_source_overlap_matches_naive(spark):
