@@ -143,7 +143,30 @@ def main() -> int:
             draws.append(time.perf_counter() - t0)
         return round(statistics.median(draws), 4)
 
+    def _anchor_cpu_sec() -> float:
+        # Second drift anchor, CPU/shuffle-SHAPED: a fixed synthetic
+        # aggregate (range → groupBy → percentile + count_distinct →
+        # noop) that exercises exchange + hash aggregation + codegen —
+        # the cost profile of the registry's heavy queries. Measured
+        # round 14: a host-level evening slowdown moved shuffle-heavy
+        # queries 1.5-2x while the scan-shaped global_count anchor
+        # stayed flat (a cached-file-index count barely touches the
+        # degraded path), so normalizing by the scan anchor alone
+        # produced false flags. Data-independent by construction;
+        # median of 3 like the scan anchor.
+        draws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(1_000_000, numPartitions=cpus).selectExpr(
+                "id % 1024 AS k", "CAST(id AS DOUBLE) AS v"
+            ).groupBy("k").agg(
+                F.expr("percentile(v, 0.5)"), F.count_distinct("v")
+            ).write.format("noop").mode("overwrite").save()
+            draws.append(time.perf_counter() - t0)
+        return round(statistics.median(draws), 4)
+
     anchor_start = _anchor_sec()
+    anchor_cpu_start = _anchor_cpu_sec()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -173,12 +196,15 @@ def main() -> int:
             pass
 
     anchor_end = _anchor_sec()
+    anchor_cpu_end = _anchor_cpu_sec()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     anchor = {
         "query": "global_count",
         "start_sec": anchor_start,
         "end_sec": anchor_end,
+        "cpu_start_sec": anchor_cpu_start,
+        "cpu_end_sec": anchor_cpu_end,
     }
     # the anchor rides the stdout line too, so the driver's recorded
     # BENCH_r{N}.json is self-normalizing in bench_compare (VERDICT r13

@@ -126,6 +126,28 @@ def test_bench_compare_shared_warmup_gradient_still_normalizes(tmp_path):
     assert "FLAG" not in out and rc == 0
 
 
+def test_bench_compare_prefers_cpu_anchor_when_both_sides_have_it(tmp_path):
+    """The scan anchor under-tracks host slowdowns that hit the
+    shuffle path (r14: heavy queries moved 1.5-2x while global_count
+    stayed flat), so when BOTH artifacts carry the cpu/shuffle-shaped
+    anchor pair it must drive the normalization; scan-only artifacts
+    keep working."""
+    old = {"queries": {"a": 1.0},
+           "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1,
+                      "cpu_start_sec": 0.5, "cpu_end_sec": 0.5}}
+    new = {"queries": {"a": 2.0},
+           "anchor": {"query": "g", "start_sec": 0.1, "end_sec": 0.1,
+                      "cpu_start_sec": 1.0, "cpu_end_sec": 1.0}}
+    out, rc = _run(old, new, tmp_path)
+    # cpu anchor doubled while scan stayed flat: drift must read 2.0
+    assert "anchor drift 2.000 (cpu anchor" in out
+    assert "drift-normalized median 1.000" in out and rc == 0
+    # one side lacking the cpu pair falls back to the scan anchor
+    del old["anchor"]["cpu_start_sec"], old["anchor"]["cpu_end_sec"]
+    out, _rc = _run(old, new, tmp_path)
+    assert "(scan anchor" in out
+
+
 def test_bench_default_detail_path_outside_repo(monkeypatch):
     """bench.py's default detail path must live outside the repo so a
     driver-initiated bench run never dirties a judged tree (VERDICT

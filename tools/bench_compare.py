@@ -23,16 +23,22 @@ import statistics
 import sys
 
 
-def load(path: str) -> tuple[dict[str, float], tuple[float, float] | None]:
-    """Per-query timings plus the environment-drift anchor — the
-    (start, end) median-of-3 global_count draws bench.py stamps into
-    both the detail file and the stdout line, so driver BENCH_r{N}.json
-    artifacts carry it under ``parsed`` from r14 on (None for older
-    driver artifacts). Returned as the raw pair: every run has a
-    systematic warm-up gradient (the end draw lands ~2x faster than the
-    start draw — JIT/code-cache state keeps improving through the run),
-    so intra-run start/end agreement is NOT a meaningful stability
-    test; the caller compares the two runs' gradients instead."""
+def load(
+    path: str,
+) -> tuple[dict[str, float], dict[str, tuple[float, float]]]:
+    """Per-query timings plus the environment-drift anchors — the
+    (start, end) median-of-3 pairs bench.py stamps into both the
+    detail file and the stdout line, so driver BENCH_r{N}.json
+    artifacts carry them under ``parsed`` from r14 on (empty for older
+    driver artifacts). Two anchor shapes: ``scan`` (global_count — a
+    cached-file-index count) and, from late r14, ``cpu`` (synthetic
+    shuffle + percentile aggregate) — the r14 evening host slowdown
+    moved shuffle-heavy queries 1.5-2x while the scan anchor stayed
+    flat, so the cpu anchor is preferred when both artifacts have it.
+    Pairs are returned raw: every run has a systematic warm-up
+    gradient (the end draw lands ~2x faster than the start draw), so
+    intra-run start/end agreement is NOT a meaningful stability test;
+    the caller compares the two runs' gradients instead."""
     data = json.load(open(path))
     parsed = data.get("parsed") or {}
     if "queries" in data and isinstance(data["queries"], dict):
@@ -40,14 +46,18 @@ def load(path: str) -> tuple[dict[str, float], tuple[float, float] | None]:
     else:
         q = parsed.get("queries") or {}
     a = data.get("anchor") or parsed.get("anchor") or {}
-    anchor = None
-    if "start_sec" in a and "end_sec" in a:
-        s, e = float(a["start_sec"]), float(a["end_sec"])
-        if s > 0 and e > 0:
-            anchor = (s, e)
+    anchors: dict[str, tuple[float, float]] = {}
+    for name, ks, ke in (
+        ("scan", "start_sec", "end_sec"),
+        ("cpu", "cpu_start_sec", "cpu_end_sec"),
+    ):
+        if ks in a and ke in a:
+            s, e = float(a[ks]), float(a[ke])
+            if s > 0 and e > 0:
+                anchors[name] = (s, e)
     return (
         {k: float(v) for k, v in q.items() if v is not None and v >= 0},
-        anchor,
+        anchors,
     )
 
 
@@ -73,9 +83,14 @@ def main() -> int:
         f"{med:.3f} (new/old)"
     )
     drift = 1.0
-    if a_old and a_new:
+    shape = next(
+        (s for s in ("cpu", "scan") if s in a_old and s in a_new), None
+    )
+    if shape:
         # Normalize by the mean of each run's (start, end) anchor
-        # draws — but only when the two runs share a similar warm-up
+        # draws — preferring the cpu/shuffle-shaped anchor (the scan
+        # anchor under-tracks host slowdowns that hit the shuffle
+        # path) — but only when the two runs share a similar warm-up
         # GRADIENT (end/start): the gradient is a systematic ~2x in
         # every healthy run, so means are comparable like-for-like;
         # a run whose gradient diverges >1.5x from the other's had an
@@ -83,19 +98,19 @@ def main() -> int:
         # one end) and normalizing by its mean would inject more noise
         # than it removes — raw-ratio fallback (ADVICE r13, recast
         # cross-artifact: intra-run start/end NEVER agree, by design).
-        g_old, g_new = a_old[1] / a_old[0], a_new[1] / a_new[0]
-        m_old = (a_old[0] + a_old[1]) / 2.0
-        m_new = (a_new[0] + a_new[1]) / 2.0
+        (so, eo), (sn, en) = a_old[shape], a_new[shape]
+        g_old, g_new = eo / so, en / sn
+        m_old, m_new = (so + eo) / 2.0, (sn + en) / 2.0
         if max(g_old, g_new) / min(g_old, g_new) <= 1.5 and m_old > 0:
             drift = m_new / m_old
             print(
-                f"anchor drift {drift:.3f} (global_count {m_old:.2f}s -> "
-                f"{m_new:.2f}s); drift-normalized median "
-                f"{med / drift:.3f}"
+                f"anchor drift {drift:.3f} ({shape} anchor "
+                f"{m_old:.2f}s -> {m_new:.2f}s); drift-normalized "
+                f"median {med / drift:.3f}"
             )
         else:
             print(
-                f"note: anchor gradients diverge (end/start "
+                f"note: {shape} anchor gradients diverge (end/start "
                 f"{g_old:.2f} vs {g_new:.2f}) — one session was "
                 "anomalous; falling back to raw ratios"
             )
