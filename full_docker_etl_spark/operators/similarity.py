@@ -36,7 +36,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity, NULL when either vector has zero norm —
+    cosine is undefined there, and under Spark 4's default ANSI mode a
+    raw division would abort the whole job on one degenerate embedding
+    (DIVIDE_BY_ZERO); NULL instead falls out of every >=threshold
+    filter, which is the only comparison this feeds."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb))
 
 
 def cosine_topk(
@@ -62,7 +68,10 @@ def cosine_topk(
 
     Norms are hoisted to one column per input ROW before the join
     (bit-identical to folding inside the pair expression — same ops,
-    same order), so per-pair work is one dot, not dot+2 norms."""
+    same order), so per-pair work is one dot, not dot+2 norms.
+    Zero-norm rows are DROPPED on both sides (cosine is undefined
+    there; under default ANSI one degenerate embedding — e.g. an
+    empty-text row — would otherwise DIVIDE_BY_ZERO-abort the job)."""
     if max_queries is not None:
         probe = queries.limit(max_queries + 1).count()
         if probe > max_queries:
@@ -71,8 +80,12 @@ def cosine_topk(
                 "this is an all-pairs scan at that size — use ivf_topk / "
                 "hyperplane_lsh_topk, or pass max_queries=None to force"
             )
-    q = queries.withColumn("_qn", _norm(F.col(query_vec)))
-    c = corpus.withColumn("_cn", _norm(F.col(corpus_vec)))
+    q = queries.withColumn("_qn", _norm(F.col(query_vec))).where(
+        F.col("_qn") > 0
+    )
+    c = corpus.withColumn("_cn", _norm(F.col(corpus_vec))).where(
+        F.col("_cn") > 0
+    )
     joined = q.crossJoin(c).where(F.col(query_id) != F.col(corpus_id))
     scored = joined.select(
         query_id,
@@ -103,17 +116,23 @@ def _plane_coeff(plane, dim_index: Column) -> Column:
     return ((mixed % 1000003) % 1000).cast("double") / 1000.0 - 0.5
 
 
-def sketch_bits_multi(vec: Column, n_planes: int, n_tables: int = 1) -> Column:
+def sketch_bits_multi(
+    vec: Column, n_planes: int, n_tables: int = 1, first_table: int = 0
+) -> Column:
     """``n_tables`` LSH sketches (bit p = sign(vec · plane_{t·P+p}),
     packed into a long each) as ONE fold over the vector: the
     accumulator carries all n_tables·n_planes running dot products, so
     each dimension is visited once — versus one fold per plane, which
     rescans the vector n_tables·n_planes times. The sign-taking packs
     inside the fold's finish lambda (a separate projection would let
-    CollapseProject inline the fold per table). Returns
-    array<long>[n_tables]."""
+    CollapseProject inline the fold per table). ``first_table`` starts
+    the plane-id range at family ``first_table`` (ids are GLOBAL:
+    family t always uses planes [t·P, (t+1)·P), whatever window is
+    computed), so a single later family costs one family's arithmetic,
+    not first_table+1 of them. Returns array<long>[n_tables]."""
     total = n_tables * n_planes
-    plane_ids = F.array(*[F.lit(p) for p in range(total)])
+    base = first_table * n_planes
+    plane_ids = F.array(*[F.lit(base + p) for p in range(total)])
 
     def step(state, x):
         # state = struct(i: dim index, dots: running dot products)
@@ -148,9 +167,12 @@ def sketch_bits_multi(vec: Column, n_planes: int, n_tables: int = 1) -> Column:
 
 def sketch_bits(vec: Column, n_planes: int, table: int = 0) -> Column:
     """Single-table view of :func:`sketch_bits_multi` (plane family
-    ``table``) — the public single-sketch entry point."""
+    ``table``) — the public single-sketch entry point. Computes ONLY
+    the requested family (plane ids offset via ``first_table``): the
+    previous table+1-family fold did table× discarded arithmetic per
+    row for the identical bits."""
     return F.element_at(
-        sketch_bits_multi(vec, n_planes, table + 1), table + 1
+        sketch_bits_multi(vec, n_planes, 1, first_table=table), 1
     )
 
 
@@ -321,7 +343,9 @@ def _score_and_rank(
     corpus_vec: str,
 ) -> DataFrame:
     """Shared IVF tail: exact cosine over candidates (hoisted norms in
-    ``_qn``/``_cn``), dedup multi-probe hits, per-query top-k."""
+    ``_qn``/``_cn``), dedup multi-probe hits, per-query top-k.
+    Zero-norm rows are dropped (undefined cosine; ANSI would abort)."""
+    cand = cand.where((F.col("_qn") > 0) & (F.col("_cn") > 0))
     scored = cand.select(
         query_id,
         corpus_id,
@@ -457,6 +481,15 @@ def cosine_pairs_lsh(
     if corpus_size is not None:
         rows, bands = lsh_band_params(threshold, corpus_size)
     else:
+        if bands < 1 or bands > n_planes or n_planes % bands != 0:
+            raise ValueError(
+                f"cosine_pairs_lsh: bands={bands} must divide "
+                f"n_planes={n_planes} (1 <= bands <= n_planes) — "
+                "bands > n_planes makes 0-plane sketches (obscure "
+                "downstream crash) and a non-divisor silently narrows "
+                "every band key to n_planes//bands planes, inflating "
+                "collision noise with no signal to the caller"
+            )
         rows = n_planes // bands
     base = spread(df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")))
     # per-band sketches AND norm computed once per vector (cached) —
@@ -493,6 +526,9 @@ def cosine_pairs_lsh(
     return (
         pairs.join(v1, "d1")
         .join(v2, "d2")
+        # zero-norm vectors: cosine undefined, ANSI division aborts —
+        # they can never clear a positive threshold, so drop them here
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
         .withColumn(
             "cos_sim",
             F.round(
@@ -560,7 +596,12 @@ def hyperplane_lsh_topk(
             ).alias("bucket"),
         )
     )
-    cand = q.join(c, ["tbl", "bucket"]).where(F.col(query_id) != F.col(corpus_id))
+    cand = (
+        q.join(c, ["tbl", "bucket"])
+        .where(F.col(query_id) != F.col(corpus_id))
+        # zero-norm rows: undefined cosine, ANSI division aborts
+        .where((F.col("_qn") > 0) & (F.col("_cn") > 0))
+    )
     scored = cand.select(
         query_id,
         corpus_id,
@@ -762,8 +803,17 @@ def ivf_sq_topk(
         centroids,
         nprobe,
     )
-    cand = probed.join(assigned, "centroid").where(
-        F.col(query_id) != F.col(corpus_id)
+    cand = (
+        probed.join(assigned, "centroid")
+        .where(F.col(query_id) != F.col(corpus_id))
+        # quantization-degenerate corpus rows (every |x| < scale/254
+        # rounds to int8 code 0) have _cnq = 0: no direction survives
+        # the quantization, so they are invisible to the SQ shortlist
+        # — and under ANSI the raw division would abort the job on ONE
+        # such vector. The exact and IVF-Flat tiers still see them; on
+        # normalized embeddings (the deployment posture) codes cannot
+        # all round to zero. Zero-norm queries likewise score nothing.
+        .where((F.col("_qn") > 0) & (F.col("_cnq") > 0))
     )
     approx = (
         cand.withColumn(

@@ -51,9 +51,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # nested_reshape, point_lookup, set_except_intersect, the
 # sink_versioned_* family, sink_zorder/clustered_scan, topk_by_value,
 # word_counts, ann_ivf_pq/sq_topk, text_compression — after this round
-# no query's latest evidence is older than r10);
-# THEN 13 of the 38 round-10-stale rows in staleness order
-# (agg_approx_distinct .. mm_decode_meta);
+# no query's latest evidence is older than r10) plus the single
+# next-stalest r10 row (agg_approx_distinct);
+# THEN the 12 FORCE_NEXT rows (round-14 hardening shipped before the
+# driver ran — see the tuple below — sampled on post-change code THIS
+# round instead of waiting for r15);
 # THEN every *_recall/*_consistency/*_verdict row (15 now, pinned in
 # EVERY window — they are the oracle-checked external evidence for the
 # rows-only sketch queries), including this round's two zero-evidence
@@ -62,11 +64,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (its persisted-store build→append→probe serving path);
 # THEN the round's other zero-evidence query closes the window
 # (dedup_containment_lsh, the rows-only sketch tier itself).
-# ROUND-15 PLAN (VERDICT r13 #8): the 25 r10 rows left after this
-# window (paginate, sample_hash_split .. dedup_simhash tail) lead the
-# r15 window, then the r11 tier fills it — keeping every query's
-# external evidence within a 4-round horizon without displacing the
-# 15 pinned verdict rows.
+# ROUND-15 PLAN (VERDICT r13 #8): reset FORCE_NEXT (its entries draw
+# fresh r14 evidence on post-change code); the 37 remaining r10 rows
+# (dedup_exact .. win_running_total tail) lead the r15 window, then
+# the r11 tier fills what's left — keeping every query's external
+# evidence within a 4-round horizon without displacing the 15 pinned
+# verdict rows.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -75,11 +78,31 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # forces them into the next window regardless of evidence freshness
 # (a green sample of code that no longer exists proves nothing).
 # RESET this tuple when rotating for the round AFTER the changes ship.
-FORCE_NEXT: tuple[str, ...] = ()
-# Round 14: stays empty — round 13 shipped no semantic changes to
-# previously-registered queries (the three new r13 queries drew fresh
-# r13 evidence; pointer-doubling CC and the percentile grid guard drew
-# fresh green rows on the post-change code in the r13 window itself).
+FORCE_NEXT: tuple[str, ...] = (
+    # Round-14 hardening (review findings applied late in the round,
+    # BEFORE the r14 driver ran — forcing these into the r14 window
+    # gets them fresh post-change evidence THIS round): zero-norm /
+    # quantization-degenerate guards in every cosine-scoring path,
+    # single-family sketch_bits, duplicate-key MERGE preconditions,
+    # update_columns type reconciliation, per-writer dynamic partition
+    # overwrite. Affected queries already in the stalest-first window
+    # (ann_ivf_pq/sq_topk, the sink_versioned_* r9 tier, all pinned
+    # *_recall/*_consistency/*_verdict rows) are not repeated here.
+    # RESET to () when rotating for round 15 (per the rule above) if
+    # the r14 window sampled these on the post-change code.
+    "ann_cosine_topk",
+    "ann_ivf_incremental",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_serve",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_semantic",
+    "incr_status_flag",
+    "sink_partition_overwrite",
+    "sink_upsert",
+    "sink_versioned_constraints",
+)
 
 _SAMPLE_ORDER: tuple[str, ...] = (
     "join_semi",
@@ -104,18 +127,18 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "ann_ivf_sq_topk",
     "text_compression",
     "agg_approx_distinct",
-    "dedup_exact",
-    "dedup_natural_key",
-    "embed_norm",
-    "fn_coalesce_cast",
-    "fn_compact",
-    "fn_dates",
-    "fn_rupiah",
-    "fn_safe_div",
-    "fn_strings",
-    "fn_to_json",
-    "join_range",
-    "mm_decode_meta",
+    "sink_versioned_constraints",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_serve",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding",
+    "dedup_semantic",
+    "ann_cosine_topk",
+    "ann_ivf_incremental",
+    "incr_status_flag",
+    "sink_partition_overwrite",
+    "sink_upsert",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -133,12 +156,23 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_containment_incremental_recall",
     "dedup_containment_lsh",
     # ---- window boundary (50) ----
+    "dedup_exact",
+    "dedup_natural_key",
+    "embed_norm",
+    "fn_coalesce_cast",
+    "fn_compact",
+    "fn_dates",
+    "fn_rupiah",
+    "fn_safe_div",
+    "fn_strings",
+    "fn_to_json",
+    "join_range",
+    "mm_decode_meta",
     "paginate",
     "sample_hash_split",
     "sample_leakage_safe_split",
     "sample_pack_sequences",
     "sample_quota_per_source",
-    "sink_versioned_constraints",
     "sink_versioned_delete_dv",
     "text_decontaminate",
     "text_fingerprint",
@@ -157,7 +191,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "win_moving_avg",
     "win_rank_topn",
     "win_running_total",
-    "ann_ivf_kmeans_topk",
     "agg_approx_percentiles",
     "agg_cohort_retention",
     "agg_cube",
@@ -184,19 +217,13 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_importance_dsir",
     "sample_token_budget",
     "text_normalize",
-    "ann_ivf_serve",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding",
     "dedup_minhash",
-    "dedup_semantic",
     "agg_count_distinct",
     "agg_multigrain",
     "agg_percentiles",
     "agg_pivot",
     "agg_rollup",
     "agg_yearly",
-    "ann_cosine_topk",
     "audit_k_anonymity",
     "conform_schema",
     "csv_scan",
@@ -228,7 +255,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "xlsx_scan",
     "dedup_simhash",
     "agg_salted",
-    "ann_ivf_incremental",
     "catalog_tables",
     "column_max",
     "dedup_containment",
@@ -240,7 +266,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "filter_range",
     "global_count",
     "group_counts",
-    "incr_status_flag",
     "join_anti",
     "join_asof",
     "join_broadcast",
@@ -254,9 +279,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_stratified_split",
     "serve_incremental_grain",
     "serve_materialized_grain",
-    "sink_partition_overwrite",
     "sink_roundtrip",
-    "sink_upsert",
     "sort_topk",
     "stream_range_join",
     "stream_session",

@@ -68,14 +68,18 @@ def overwrite_partitions(
     """T1/S11: dynamic partition overwrite — replaces exactly the
     partitions present in ``df``, leaving all others in place. This is
     the per-entity daily refresh at scale: one job, touched partitions
-    only."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    only. The mode rides the WRITER (per-write option), never the
+    session conf: a set/restore of the session-wide
+    partitionOverwriteMode races every concurrent writer in the same
+    SparkSession — a static-mode full refresh observing 'dynamic'
+    keeps stale partitions, and a dynamic writer observing the
+    restored 'static' wipes every untouched partition."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
@@ -118,6 +122,43 @@ def _swap_write(spark: SparkSession, df: DataFrame, path: str) -> None:
         shutil.rmtree(old)
 
 
+def _reject_duplicate_keys(
+    batch: DataFrame, keys: list[str], op: str
+) -> DataFrame:
+    """MERGE semantics forbid two source rows matching one target row
+    (Delta's MERGE INTO raises; accepting them silently forks a keyed
+    table — the anti-join removes ONE existing row, the union inserts
+    BOTH duplicates). Folded into the plan as the house-style in-plan
+    precondition (raise_error inside the value expression) so the
+    FIRST action on a duplicate-keyed batch fails loudly, whichever
+    derived frame runs first. Cost: one batch-sized hash window."""
+    from pyspark.sql import Window
+
+    k0 = keys[0]
+    (k0_type,) = [t for c, t in batch.dtypes if c == k0]
+    dupn = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    guard = (
+        F.when(
+            dupn > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{op}: batch carries duplicate rows for key "
+                        f"({', '.join(keys)}) — MERGE semantics forbid "
+                        "two source rows matching one target row; "
+                        "offending key: "
+                    ),
+                    F.concat_ws(
+                        "|", *[F.col(k).cast("string") for k in keys]
+                    ),
+                )
+            ).cast(k0_type),
+        )
+        .otherwise(F.col(k0))
+    )
+    return batch.withColumn(k0, guard)
+
+
 def upsert_parquet(
     spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
 ) -> None:
@@ -132,7 +173,12 @@ def upsert_parquet(
     dimension/master tables it serves, wrong for large fact tables
     (a 1-row upsert at 100 TB rewrites 100 TB). For those use
     :class:`VersionedTable` with ``partition_by``: its merge rewrites
-    only the partitions the batch touches and hardlinks the rest."""
+    only the partitions the batch touches and hardlinks the rest.
+
+    A batch carrying the same key twice raises (in-plan, see
+    :func:`_reject_duplicate_keys`) — which duplicate should win is
+    ambiguous, and accepting both would break the keyed invariant."""
+    updates = _reject_duplicate_keys(updates, keys, "upsert_parquet")
     if not os.path.exists(path):
         write_table(updates, path)
         return
@@ -150,10 +196,28 @@ def update_columns(
 ) -> None:
     """S13: bulk column update (status flags). ``changes`` carries the
     key columns plus the columns to set; unspecified rows/columns are
-    untouched. Implemented as join + coalesce + swap."""
+    untouched. Implemented as join + coalesce + swap. Duplicate keys
+    in the batch are dropped (same contract as the warehouse twin
+    :meth:`VersionedTable.update_columns` — without it the left join
+    fans each matched table row out once per duplicate, GROWING the
+    table). The table's schema wins: a narrower batch column up-casts
+    losslessly, a wider or incompatible one raises
+    (:func:`_plan_type_reconciliation` — coalesce would otherwise
+    coerce the output column and silently change the table schema)."""
     existing = spark.read.parquet(path)
+    cast_up, cast_table = _plan_type_reconciliation(existing, changes)
+    if cast_table:
+        raise ValueError(
+            f"update_columns batch widens table column(s) "
+            f"{sorted(cast_table)} — a column update cannot change the "
+            "table schema; cast the batch explicitly"
+        )
+    if cast_up:
+        changes = changes.withColumns(
+            {c: F.col(c).cast(t) for c, t in cast_up.items()}
+        )
     value_cols = [c for c in changes.columns if c not in keys]
-    renamed = changes
+    renamed = changes.dropDuplicates(keys)
     for c in value_cols:
         renamed = renamed.withColumnRenamed(c, f"__new_{c}")
     joined = existing.join(renamed, on=keys, how="left")
@@ -429,12 +493,16 @@ class VersionedTable:
         broken by atomically renaming it aside (os.replace — exactly
         ONE contender wins the rename, so two waiters can never each
         'break' the lock and both enter, which a naive unlink would
-        allow). Release verifies OWNERSHIP before unlinking: if this
-        holder was paused past ``stale_after`` and a waiter broke the
-        lock and acquired a fresh one, the path now names a DIFFERENT
-        inode — unlinking it would hand a third writer concurrent
-        entry. The fd is kept open across the critical section so the
-        held inode is comparable at release time."""
+        allow). Release is double-guarded: a holder that OVERSTAYED
+        ``stale_after`` never unlinks at all — its lock is legally
+        breakable from that moment, so any unlink (even inode-checked:
+        stat-then-unlink is itself a window) could delete a waiter's
+        fresh lock; the file is left for the next acquirer's stale
+        sweep. A holder inside its lease additionally verifies
+        OWNERSHIP (the path still names OUR inode) before unlinking,
+        which covers wall-clock jumps that make a young lock look
+        stale to a waiter. The fd is kept open across the critical
+        section so the held inode is comparable at release time."""
         lock = os.path.join(self.root, "_LOCK")
         deadline = time.monotonic() + timeout
         while True:
@@ -455,14 +523,20 @@ class VersionedTable:
                         "table is under heavy concurrent write load"
                     )
                 time.sleep(0.02)
+        acquired = time.monotonic()
         try:
             os.write(fd, str(os.getpid()).encode())
             yield
         finally:
-            # Unlink only if the path still names OUR inode; a waiter
-            # that broke this lock as stale holds a fresh inode there.
+            # Never unlink once the lease is overstayed (see docstring:
+            # a breakable lock may be SOMEONE ELSE'S by the time any
+            # check-then-unlink pair runs); inside the lease, unlink
+            # only if the path still names OUR inode.
             with contextlib.suppress(OSError):
-                if os.fstat(fd).st_ino == os.stat(lock).st_ino:
+                if (
+                    time.monotonic() - acquired < stale_after
+                    and os.fstat(fd).st_ino == os.stat(lock).st_ino
+                ):
                     os.unlink(lock)
             os.close(fd)
             for entry in os.listdir(self.root):
@@ -628,6 +702,10 @@ class VersionedTable:
                 os.replace(tmp, dest._pointer)  # the atomic publish
         if raced:
             shutil.rmtree(vdir, ignore_errors=True)
+            # the DV sidecar was hardlinked alongside the snapshot —
+            # leaving it would orphan _dv/<never-published-version> in
+            # the winner's table (the other discard paths clean both)
+            shutil.rmtree(dest._dv_dir(new_version), ignore_errors=True)
             raise FileExistsError(
                 f"destination {dest_root} was initialized concurrently"
             )
@@ -951,7 +1029,10 @@ class VersionedTable:
     ) -> str:
         """MERGE semantics (matched → replace, unmatched → insert) as
         read-current → anti-join → union → atomic commit. Idempotent:
-        re-running the same batch converges to the same state.
+        re-running the same batch converges to the same state. A batch
+        carrying the same key twice raises (Delta's multiple-source-
+        match rule; which copy should win is undefined and accepting
+        both forks the keyed table).
 
         ``delete_col`` adds the WHEN MATCHED DELETE branch: batch rows
         whose (boolean) flag column is true are TOMBSTONES — their keys
@@ -1030,6 +1111,12 @@ class VersionedTable:
         delete_col: str | None = None,
     ) -> str:
         spark = updates.sparkSession
+        # MERGE forbids two source rows per target key (in-plan guard,
+        # see _reject_duplicate_keys) — a duplicate-keyed batch would
+        # anti-join out ONE live row and insert BOTH copies, and with
+        # delete_col a same-key tombstone+upsert pair has no defined
+        # order. Raises on the first derived action.
+        updates = _reject_duplicate_keys(updates, keys, "merge")
         if delete_col is not None:
             if delete_col in keys:
                 raise ValueError(
@@ -1186,8 +1273,8 @@ class VersionedTable:
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         value_cols = [c for c in changes.columns if c not in keys]
-        existing_cols = self.read(spark, version=parent).columns
-        unknown = set(value_cols) - set(existing_cols)
+        live = self.read(spark, version=parent)
+        unknown = set(value_cols) - set(live.columns)
         if unknown:
             raise ValueError(
                 f"update_columns got columns not in the table: "
@@ -1196,6 +1283,28 @@ class VersionedTable:
             )
         if not value_cols:
             raise ValueError("changes carries only key columns; nothing to set")
+        # TYPE RECONCILIATION, table-schema-wins: without it a wider-
+        # typed batch makes coalesce(__new_c, c) resolve WIDE, so a
+        # partition-scoped commit rewrites touched partitions as e.g.
+        # INT64 while hardlinking untouched INT32 files — a mixed-
+        # physical-schema snapshot every later read() chokes on
+        # (SchemaColumnConvertNotSupported): the published table is
+        # bricked. A column update can never change the table schema,
+        # so narrower batch columns up-cast and anything else raises.
+        cast_up, cast_table = _plan_type_reconciliation(
+            live, changes, exempt=frozenset(self.partition_by)
+        )
+        if cast_table:
+            raise ValueError(
+                f"update_columns batch widens table column(s) "
+                f"{sorted(cast_table)} — a column update cannot change "
+                "the table schema; cast the batch explicitly or use "
+                "merge(evolve_schema=True)"
+            )
+        if cast_up:
+            changes = changes.withColumns(
+                {c: F.col(c).cast(t) for c, t in cast_up.items()}
+            )
         renamed = changes.select(
             *keys, *[F.col(c).alias(f"__new_{c}") for c in value_cols]
         ).dropDuplicates(keys)

@@ -589,6 +589,80 @@ def test_simhash_exact_match_blocking(spark):
     assert pairs == {(1, 2)}
 
 
+def test_zero_norm_embeddings_never_abort_scoring(spark):
+    """Round-14 review finding, confirmed before the fix: Spark 4 runs
+    ANSI by default, so ONE zero-norm embedding (an empty-text row)
+    anywhere in queries or corpus DIVIDE_BY_ZERO-aborted every cosine
+    path. Zero-norm rows must instead drop out (cosine is undefined
+    for them) and everyone else must still rank."""
+    from full_docker_etl_spark.operators.similarity import (
+        cosine_pairs_lsh,
+        cosine_topk,
+        hyperplane_lsh_topk,
+        ivf_sq_topk,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),          # degenerate
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.14, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.001, 0.001, 0.0, 0.0]),      # SQ-degenerate (codes -> 0)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = cosine_topk(q, emb, k=2).collect()
+    assert got and all(r.qid != 0 for r in got)  # zero query scores nothing
+    near = cosine_pairs_lsh(emb, threshold=0.9).collect()
+    assert {(r.d1, r.d2) for r in near} == {(1, 2)}
+    assert hyperplane_lsh_topk(q, emb, k=2).count() > 0
+    cents = emb.where("vec_id in (1, 3)").select(
+        F.col("vec_id").alias("centroid"), F.col("embedding").alias("cvec")
+    )
+    sq = ivf_sq_topk(q, emb, k=2, nprobe=2, centroids=cents)
+    assert sq.count() > 0  # the tiny-but-nonzero vec 4 must not abort
+
+
+def test_sketch_bits_single_family_matches_multi():
+    """sketch_bits(table=t) now folds only family t (plane ids are
+    global, offset by first_table) — the bits must equal the t-th
+    entry of the full multi-family fold."""
+    from full_docker_etl_spark.operators.similarity import (
+        sketch_bits,
+        sketch_bits_multi,
+    )
+    from full_docker_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="sketch-eq", shuffle_partitions=4)
+    df = spark.createDataFrame(
+        [(1, [0.3, -0.7, 0.2]), (2, [-0.1, 0.5, 0.9])],
+        "vec_id long, v array<double>",
+    )
+    both = df.select(
+        sketch_bits_multi(F.col("v"), 8, 4).alias("all4"),
+        *[sketch_bits(F.col("v"), 8, table=t).alias(f"s{t}") for t in range(4)],
+    ).collect()
+    for r in both:
+        assert [r[f"s{t}"] for t in range(4)] == list(r.all4)
+
+
+def test_cosine_pairs_lsh_validates_band_geometry(spark):
+    """bands must divide n_planes and not exceed it — bands>n_planes
+    previously crashed obscurely downstream (0-plane sketches) and a
+    non-divisor silently narrowed every band key."""
+    from full_docker_etl_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for bad in ({"bands": 24, "n_planes": 16}, {"bands": 3, "n_planes": 16},
+                {"bands": 0, "n_planes": 16}):
+        with pytest.raises(ValueError, match="must divide"):
+            cosine_pairs_lsh(emb, **bad)
+
+
 def test_lsh_band_params_degenerate_threshold():
     from full_docker_etl_spark.operators.similarity import lsh_band_params
 

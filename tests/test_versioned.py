@@ -1128,3 +1128,101 @@ def test_rebase_model_based_consistency(spark, monkeypatch):
             assert t.last_commit_rebased, step
         got = {(r.k, r.p): r.v for r in t.read(spark).collect()}
         assert got == model, step
+
+
+def test_update_columns_rejects_widening_batch_no_brick(spark):
+    """Round-14 review finding, confirmed by execution before the fix:
+    a wider-typed changes batch (long into an int column) made
+    coalesce resolve WIDE, so touched partitions rewrote as INT64 next
+    to hardlinked INT32 files — a mixed-physical-schema snapshot that
+    bricked every later read(). update_columns must instead refuse the
+    widening loudly and leave the table readable at its old head."""
+    t = _table(partition_by=("p",))
+    t.overwrite(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k int, p string, amt int")
+    )
+    head = t.current_version()
+    wide = spark.createDataFrame([(1, "a", 99)], "k int, p string, amt long")
+    with pytest.raises(ValueError, match="widens table column"):
+        t.update_columns(wide, ["k", "p"])
+    assert t.current_version() == head
+    got = {(r.k, r.amt) for r in t.read(spark).collect()}
+    assert got == {(1, 10), (2, 20)}
+    assert dict(t.read(spark).dtypes)["amt"] == "int"
+
+
+def test_update_columns_upcasts_narrow_batch_keeps_schema(spark):
+    """The lossless direction still works: an int batch into a long
+    column up-casts, the update applies, and the table schema is
+    unchanged — including on the hardlinked untouched partition."""
+    t = _table(partition_by=("p",))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, p string, amt long"
+        )
+    )
+    narrow = spark.createDataFrame([(1, "a", 99)], "k int, p string, amt int")
+    t.update_columns(narrow, ["k", "p"])
+    got = {(r.k, r.amt) for r in t.read(spark).collect()}
+    assert got == {(1, 99), (2, 20)}
+    assert dict(t.read(spark).dtypes)["amt"] == "bigint"
+
+
+def test_merge_rejects_duplicate_key_batch(spark):
+    """MERGE's multiple-source-match rule (round-14 review): a batch
+    naming the same key twice must raise in-plan, not anti-join out
+    one live row and insert both copies."""
+    t = _table()
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(Exception, match="duplicate rows for key"):
+        t.merge(dup, ["k"])
+    assert {r.v for r in t.read(spark).collect()} == {"a"}
+
+
+def test_module_upsert_rejects_duplicate_key_batch(spark):
+    """The swap-write tier has the same multiple-source-match rule:
+    a duplicate-keyed updates batch raises instead of landing both
+    copies in a 'keyed' table."""
+    from full_docker_etl_spark.sources.sinks import upsert_parquet
+
+    path = tempfile.mkdtemp(prefix="fde_ups_") + "/t"
+    upsert_parquet(
+        spark, path, spark.createDataFrame([(1, "a")], "k int, v string"), ["k"]
+    )
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(Exception, match="duplicate rows for key"):
+        upsert_parquet(spark, path, dup, ["k"])
+    assert {r.v for r in spark.read.parquet(path).collect()} == {"a"}
+
+
+def test_module_update_columns_dedups_changes_no_row_growth(spark):
+    """Round-14 review finding, confirmed before the fix: a changes
+    batch naming a key twice fanned the left join out and GREW the
+    table (2 rows -> 3). The swap-write tier now dedups the batch like
+    its warehouse twin; row count must be invariant."""
+    from full_docker_etl_spark.sources.sinks import update_columns, write_table
+
+    path = tempfile.mkdtemp(prefix="fde_upd_") + "/t"
+    write_table(
+        spark.createDataFrame([(1, "old"), (2, "keep")], "k int, s string"), path
+    )
+    dup = spark.createDataFrame([(1, "new1"), (1, "new2")], "k int, s string")
+    update_columns(spark, path, dup, ["k"])
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2
+    assert {r.k for r in rows} == {1, 2}
+    assert [r.s for r in rows if r.k == 2] == ["keep"]
+
+
+def test_module_update_columns_rejects_widening_batch(spark):
+    """Table-schema-wins at the swap tier too: a wider batch column
+    would make coalesce silently widen the output schema — refuse."""
+    from full_docker_etl_spark.sources.sinks import update_columns, write_table
+
+    path = tempfile.mkdtemp(prefix="fde_updw_") + "/t"
+    write_table(spark.createDataFrame([(1, 10)], "k int, amt int"), path)
+    wide = spark.createDataFrame([(1, 99)], "k int, amt long")
+    with pytest.raises(ValueError, match="widens table column"):
+        update_columns(spark, path, wide, ["k"])
+    assert dict(spark.read.parquet(path).dtypes)["amt"] == "int"
