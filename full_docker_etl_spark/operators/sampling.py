@@ -27,18 +27,22 @@ _TRAIN_MAX = "b"
 _VAL_SET = ("c", "d")
 
 
-def _uniform_u32(seed: str, key_col: str) -> F.Column:
+def _uniform_u32(seed: str, *keys: "str | F.Column") -> F.Column:
     """The shared uniform-[0, 2^32) draw: first 8 hex digits of
-    md5(seed:key) as an integer. Every sampling decision in this module
-    compares against thresholds in this exact integer u-space — no
-    rand() (breaks task-retry determinism), portable to any engine
-    that can md5 (the oracles recompute it in SQL)."""
+    md5(seed:key[:key2...]) as an integer. Every sampling decision in
+    this module compares against thresholds in this exact integer
+    u-space — no rand() (breaks task-retry determinism), portable to
+    any engine that can md5 (the oracles recompute it in SQL). Extra
+    key components (e.g. a per-anchor rank) join the same ':'-separated
+    preimage. (epoch_shuffle predates this helper and is pinned to a
+    different preimage convention — seed+':' concatenated, not
+    concat_ws — by its oracle; do not rewire it without a lockstep
+    oracle change.)"""
+    cols = [
+        (F.col(k) if isinstance(k, str) else k).cast("string") for k in keys
+    ]
     return F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))),
-            1,
-            8,
-        ),
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), *cols)), 1, 8),
         16,
         10,
     ).cast("long")
@@ -48,8 +52,20 @@ def hash_split(df: DataFrame, key_col: str, out_col: str = "split") -> DataFrame
     """Assign train (75%) / val (12.5%) / test (12.5%) from the first
     hex digit of md5(key): '0'-'b' → train, 'c'-'d' → val, 'e'-'f' →
     test. String-range logic only, so any engine that can md5 agrees
-    bit-for-bit — no hex→int conversion, no RNG."""
-    h1 = F.substring(F.md5(F.col(key_col).cast("string")), 1, 1)
+    bit-for-bit — no hex→int conversion, no RNG. NULL keys raise
+    IN-PLAN (house style): md5(NULL) is NULL, every when() would
+    evaluate false, and all corrupt-key rows would silently pile into
+    the 'test' fallthrough — corrupting eval proportions (the
+    stratified_split precondition, applied here)."""
+    h1 = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"hash_split: NULL {key_col} — a null key cannot be "
+                "hashed and would silently land in 'test'"
+            )
+        ).cast("string"),
+    ).otherwise(F.substring(F.md5(F.col(key_col).cast("string")), 1, 1))
     split = (
         F.when(h1 <= F.lit(_TRAIN_MAX), F.lit("train"))
         .when(h1.isin(*_VAL_SET), F.lit("val"))
@@ -251,8 +267,15 @@ def temperature_mix(
     ).cast("long")
     rates = counts.select(group_col, thr.alias("__thr"))
     u = _uniform_u32(seed, key_col)
+    # NULL-SAFE join back on the group: groupBy treats NULL as a real
+    # group, so the rates frame HAS a NULL-group threshold row — a
+    # plain equi-join would silently DROP (not thin) every NULL-group
+    # document, violating the downsampling-only contract (the
+    # stratified_split trap, same fix).
+    d, r = df.alias("_d"), F.broadcast(rates).alias("_r")
     return (
-        df.join(F.broadcast(rates), group_col)
+        d.join(r, F.col(f"_d.{group_col}").eqNullSafe(F.col(f"_r.{group_col}")))
+        .drop(F.col(f"_r.{group_col}"))
         .where(u < F.col("__thr"))
         .drop("__thr")
     )
@@ -286,6 +309,16 @@ def token_budget_plan(
     The corpus is scanned once and never shuffled. Doubles are rounded
     (weights/shares 6 dp, token quantities 4 dp) on a ≤#groups frame
     where FP error is ~1e-12 — far below the grid."""
+    # parameter validation, like every sibling sampler: budget_frac=0
+    # would plan 0 tokens everywhere and NULL out achieved_share
+    # (0/sum(0)), a wrong-looking report instead of an error; a
+    # negative alpha silently INVERTS the weights.
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
     g = (
         df.groupBy(group_col)
         .agg(F.sum(tokens_col).cast("double").alias("avail"))
@@ -384,8 +417,13 @@ def temperature_upsample(
             )
         ).cast("int"),
     ).otherwise(F.col("__base") + F.when(u < F.col("__fthr"), 1).otherwise(0))
+    # NULL-SAFE join back (see temperature_mix): a NULL group is a real
+    # group with a real repeat rate; a plain equi-join would delete its
+    # rows instead of repeating them.
+    d, r = df.alias("_d"), F.broadcast(rates).alias("_r")
     return (
-        df.join(F.broadcast(rates), group_col)
+        d.join(r, F.col(f"_d.{group_col}").eqNullSafe(F.col(f"_r.{group_col}")))
+        .drop(F.col(f"_r.{group_col}"))
         .withColumn(rep_col, F.explode(F.sequence(F.lit(1), n_rep)))
         .drop("__base", "__fthr")
     )
@@ -613,22 +651,8 @@ def negative_samples(
         raise ValueError("need at least 2 rows to draw negatives")
     rank = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank")
     out = df.select(F.col(key_col), rank)
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(seed),
-                    F.col(key_col).cast("string"),
-                    F.col("neg_rank").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # the module-wide u-space draw, keyed by (anchor, rank)
+    u = _uniform_u32(seed, key_col, F.col("neg_rank"))
     cand = F.pmod(u, F.lit(n_rows))
     neg = F.when(
         cand == F.col(key_col), F.pmod(cand + 1, F.lit(n_rows))

@@ -43,17 +43,38 @@ def lang_scores(col: Column) -> list[Column]:
 
 def lang_predict(score_cols: list[str]) -> Column:
     """argmax with deterministic ties: highest score wins, first
-    language in sorted order breaks ties."""
-    langs = sorted(LANG_MARKERS)
+    language in sorted order breaks ties. Each column is paired with
+    its language BY NAME (``score_<lang>``, the lang_scores naming) —
+    positional zip against sorted(LANG_MARKERS) silently permuted
+    every label when callers passed any other order; unknown names
+    raise."""
+    by_lang: dict[str, str] = {}
+    for c in score_cols:
+        lang = c.rsplit("_", 1)[-1]
+        if not c.endswith(f"_{lang}") or lang not in LANG_MARKERS:
+            raise ValueError(
+                f"lang_predict: column {c!r} does not name a known "
+                f"language (expected 'score_<lang>', langs: "
+                f"{sorted(LANG_MARKERS)})"
+            )
+        by_lang[lang] = c
+    langs = sorted(by_lang)
     best = F.greatest(*[F.col(c) for c in score_cols])
     pred = F.lit("und")
-    for lang, c in zip(reversed(langs), reversed(score_cols)):
-        pred = F.when(F.col(c) == best, F.lit(lang)).otherwise(pred)
+    for lang in reversed(langs):
+        pred = F.when(F.col(by_lang[lang]) == best, F.lit(lang)).otherwise(pred)
     return F.when(best <= 0, F.lit("und")).otherwise(pred)
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count. CONVENTION: an empty or whitespace-only
+    string splits to [''] and counts as 1 — the regexp-split behavior
+    BOTH engines share, and the convention every oracle in this repo
+    mirrors with len(regexp_split_to_array(trim(text), '\\s+')).
+    Callers that must treat empty docs as 0-token (tf_idf, bm25) drop
+    the '' pseudo-token explicitly at their explode instead — changing
+    the convention here would silently shift every token-budget and
+    profile oracle."""
     return F.size(F.split(F.trim(col), r"\s+"))
 
 
@@ -126,7 +147,7 @@ def tf_idf(
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
-    )
+    ).where(F.col("term") != "")  # ''/NULL docs split to [''] — not a term
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.count(F.lit(1)).alias("n"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -178,6 +199,11 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
+    # a NULL text previously fabricated a phantom chunk (size(NULL) is
+    # NULL, greatest/least SKIP nulls → starts=[1], chunk_text='' and a
+    # claimed n_tokens of a full window) — downstream packing would
+    # budget chunk_tokens nonexistent tokens per NULL doc
+    df = df.where(F.col(text_col).isNotNull())
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # guard: sequence(1, 0) would be DESCENDING, not empty
     starts = F.sequence(
@@ -331,7 +357,7 @@ def bm25_search(
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
-    )
+    ).where(F.col("term") != "")  # ''/NULL docs split to [''] — dl 0, not 1
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n"))
@@ -383,7 +409,11 @@ def compression_features(
     Deterministic: fixed level, no dictionaries."""
     import pandas as pd  # noqa: F401  (worker-side)
 
-    schema = f"{id_col} long, comp_ratio double, comp_ratio_2x double"
+    # the id column keeps ITS OWN type — hardcoding 'long' made the
+    # Arrow conversion throw (or coerce) for string/UUID ids, which
+    # nothing in this signature forbids
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, comp_ratio double, comp_ratio_2x double"
 
     def gen(batches):
         import zlib
@@ -635,6 +665,29 @@ def _bpe_initial_syms(w) -> "Column":
     )
 
 
+def _bpe_apply_merge(arr: Column, lt: Column, rt: Column) -> Column:
+    """ONE greedy left-to-right application of the merge (lt, rt) over
+    a symbol array — THE fold shared by the learn loop
+    (:func:`bpe_merge_table`) and the apply path (:func:`bpe_tokenize`).
+    One definition on purpose: two hand-synced copies of this lambda
+    previously had to be kept byte-identical by eye, and a semantics
+    fix to one would silently leave the other stale — breaking the
+    learn/apply exactness the differential test pins."""
+    return F.aggregate(
+        arr,
+        F.expr("array()").cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lt)
+            & (x == rt),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_merge_table(df: DataFrame, text_col: str, k: int) -> DataFrame:
     """Distributed BPE merge LEARNING — the tokenizer-prep stage
     (Sennrich et al. 2016, the GPT-2/SentencePiece vocabulary build):
@@ -712,19 +765,7 @@ def bpe_merge_table(df: DataFrame, text_col: str, k: int) -> DataFrame:
             left, right, c = best[0]
             out.append((rnd, left, right, left + right, int(c)))
             lt, rt = F.lit(left), F.lit(right)
-            fold = F.aggregate(
-                arr,
-                F.expr("array()").cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == lt)
-                    & (x == rt),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.concat(F.element_at(acc, -1), x)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            )
+            fold = _bpe_apply_merge(arr, lt, rt)
             nxt = cur.select("freq", fold.alias("syms")).localCheckpoint(
                 eager=True
             )
@@ -780,20 +821,7 @@ def bpe_tokenize(
     types = words.select("w").distinct()
     syms = _bpe_initial_syms(F.col("w"))
     for left, right in merges:
-        lt, rt = F.lit(left), F.lit(right)
-        syms = F.aggregate(
-            syms,
-            F.expr("array()").cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == lt)
-                & (x == rt),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), x)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        syms = _bpe_apply_merge(syms, F.lit(left), F.lit(right))
     wt = types.select("w", F.size(syms).alias("_n"))
     per_word = words.join(wt, "w").select("doc_id", "_n")
     return per_word.groupBy("doc_id").agg(

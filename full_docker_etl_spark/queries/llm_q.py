@@ -2273,9 +2273,12 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_tfidf",
     oracle="""
-      WITH toks AS (SELECT doc_id,
-                           unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-                    FROM documents),
+      WITH toks AS (SELECT doc_id, term FROM (
+                      SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS term
+                      FROM documents)
+                    WHERE term <> ''),  -- engine drops the '' pseudo-token
       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
       n AS (SELECT COUNT(*) AS n FROM documents),
@@ -2441,7 +2444,8 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * 4294967296) AS BIGINT) AS thr
         FROM counts)
       SELECT d.doc_id, d.lang
-      FROM documents d JOIN rates r USING (lang)
+      -- null-safe: a NULL lang is a real group (engine joins eqNullSafe)
+      FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
       WHERE CAST(('0x' || substr(
                     md5('mix0:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
                  AS BIGINT) < thr
@@ -2482,7 +2486,8 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                               md5('mix0:' || CAST(d.doc_id AS VARCHAR)),
                               1, 8)) AS BIGINT) < fthr
                            THEN 1 ELSE 0 END AS reps
-        FROM documents d JOIN rates USING (lang))
+        -- null-safe: a NULL lang is a real group (engine joins eqNullSafe)
+        FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang)
       SELECT doc_id, lang,
              CAST(unnest(generate_series(1, reps)) AS INTEGER) AS rep
       FROM expanded
@@ -2644,7 +2649,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       WITH t AS (SELECT doc_id,
                         regexp_split_to_array(trim(text), '\\s+') AS toks
-                 FROM documents)
+                 FROM documents WHERE text IS NOT NULL)
       SELECT doc_id,
              CAST((s - 1) // 16 AS INTEGER) AS chunk_id,
              CAST(s AS INTEGER) AS start_token,
@@ -2671,7 +2676,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
       WITH t AS (SELECT doc_id,
                         regexp_split_to_array(trim(text), '\\s+') AS toks
-                 FROM documents),
+                 FROM documents WHERE text IS NOT NULL),
       chunks AS (
         SELECT doc_id,
                CAST((s - 1) // 16 AS INTEGER) AS chunk_id,
@@ -3041,10 +3046,12 @@ def audit_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_bm25",
     oracle="""
-      WITH toks AS (SELECT doc_id,
-                           unnest(regexp_split_to_array(trim(text), '\\s+'))
-                             AS term
-                    FROM documents),
+      WITH toks AS (SELECT doc_id, term FROM (
+                      SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS term
+                      FROM documents)
+                    WHERE term <> ''),  -- engine drops the '' pseudo-token
       dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
       nd AS (SELECT COUNT(*) AS n FROM documents),
       ad AS (SELECT AVG(dl) AS avgdl FROM dl),

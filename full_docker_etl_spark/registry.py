@@ -65,11 +65,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # THEN the round's other zero-evidence query closes the window
 # (dedup_containment_lsh, the rows-only sketch tier itself).
 # ROUND-15 PLAN (VERDICT r13 #8): reset FORCE_NEXT (its entries draw
-# fresh r14 evidence on post-change code); the 37 remaining r10 rows
-# (dedup_exact .. win_running_total tail) lead the r15 window, then
-# the r11 tier fills what's left — keeping every query's external
-# evidence within a 4-round horizon without displacing the 15 pinned
-# verdict rows.
+# fresh r14 evidence on post-change code) and REFILL it with the
+# queries whose plans changed in the post-rotation degenerate-input
+# batch (NULL/empty guards shipped after this window froze — full, no
+# displacement possible without breaking the nothing-older-than-r10
+# goal): text_tfidf, text_bm25, text_chunk_windows,
+# sample_pack_sequences, sample_temperature_mix,
+# sample_temperature_upsample, sample_hash_split,
+# sample_leakage_safe_split. All eight are r10/r11-stale and lead the
+# r15 window by staleness anyway; then the remaining r10 rows
+# (dedup_exact .. win_running_total tail) and the r11 tier fill the
+# rest — keeping every query's external evidence within a 4-round
+# horizon without displacing the 15 pinned verdict rows.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not

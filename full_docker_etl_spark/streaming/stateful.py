@@ -51,22 +51,31 @@ def _make_track(idle_timeout_ms: int | None):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        batches = [pdf for pdf in pdfs if len(pdf)]
-        if state.hasTimedOut or not batches:
+        if state.exists:
+            n, total, last = state.get
+        else:
+            n, total, last = 0, 0.0, 0
+        # STREAM the Arrow chunks — one in memory at a time. A hot key
+        # (millions of events in one micro-batch) arrives as many
+        # chunks; collecting them into a list first (the old no-data
+        # detection) held the whole group in executor Python memory at
+        # once, the exact skewed-key OOM this fold-per-chunk shape
+        # exists to avoid.
+        saw_data = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            saw_data = True
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)
+        if state.hasTimedOut or not saw_data:
             # idle eviction: Spark invokes timed-out keys with NO data.
             # Drop the state and emit nothing — re-arming the timer or
             # re-emitting the stale row here would keep state (and the
             # output) alive forever on an always-on stream.
             state.remove()
             return
-        if state.exists:
-            n, total, last = state.get
-        else:
-            n, total, last = 0, 0.0, 0
-        for pdf in batches:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-            last = max(last, int(pdf["ts"].astype("int64").max()) // 1000)
         state.update((n, total, last))
         if idle_timeout_ms is not None:
             # evict idle users — bounded state for always-on streams

@@ -643,3 +643,87 @@ def test_token_budget_plan_cap_and_shares(spark):
     assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
     for r in got.values():
         assert r.planned_tokens <= 2.0 * r.avail_tokens + 1e-9
+
+
+def test_degenerate_inputs_round14_hardening(spark):
+    """Round-14 review regressions, pinned:
+    - NULL-text docs must yield NO chunks (previously a phantom chunk
+      claiming a full window of tokens);
+    - NULL group rows must be THINNED, not dropped, by temperature_mix
+      and repeated by temperature_upsample (null-safe join-back);
+    - hash_split must raise on NULL keys instead of silently piling
+      them into 'test';
+    - tf_idf must never emit the '' pseudo-term for empty docs;
+    - compression_features must honor a non-long id type;
+    - lang_predict must pair scores to languages BY NAME, not position;
+    - token_budget_plan must reject degenerate parameters."""
+    import pytest
+
+    from full_docker_etl_spark.operators.sampling import (
+        temperature_mix,
+        temperature_upsample,
+        token_budget_plan,
+    )
+    from full_docker_etl_spark.operators.text import (
+        compression_features,
+        lang_predict,
+        lang_scores,
+        tf_idf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en"),
+            (2, None, "en"),
+            (3, "", None),
+            (4, "x y z w v u", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # NULL text: no chunks; doc 3 ('') yields its single-token chunk
+    got = chunk_documents(docs, "text", "doc_id", 4, 1).collect()
+    assert not [r for r in got if r.doc_id == 2]
+
+    # NULL-group rows survive temperature ops (2 en + 2 NULL: rates=1)
+    kept = temperature_mix(docs, "lang", "doc_id", alpha=1.0)
+    assert kept.count() == 4  # alpha=1: keep everything, incl. NULL grp
+    reps = temperature_upsample(docs, "lang", "doc_id", alpha=1.0)
+    assert reps.where(F.col("lang").isNull()).count() == 2
+
+    with pytest.raises(Exception, match="NULL doc_id"):
+        hash_split(docs.select(
+            F.when(F.col("doc_id") == 2, None).otherwise(F.col("doc_id"))
+            .alias("doc_id")
+        ), "doc_id").collect()
+
+    terms = tf_idf(docs, "text", "doc_id", top_k=3).collect()
+    assert all(r.term != "" for r in terms)
+    assert not [r for r in terms if r.doc_id == 3]  # empty doc: no terms
+
+    sdocs = spark.createDataFrame(
+        [("k1", "hello world")], "sid string, text string"
+    )
+    feats = compression_features(sdocs, "text", "sid").collect()
+    assert feats[0].sid == "k1"
+
+    scored = docs.where("text IS NOT NULL").select(
+        "doc_id", *lang_scores(F.col("text"))
+    )
+    cols = [c for c in scored.columns if c.startswith("score_")]
+    a = scored.select("doc_id", lang_predict(cols).alias("p")).collect()
+    b = scored.select(
+        "doc_id", lang_predict(list(reversed(cols))).alias("p")
+    ).collect()
+    assert {(r.doc_id, r.p) for r in a} == {(r.doc_id, r.p) for r in b}
+    with pytest.raises(ValueError, match="does not name a known"):
+        lang_predict(["score_xx"])
+
+    for bad in (
+        dict(budget_frac=0.0, alpha=0.5, max_epochs=4),
+        dict(budget_frac=0.5, alpha=-1.0, max_epochs=4),
+        dict(budget_frac=0.5, alpha=0.5, max_epochs=0),
+    ):
+        with pytest.raises(ValueError):
+            token_budget_plan(
+                docs.withColumn("nt", F.lit(10)), "lang", "nt", **bad
+            )
