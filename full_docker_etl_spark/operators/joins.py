@@ -77,6 +77,11 @@ def fuzzy_join(
       fan-out at 100 TB; pairs sharing ONLY capped tokens are the
       mode's documented recall trade. Both modes' measured recall is
       pinned externally by the join_fuzzy_recall verdict.
+      PRECONDITION (any_token): input rows must be DISTINCT — the
+      explode fan-out is collapsed with a dropDuplicates over all
+      columns, so two byte-identical input rows return ONE pair row
+      where first_token mode returns two; dedup (exact_dedup or
+      .distinct()) before linking if your rows are not unique.
     - LENGTH BAND (lossless prune): ``levenshtein(a,b) ≥ |len(a) −
       len(b)|``, so pairs outside the band CANNOT match — an
       equi-join-side filter that costs nothing and kills most of each

@@ -32,24 +32,47 @@ def asof_join(
     ``right_ts`` <= ``left_ts`` per ``key`` (ties: the right row sorts
     first, so equality matches — ASOF semantics). Right rows must be
     unique per (key, ts); pre-dedup if not, or the match is ambiguous.
-    """
-    l_tag = left.withColumn("__is_left", F.lit(1)).withColumn(
-        "__ts", F.col(left_ts)
-    )
+
+    The matched row's values are carried AS A ROW — ``right_vals``
+    pack into ONE struct and the last-ignorenulls window fills the
+    struct, so a NULL inside the latest matched row comes through as
+    NULL (per-column filling would skip it and stitch values from
+    DIFFERENT right rows — not any row that ever existed, and not what
+    a SQL ASOF JOIN returns). Right rows with a NULL timestamp have no
+    position on the timeline and are excluded (nulls-first ordering
+    would otherwise make them precede — and leak into — everything);
+    left rows with a NULL timestamp survive with NULL values.
+    ``right_vals`` may not collide with left columns — the collision
+    previously made every left row silently re-read its OWN value."""
+    reserved = {"__is_left", "__ts", "__rv"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join: reserved column name(s) {sorted(clash)}")
+    overlap = set(right_vals) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join: right_vals {sorted(overlap)} already exist on the "
+            "left side — rename before joining (the window would fill "
+            "each left row from its own value, silently)"
+        )
     r_tag = (
-        right.select(
+        right.where(F.col(right_ts).isNotNull())
+        .select(
             F.col(key),
             F.col(right_ts).alias("__ts"),
-            *[F.col(c) for c in right_vals],
+            F.struct(*[F.col(c) for c in right_vals]).alias("__rv"),
         )
         .withColumn("__is_left", F.lit(0))
+    )
+    rv_type = r_tag.schema["__rv"].dataType
+    l_tag = (
+        left.withColumn("__is_left", F.lit(1))
+        .withColumn("__ts", F.col(left_ts))
+        .withColumn("__rv", F.lit(None).cast(rv_type))
     )
     for c in l_tag.columns:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None))
-    for c in r_tag.columns:
-        if c not in l_tag.columns:
-            l_tag = l_tag.withColumn(c, F.lit(None))
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
     # right rows sort before left rows at equal ts → "at or before"
@@ -58,10 +81,11 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
+    out = unioned.withColumn("__rv", F.last("__rv", ignorenulls=True).over(w))
+    out = out.where(F.col("__is_left") == 1)
     for c in right_vals:
-        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return out.where(F.col("__is_left") == 1).drop("__is_left", "__ts")
+        out = out.withColumn(c, F.col("__rv")[c])
+    return out.drop("__is_left", "__ts", "__rv")
 
 
 def range_join_bucketed(
@@ -78,6 +102,10 @@ def range_join_bucketed(
     longs). Blocking: right rows land in one bucket, left rows probe
     every bucket overlapping their trailing window, the exact
     predicate filters inside buckets."""
+    if "__bucket" in left.columns or "__bucket" in right.columns:
+        raise ValueError(
+            "range_join_bucketed: reserved column name '__bucket' in input"
+        )
     bucket_us = bucket_us or window_us
     # A trailing window of length W starting anywhere in a bucket spans
     # at most ceil(W/B)+1 buckets (inclusive of its own).

@@ -95,7 +95,24 @@ def time_range_agg(
     frame definition itself instead of a fragile rows-offset guess.
     Same shuffle shape as any window (one exchange on the partition
     key); the range frame is evaluated with a sliding pointer over the
-    sorted partition, not by re-scanning the window per row."""
+    sorted partition, not by re-scanning the window per row.
+
+    Boundaries are SECOND-granularity by convention (timestamp cast to
+    long = whole epoch seconds, which every oracle mirrors with
+    epoch()): two rows exactly ``days`` apart wall-clock can land in or
+    out of each other's frame depending on their sub-second parts, by
+    design and identically on both engines. ``ts_col`` must be a real
+    timestamp — an epoch-micros LONG column would silently make the
+    'days' window microseconds-scaled (≈2.6 s for 30 'days'), so
+    non-timestamp types raise."""
+    dt = dict(df.dtypes).get(ts_col)
+    if dt is not None and dt not in ("timestamp", "timestamp_ntz"):
+        raise ValueError(
+            f"time_range_agg: {ts_col!r} is {dt}, need a timestamp — a "
+            "numeric epoch column would silently scale the window to "
+            "its own unit; cast with timestamp_micros()/to_timestamp() "
+            "first"
+        )
     w = (
         Window.partitionBy(*partition)
         .orderBy(F.col(ts_col).cast("long"))

@@ -72,8 +72,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # goal): text_tfidf, text_bm25, text_chunk_windows,
 # sample_pack_sequences, sample_temperature_mix,
 # sample_temperature_upsample, sample_hash_split,
-# sample_leakage_safe_split. All eight are r10/r11-stale and lead the
-# r15 window by staleness anyway; then the remaining r10 rows
+# sample_leakage_safe_split — plus join_asof (struct-packed as-of fill,
+# NULL-ts exclusion) and xlsx_scan (cell-hygiene fixes) from the third
+# batch. Most are r10/r11-stale and lead the r15 window by staleness
+# anyway; then the remaining r10 rows
 # (dedup_exact .. win_running_total tail) and the r11 tier fill the
 # rest — keeping every query's external evidence within a 4-round
 # horizon without displacing the 15 pinned verdict rows.

@@ -327,7 +327,12 @@ def _xlsx_parse_rows(blob: bytes) -> list[tuple[int, list[str]]]:
                 raw = (v.text or "") if v is not None else ""
                 if t == "s":
                     try:
-                        val = shared[int(raw)]
+                        idx = int(raw)
+                        # a malformed negative index must NOT wrap to
+                        # the end of the shared-string table (Python
+                        # negative indexing) — that is a silently wrong
+                        # cell value, not a recoverable one
+                        val = shared[idx] if idx >= 0 else ""
                     except (ValueError, IndexError):
                         val = ""
                 elif t == "b":
@@ -335,7 +340,11 @@ def _xlsx_parse_rows(blob: bytes) -> list[tuple[int, list[str]]]:
                 else:
                     val = raw
             cells[pos] = val.strip()
-        width = max(cells) + 1 if cells else 0
+        # width from the last NON-EMPTY cell: a formatting-artifact
+        # empty cell at Excel's far right (XFD — whole-row styling
+        # leaves these) would otherwise pad the row to 16384 ''-entries
+        # shipped through Arrow for every such row
+        width = max((i for i, v in cells.items() if v != ""), default=-1) + 1
         rows.append((rnum, [cells.get(i, "") for i in range(width)]))
     return rows
 
@@ -397,7 +406,12 @@ def emiten_from_xlsx(rows: DataFrame) -> DataFrame:
         return col.isNotNull() & (col != F.lit(""))
 
     def excel_date(col):
+        # Excel's maximum valid serial is 2958465 (9999-12-31); larger
+        # bare integers are garbage and must NULL like any other
+        # unparseable cell, not map to a far-future date beyond Spark's
+        # own DateType range.
         serial = F.when(col.rlike(r"^\d{1,7}$"), col).try_cast("int")
+        serial = F.when(serial <= 2958465, serial)
         # The 1899-12-30 anchor bakes in Excel's phantom 1900-02-29
         # (serial 60), which is only correct for serials >= 61.
         # Serials 1-59 (dates before 1900-03-01) anchor at 1899-12-31,

@@ -468,3 +468,80 @@ def test_corpus_stats_semantics(spark):
     assert r.n_hapax == 2         # zeta, beta
     assert abs(r.ttr - round(5 / 10, 6)) < 1e-9
     assert (r.top_term, r.top_term_n) == ("aaa", 3)
+
+
+def test_asof_join_null_semantics_round14(spark):
+    """Round-14 review regressions, pinned:
+    - the matched row's values arrive AS A ROW (a NULL inside the
+      latest matched right row comes through as NULL — per-column
+      last-ignorenulls previously stitched values from DIFFERENT
+      right rows);
+    - a right row with NULL timestamp never matches anything
+      (nulls-first ordering previously leaked it into every frame);
+    - right_vals colliding with a left column raises (the window
+      previously filled every left row from its OWN value)."""
+    import pytest
+
+    from full_docker_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 3), (1, 0)], "k int, lts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 5, 9), (1, 2, 7, None), (1, None, 42, 42)],
+        "k int, rts int, a int, b int",
+    )
+    got = {r.lts: (r.a, r.b) for r in
+           asof_join(left, right, "k", "lts", "rts", ["a", "b"]).collect()}
+    # lts=3 matches rts=2 WHOLE: a=7, b=NULL (not b=9 from rts=1)
+    assert got[3] == (7, None)
+    # lts=0 precedes every real right row; the NULL-ts row must not leak
+    assert got[0] == (None, None)
+
+    with pytest.raises(ValueError, match="already exist on the left"):
+        asof_join(
+            left.withColumnRenamed("lts", "a"), right, "k", "a", "rts", ["a"]
+        )
+
+
+def test_time_range_agg_rejects_numeric_epoch_column(spark):
+    """A numeric epoch column would silently scale the 'days' window to
+    its own unit (30 'days' of micros ≈ 2.6 s) — must raise."""
+    import pytest
+
+    from full_docker_etl_spark.operators.windows import time_range_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 1_000_000)], "k int, ts_us long")
+    with pytest.raises(ValueError, match="need a timestamp"):
+        time_range_agg(df, F.count(F.lit(1)), ["k"], "ts_us", 30, "n")
+
+
+def test_excel_cell_hygiene_round14(spark):
+    """Garbage Excel inputs must NULL/blank, not fabricate values:
+    out-of-range date serials (> 9999-12-31's 2958465) are NULL like
+    any unparseable cell, a negative shared-string index must not wrap
+    to the END of the shared-string table, and a far-right empty
+    formatting cell must not pad the row array."""
+    import io
+    import zipfile
+
+    from full_docker_etl_spark.sources.files import _xlsx_parse_rows
+
+    sheet = b"""<?xml version="1.0"?>
+    <worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      <sheetData>
+        <row r="1"><c r="A1" t="s"><v>-1</v></c><c r="B1"><v>x</v></c>
+                   <c r="XFD1"><v></v></c></row>
+      </sheetData>
+    </worksheet>"""
+    shared = b"""<?xml version="1.0"?>
+    <sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+      <si><t>s0</t></si><si><t>s1</t></si>
+    </sst>"""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", shared)
+    (rnum, cells), = _xlsx_parse_rows(buf.getvalue())
+    assert cells == ["", "x"]  # no wrap to 's1', no 16384-wide padding
