@@ -514,17 +514,27 @@ def containment_store_build(
       rolled up at build/append time so probes never rescan the index
       to enforce the ``max_bucket`` cap.
 
+    All three tables are hive-partitioned by ``batch`` (one value per
+    build/append call) and governed by ``_manifest.json``, an atomic
+    commit pointer listing the batch ids readers may see: the three
+    physical writes land first, the manifest publishes last via
+    ``os.replace`` (the :class:`~full_docker_etl_spark.sources.sinks.
+    VersionedTable` pointer pattern). A build/append that dies between
+    writes leaves orphan ``batch=`` partitions NO reader ever selects,
+    so a retried append can never double-count bucket occupancy or
+    duplicate sketch rows — the retry writes a fresh batch id and only
+    a fully-written batch is ever published.
+    :func:`containment_store_vacuum` reclaims orphans.
+
     Parameters persist in ``_meta.json`` and are VALIDATED at probe
     time — mismatched sketches would otherwise fail silently as zero
     candidates (disjoint bucket spaces), admitting every duplicate."""
     import json
     import os
+    import shutil
 
-    _containment_store_write(
-        df, path, text_col, id_col, n, k,
-        _ensemble_gap_specs(threshold, k, target_recall, floor_recall),
-        mode="overwrite",
-    )
+    shutil.rmtree(path, ignore_errors=True)  # a rebuild starts clean
+    os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump(
             {
@@ -534,6 +544,17 @@ def containment_store_build(
             },
             fh,
         )
+    _containment_store_write(
+        df, path, text_col, id_col, n, k,
+        _ensemble_gap_specs(threshold, k, target_recall, floor_recall),
+    )
+
+
+#: Manifest/partition column governing store visibility. Reserved in
+#: the sketch tables; never collides with user columns (the tables
+#: carry only generated names).
+_STORE_BATCH_COL = "batch"
+_STORE_TABLES = ("docs", "bands", "counts")
 
 
 def _containment_store_write(
@@ -544,34 +565,134 @@ def _containment_store_write(
     n: int,
     k: int,
     specs: list[tuple[int, int, int]],
-    mode: str,
 ) -> None:
     """Shared write half of build/append: per-doc state, both band
     sides (one pass, one side-partitioned write), and the additive
-    bucket-count rollup. The docs frame is the materialization
-    boundary (the :func:`_ensemble_rows` caveat) — persisted
-    SERIALIZED with disk spill like every other corpus-scale
+    bucket-count rollup — all stamped with a fresh batch id and made
+    visible ONLY by the trailing atomic manifest publish (see
+    :func:`containment_store_build`: a crash mid-way leaves invisible
+    orphans, never a half-applied batch). The docs frame is the
+    materialization boundary (the :func:`_ensemble_rows` caveat) —
+    persisted SERIALIZED with disk spill like every other corpus-scale
     hashed-shingle frame in this tier (it carries harr for the whole
     build/append input; the deserialized default would pin executor
     heap), and released once the derived tables are on disk."""
+    import uuid
+
     from pyspark import StorageLevel
 
+    batch_id = uuid.uuid4().hex[:12]
+    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
     docs = _ensemble_docs(df, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    docs.write.mode(mode).parquet(path + "/docs")
+    (
+        docs.select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL)
+        .parquet(path + "/docs")
+    )
     index = _ensemble_rows(docs, _ensemble_index_schemes(specs))
     bands = index.withColumn("side", F.lit("i")).unionByName(
         _ensemble_rows(docs, specs).withColumn("side", F.lit("p"))
     )
-    bands.write.mode(mode).partitionBy("side").parquet(path + "/bands")
+    (
+        bands.select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL, "side")
+        .parquet(path + "/bands")
+    )
     (
         index.groupBy("p", "r", "band", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .write.mode(mode)
+        .select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL)
         .parquet(path + "/counts")
     )
     docs.unpersist()
+    _containment_manifest_publish(path, batch_id)
+
+
+def _containment_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_manifest.json")
+
+
+def _containment_manifest(path: str) -> list[str]:
+    """Committed batch ids, oldest first. A store written before the
+    manifest existed (or whose build died pre-publish) has none —
+    fail loudly rather than read unpublished partitions."""
+    import json
+    import os
+
+    mpath = _containment_manifest_path(path)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"no _manifest.json at {path} — not a committed ensemble "
+            "store (a build that crashed before publishing, or a "
+            "pre-manifest layout; rebuild with containment_store_build)"
+        )
+    with open(mpath) as fh:
+        return json.load(fh)["batches"]
+
+
+def _containment_manifest_publish(path: str, batch_id: str) -> None:
+    """Append ``batch_id`` to the committed set atomically (write
+    sibling tmp, ``os.replace`` — readers see the old or the new list,
+    never a torn file). Single-writer like the rest of build/append;
+    concurrent appends to ONE store are the caller's lock."""
+    import json
+    import os
+    import uuid
+
+    mpath = _containment_manifest_path(path)
+    batches: list[str] = []
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            batches = json.load(fh)["batches"]
+    batches.append(batch_id)
+    tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"batches": batches}, fh)
+    os.replace(tmp, mpath)
+
+
+def _containment_store_read(spark: SparkSession, path: str, table: str):
+    """Read one store table restricted to COMMITTED batches (manifest
+    ``isin`` → batch-partition pruning: orphans from a crashed write
+    are never scanned) with the stamp column dropped — consumers see
+    the logical schema."""
+    committed = _containment_manifest(path)
+    return (
+        spark.read.parquet(f"{path}/{table}")
+        .where(F.col(_STORE_BATCH_COL).isin(committed))
+        .drop(_STORE_BATCH_COL)
+    )
+
+
+def containment_store_vacuum(path: str) -> list[str]:
+    """Delete orphan ``batch=`` partitions (written by a build/append
+    that died before its manifest publish — invisible to every reader
+    but still on disk). Returns the removed batch ids. Safe while
+    probes run: committed partitions are untouched, and orphans are by
+    construction referenced by no manifest."""
+    import os
+    import shutil
+
+    committed = set(_containment_manifest(path))
+    removed: set[str] = set()
+    prefix = f"{_STORE_BATCH_COL}="
+    for table in _STORE_TABLES:
+        tdir = os.path.join(path, table)
+        if not os.path.isdir(tdir):
+            continue
+        for entry in os.listdir(tdir):
+            if entry.startswith(prefix) and entry[len(prefix):] not in committed:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                removed.add(entry[len(prefix):])
+    return sorted(removed)
 
 
 def _containment_store_meta(path: str) -> dict:
@@ -589,18 +710,41 @@ def containment_store_append(
     OWN parameters (read from ``_meta.json`` — the caller cannot
     desynchronize them): append per-doc state, index rows, probe rows,
     and PARTIAL bucket counts (``/counts`` is additive — probes sum it,
-    so appends never rewrite existing files). The write half of the
-    incremental loop: probe → drop duplicates → append the admitted
-    remainder."""
+    so appends never rewrite existing files). The batch lands under a
+    fresh ``batch=`` partition and becomes visible only when the
+    trailing manifest publish succeeds — a retried append after a
+    mid-write crash re-writes under a NEW id and can never double-count
+    (the orphan is unpublished; :func:`containment_store_vacuum`
+    reclaims it). The write half of the incremental loop: probe → drop
+    duplicates → append the admitted remainder."""
     meta = _containment_store_meta(path)
+    _containment_manifest(path)  # refuse to extend an uncommitted store
     _containment_store_write(
         df, path, text_col, id_col, meta["n"], meta["k"],
         _ensemble_gap_specs(
             meta["threshold"], meta["k"],
             meta["target_recall"], meta["floor_recall"],
         ),
-        mode="append",
     )
+
+
+#: The batch sketch frame cached by the most recent
+#: :func:`containment_probe_store` call (its plan feeds four
+#: consumers; recomputing the sketch per consumer would re-shingle the
+#: batch). Each new probe releases the predecessor, so a long-lived
+#: session holds at most one — the accumulation the docstring used to
+#: delegate to callers without giving them a handle.
+_PROBE_CACHE: list[DataFrame] = []
+
+
+def containment_probe_release() -> None:
+    """Unpersist the batch sketch cached by the last
+    :func:`containment_probe_store` call. Called automatically at the
+    start of every probe (so repeated probes never accumulate cached
+    batches); call it directly to release the final probe's cache
+    eagerly once its result is materialized. Idempotent."""
+    while _PROBE_CACHE:
+        _PROBE_CACHE.pop().unpersist()
 
 
 def containment_probe_store(
@@ -636,11 +780,16 @@ def containment_probe_store(
     Scale shape: the wide side is the bucket join; the batch's bucket
     rows are tiny (broadcastable), the store's arrive pre-banded from
     parquet, and verification fetches hashed-shingle arrays for
-    candidate ids only. The batch frame is cached for the plan's
-    lifetime; long-lived sessions unpersist between batches."""
+    candidate ids only. The batch sketch frame is cached for the
+    result plan's lifetime and RELEASED automatically when the next
+    probe in the session starts (materialize each probe's result
+    before issuing the next, or the earlier plan recomputes its
+    sketch); :func:`containment_probe_release` drops the last one
+    eagerly — repeated probes never accumulate cached batches."""
     from pyspark import StorageLevel
 
     spark = new_df.sparkSession
+    containment_probe_release()  # at most ONE cached batch per session
     meta = _containment_store_meta(path)
     called = {
         "n": n, "k": k, "threshold": threshold,
@@ -658,17 +807,18 @@ def containment_probe_store(
     batch = _ensemble_docs(new_df, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _PROBE_CACHE.append(batch)
     batch_index = _ensemble_rows(batch, _ensemble_index_schemes(specs))
     batch_probe = _ensemble_rows(batch, specs)
-    store_docs = spark.read.parquet(path + "/docs")
-    store_bands = spark.read.parquet(path + "/bands")
+    store_docs = _containment_store_read(spark, path, "docs")
+    store_bands = _containment_store_read(spark, path, "bands")
     cols = ["doc_id", "sz", "p", "r", "band", "bucket"]
     store_index = store_bands.where(F.col("side") == "i").select(*cols)
     store_probe = store_bands.where(F.col("side") == "p").select(*cols)
 
     key = ["p", "r", "band", "bucket"]
     kept = (
-        spark.read.parquet(path + "/counts")
+        _containment_store_read(spark, path, "counts")
         .select(*key, "cnt")
         .unionByName(
             batch_index.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))

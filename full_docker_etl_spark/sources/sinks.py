@@ -196,14 +196,16 @@ def update_columns(
 ) -> None:
     """S13: bulk column update (status flags). ``changes`` carries the
     key columns plus the columns to set; unspecified rows/columns are
-    untouched. Implemented as join + coalesce + swap. Duplicate keys
-    in the batch are dropped (same contract as the warehouse twin
-    :meth:`VersionedTable.update_columns` — without it the left join
-    fans each matched table row out once per duplicate, GROWING the
-    table). The table's schema wins: a narrower batch column up-casts
-    losslessly, a wider or incompatible one raises
-    (:func:`_plan_type_reconciliation` — coalesce would otherwise
-    coerce the output column and silently change the table schema)."""
+    untouched. Implemented as join + coalesce + swap. A batch carrying
+    the same key twice RAISES (:func:`_reject_duplicate_keys`, the
+    upsert/merge contract — which duplicate should win is ambiguous,
+    and silently keeping one would resolve it nondeterministically;
+    without any guard the left join would fan each matched table row
+    out once per duplicate, GROWING the table). The table's schema
+    wins: a narrower batch column up-casts losslessly, a wider or
+    incompatible one raises (:func:`_plan_type_reconciliation` —
+    coalesce would otherwise coerce the output column and silently
+    change the table schema)."""
     existing = spark.read.parquet(path)
     cast_up, cast_table = _plan_type_reconciliation(existing, changes)
     if cast_table:
@@ -217,7 +219,7 @@ def update_columns(
             {c: F.col(c).cast(t) for c, t in cast_up.items()}
         )
     value_cols = [c for c in changes.columns if c not in keys]
-    renamed = changes.dropDuplicates(keys)
+    renamed = _reject_duplicate_keys(changes, keys, "update_columns")
     for c in value_cols:
         renamed = renamed.withColumnRenamed(c, f"__new_{c}")
     joined = existing.join(renamed, on=keys, how="left")
@@ -1262,7 +1264,8 @@ class VersionedTable:
         parent-checked commit → retry). Unlike :func:`update_columns`
         (the swap-write module function), a 1-row flag flip here never
         rewrites the whole table. Idempotent: re-applying the same
-        batch converges."""
+        batch converges. A batch carrying the same key twice raises
+        (the upsert/merge duplicate-key contract)."""
         return self._retry_concurrent(
             lambda: self._update_columns_once(changes, keys)
         )
@@ -1305,9 +1308,15 @@ class VersionedTable:
             changes = changes.withColumns(
                 {c: F.col(c).cast(t) for c, t in cast_up.items()}
             )
-        renamed = changes.select(
-            *keys, *[F.col(c).alias(f"__new_{c}") for c in value_cols]
-        ).dropDuplicates(keys)
+        # A batch carrying the same key twice raises in-plan, the
+        # upsert/merge contract (_reject_duplicate_keys): which
+        # duplicate should win is ambiguous, and silently keeping one
+        # resolves it nondeterministically. The guard fires on the
+        # first renamed-derived frame to execute (the left-semi match
+        # probe), before any commit is published.
+        renamed = _reject_duplicate_keys(
+            changes, keys, "update_columns"
+        ).select(*keys, *[F.col(c).alias(f"__new_{c}") for c in value_cols])
 
         def apply(existing: DataFrame) -> DataFrame:
             joined = existing.join(renamed, on=keys, how="left")

@@ -443,6 +443,145 @@ def test_containment_store_probe_equals_batch_restricted_full_pairs(spark):
     assert set(keys) == set(inc)
 
 
+def _quote_corpus(spark, seed=7, n_docs=30, n_quotes=8):
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(400)]
+    rows = [
+        (d, " ".join(rng.choice(words) for _ in range(rng.randint(40, 90))))
+        for d in range(n_docs)
+    ]
+    for i in range(n_quotes):
+        rows.append((100 + i, rows[i][1] + " " + rows[i + 1][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_store_append_crash_retry_no_double_count(
+    spark, monkeypatch
+):
+    """Round-15 review finding: the store's three physical writes were
+    non-atomic — a crash between them followed by a retried append
+    double-appended partial rollups, silently tripping the max_bucket
+    cap early. Now each build/append lands under a fresh batch
+    partition and publishes via an atomic manifest: a write that dies
+    before publishing is INVISIBLE to probes, a retry re-lands cleanly,
+    and vacuum reclaims exactly the orphan."""
+    import os
+    import tempfile
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark)
+    batch = df.where("doc_id % 10 = 0")
+    store = df.where("doc_id % 10 != 0")
+    half_a = store.where("doc_id % 2 = 1")
+    half_b = store.where("doc_id % 2 != 1")
+
+    def norm(rows):
+        return {(min(r.d1, r.d2), max(r.d1, r.d2)) for r in rows}
+
+    # reference: the same store built without any crash
+    ref_path = tempfile.mkdtemp(prefix="fde_cref_") + "/store"
+    D.containment_store_build(half_a, ref_path, "text", "doc_id")
+    D.containment_store_append(half_b, ref_path, "text", "doc_id")
+    want = norm(D.containment_probe_store(batch, ref_path, "text", "doc_id").collect())
+    assert want  # non-vacuous: planted quotations touch the batch
+
+    path = tempfile.mkdtemp(prefix="fde_catomic_") + "/store"
+    D.containment_store_build(half_a, path, "text", "doc_id")
+
+    # crash the append AFTER all three data writes, BEFORE the publish
+    real_publish = D._containment_manifest_publish
+
+    def boom(p, batch_id):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(D, "_containment_manifest_publish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        D.containment_store_append(half_b, path, "text", "doc_id")
+    monkeypatch.setattr(D, "_containment_manifest_publish", real_publish)
+
+    # the orphan partitions exist on disk but no probe can see them
+    committed = set(D._containment_manifest(path))
+    on_disk = {
+        e.split("=", 1)[1]
+        for e in os.listdir(os.path.join(path, "counts"))
+        if e.startswith("batch=")
+    }
+    orphans = on_disk - committed
+    assert len(orphans) == 1  # the crashed append's unpublished batch
+
+    # retried append: results must match the crash-free store exactly
+    # (the old non-atomic layout double-counted /counts here, tripping
+    # the bucket cap early and LOSING candidate pairs)
+    D.containment_store_append(half_b, path, "text", "doc_id")
+    got = norm(D.containment_probe_store(batch, path, "text", "doc_id").collect())
+    assert got == want
+
+    # vacuum removes exactly the orphan, and the store still serves
+    removed = D.containment_store_vacuum(path)
+    assert set(removed) == orphans
+    for table in ("docs", "bands", "counts"):
+        left = {
+            e.split("=", 1)[1]
+            for e in os.listdir(os.path.join(path, table))
+            if e.startswith("batch=")
+        }
+        assert left == set(D._containment_manifest(path))
+    got2 = norm(D.containment_probe_store(batch, path, "text", "doc_id").collect())
+    assert got2 == want
+
+    # a store whose BUILD died pre-publish refuses reads and appends
+    dead = tempfile.mkdtemp(prefix="fde_cdead_") + "/store"
+    monkeypatch.setattr(D, "_containment_manifest_publish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        D.containment_store_build(half_a, dead, "text", "doc_id")
+    monkeypatch.setattr(D, "_containment_manifest_publish", real_publish)
+    with pytest.raises(FileNotFoundError, match="not a committed"):
+        D.containment_probe_store(batch, dead, "text", "doc_id").collect()
+    with pytest.raises(FileNotFoundError, match="not a committed"):
+        D.containment_store_append(half_b, dead, "text", "doc_id")
+
+
+def test_containment_probe_cache_released_between_batches(spark):
+    """Round-15 review finding: containment_probe_store persisted the
+    batch sketch but gave callers no way to release it, so repeated
+    probes accumulated cached frames for the session's lifetime. Each
+    probe now releases its predecessor automatically and
+    containment_probe_release() drops the last one."""
+    import tempfile
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=20, n_quotes=4)
+    path = tempfile.mkdtemp(prefix="fde_ccache_") + "/store"
+    D.containment_store_build(df.where("doc_id % 10 != 0"), path, "text", "doc_id")
+
+    def cached(frame):
+        return frame.storageLevel.useMemory or frame.storageLevel.useDisk
+
+    D.containment_probe_store(
+        df.where("doc_id % 10 = 0"), path, "text", "doc_id"
+    ).collect()
+    assert len(D._PROBE_CACHE) == 1 and cached(D._PROBE_CACHE[0])
+    first = D._PROBE_CACHE[0]
+
+    # the next probe releases the predecessor — never two cached batches
+    D.containment_probe_store(
+        df.where("doc_id % 10 = 1"), path, "text", "doc_id"
+    ).collect()
+    assert len(D._PROBE_CACHE) == 1
+    assert not cached(first)
+    assert cached(D._PROBE_CACHE[0])
+
+    # explicit release empties the registry; idempotent
+    last = D._PROBE_CACHE[0]
+    D.containment_probe_release()
+    D.containment_probe_release()
+    assert not D._PROBE_CACHE and not cached(last)
+
+
 def test_source_overlap_matches_naive(spark):
     """The cross-source shingle overlap matrix must equal a Python
     reimplementation exactly — distinct-per-source shingles, the

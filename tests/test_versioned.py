@@ -1196,11 +1196,14 @@ def test_module_upsert_rejects_duplicate_key_batch(spark):
     assert {r.v for r in spark.read.parquet(path).collect()} == {"a"}
 
 
-def test_module_update_columns_dedups_changes_no_row_growth(spark):
-    """Round-14 review finding, confirmed before the fix: a changes
-    batch naming a key twice fanned the left join out and GREW the
-    table (2 rows -> 3). The swap-write tier now dedups the batch like
-    its warehouse twin; row count must be invariant."""
+def test_module_update_columns_rejects_duplicate_keys(spark):
+    """Round-15 review finding: dropDuplicates(keys) on a batch
+    carrying CONFLICTING values for one key silently kept a
+    nondeterministic winner — inconsistent with upsert/merge, which
+    raise. Both update_columns tiers now share the duplicate-key
+    contract: the batch is rejected loudly and the table is untouched
+    (the round-14 row-growth fix stays covered — a rejected batch
+    can't fan the join out either)."""
     from full_docker_etl_spark.sources.sinks import update_columns, write_table
 
     path = tempfile.mkdtemp(prefix="fde_upd_") + "/t"
@@ -1208,11 +1211,38 @@ def test_module_update_columns_dedups_changes_no_row_growth(spark):
         spark.createDataFrame([(1, "old"), (2, "keep")], "k int, s string"), path
     )
     dup = spark.createDataFrame([(1, "new1"), (1, "new2")], "k int, s string")
-    update_columns(spark, path, dup, ["k"])
+    with pytest.raises(Exception, match="duplicate rows for key"):
+        update_columns(spark, path, dup, ["k"])
     rows = spark.read.parquet(path).collect()
     assert len(rows) == 2
-    assert {r.k for r in rows} == {1, 2}
-    assert [r.s for r in rows if r.k == 2] == ["keep"]
+    assert {r.s for r in rows} == {"old", "keep"}  # table untouched
+
+    # a unique-keyed batch still applies (and does not grow the table)
+    update_columns(
+        spark,
+        path,
+        spark.createDataFrame([(1, "new")], "k int, s string"),
+        ["k"],
+    )
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2
+    assert {r.k: r.s for r in rows} == {1: "new", 2: "keep"}
+
+
+def test_versioned_update_columns_rejects_duplicate_keys(spark):
+    """The warehouse twin shares the duplicate-key contract: a batch
+    naming one key twice raises before any commit is published."""
+    t = _table()
+    v1 = t.overwrite(
+        spark.createDataFrame([(1, "P"), (2, "P")], "k int, status string")
+    )
+    dup = spark.createDataFrame(
+        [(1, "done"), (1, "failed")], "k int, status string"
+    )
+    with pytest.raises(Exception, match="duplicate rows for key"):
+        t.update_columns(dup, keys=["k"])
+    assert t.current_version() == v1  # no commit published
+    assert {r.status for r in t.read(spark).collect()} == {"P"}
 
 
 def test_module_update_columns_rejects_widening_batch(spark):
