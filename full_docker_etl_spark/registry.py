@@ -45,40 +45,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-14 window (50 slots), per VERDICT r13 #1,
+# everything every round. Round-15 window (50 slots), executing the
+# ROUND-15 PLAN written into the r14 freeze (per VERDICT r13 #8) and
 # computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
-# FIRST all 21 round-9-stale rows (join_semi, limit_one,
-# nested_reshape, point_lookup, set_except_intersect, the
-# sink_versioned_* family, sink_zorder/clustered_scan, topk_by_value,
-# word_counts, ann_ivf_pq/sq_topk, text_compression — after this round
-# no query's latest evidence is older than r10) plus the single
-# next-stalest r10 row (agg_approx_distinct);
-# THEN the 12 FORCE_NEXT rows (round-14 hardening shipped before the
-# driver ran — see the tuple below — sampled on post-change code THIS
-# round instead of waiting for r15);
-# THEN every *_recall/*_consistency/*_verdict row (15 now, pinned in
-# EVERY window — they are the oracle-checked external evidence for the
-# rows-only sketch queries), including this round's two zero-evidence
-# verdicts: dedup_containment_lsh_recall (the LSH-Ensemble containment
-# sketch, VERDICT r13 #3) and dedup_containment_incremental_recall
-# (its persisted-store build→append→probe serving path);
-# THEN the round's other zero-evidence query closes the window
-# (dedup_containment_lsh, the rows-only sketch tier itself).
-# ROUND-15 PLAN (VERDICT r13 #8): reset FORCE_NEXT (its entries draw
-# fresh r14 evidence on post-change code) and REFILL it with the
-# queries whose plans changed in the post-rotation degenerate-input
-# batch (NULL/empty guards shipped after this window froze — full, no
-# displacement possible without breaking the nothing-older-than-r10
-# goal): text_tfidf, text_bm25, text_chunk_windows,
-# sample_pack_sequences, sample_temperature_mix,
-# sample_temperature_upsample, sample_hash_split,
-# sample_leakage_safe_split — plus join_asof (struct-packed as-of fill,
-# NULL-ts exclusion) and xlsx_scan (cell-hygiene fixes) from the third
-# batch. Most are r10/r11-stale and lead the r15 window by staleness
-# anyway; then the remaining r10 rows
-# (dedup_exact .. win_running_total tail) and the r11 tier fill the
-# rest — keeping every query's external evidence within a 4-round
-# horizon without displacing the 15 pinned verdict rows.
+# FIRST the r10-stale tier (dedup_exact .. win_running_total — 35 rows
+# sat at r10 after r14; the 23 of them not already FORCE_NEXT'd lead the
+# window by staleness, including the planned degenerate-input-batch rows
+# sample_hash_split / sample_leakage_safe_split / sample_pack_sequences /
+# text_tfidf that are ALSO semantics-forced);
+# THEN the FORCE_NEXT rows (see the tuple below): the round-14
+# post-window degenerate-input/as-of/xlsx hardening batch, plus this
+# round's duplicate-key-contract change to update_columns
+# (incr_status_flag, sink_versioned_update — green r14 evidence
+# predates the raise-on-duplicates semantics);
+# THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
+# window — the oracle-checked external evidence for the rows-only
+# sketch queries; dedup_containment_incremental_recall also carries
+# this round's atomic batch-partitioned store manifest end-to-end).
+# After this round no query's latest external evidence is older than
+# r11 (the r10 tier clears; the r11 tier leads the r16 window).
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -88,66 +73,71 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (a green sample of code that no longer exists proves nothing).
 # RESET this tuple when rotating for the round AFTER the changes ship.
 FORCE_NEXT: tuple[str, ...] = (
-    # Round-14 hardening (review findings applied late in the round,
-    # BEFORE the r14 driver ran — forcing these into the r14 window
-    # gets them fresh post-change evidence THIS round): zero-norm /
-    # quantization-degenerate guards in every cosine-scoring path,
-    # single-family sketch_bits, duplicate-key MERGE preconditions,
-    # update_columns type reconciliation, per-writer dynamic partition
-    # overwrite. Affected queries already in the stalest-first window
-    # (ann_ivf_pq/sq_topk, the sink_versioned_* r9 tier, all pinned
-    # *_recall/*_consistency/*_verdict rows) are not repeated here.
-    # RESET to () when rotating for round 15 (per the rule above) if
-    # the r14 window sampled these on the post-change code.
-    "ann_cosine_topk",
-    "ann_ivf_incremental",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_serve",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding",
-    "dedup_semantic",
+    # The r14 FORCE_NEXT entries all drew fresh r14 evidence on
+    # post-change code (verified by tools/next_window.py --check), so
+    # the tuple was reset and refilled for round 15 with:
+    # (a) the round-14 POST-WINDOW hardening batches (shipped after the
+    #     r14 window froze, so their r10/r11 evidence predates the
+    #     change): NULL/empty degenerate-input guards in the text and
+    #     sampling operators, the struct-packed as-of fill + NULL-ts
+    #     exclusion in temporal joins, and the xlsx cell-hygiene fixes;
+    # (b) round 15's update_columns duplicate-key contract change
+    #     (raise instead of dropDuplicates, both tiers):
+    #     incr_status_flag (module tier), sink_versioned_update
+    #     (warehouse tier). The containment-store atomicity change is
+    #     covered by the pinned dedup_containment_incremental_recall.
+    # RESET to () when rotating for round 16 if the r15 window sampled
+    # these on the post-change code.
+    "text_tfidf",
+    "text_bm25",
+    "text_chunk_windows",
+    "sample_pack_sequences",
+    "sample_temperature_mix",
+    "sample_temperature_upsample",
+    "sample_hash_split",
+    "sample_leakage_safe_split",
+    "join_asof",
+    "xlsx_scan",
     "incr_status_flag",
-    "sink_partition_overwrite",
-    "sink_upsert",
-    "sink_versioned_constraints",
+    "sink_versioned_update",
 )
 
 _SAMPLE_ORDER: tuple[str, ...] = (
-    "join_semi",
-    "limit_one",
-    "nested_reshape",
-    "point_lookup",
-    "set_except_intersect",
-    "sink_clustered_scan",
-    "sink_versioned_cdf",
-    "sink_versioned_clone",
-    "sink_versioned_compact",
-    "sink_versioned_delete",
-    "sink_versioned_merge",
-    "sink_versioned_merge_cdc",
-    "sink_versioned_replicate",
-    "sink_versioned_restore",
+    "dedup_exact",
+    "dedup_natural_key",
+    "embed_norm",
+    "fn_coalesce_cast",
+    "fn_compact",
+    "fn_dates",
+    "fn_rupiah",
+    "fn_safe_div",
+    "fn_strings",
+    "fn_to_json",
+    "join_range",
+    "mm_decode_meta",
+    "paginate",
+    "sample_quota_per_source",
+    "sink_versioned_delete_dv",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_perplexity",
+    "text_quality",
+    "text_repetition",
+    "text_substring_dedup",
+    "text_substring_dedup_apply",
     "sink_versioned_update",
-    "sink_zorder_scan",
-    "topk_by_value",
-    "word_counts",
-    "ann_ivf_pq_topk",
-    "ann_ivf_sq_topk",
-    "text_compression",
-    "agg_approx_distinct",
-    "sink_versioned_constraints",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_serve",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_embedding",
-    "dedup_semantic",
-    "ann_cosine_topk",
-    "ann_ivf_incremental",
     "incr_status_flag",
-    "sink_partition_overwrite",
-    "sink_upsert",
+    "sample_hash_split",
+    "sample_leakage_safe_split",
+    "sample_pack_sequences",
+    "text_tfidf",
+    "sample_temperature_mix",
+    "sample_temperature_upsample",
+    "text_bm25",
+    "xlsx_scan",
+    "join_asof",
+    "text_chunk_windows",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -163,36 +153,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_semantic_verdict",
     "dedup_containment_lsh_recall",
     "dedup_containment_incremental_recall",
-    "dedup_containment_lsh",
     # ---- window boundary (50) ----
-    "dedup_exact",
-    "dedup_natural_key",
-    "embed_norm",
-    "fn_coalesce_cast",
-    "fn_compact",
-    "fn_dates",
-    "fn_rupiah",
-    "fn_safe_div",
-    "fn_strings",
-    "fn_to_json",
-    "join_range",
-    "mm_decode_meta",
-    "paginate",
-    "sample_hash_split",
-    "sample_leakage_safe_split",
-    "sample_pack_sequences",
-    "sample_quota_per_source",
-    "sink_versioned_delete_dv",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_langid",
-    "text_lm_perplexity",
-    "text_quality",
-    "text_repetition",
-    "text_substring_dedup",
-    "text_substring_dedup_apply",
     "text_substring_incremental",
-    "text_tfidf",
     "text_tokens",
     "union_by_name",
     "win_lag_change",
@@ -250,10 +212,7 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_balanced_shards",
     "sample_epoch_shuffle",
     "sample_negatives",
-    "sample_temperature_mix",
-    "sample_temperature_upsample",
     "stream_quota_admit",
-    "text_bm25",
     "text_bpe_merges",
     "text_bpe_tokenize",
     "text_pii_scrub",
@@ -261,7 +220,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "win_rank_family",
     "win_time_range",
     "xbrl_metrics",
-    "xlsx_scan",
     "dedup_simhash",
     "agg_salted",
     "catalog_tables",
@@ -276,7 +234,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "global_count",
     "group_counts",
     "join_anti",
-    "join_asof",
     "join_broadcast",
     "join_equi",
     "join_fuzzy_names",
@@ -294,8 +251,40 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_sliding",
     "stream_tumbling",
-    "text_chunk_windows",
     "zip_xml_ingest",
+    "agg_approx_distinct",
+    "ann_cosine_topk",
+    "ann_ivf_incremental",
+    "join_semi",
+    "limit_one",
+    "nested_reshape",
+    "point_lookup",
+    "set_except_intersect",
+    "sink_clustered_scan",
+    "sink_partition_overwrite",
+    "sink_upsert",
+    "sink_versioned_cdf",
+    "sink_versioned_clone",
+    "sink_versioned_compact",
+    "sink_versioned_constraints",
+    "sink_versioned_delete",
+    "sink_versioned_merge",
+    "sink_versioned_merge_cdc",
+    "sink_versioned_replicate",
+    "sink_versioned_restore",
+    "sink_zorder_scan",
+    "topk_by_value",
+    "word_counts",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_serve",
+    "ann_ivf_sq_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_containment_lsh",
+    "dedup_embedding",
+    "dedup_semantic",
+    "text_compression",
 )
 
 
