@@ -695,6 +695,62 @@ def containment_store_vacuum(path: str) -> list[str]:
     return sorted(removed)
 
 
+def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
+    """Fold every committed batch into ONE (the small-file reclaim for
+    a store that has absorbed many incremental appends — at 100 TB a
+    per-batch hive partition per append is exactly the small-file
+    problem table formats compact away). Rewrites docs/bands under a
+    fresh batch id, re-AGGREGATES the additive ``/counts`` partials
+    (probes then sum one row per bucket instead of one per append),
+    and publishes a manifest naming only the new batch — the same
+    atomic ``os.replace`` as build/append, so a compaction that dies
+    mid-write leaves the store exactly as it was (the half-written
+    batch is an unpublished orphan). The displaced batches become
+    orphans; returns them (callers pass the list's disk back to
+    :func:`containment_store_vacuum`). No-op on a store with ≤1
+    committed batch."""
+    import json
+    import os
+    import uuid
+
+    old = _containment_manifest(path)
+    if len(old) <= 1:
+        return []
+    batch_id = uuid.uuid4().hex[:12]
+    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
+    (
+        _containment_store_read(spark, path, "docs")
+        .select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL)
+        .parquet(path + "/docs")
+    )
+    (
+        _containment_store_read(spark, path, "bands")
+        .select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL, "side")
+        .parquet(path + "/bands")
+    )
+    (
+        _containment_store_read(spark, path, "counts")
+        .groupBy("p", "r", "band", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL)
+        .parquet(path + "/counts")
+    )
+    # REPLACE the committed set (not extend): readers flip from the N
+    # old batches to the one compacted batch in a single os.replace.
+    mpath = _containment_manifest_path(path)
+    tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"batches": [batch_id]}, fh)
+    os.replace(tmp, mpath)
+    return list(old)
+
+
 def _containment_store_meta(path: str) -> dict:
     import json
     import os

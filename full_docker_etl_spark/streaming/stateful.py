@@ -147,25 +147,56 @@ def _make_admit(quota: int, idle_timeout_ms: int | None):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
-        batches = [pdf for pdf in pdfs if len(pdf)]
-        if state.hasTimedOut or not batches:
-            # timed-out hosts arrive with an EMPTY iterator; concat of
-            # nothing would raise. Evict the counter — the host starts a
-            # fresh quota window on its next crawl revisit.
+        n = state.get[0] if state.exists else 0
+        remaining = max(0, quota - n)
+        # STREAM the Arrow chunks, folding a running buffer of the
+        # `remaining` SMALLEST doc_ids only (the admitted set is the
+        # remaining-quota smallest of the micro-batch, and min-of-union
+        # folds per chunk). Collecting every chunk and sorting the
+        # whole group (the old shape) held a hot host's entire
+        # micro-batch in executor Python memory — the exact skewed-key
+        # OOM the tracker's fold-per-chunk rewrite already fixed; an
+        # over-quota host now drains its chunks at O(1) memory and a
+        # live one buffers O(remaining quota) rows, never O(arrivals).
+        buf: pd.DataFrame | None = None
+        saw_data = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            saw_data = True
+            if remaining == 0:
+                continue  # quota exhausted: drain, admit nothing
+            part = pdf[["doc_id"]]
+            buf = part if buf is None else pd.concat([buf, part])
+            if len(buf) > remaining:
+                # stable sort keeps arrival order among equal doc_ids,
+                # matching the old whole-batch mergesort exactly
+                buf = buf.sort_values("doc_id", kind="mergesort").iloc[
+                    :remaining
+                ]
+        if state.hasTimedOut or not saw_data:
+            # timed-out hosts arrive with an EMPTY iterator. Evict the
+            # counter — the host starts a fresh quota window on its
+            # next crawl revisit.
             state.remove()
             return
-        n = state.get[0] if state.exists else 0
-        batch = pd.concat(batches, ignore_index=True)
-        batch = batch.sort_values("doc_id", kind="mergesort")
-        take = max(0, min(quota - n, len(batch)))
-        admitted = batch.iloc[:take]
+        if buf is None:
+            take, admitted_ids = 0, pd.Series([], dtype="int64")
+        else:
+            buf = buf.sort_values("doc_id", kind="mergesort")
+            take = min(remaining, len(buf))
+            admitted_ids = buf["doc_id"].iloc[:take].astype("int64")
         out = pd.DataFrame(
             {
                 "host": host,
-                "doc_id": admitted["doc_id"].astype("int64"),
+                "doc_id": admitted_ids,
                 "host_seq": range(n + 1, n + take + 1),
             }
         )
+        # the counter updates (and the idle timer re-arms) even when
+        # nothing was admitted: the host is still ACTIVE — letting its
+        # state expire mid-stream would reset the quota window and
+        # re-admit past the cap
         state.update((n + take,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)

@@ -544,6 +544,68 @@ def test_containment_store_append_crash_retry_no_double_count(
         D.containment_store_append(half_b, dead, "text", "doc_id")
 
 
+def test_containment_store_compact_folds_batches_same_results(spark):
+    """Compaction folds N committed batches into one (small-file
+    reclaim after many incremental appends), re-aggregates the
+    additive /counts partials, and publishes atomically: probe results
+    must be identical before and after, the manifest must name exactly
+    one batch, and vacuum must reclaim the displaced ones."""
+    import os
+    import tempfile
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark)
+    batch = df.where("doc_id % 10 = 0")
+    path = tempfile.mkdtemp(prefix="fde_ccomp_") + "/store"
+    D.containment_store_build(df.where("doc_id % 10 = 1"), path, "text", "doc_id")
+    D.containment_store_append(df.where("doc_id % 10 = 2"), path, "text", "doc_id")
+    D.containment_store_append(
+        df.where("doc_id % 10 not in (0, 1, 2)"), path, "text", "doc_id"
+    )
+    assert len(D._containment_manifest(path)) == 3
+
+    def norm(rows):
+        return {
+            (min(r.d1, r.d2), max(r.d1, r.d2)): (r.shared, r.c1, r.c2)
+            for r in rows
+        }
+
+    before = norm(D.containment_probe_store(batch, path, "text", "doc_id").collect())
+    assert before  # non-vacuous
+    counts_rows_before = (
+        spark.read.parquet(path + "/counts").count()
+    )
+
+    displaced = D.containment_store_compact(spark, path)
+    assert len(displaced) == 3
+    assert len(D._containment_manifest(path)) == 1
+
+    after = norm(D.containment_probe_store(batch, path, "text", "doc_id").collect())
+    assert after == before
+
+    # displaced batches are orphans now; vacuum reclaims exactly them
+    assert set(D.containment_store_vacuum(path)) == set(displaced)
+    for table in ("docs", "bands", "counts"):
+        parts = [
+            e for e in os.listdir(os.path.join(path, table))
+            if e.startswith("batch=")
+        ]
+        assert len(parts) == 1
+    # the additive /counts partials collapsed to one row per bucket
+    counts = spark.read.parquet(path + "/counts")
+    assert counts.count() < counts_rows_before
+    assert counts.groupBy("p", "r", "band", "bucket").count().where(
+        "count > 1"
+    ).count() == 0
+
+    # probes still serve after vacuum, and a ≤1-batch store is a no-op
+    assert norm(
+        D.containment_probe_store(batch, path, "text", "doc_id").collect()
+    ) == before
+    assert D.containment_store_compact(spark, path) == []
+
+
 def test_containment_probe_cache_released_between_batches(spark):
     """Round-15 review finding: containment_probe_store persisted the
     batch sketch but gave callers no way to release it, so repeated
