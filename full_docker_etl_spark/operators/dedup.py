@@ -550,11 +550,16 @@ def containment_store_build(
     )
 
 
-#: Manifest/partition column governing store visibility. Reserved in
-#: the sketch tables; never collides with user columns (the tables
-#: carry only generated names).
+#: Manifest/partition column governing persisted-store visibility —
+#: shared by every incremental sketch store in this module (containment
+#: ensemble, MinHash, substring fingerprints). Reserved in the sketch
+#: tables; never collides with user columns (the tables carry only
+#: generated names).
 _STORE_BATCH_COL = "batch"
-_STORE_TABLES = ("docs", "bands", "counts")
+#: Per-store physical tables, for vacuum.
+_CONTAINMENT_TABLES = ("docs", "bands", "counts")
+_MINHASH_TABLES = ("sigs", "bands")
+_SUBSTRING_TABLES = ("fps", "counts")
 
 
 def _containment_store_write(
@@ -611,60 +616,70 @@ def _containment_store_write(
         .parquet(path + "/counts")
     )
     docs.unpersist()
-    _containment_manifest_publish(path, batch_id)
+    _store_manifest_publish(path, batch_id)
 
 
-def _containment_manifest_path(path: str) -> str:
+def _store_manifest_path(path: str) -> str:
     import os
 
     return os.path.join(path, "_manifest.json")
 
 
-def _containment_manifest(path: str) -> list[str]:
+def _store_manifest(path: str) -> list[str]:
     """Committed batch ids, oldest first. A store written before the
     manifest existed (or whose build died pre-publish) has none —
     fail loudly rather than read unpublished partitions."""
     import json
     import os
 
-    mpath = _containment_manifest_path(path)
+    mpath = _store_manifest_path(path)
     if not os.path.exists(mpath):
         raise FileNotFoundError(
-            f"no _manifest.json at {path} — not a committed ensemble "
-            "store (a build that crashed before publishing, or a "
-            "pre-manifest layout; rebuild with containment_store_build)"
+            f"no _manifest.json at {path} — not a committed store (a "
+            "build that crashed before publishing, or a pre-manifest "
+            "layout; rebuild with the store's *_store_build)"
         )
     with open(mpath) as fh:
         return json.load(fh)["batches"]
 
 
-def _containment_manifest_publish(path: str, batch_id: str) -> None:
-    """Append ``batch_id`` to the committed set atomically (write
-    sibling tmp, ``os.replace`` — readers see the old or the new list,
-    never a torn file). Single-writer like the rest of build/append;
-    concurrent appends to ONE store are the caller's lock."""
+def _store_manifest_write(path: str, batches: list[str]) -> None:
+    """Publish the committed set atomically (write sibling tmp,
+    ``os.replace`` — readers see the old or the new list, never a torn
+    file)."""
     import json
     import os
     import uuid
 
-    mpath = _containment_manifest_path(path)
-    batches: list[str] = []
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            batches = json.load(fh)["batches"]
-    batches.append(batch_id)
+    mpath = _store_manifest_path(path)
     tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump({"batches": batches}, fh)
     os.replace(tmp, mpath)
 
 
-def _containment_store_read(spark: SparkSession, path: str, table: str):
+def _store_manifest_publish(path: str, batch_id: str) -> None:
+    """Append ``batch_id`` to the committed set atomically.
+    Single-writer like the rest of build/append; concurrent appends to
+    ONE store are the caller's lock."""
+    import json
+    import os
+
+    mpath = _store_manifest_path(path)
+    batches: list[str] = []
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            batches = json.load(fh)["batches"]
+    batches.append(batch_id)
+    _store_manifest_write(path, batches)
+
+
+def _store_read_committed(spark: SparkSession, path: str, table: str):
     """Read one store table restricted to COMMITTED batches (manifest
     ``isin`` → batch-partition pruning: orphans from a crashed write
     are never scanned) with the stamp column dropped — consumers see
     the logical schema."""
-    committed = _containment_manifest(path)
+    committed = _store_manifest(path)
     return (
         spark.read.parquet(f"{path}/{table}")
         .where(F.col(_STORE_BATCH_COL).isin(committed))
@@ -672,19 +687,20 @@ def _containment_store_read(spark: SparkSession, path: str, table: str):
     )
 
 
-def containment_store_vacuum(path: str) -> list[str]:
-    """Delete orphan ``batch=`` partitions (written by a build/append
-    that died before its manifest publish — invisible to every reader
-    but still on disk). Returns the removed batch ids. Safe while
-    probes run: committed partitions are untouched, and orphans are by
-    construction referenced by no manifest."""
+def _store_vacuum(path: str, tables: tuple[str, ...]) -> list[str]:
+    """Delete orphan ``batch=`` partitions (written by a build/append/
+    compact that died before its manifest publish, or displaced by a
+    compaction — invisible to every reader but still on disk). Returns
+    the removed batch ids. Safe while probes run: committed partitions
+    are untouched, and orphans are by construction referenced by no
+    manifest."""
     import os
     import shutil
 
-    committed = set(_containment_manifest(path))
+    committed = set(_store_manifest(path))
     removed: set[str] = set()
     prefix = f"{_STORE_BATCH_COL}="
-    for table in _STORE_TABLES:
+    for table in tables:
         tdir = os.path.join(path, table)
         if not os.path.isdir(tdir):
             continue
@@ -693,6 +709,24 @@ def containment_store_vacuum(path: str) -> list[str]:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
                 removed.add(entry[len(prefix):])
     return sorted(removed)
+
+
+def containment_store_vacuum(path: str) -> list[str]:
+    """Vacuum the ensemble store's orphan batches (see
+    :func:`_store_vacuum`)."""
+    return _store_vacuum(path, _CONTAINMENT_TABLES)
+
+
+def minhash_store_vacuum(path: str) -> list[str]:
+    """Vacuum the MinHash store's orphan batches (see
+    :func:`_store_vacuum`)."""
+    return _store_vacuum(path, _MINHASH_TABLES)
+
+
+def substring_store_vacuum(path: str) -> list[str]:
+    """Vacuum the substring store's orphan batches (see
+    :func:`_store_vacuum`)."""
+    return _store_vacuum(path, _SUBSTRING_TABLES)
 
 
 def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
@@ -709,31 +743,29 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     orphans; returns them (callers pass the list's disk back to
     :func:`containment_store_vacuum`). No-op on a store with ≤1
     committed batch."""
-    import json
-    import os
     import uuid
 
-    old = _containment_manifest(path)
+    old = _store_manifest(path)
     if len(old) <= 1:
         return []
     batch_id = uuid.uuid4().hex[:12]
     stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
     (
-        _containment_store_read(spark, path, "docs")
+        _store_read_committed(spark, path, "docs")
         .select("*", stamp)
         .write.mode("append")
         .partitionBy(_STORE_BATCH_COL)
         .parquet(path + "/docs")
     )
     (
-        _containment_store_read(spark, path, "bands")
+        _store_read_committed(spark, path, "bands")
         .select("*", stamp)
         .write.mode("append")
         .partitionBy(_STORE_BATCH_COL, "side")
         .parquet(path + "/bands")
     )
     (
-        _containment_store_read(spark, path, "counts")
+        _store_read_committed(spark, path, "counts")
         .groupBy("p", "r", "band", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
         .select("*", stamp)
@@ -743,11 +775,7 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     )
     # REPLACE the committed set (not extend): readers flip from the N
     # old batches to the one compacted batch in a single os.replace.
-    mpath = _containment_manifest_path(path)
-    tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump({"batches": [batch_id]}, fh)
-    os.replace(tmp, mpath)
+    _store_manifest_write(path, [batch_id])
     return list(old)
 
 
@@ -774,7 +802,7 @@ def containment_store_append(
     reclaims it). The write half of the incremental loop: probe → drop
     duplicates → append the admitted remainder."""
     meta = _containment_store_meta(path)
-    _containment_manifest(path)  # refuse to extend an uncommitted store
+    _store_manifest(path)  # refuse to extend an uncommitted store
     _containment_store_write(
         df, path, text_col, id_col, meta["n"], meta["k"],
         _ensemble_gap_specs(
@@ -866,15 +894,15 @@ def containment_probe_store(
     _PROBE_CACHE.append(batch)
     batch_index = _ensemble_rows(batch, _ensemble_index_schemes(specs))
     batch_probe = _ensemble_rows(batch, specs)
-    store_docs = _containment_store_read(spark, path, "docs")
-    store_bands = _containment_store_read(spark, path, "bands")
+    store_docs = _store_read_committed(spark, path, "docs")
+    store_bands = _store_read_committed(spark, path, "bands")
     cols = ["doc_id", "sz", "p", "r", "band", "bucket"]
     store_index = store_bands.where(F.col("side") == "i").select(*cols)
     store_probe = store_bands.where(F.col("side") == "p").select(*cols)
 
     key = ["p", "r", "band", "bucket"]
     kept = (
-        _containment_store_read(spark, path, "counts")
+        _store_read_committed(spark, path, "counts")
         .select(*key, "cnt")
         .unionByName(
             batch_index.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))
@@ -1148,20 +1176,64 @@ def substring_store_build(
     capped everywhere, same as a from-scratch run). Parameters persist
     in ``_meta.json`` and are validated at probe time — a silent n or
     bucketing mismatch would otherwise return zero matches and admit
-    every duplicate."""
+    every duplicate.
+
+    Both tables are hive-partitioned by ``batch`` (outermost, above
+    ``bkt``) and governed by the shared atomic ``_manifest.json``
+    (the containment-store pattern): the physical writes land first,
+    the manifest publishes last, so a build/append that dies between
+    the two tables is INVISIBLE to probes (fps-without-counts would
+    silently understate occurrence totals and uncap boilerplate
+    fingerprints) and a retried append re-lands under a new id
+    instead of double-appending the additive log (which would
+    overstate totals, cap early, and silently MISS duplicated spans).
+    :func:`substring_store_vacuum` reclaims unpublished orphans."""
     import json
     import os
+    import shutil
 
-    fps = _bucketed_fps(df, text_col, id_col, n, n_buckets).cache()
-    try:  # one fingerprint pass feeds both writes (the append pattern)
-        fps.write.mode("overwrite").partitionBy("bkt").parquet(path + "/fps")
-        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
-            "overwrite"
-        ).parquet(path + "/counts")
-    finally:
-        fps.unpersist()
+    shutil.rmtree(path, ignore_errors=True)  # a rebuild starts clean
+    os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump({"n": n, "max_occ": max_occ, "n_buckets": n_buckets}, fh)
+    _substring_store_write(df, path, text_col, id_col, n, n_buckets)
+
+
+def _substring_store_write(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    n_buckets: int,
+) -> None:
+    """Shared write half of substring build/append: one fingerprint
+    pass feeds both tables, both land under a fresh ``batch=``
+    partition, and the trailing atomic manifest publish makes them
+    visible together."""
+    import uuid
+
+    batch_id = uuid.uuid4().hex[:12]
+    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
+    fps = _bucketed_fps(df, text_col, id_col, n, n_buckets).cache()
+    try:
+        (
+            fps.select("*", stamp)
+            .write.mode("append")
+            .partitionBy(_STORE_BATCH_COL, "bkt")
+            .parquet(path + "/fps")
+        )
+        (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("*", stamp)
+            .write.mode("append")
+            .partitionBy(_STORE_BATCH_COL)
+            .parquet(path + "/counts")
+        )
+    finally:
+        fps.unpersist()
+    _store_manifest_publish(path, batch_id)
 
 
 def _bucketed_fps(
@@ -1183,67 +1255,47 @@ def substring_store_append(
 ) -> None:
     """Admit a batch into the substring store: append its fingerprints
     (same bucketed layout) and its per-fp counts (the additive log —
-    no read-modify-write of the counts table, so a crash between the
-    two appends never corrupts existing data)."""
+    no read-modify-write of the counts table). The batch lands under a
+    fresh ``batch=`` partition and becomes visible only with the
+    trailing atomic manifest publish — a crash between the two tables
+    leaves an invisible orphan, never a half-admitted batch, and a
+    retry cannot double-append the occurrence log
+    (:func:`substring_store_vacuum` reclaims the orphan)."""
     import json
     import os
 
     with open(os.path.join(path, "_meta.json")) as fh:
         meta = json.load(fh)
-    fps = _bucketed_fps(
-        df, text_col, id_col, meta["n"], meta["n_buckets"]
-    ).cache()  # one fingerprint pass feeds both appends
-    try:
-        fps.write.mode("append").partitionBy("bkt").parquet(path + "/fps")
-        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt")).write.mode(
-            "append"
-        ).parquet(path + "/counts")
-    finally:
-        fps.unpersist()
+    _store_manifest(path)  # refuse to extend an uncommitted store
+    _substring_store_write(
+        df, path, text_col, id_col, meta["n"], meta["n_buckets"]
+    )
 
 
 def substring_store_compact(spark: "SparkSession", path: str) -> dict:
     """MAINTENANCE compaction for the substring store (the OPTIMIZE of
-    this tier): every ``append`` adds a file set to the occurrence log
-    and at least one file per touched bucket, so after thousands of
-    batches each probe pays a many-segment log aggregation and the
-    buckets are small-file swamps. Compaction folds the log into ONE
-    aggregated segment and rewrites each fingerprint bucket coalesced,
-    then swaps directories via rename — the store is byte-equivalent
-    to a fresh build of the same corpus (pinned by a probe-equality
-    test). Same single-writer contract as build/append; quiesce probes
-    for the swap window. Returns before/after file counts.
+    this tier): every ``append`` adds a ``batch=`` partition to both
+    tables (a file set in the occurrence log, at least one file per
+    touched bucket), so after thousands of batches each probe pays a
+    many-segment log aggregation, a long ``isin`` committed-batch
+    prune, and small-file swamps in the buckets. Compaction folds
+    every committed batch into ONE: the log re-aggregated to a single
+    coalesced segment, the fingerprints re-bucketed coalesced — the
+    store is then equivalent to a fresh build of the same corpus
+    (pinned by a probe-equality test). Returns before/after file
+    counts.
 
-    Crash safety: each table's swap is a rename pair (live → ``_gc``,
-    ``_new`` → live); a crash BETWEEN the two renames leaves the live
-    directory missing, which :func:`_read_store_table` refuses to read
-    (loud FileNotFoundError naming the ``_gc``/``_new`` siblings that
-    hold the data) rather than silently treating the store as empty —
-    a missing counts table would otherwise drop the occurrence cap and
-    a missing fps table would admit every duplicate. A crash between
-    the two TABLES' swaps is harmless (compaction is a semantic no-op,
-    so a compacted counts table next to un-compacted fps is still the
-    same store). Leftover ``_gc``/``_new`` directories from a crashed
-    prior run are detected up front with recovery guidance, and the
-    swap only proceeds once Spark's ``_SUCCESS`` marker confirms each
-    rewrite completed."""
+    Crash safety is the build/append model, not a directory swap: the
+    folded batch lands under a fresh ``batch=`` partition and the
+    manifest REPLACE publishes it atomically (``os.replace``), so a
+    compaction that dies mid-write leaves the store serving the old
+    batches exactly as they were. The displaced batches become
+    orphans; this function vacuums them before returning (skip-safe:
+    a vacuum crash leaves only invisible garbage). Same single-writer
+    contract as build/append."""
     import glob as _glob
     import os
-    import shutil
-
-    for sub in ("counts", "fps"):
-        for suffix in ("_gc", "_new"):
-            leftover = os.path.join(path, sub + suffix)
-            if os.path.isdir(leftover):
-                raise RuntimeError(
-                    f"substring-store compaction leftover at {leftover}: a "
-                    "previous compaction crashed mid-run. Recover before "
-                    f"compacting again — if '{os.path.join(path, sub)}' "
-                    f"exists, delete the leftover; if not, '{sub}_gc' IS "
-                    "the pre-compaction table (rename it back) and "
-                    f"'{sub}_new' is a complete rewrite only if it "
-                    "contains _SUCCESS"
-                )
+    import uuid
 
     def _files(sub):
         return [
@@ -1254,63 +1306,74 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
         ]
 
     before = {"fps": len(_files("fps")), "counts": len(_files("counts"))}
-    counts = (
-        _read_store_table(spark, path + "/counts", "fp bigint, cnt bigint")
+    batch_id = uuid.uuid4().hex[:12]
+    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
+    (
+        _read_store_table(spark, path, "counts")
         .groupBy("fp")
         .agg(F.sum("cnt").alias("cnt"))
+        .coalesce(1)
+        .select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL)
+        .parquet(path + "/counts")
     )
-    counts.coalesce(1).write.mode("overwrite").parquet(path + "/counts_new")
-    fps = _read_store_table(
-        spark, path + "/fps", "doc_id bigint, pos int, fp bigint, bkt int"
+    (
+        _read_store_table(spark, path, "fps")
+        .repartition("bkt")
+        .select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL, "bkt")
+        .parquet(path + "/fps")
     )
-    fps.repartition("bkt").write.mode("overwrite").partitionBy(
-        "bkt"
-    ).parquet(path + "/fps_new")
-    for sub in ("counts", "fps"):
-        # sentinel gate: only swap in a rewrite Spark marked complete —
-        # a torn _new directory must never become the live table
-        if not os.path.exists(os.path.join(path, sub + "_new", "_SUCCESS")):
-            raise RuntimeError(
-                f"compaction rewrite of {path}/{sub}_new left no _SUCCESS "
-                "marker; aborting the swap (live table untouched)"
-            )
-        old = os.path.join(path, sub + "_gc")
-        os.rename(os.path.join(path, sub), old)
-        os.rename(os.path.join(path, sub + "_new"), os.path.join(path, sub))
-        shutil.rmtree(old, ignore_errors=True)
+    # REPLACE the committed set (not extend): readers flip from the N
+    # old batches to the one folded batch in a single os.replace.
+    _store_manifest_write(path, [batch_id])
+    _store_vacuum(path, _SUBSTRING_TABLES)
     return {
         "before": before,
         "after": {"fps": len(_files("fps")), "counts": len(_files("counts"))},
     }
 
 
-def _read_store_table(spark, d: str, schema: str) -> DataFrame:
-    """Read a store table, tolerating the DEGENERATE empty store: a
-    corpus whose docs are all shorter than n writes zero part files
-    (only _SUCCESS), and a raw parquet read of a file-less directory
-    fails schema inference — a batch probed against such a store
-    should see an empty corpus (batch×batch pairs only), not crash.
+_SUBSTRING_SCHEMAS = {
+    "fps": "doc_id bigint, pos int, fp bigint, bkt int",
+    "counts": "fp bigint, cnt bigint",
+}
+
+
+def _read_store_table(spark, path: str, table: str) -> DataFrame:
+    """Read a substring-store table restricted to COMMITTED batches
+    (the shared manifest model), tolerating the DEGENERATE empty
+    store: a corpus whose docs are all shorter than n writes zero part
+    files, and a raw parquet read of a file-less directory fails
+    schema inference — a batch probed against such a store should see
+    an empty corpus (batch×batch pairs only), not crash.
 
     The empty path applies ONLY to a directory that exists: a MISSING
-    table directory means the path is wrong or a compaction crashed
-    mid-swap, and silently treating it as empty would drop the
+    table directory means the store path is wrong or the store was
+    never built, and silently treating it as empty would drop the
     occurrence cap (counts) or admit every duplicate (fps) — raise
-    instead, naming the recovery siblings."""
+    instead. Likewise a missing manifest (crashed build) raises via
+    :func:`_store_manifest`."""
     import glob as _glob
     import os
 
+    d = os.path.join(path, table)
+    committed = _store_manifest(path)
     if not os.path.isdir(d):
-        base = os.path.basename(d)
         raise FileNotFoundError(
             f"substring-store table missing: {d} — either the store path "
-            "is wrong or a compaction crashed between its swap renames "
-            f"(look for sibling '{base}_gc' / '{base}_new' directories "
-            "holding the data); refusing to treat a missing table as an "
-            "empty corpus"
+            "is wrong or the table was never written; refusing to treat "
+            "a missing table as an empty corpus"
         )
     if not _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(d)
+        return spark.createDataFrame([], _SUBSTRING_SCHEMAS[table])
+    return (
+        spark.read.parquet(d)
+        .where(F.col(_STORE_BATCH_COL).isin(committed))
+        .drop(_STORE_BATCH_COL)
+    )
 
 
 def substring_probe_store(
@@ -1396,9 +1459,9 @@ def substring_probe_store(
         .distinct()
         .collect()  # bounded: ≤ n_buckets ints
     ]
-    store_all = _read_store_table(
-        spark, path + "/fps", "doc_id bigint, pos int, fp bigint, bkt int"
-    ).where(F.col("bkt").isin(batch_bkts) if batch_bkts else F.lit(False))
+    store_all = _read_store_table(spark, path, "fps").where(
+        F.col("bkt").isin(batch_bkts) if batch_bkts else F.lit(False)
+    )
     store_fp = store_all.drop("bkt").join(batch_ids, "doc_id", "left_anti")
     # retry exactness: the store copies of the batch's own docs (empty
     # unless the batch was already admitted) are excluded from the
@@ -1413,7 +1476,7 @@ def substring_probe_store(
         .agg(F.count(F.lit(1)).alias("dup"))
     )
     store_counts = (
-        _read_store_table(spark, path + "/counts", "fp bigint, cnt bigint")
+        _read_store_table(spark, path, "counts")
         .groupBy("fp")
         .agg(F.sum("cnt").alias("cnt"))
         .join(dup_counts, "fp", "left")
@@ -2203,18 +2266,69 @@ def minhash_store_build(
     in ``<path>/_meta.json`` and VALIDATED at probe time: sketches
     with different parameters are incomparable, and a mismatch would
     otherwise fail silently (NULL-padded zip folds, disjoint bucket
-    spaces) as zero candidates — admitting every duplicate."""
+    spaces) as zero candidates — admitting every duplicate.
+
+    Both tables are hive-partitioned by ``batch`` and governed by the
+    shared atomic ``_manifest.json`` (the containment-store pattern):
+    the physical writes land first, the manifest publishes last, so a
+    build/append that dies between the two tables is INVISIBLE to
+    probes (a half-admitted batch would otherwise sit in ``/sigs`` but
+    not ``/bands`` — silently unfindable as a candidate yet present in
+    verification) and a retried append re-lands under a new id instead
+    of duplicating signature rows (which would fan the verification
+    joins out into duplicated pair rows).
+    :func:`minhash_store_vacuum` reclaims unpublished orphans."""
     import json
     import os
+    import shutil
 
+    shutil.rmtree(path, ignore_errors=True)  # a rebuild starts clean
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n": n, "k": k, "bands": bands}, fh)
+    _minhash_store_write(df, path, text_col, id_col, n, k, bands)
+
+
+def _minhash_store_write(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    k: int,
+    bands: int,
+) -> None:
+    """Shared write half of minhash build/append: signatures land
+    first, then band rows derived by READING the just-written batch
+    back (a materialization boundary — the sketch fold computes once,
+    on disk, instead of replaying for the band projection), then the
+    atomic manifest publish makes both visible together."""
+    import uuid
+
+    batch_id = uuid.uuid4().hex[:12]
+    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
     sig_arr = minhash_signature_array(
         shingle_arrays(df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
     )
-    sig_arr.write.mode("overwrite").parquet(path + "/sigs")
-    stored = df.sparkSession.read.parquet(path + "/sigs")
-    _band_rows(stored, k, bands).write.mode("overwrite").parquet(path + "/bands")
-    with open(os.path.join(path, "_meta.json"), "w") as fh:
-        json.dump({"n": n, "k": k, "bands": bands}, fh)
+    (
+        sig_arr.select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL)
+        .parquet(path + "/sigs")
+    )
+    stored = (
+        df.sparkSession.read.parquet(path + "/sigs")
+        .where(F.col(_STORE_BATCH_COL) == batch_id)
+        .drop(_STORE_BATCH_COL)
+    )
+    (
+        _band_rows(stored, k, bands)
+        .select("*", stamp)
+        .write.mode("append")
+        .partitionBy(_STORE_BATCH_COL)
+        .parquet(path + "/bands")
+    )
+    _store_manifest_publish(path, batch_id)
 
 
 def minhash_probe_store(
@@ -2244,14 +2358,15 @@ def minhash_probe_store(
     (band, bucket) keys — the batch side is tiny, the store side
     arrives pre-sketched from parquet, and verification joins fetch
     signatures for candidates only. The batch's signatures are cached
-    for the returned plan's lifetime; a long-lived session probing
-    many batches should unpersist between batches (the bench's
-    persistent-RDD sweep, or ``spark.catalog.clearCache()``) after
-    materializing each result."""
+    for the result plan's lifetime and RELEASED automatically when the
+    next probe (of any persisted-store tier) starts; see
+    :func:`containment_probe_store` and :func:`containment_probe_release`
+    for the lifecycle."""
     import json
     import os
 
     spark = new_df.sparkSession
+    containment_probe_release()  # at most ONE cached probe batch
     try:
         with open(os.path.join(path, "_meta.json")) as fh:
             meta = json.load(fh)
@@ -2268,8 +2383,15 @@ def minhash_probe_store(
     new_sig = minhash_signature_array(
         shingle_arrays(new_df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
     ).cache()
-    store_sig = spark.read.parquet(path + "/sigs")
-    store_bands = spark.read.parquet(path + "/bands")
+    _PROBE_CACHE.append(new_sig)
+    if meta is None and not os.path.exists(_store_manifest_path(path)):
+        # legacy unmanaged layout (no meta, no manifest): raw reads,
+        # caller owns both parameter AND layout discipline
+        store_sig = spark.read.parquet(path + "/sigs")
+        store_bands = spark.read.parquet(path + "/bands")
+    else:
+        store_sig = _store_read_committed(spark, path, "sigs")
+        store_bands = _store_read_committed(spark, path, "bands")
     new_bands = _band_rows(new_sig, k, bands)
     left = store_bands.select(
         F.col("doc_id").alias("d1"), "band", "bucket", F.lit(True).alias("d1_in_store")
@@ -2311,21 +2433,17 @@ def minhash_store_append(df: DataFrame, path: str, text_col: str, id_col: str) -
     (read from ``_meta.json`` — the caller cannot desynchronize them).
     This is the write half of the incremental loop: probe → drop
     duplicates → append the admitted remainder; the next batch then
-    sees this one as part of the corpus. Parquet append only —
-    snapshots of the store itself can ride a VersionedTable when
-    atomic cutover between store versions is needed."""
+    sees this one as part of the corpus. The batch lands under a fresh
+    ``batch=`` partition and becomes visible only with the trailing
+    atomic manifest publish — a retry after a mid-write crash re-lands
+    cleanly instead of duplicating signature rows
+    (:func:`minhash_store_vacuum` reclaims the orphan)."""
     import json
     import os
 
     with open(os.path.join(path, "_meta.json")) as fh:
         meta = json.load(fh)
-    sig = minhash_signature_array(
-        shingle_arrays(df, text_col, id_col, meta["n"]).where(
-            F.size("sh_arr") > 0
-        ),
-        meta["k"],
-    ).cache()
-    sig.write.mode("append").parquet(path + "/sigs")
-    _band_rows(sig, meta["k"], meta["bands"]).write.mode("append").parquet(
-        path + "/bands"
+    _store_manifest(path)  # refuse to extend an uncommitted store
+    _minhash_store_write(
+        df, path, text_col, id_col, meta["n"], meta["k"], meta["bands"]
     )

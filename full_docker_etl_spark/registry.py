@@ -48,22 +48,24 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything every round. Round-15 window (50 slots), executing the
 # ROUND-15 PLAN written into the r14 freeze (per VERDICT r13 #8) and
 # computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
-# FIRST the r10-stale tier (dedup_exact .. win_running_total — 35 rows
-# sat at r10 after r14; the 23 of them not already FORCE_NEXT'd lead the
-# window by staleness, including the planned degenerate-input-batch rows
-# sample_hash_split / sample_leakage_safe_split / sample_pack_sequences /
-# text_tfidf that are ALSO semantics-forced);
+# FIRST the r10-stale tier (dedup_exact .. text_repetition — 35 rows
+# sat at r10 after r14; the 21 of them not FORCE_NEXT'd lead the
+# window by staleness);
 # THEN the FORCE_NEXT rows (see the tuple below): the round-14
-# post-window degenerate-input/as-of/xlsx hardening batch, plus this
+# post-window degenerate-input/as-of/xlsx hardening batch, this
 # round's duplicate-key-contract change to update_columns
 # (incr_status_flag, sink_versioned_update — green r14 evidence
-# predates the raise-on-duplicates semantics);
+# predates the raise-on-duplicates semantics), and this round's
+# store-atomicity/admitter changes (text_substring_incremental,
+# stream_quota_admit);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
-# sketch queries; dedup_containment_incremental_recall also carries
-# this round's atomic batch-partitioned store manifest end-to-end).
-# After this round no query's latest external evidence is older than
-# r11 (the r10 tier clears; the r11 tier leads the r16 window).
+# sketch queries; dedup_containment_incremental_recall and
+# dedup_incremental_recall also carry this round's atomic
+# batch-partitioned store manifests end-to-end).
+# After this round only two r10 rows remain (text_substring_dedup,
+# text_substring_dedup_apply — displaced by the late FORCE_NEXT
+# additions; they lead the r16 window), then the r11 tier.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -84,8 +86,15 @@ FORCE_NEXT: tuple[str, ...] = (
     # (b) round 15's update_columns duplicate-key contract change
     #     (raise instead of dropDuplicates, both tiers):
     #     incr_status_flag (module tier), sink_versioned_update
-    #     (warehouse tier). The containment-store atomicity change is
-    #     covered by the pinned dedup_containment_incremental_recall.
+    #     (warehouse tier);
+    # (c) round 15's persisted-store atomicity retrofit (batch
+    #     partitions + atomic manifest for the containment, MinHash
+    #     and substring stores) and the quota admitter's
+    #     fold-per-chunk rewrite: text_substring_incremental
+    #     (substring store serving path), stream_quota_admit. The
+    #     containment/minhash store changes are otherwise covered by
+    #     the pinned dedup_containment_incremental_recall /
+    #     dedup_incremental_recall verdict rows.
     # RESET to () when rotating for round 16 if the r15 window sampled
     # these on the post-change code.
     "text_tfidf",
@@ -100,6 +109,8 @@ FORCE_NEXT: tuple[str, ...] = (
     "xlsx_scan",
     "incr_status_flag",
     "sink_versioned_update",
+    "text_substring_incremental",
+    "stream_quota_admit",
 )
 
 _SAMPLE_ORDER: tuple[str, ...] = (
@@ -124,8 +135,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_lm_perplexity",
     "text_quality",
     "text_repetition",
-    "text_substring_dedup",
-    "text_substring_dedup_apply",
     "sink_versioned_update",
     "incr_status_flag",
     "sample_hash_split",
@@ -138,6 +147,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "xlsx_scan",
     "join_asof",
     "text_chunk_windows",
+    "text_substring_incremental",
+    "stream_quota_admit",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -154,7 +165,8 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_containment_lsh_recall",
     "dedup_containment_incremental_recall",
     # ---- window boundary (50) ----
-    "text_substring_incremental",
+    "text_substring_dedup",
+    "text_substring_dedup_apply",
     "text_tokens",
     "union_by_name",
     "win_lag_change",
@@ -212,7 +224,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_balanced_shards",
     "sample_epoch_shuffle",
     "sample_negatives",
-    "stream_quota_admit",
     "text_bpe_merges",
     "text_bpe_tokenize",
     "text_pii_scrub",

@@ -492,18 +492,18 @@ def test_containment_store_append_crash_retry_no_double_count(
     D.containment_store_build(half_a, path, "text", "doc_id")
 
     # crash the append AFTER all three data writes, BEFORE the publish
-    real_publish = D._containment_manifest_publish
+    real_publish = D._store_manifest_publish
 
     def boom(p, batch_id):
         raise RuntimeError("simulated crash before manifest publish")
 
-    monkeypatch.setattr(D, "_containment_manifest_publish", boom)
+    monkeypatch.setattr(D, "_store_manifest_publish", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         D.containment_store_append(half_b, path, "text", "doc_id")
-    monkeypatch.setattr(D, "_containment_manifest_publish", real_publish)
+    monkeypatch.setattr(D, "_store_manifest_publish", real_publish)
 
     # the orphan partitions exist on disk but no probe can see them
-    committed = set(D._containment_manifest(path))
+    committed = set(D._store_manifest(path))
     on_disk = {
         e.split("=", 1)[1]
         for e in os.listdir(os.path.join(path, "counts"))
@@ -528,16 +528,16 @@ def test_containment_store_append_crash_retry_no_double_count(
             for e in os.listdir(os.path.join(path, table))
             if e.startswith("batch=")
         }
-        assert left == set(D._containment_manifest(path))
+        assert left == set(D._store_manifest(path))
     got2 = norm(D.containment_probe_store(batch, path, "text", "doc_id").collect())
     assert got2 == want
 
     # a store whose BUILD died pre-publish refuses reads and appends
     dead = tempfile.mkdtemp(prefix="fde_cdead_") + "/store"
-    monkeypatch.setattr(D, "_containment_manifest_publish", boom)
+    monkeypatch.setattr(D, "_store_manifest_publish", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         D.containment_store_build(half_a, dead, "text", "doc_id")
-    monkeypatch.setattr(D, "_containment_manifest_publish", real_publish)
+    monkeypatch.setattr(D, "_store_manifest_publish", real_publish)
     with pytest.raises(FileNotFoundError, match="not a committed"):
         D.containment_probe_store(batch, dead, "text", "doc_id").collect()
     with pytest.raises(FileNotFoundError, match="not a committed"):
@@ -563,7 +563,7 @@ def test_containment_store_compact_folds_batches_same_results(spark):
     D.containment_store_append(
         df.where("doc_id % 10 not in (0, 1, 2)"), path, "text", "doc_id"
     )
-    assert len(D._containment_manifest(path)) == 3
+    assert len(D._store_manifest(path)) == 3
 
     def norm(rows):
         return {
@@ -579,7 +579,7 @@ def test_containment_store_compact_folds_batches_same_results(spark):
 
     displaced = D.containment_store_compact(spark, path)
     assert len(displaced) == 3
-    assert len(D._containment_manifest(path)) == 1
+    assert len(D._store_manifest(path)) == 1
 
     after = norm(D.containment_probe_store(batch, path, "text", "doc_id").collect())
     assert after == before
@@ -1190,10 +1190,11 @@ def test_substring_store_retry_cap_counts_each_doc_once(spark, tmp_path):
 
 
 def test_substring_store_missing_table_raises(spark, tmp_path):
-    """A MISSING store table directory (wrong path, or a compaction
-    crash between its swap renames) must raise loudly — silently
-    treating it as an empty corpus would admit every duplicate (fps)
-    or drop the occurrence cap (counts)."""
+    """A MISSING store table directory (wrong path, mangled store)
+    must raise loudly — silently treating it as an empty corpus would
+    admit every duplicate (fps) or drop the occurrence cap (counts).
+    A store with no manifest (a build that crashed before publishing)
+    must refuse reads the same way."""
     import shutil
 
     from full_docker_etl_spark.operators.dedup import (
@@ -1208,7 +1209,7 @@ def test_substring_store_missing_table_raises(spark, tmp_path):
     path = str(tmp_path / "mstore")
     substring_store_build(corpus, path, "text", "doc_id")
     shutil.rmtree(path + "/fps")
-    with pytest.raises(FileNotFoundError, match="compaction crashed"):
+    with pytest.raises(FileNotFoundError, match="table missing"):
         substring_probe_store(corpus, path, "text", "doc_id").collect()
     # a present-but-empty table is still the tolerated degenerate case
     import os
@@ -1216,30 +1217,79 @@ def test_substring_store_missing_table_raises(spark, tmp_path):
     os.makedirs(path + "/fps")
     spans = substring_probe_store(corpus, path, "text", "doc_id")
     assert spans.count() == 0
+    # an unpublished store (no manifest = crashed build) refuses reads
+    os.remove(path + "/_manifest.json")
+    with pytest.raises(FileNotFoundError, match="not a committed"):
+        substring_probe_store(corpus, path, "text", "doc_id").collect()
 
 
-def test_substring_store_compact_leftover_raises(spark, tmp_path):
-    """Compaction must refuse to run over a crashed prior compaction's
-    leftovers (``_gc``/``_new`` directories) and point at the
-    recovery, instead of renaming over them."""
+def test_substring_store_append_crash_retry_no_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15: the substring store's two appends (fps, then the
+    additive counts log) were non-atomic — a crash between them left a
+    half-admitted batch (fps without counts understates occurrence
+    totals), and a RETRY double-appended the log, overstating totals
+    so boilerplate-adjacent fingerprints cap early and real duplicated
+    spans silently vanish. With the manifest model, the crashed append
+    is invisible, the retry re-lands cleanly, and vacuum reclaims the
+    orphan."""
     import os
 
-    from full_docker_etl_spark.operators.dedup import (
-        substring_store_build,
-        substring_store_compact,
-    )
+    from full_docker_etl_spark.operators import dedup as D
 
+    base = " ".join(f"w{j}" for j in range(40))
     corpus = spark.createDataFrame(
-        [(1, " ".join(f"c{j}" for j in range(30)))],
+        [(1, base), (2, "x " + base + " y")],
         "doc_id long, text string",
     )
-    path = str(tmp_path / "lstore")
-    substring_store_build(corpus, path, "text", "doc_id")
-    os.makedirs(path + "/counts_gc")
-    with pytest.raises(RuntimeError, match="crashed mid-run"):
-        substring_store_compact(spark, path)
-    os.rmdir(path + "/counts_gc")
-    assert substring_store_compact(spark, path)["after"]["counts"] == 1
+    batch = spark.createDataFrame(
+        [(9, "z " + base + " q")], "doc_id long, text string"
+    )
+    # reference: crash-free build+append
+    ref = str(tmp_path / "ref")
+    D.substring_store_build(corpus.where("doc_id = 1"), ref, "text", "doc_id")
+    D.substring_store_append(corpus.where("doc_id = 2"), ref, "text", "doc_id")
+    want = {
+        (r.d1, r.d2, r.d1_pos, r.d2_pos, r.span_tokens)
+        for r in D.substring_probe_store(batch, ref, "text", "doc_id").collect()
+    }
+    assert want  # the planted shared span is found
+
+    path = str(tmp_path / "crash")
+    D.substring_store_build(corpus.where("doc_id = 1"), path, "text", "doc_id")
+    real_publish = D._store_manifest_publish
+
+    def boom(p, batch_id):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(D, "_store_manifest_publish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        D.substring_store_append(corpus.where("doc_id = 2"), path, "text", "doc_id")
+    monkeypatch.setattr(D, "_store_manifest_publish", real_publish)
+
+    # retried append: probe equals the crash-free store exactly
+    D.substring_store_append(corpus.where("doc_id = 2"), path, "text", "doc_id")
+    got = {
+        (r.d1, r.d2, r.d1_pos, r.d2_pos, r.span_tokens)
+        for r in D.substring_probe_store(batch, path, "text", "doc_id").collect()
+    }
+    assert got == want
+
+    # exactly one orphan (the crashed append); vacuum reclaims it
+    committed = set(D._store_manifest(path))
+    on_disk = {
+        e.split("=", 1)[1]
+        for e in os.listdir(path + "/counts")
+        if e.startswith("batch=")
+    }
+    assert len(on_disk - committed) == 1
+    assert set(D.substring_store_vacuum(path)) == on_disk - committed
+    got2 = {
+        (r.d1, r.d2, r.d1_pos, r.d2_pos, r.span_tokens)
+        for r in D.substring_probe_store(batch, path, "text", "doc_id").collect()
+    }
+    assert got2 == want
 
 
 def test_substring_store_probe_prunes_buckets(spark, tmp_path):
