@@ -2427,6 +2427,35 @@ def minhash_probe_store(
     )
 
 
+def minhash_store_compact(spark: SparkSession, path: str) -> list[str]:
+    """Fold every committed MinHash-store batch into ONE (the
+    small-file reclaim after many incremental appends — same model as
+    :func:`containment_store_compact` / :func:`substring_store_compact`):
+    both tables rewrite under a fresh batch id and the manifest
+    REPLACE publishes atomically, so a compaction that dies mid-write
+    leaves the store serving the old batches verbatim. Returns the
+    displaced batch ids after vacuuming them. No-op on a store with ≤1
+    committed batch."""
+    import uuid
+
+    old = _store_manifest(path)
+    if len(old) <= 1:
+        return []
+    batch_id = uuid.uuid4().hex[:12]
+    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
+    for table in _MINHASH_TABLES:
+        (
+            _store_read_committed(spark, path, table)
+            .select("*", stamp)
+            .write.mode("append")
+            .partitionBy(_STORE_BATCH_COL)
+            .parquet(f"{path}/{table}")
+        )
+    _store_manifest_write(path, [batch_id])
+    _store_vacuum(path, _MINHASH_TABLES)
+    return list(old)
+
+
 def minhash_store_append(df: DataFrame, path: str, text_col: str, id_col: str) -> None:
     """Admit a batch into an existing sketch store: append its
     signatures and band buckets using the STORE'S OWN parameters

@@ -1778,6 +1778,74 @@ def test_minhash_store_probe_equals_batch_restricted_full_pairs(
     assert got == expected
 
 
+def test_minhash_store_crash_retry_and_compact(spark, docs, tmp_path, monkeypatch):
+    """Round-15: the MinHash store's two appends (/sigs, /bands) were
+    non-atomic — a crash between them left a batch visible in
+    verification but unfindable as a candidate, and a retry duplicated
+    signature rows (fanning the verify joins into duplicated pairs).
+    With the manifest model the crashed append is invisible, the retry
+    probes identically to a crash-free store, vacuum reclaims the
+    orphan, and compaction folds the batches without changing probe
+    results."""
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    s1 = docs.where(F.col("doc_id") % 5 == 1)
+    rest = docs.where("doc_id % 5 not in (0, 1)")
+
+    def norm(rows):
+        return {(min(r.d1, r.d2), max(r.d1, r.d2), r.est_jaccard) for r in rows}
+
+    ref = str(tmp_path / "ref")
+    D.minhash_store_build(s1, ref, "text", "doc_id")
+    D.minhash_store_append(rest, ref, "text", "doc_id")
+    want = norm(D.minhash_probe_store(batch, ref, "text", "doc_id").collect())
+    assert want
+
+    path = str(tmp_path / "crash")
+    D.minhash_store_build(s1, path, "text", "doc_id")
+    real_publish = D._store_manifest_publish
+
+    def boom(p, batch_id):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(D, "_store_manifest_publish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        D.minhash_store_append(rest, path, "text", "doc_id")
+    monkeypatch.setattr(D, "_store_manifest_publish", real_publish)
+
+    D.minhash_store_append(rest, path, "text", "doc_id")
+    rows = D.minhash_probe_store(batch, path, "text", "doc_id").collect()
+    assert norm(rows) == want
+    # the retry duplicated nothing: one row per (pair, orientation)
+    keys = [(r.d1, r.d2) for r in rows]
+    assert len(keys) == len(set(keys))
+
+    orphans = set(D.minhash_store_vacuum(path))
+    assert len(orphans) == 1
+    assert norm(
+        D.minhash_probe_store(batch, path, "text", "doc_id").collect()
+    ) == want
+
+    # compaction folds 2 committed batches into 1, probe unchanged
+    assert len(D._store_manifest(path)) == 2
+    displaced = D.minhash_store_compact(spark, path)
+    assert len(displaced) == 2
+    assert len(D._store_manifest(path)) == 1
+    for table in ("sigs", "bands"):
+        parts = [
+            e for e in os.listdir(os.path.join(path, table))
+            if e.startswith("batch=")
+        ]
+        assert len(parts) == 1
+    assert norm(
+        D.minhash_probe_store(batch, path, "text", "doc_id").collect()
+    ) == want
+    assert D.minhash_store_compact(spark, path) == []
+
+
 def test_pii_scrub_idempotent_and_lossless_on_clean_text(spark):
     """Scrubbing is IDEMPOTENT (placeholders match no pattern, so a
     second pass is a no-op) and the identity on already-clean text —
