@@ -587,33 +587,26 @@ def _containment_store_write(
     from pyspark import StorageLevel
 
     batch_id = uuid.uuid4().hex[:12]
-    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
+    # writes target the batch partition DIRECTORY directly (hive
+    # layout by path, discovered as the `batch` column on read) — the
+    # plain-committer fast path; a constant-valued partitionBy would
+    # route every write through the dynamic-partition committer for
+    # the same bytes on disk
     docs = _ensemble_docs(df, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    (
-        docs.select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL)
-        .parquet(path + "/docs")
-    )
+    docs.write.parquet(_store_batch_dir(path, "docs", batch_id))
     index = _ensemble_rows(docs, _ensemble_index_schemes(specs))
     bands = index.withColumn("side", F.lit("i")).unionByName(
         _ensemble_rows(docs, specs).withColumn("side", F.lit("p"))
     )
-    (
-        bands.select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL, "side")
-        .parquet(path + "/bands")
+    bands.write.partitionBy("side").parquet(
+        _store_batch_dir(path, "bands", batch_id)
     )
     (
         index.groupBy("p", "r", "band", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL)
-        .parquet(path + "/counts")
+        .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     docs.unpersist()
     _store_manifest_publish(path, batch_id)
@@ -623,6 +616,15 @@ def _store_manifest_path(path: str) -> str:
     import os
 
     return os.path.join(path, "_manifest.json")
+
+
+def _store_batch_dir(path: str, table: str, batch_id: str) -> str:
+    """The batch partition directory writes target directly: standard
+    hive layout (``<table>/batch=<id>``), so reads of the table root
+    discover ``batch`` as a partition column — without routing every
+    write through the dynamic-partition committer that a
+    constant-valued ``partitionBy`` would cost."""
+    return f"{path}/{table}/{_STORE_BATCH_COL}={batch_id}"
 
 
 def _store_manifest(path: str) -> list[str]:
@@ -749,29 +751,20 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     if len(old) <= 1:
         return []
     batch_id = uuid.uuid4().hex[:12]
-    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
     (
         _store_read_committed(spark, path, "docs")
-        .select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL)
-        .parquet(path + "/docs")
+        .write.parquet(_store_batch_dir(path, "docs", batch_id))
     )
     (
         _store_read_committed(spark, path, "bands")
-        .select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL, "side")
-        .parquet(path + "/bands")
+        .write.partitionBy("side")
+        .parquet(_store_batch_dir(path, "bands", batch_id))
     )
     (
         _store_read_committed(spark, path, "counts")
         .groupBy("p", "r", "band", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
-        .select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL)
-        .parquet(path + "/counts")
+        .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     # REPLACE the committed set (not extend): readers flip from the N
     # old batches to the one compacted batch in a single os.replace.
@@ -1214,22 +1207,15 @@ def _substring_store_write(
     import uuid
 
     batch_id = uuid.uuid4().hex[:12]
-    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
     fps = _bucketed_fps(df, text_col, id_col, n, n_buckets).cache()
     try:
-        (
-            fps.select("*", stamp)
-            .write.mode("append")
-            .partitionBy(_STORE_BATCH_COL, "bkt")
-            .parquet(path + "/fps")
+        fps.write.partitionBy("bkt").parquet(
+            _store_batch_dir(path, "fps", batch_id)
         )
         (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .select("*", stamp)
-            .write.mode("append")
-            .partitionBy(_STORE_BATCH_COL)
-            .parquet(path + "/counts")
+            .write.parquet(_store_batch_dir(path, "counts", batch_id))
         )
     finally:
         fps.unpersist()
@@ -1307,24 +1293,18 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
 
     before = {"fps": len(_files("fps")), "counts": len(_files("counts"))}
     batch_id = uuid.uuid4().hex[:12]
-    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
     (
         _read_store_table(spark, path, "counts")
         .groupBy("fp")
         .agg(F.sum("cnt").alias("cnt"))
         .coalesce(1)
-        .select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL)
-        .parquet(path + "/counts")
+        .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     (
         _read_store_table(spark, path, "fps")
         .repartition("bkt")
-        .select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL, "bkt")
-        .parquet(path + "/fps")
+        .write.partitionBy("bkt")
+        .parquet(_store_batch_dir(path, "fps", batch_id))
     )
     # REPLACE the committed set (not extend): readers flip from the N
     # old batches to the one folded batch in a single os.replace.
@@ -2306,27 +2286,16 @@ def _minhash_store_write(
     import uuid
 
     batch_id = uuid.uuid4().hex[:12]
-    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
     sig_arr = minhash_signature_array(
         shingle_arrays(df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
     )
-    (
-        sig_arr.select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL)
-        .parquet(path + "/sigs")
-    )
-    stored = (
-        df.sparkSession.read.parquet(path + "/sigs")
-        .where(F.col(_STORE_BATCH_COL) == batch_id)
-        .drop(_STORE_BATCH_COL)
-    )
-    (
-        _band_rows(stored, k, bands)
-        .select("*", stamp)
-        .write.mode("append")
-        .partitionBy(_STORE_BATCH_COL)
-        .parquet(path + "/bands")
+    sig_dir = _store_batch_dir(path, "sigs", batch_id)
+    sig_arr.write.parquet(sig_dir)
+    # read back THIS batch's directory only — the materialization
+    # boundary, without listing (or filtering) the other batches
+    stored = df.sparkSession.read.parquet(sig_dir)
+    _band_rows(stored, k, bands).write.parquet(
+        _store_batch_dir(path, "bands", batch_id)
     )
     _store_manifest_publish(path, batch_id)
 
@@ -2442,14 +2411,10 @@ def minhash_store_compact(spark: SparkSession, path: str) -> list[str]:
     if len(old) <= 1:
         return []
     batch_id = uuid.uuid4().hex[:12]
-    stamp = F.lit(batch_id).alias(_STORE_BATCH_COL)
     for table in _MINHASH_TABLES:
         (
             _store_read_committed(spark, path, table)
-            .select("*", stamp)
-            .write.mode("append")
-            .partitionBy(_STORE_BATCH_COL)
-            .parquet(f"{path}/{table}")
+            .write.parquet(_store_batch_dir(path, table, batch_id))
         )
     _store_manifest_write(path, [batch_id])
     _store_vacuum(path, _MINHASH_TABLES)
