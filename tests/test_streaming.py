@@ -451,6 +451,115 @@ def test_streaming_incremental_dedup_against_sketch_store(spark):
     assert len(family_admitted) <= 3, family_admitted
 
 
+def test_streaming_incremental_containment_dedup_loop(spark):
+    """The CONTAINMENT-store serving loop under Structured Streaming
+    (the asymmetric tier's admit loop): each micro-batch probes the
+    persisted LSH-Ensemble store, drops docs whose content contains /
+    is contained by an admitted doc (d2 is always the batch side for
+    cross pairs; batch×batch keeps the lower id), admits the rest and
+    APPENDS their sketches. Streaming must converge to the same
+    admitted set as the sequential batch-by-batch run (deterministic
+    hashes, same batch order), the quote docs must be dropped, and the
+    unique docs must all be admitted."""
+    import random
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import (
+        containment_probe_store,
+        containment_store_append,
+        containment_store_build,
+    )
+
+    rng = random.Random(11)
+    words = [f"v{i}" for i in range(600)]
+    bases = {
+        i: " ".join(rng.choice(words) for _ in range(30)) for i in range(5)
+    }
+    seeds = spark.createDataFrame(
+        [(1000 + i, bases[i]) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = []
+    for b in range(3):
+        for i in range(10):
+            doc_id = 100 * b + i
+            if i < 5:
+                # quotes seed i verbatim inside fresh padding — the
+                # short-in-long containment pair Jaccard misses
+                pad = " ".join(f"p{doc_id}_{j}" for j in range(6))
+                text = f"{pad} {bases[i]} q{doc_id}"
+            else:
+                text = " ".join(f"u{doc_id}_{j}" for j in range(40))
+            rows.append((doc_id, text, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string, batch int")
+    src = tempfile.mkdtemp(prefix="fde_scont_src_")
+    for b in range(3):
+        df.where(F.col("batch") == b).drop("batch").write.mode(
+            "append"
+        ).parquet(src)
+
+    def dup_ids_of(batch_df, store_root):
+        pairs = containment_probe_store(batch_df, store_root, "text", "doc_id")
+        # d2 is the batch side for cross pairs and the HIGHER id for
+        # batch×batch pairs (keep-first within a batch)
+        return pairs.select(F.col("d2").alias("doc_id")).distinct()
+
+    def run_sequential(store_root):
+        containment_store_build(seeds, store_root, "text", "doc_id")
+        admitted = set()
+        for b in range(3):
+            batch_df = df.where(F.col("batch") == b).drop("batch").cache()
+            keep = batch_df.join(
+                dup_ids_of(batch_df, store_root), "doc_id", "left_anti"
+            ).cache()
+            admitted |= {r.doc_id for r in keep.select("doc_id").collect()}
+            containment_store_append(keep, store_root, "text", "doc_id")
+            batch_df.unpersist()
+            keep.unpersist()
+        return admitted
+
+    def run_streamed(store_root):
+        containment_store_build(seeds, store_root, "text", "doc_id")
+        admitted = []
+
+        def apply_batch(batch_df, epoch_id):
+            batch_df = batch_df.cache()
+            keep = batch_df.join(
+                dup_ids_of(batch_df, store_root), "doc_id", "left_anti"
+            ).cache()
+            admitted.extend(r.doc_id for r in keep.select("doc_id").collect())
+            containment_store_append(keep, store_root, "text", "doc_id")
+            batch_df.unpersist()
+            keep.unpersist()
+
+        chk = tempfile.mkdtemp(prefix="fde_scont_chk_")
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream drain timed out"
+        return set(admitted)
+
+    streamed = run_streamed(tempfile.mkdtemp(prefix="fde_scont_a_") + "/s")
+    expected = run_sequential(tempfile.mkdtemp(prefix="fde_scont_b_") + "/s")
+
+    assert streamed == expected
+    unique_ids = {100 * b + i for b in range(3) for i in range(5, 10)}
+    assert unique_ids <= streamed
+    # quote docs collide with their seed's sketch; the ensemble's
+    # per-gap tuning targets 0.95 recall, so allow a small
+    # deterministic miss count out of the 15 planted quotes
+    quote_admitted = streamed - unique_ids
+    assert len(quote_admitted) <= 3, quote_admitted
+
+
 def test_streaming_incremental_substring_dedup_loop(spark):
     """The substring-store serving loop under Structured Streaming:
     each micro-batch probes the persisted fingerprint store for
