@@ -741,10 +741,12 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     and publishes a manifest naming only the new batch — the same
     atomic ``os.replace`` as build/append, so a compaction that dies
     mid-write leaves the store exactly as it was (the half-written
-    batch is an unpublished orphan). The displaced batches become
-    orphans; returns them (callers pass the list's disk back to
-    :func:`containment_store_vacuum`). No-op on a store with ≤1
-    committed batch."""
+    batch is an unpublished orphan). Returns the displaced batch ids
+    after vacuuming them (the shared compaction contract — see
+    :func:`minhash_store_compact` / :func:`substring_store_compact`;
+    a vacuum crash leaves only invisible garbage a later
+    :func:`containment_store_vacuum` reclaims). No-op on a store with
+    ≤1 committed batch."""
     import uuid
 
     old = _store_manifest(path)
@@ -769,6 +771,7 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     # REPLACE the committed set (not extend): readers flip from the N
     # old batches to the one compacted batch in a single os.replace.
     _store_manifest_write(path, [batch_id])
+    _store_vacuum(path, _CONTAINMENT_TABLES)
     return list(old)
 
 
