@@ -45,27 +45,29 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-15 window (50 slots), executing the
-# ROUND-15 PLAN written into the r14 freeze (per VERDICT r13 #8) and
-# computed by tools/next_window.py (stalest-first policy + FORCE_NEXT):
-# FIRST the r10-stale tier (dedup_exact .. text_repetition — 35 rows
-# sat at r10 after r14; the 21 of them not FORCE_NEXT'd lead the
-# window by staleness);
-# THEN the FORCE_NEXT rows (see the tuple below): the round-14
-# post-window degenerate-input/as-of/xlsx hardening batch, this
-# round's duplicate-key-contract change to update_columns
-# (incr_status_flag, sink_versioned_update — green r14 evidence
-# predates the raise-on-duplicates semantics), and this round's
-# store-atomicity/admitter changes (text_substring_incremental,
-# stream_quota_admit);
+# everything every round. Round-16 window (50 slots), computed by
+# tools/next_window.py (stalest-first policy; FORCE_NEXT empty this
+# round) from the r01..r15 evidence union, whose staleness histogram at
+# the r15 freeze was {r10: 9, r11: 27, r12: 31, r13: 31, r14: 33,
+# r15: 50} (the r14 comment's "only two r10 rows remain" undercounted
+# — NINE r10 rows remained, and they lead this window):
+# FIRST the nine r10-stale rows (text_substring_dedup,
+# text_substring_dedup_apply, text_tokens, union_by_name, and the five
+# win_* rows);
+# THEN 26 of the 27 r11-stale rows (agg_approx_percentiles ..
+# text_normalize in registration order; dedup_minhash is the one r11
+# row the pinned tier displaces — it opens the post-boundary order and
+# leads the r17 window);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
-# sketch queries; dedup_containment_incremental_recall and
-# dedup_incremental_recall also carry this round's atomic
-# batch-partitioned store manifests end-to-end).
-# After this round only two r10 rows remain (text_substring_dedup,
-# text_substring_dedup_apply — displaced by the late FORCE_NEXT
-# additions; they lead the r16 window), then the r11 tier.
+# sketch queries).
+# ROUND-17 PLAN (arithmetic verified against next_window.py at the r16
+# freeze): after r16 the staleness histogram is {r11: 1, r12: 31,
+# r13: 31, r14: 33, r15: 35, r16: 50}; the r17 window is dedup_minhash
+# (the lone r11 row) + the full 31-row r12 tier + the first 3 r13 rows
+# (registration order) + the 15 pinned rows. Run
+# tools/next_window.py --check before the r17 freeze; it must print
+# exactly that window.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -75,96 +77,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (a green sample of code that no longer exists proves nothing).
 # RESET this tuple when rotating for the round AFTER the changes ship.
 FORCE_NEXT: tuple[str, ...] = (
-    # The r14 FORCE_NEXT entries all drew fresh r14 evidence on
-    # post-change code (verified by tools/next_window.py --check), so
-    # the tuple was reset and refilled for round 15 with:
-    # (a) the round-14 POST-WINDOW hardening batches (shipped after the
-    #     r14 window froze, so their r10/r11 evidence predates the
-    #     change): NULL/empty degenerate-input guards in the text and
-    #     sampling operators, the struct-packed as-of fill + NULL-ts
-    #     exclusion in temporal joins, and the xlsx cell-hygiene fixes;
-    # (b) round 15's update_columns duplicate-key contract change
-    #     (raise instead of dropDuplicates, both tiers):
-    #     incr_status_flag (module tier), sink_versioned_update
-    #     (warehouse tier);
-    # (c) round 15's persisted-store atomicity retrofit (batch
-    #     partitions + atomic manifest for the containment, MinHash
-    #     and substring stores) and the quota admitter's
-    #     fold-per-chunk rewrite: text_substring_incremental
-    #     (substring store serving path), stream_quota_admit. The
-    #     containment/minhash store changes are otherwise covered by
-    #     the pinned dedup_containment_incremental_recall /
-    #     dedup_incremental_recall verdict rows.
-    # RESET to () when rotating for round 16 if the r15 window sampled
-    # these on the post-change code.
-    "text_tfidf",
-    "text_bm25",
-    "text_chunk_windows",
-    "sample_pack_sequences",
-    "sample_temperature_mix",
-    "sample_temperature_upsample",
-    "sample_hash_split",
-    "sample_leakage_safe_split",
-    "join_asof",
-    "xlsx_scan",
-    "incr_status_flag",
-    "sink_versioned_update",
-    "text_substring_incremental",
-    "stream_quota_admit",
+    # RESET for round 16: all 14 r15 FORCE_NEXT rows drew fresh r15
+    # evidence ON the post-change code (the r15 window sampled them
+    # after the duplicate-key contract, store-atomicity retrofit and
+    # admitter rewrite shipped — verified by tools/next_window.py
+    # --check against CORRECTNESS_r15.json). Refill with any query
+    # whose SEMANTICS change during round 16 before freezing.
 )
 
 _SAMPLE_ORDER: tuple[str, ...] = (
-    "dedup_exact",
-    "dedup_natural_key",
-    "embed_norm",
-    "fn_coalesce_cast",
-    "fn_compact",
-    "fn_dates",
-    "fn_rupiah",
-    "fn_safe_div",
-    "fn_strings",
-    "fn_to_json",
-    "join_range",
-    "mm_decode_meta",
-    "paginate",
-    "sample_quota_per_source",
-    "sink_versioned_delete_dv",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_langid",
-    "text_lm_perplexity",
-    "text_quality",
-    "text_repetition",
-    "sink_versioned_update",
-    "incr_status_flag",
-    "sample_hash_split",
-    "sample_leakage_safe_split",
-    "sample_pack_sequences",
-    "text_tfidf",
-    "sample_temperature_mix",
-    "sample_temperature_upsample",
-    "text_bm25",
-    "xlsx_scan",
-    "join_asof",
-    "text_chunk_windows",
-    "text_substring_incremental",
-    "stream_quota_admit",
-    "ann_ivf_recall",
-    "ann_ivf_kmeans_recall",
-    "ann_lsh_recall",
-    "ann_ivf_sq_recall",
-    "ann_ivf_pq_recall",
-    "ann_ivf_serve_consistency",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "dedup_incremental_recall",
-    "text_compression_verdict",
-    "join_fuzzy_recall",
-    "dedup_semantic_verdict",
-    "dedup_containment_lsh_recall",
-    "dedup_containment_incremental_recall",
-    # ---- window boundary (50) ----
     "text_substring_dedup",
     "text_substring_dedup_apply",
     "text_tokens",
@@ -200,6 +121,22 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "sample_importance_dsir",
     "sample_token_budget",
     "text_normalize",
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "ann_ivf_sq_recall",
+    "ann_ivf_pq_recall",
+    "ann_ivf_serve_consistency",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    "text_compression_verdict",
+    "join_fuzzy_recall",
+    "dedup_semantic_verdict",
+    "dedup_containment_lsh_recall",
+    "dedup_containment_incremental_recall",
+    # ---- window boundary (50) ----
     "dedup_minhash",
     "agg_count_distinct",
     "agg_multigrain",
@@ -296,6 +233,41 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_embedding",
     "dedup_semantic",
     "text_compression",
+    "dedup_exact",
+    "dedup_natural_key",
+    "embed_norm",
+    "fn_coalesce_cast",
+    "fn_compact",
+    "fn_dates",
+    "fn_rupiah",
+    "fn_safe_div",
+    "fn_strings",
+    "fn_to_json",
+    "incr_status_flag",
+    "join_asof",
+    "join_range",
+    "mm_decode_meta",
+    "paginate",
+    "sample_hash_split",
+    "sample_leakage_safe_split",
+    "sample_pack_sequences",
+    "sample_quota_per_source",
+    "sample_temperature_mix",
+    "sample_temperature_upsample",
+    "sink_versioned_delete_dv",
+    "sink_versioned_update",
+    "stream_quota_admit",
+    "text_bm25",
+    "text_chunk_windows",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_perplexity",
+    "text_quality",
+    "text_repetition",
+    "text_substring_incremental",
+    "text_tfidf",
+    "xlsx_scan",
 )
 
 
