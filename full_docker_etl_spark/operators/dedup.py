@@ -197,6 +197,7 @@ def _ensemble_gap_specs(
     k: int,
     target_recall: float,
     floor_recall: float,
+    max_gap: int | None = None,
 ) -> list[tuple[int, int, int]]:
     """Per-size-partition-gap band tuning for :func:`containment_lsh_pairs`
     (the LSH Ensemble construction, Zhu et al., VLDB 2016): documents are
@@ -218,10 +219,22 @@ def _ensemble_gap_specs(
     covered gap are this tier's documented truncation (the exact
     :func:`containment_pairs` tier has no such cutoff; SCALE.md).
 
+    ``max_gap`` makes that cutoff an explicit contract instead of a
+    derived one: when given, gaps 0..max_gap are covered and nothing
+    beyond — a cap BELOW the floor-derived bound trades recall range
+    for fewer probe rows (cost control), a cap ABOVE it extends
+    coverage best-effort with all k bands at r=1, accepting whatever
+    worst-case recall 1-(1-J_min(gap))^k decays to (the
+    tweet-quoted-in-book shape: at t=0.9, k=32 that is ~0.56 at gap 4,
+    ~0.33 at gap 5 — better than the silent 0.0 of a truncated gap,
+    and the caller opted in). ``max_gap=None`` (default) keeps the
+    floor-derived bound.
+
     Pure driver-side arithmetic on parameters — no data touched.
     Returns [(gap, r, n_bands), ...]; at the defaults (t=0.9, k=32,
-    target 0.95, floor 0.8) this is [(0,2,15), (1,1,13), (2,1,26),
-    (3,1,32)] — ratio-16+ pairs are past the cutoff."""
+    target 0.95, floor 0.8, max_gap None) this is [(0,2,15), (1,1,13),
+    (2,1,26), (3,1,32)] — size-ratio-16+ pairs (gap ≥ 4) are past the
+    cutoff."""
     import math
 
     # The floor is what terminates the gap loop (achievable recall is
@@ -235,10 +248,12 @@ def _ensemble_gap_specs(
             "need 0 < floor_recall <= target_recall < 1, got "
             f"floor={floor_recall}, target={target_recall}"
         )
+    if max_gap is not None and max_gap < 0:
+        raise ValueError(f"max_gap must be >= 0 or None, got {max_gap}")
 
     specs: list[tuple[int, int, int]] = []
     gap = 0
-    while True:
+    while max_gap is None or gap <= max_gap:
         j_min = threshold / (1.0 + 2.0 ** (gap + 1) - threshold)
         chosen = None
         for r in (8, 4, 2, 1):
@@ -246,17 +261,24 @@ def _ensemble_gap_specs(
             if p_band >= 1.0:  # degenerate (threshold ~1, gap 0)
                 chosen = (r, 1)
                 break
+            if p_band == 0.0:  # underflow at wide max_gap: r hopeless
+                continue
+            # log1p, not log(1-p): at wide gaps (max_gap extension)
+            # j_min^r underflows 1-p to 1.0 and log(1.0)=0 divides by
+            # zero, where log1p keeps the tiny negative magnitude
             b_needed = math.ceil(
-                math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+                math.log(1.0 - target_recall) / math.log1p(-p_band)
             )
             if b_needed <= k // r:
                 chosen = (r, b_needed)
                 break
         if chosen is None:
             # best-effort tail: all k bands at r=1, while worst-case
-            # recall 1-(1-J)^k still clears the floor
+            # recall 1-(1-J)^k still clears the floor — unless the
+            # caller pinned max_gap, which overrides the floor cutoff
+            # (explicit opt-in to decayed recall at wide gaps)
             achievable = 1.0 - (1.0 - j_min) ** k
-            if achievable < floor_recall:
+            if max_gap is None and achievable < floor_recall:
                 break
             chosen = (1, k)
         specs.append((gap, chosen[0], chosen[1]))
@@ -391,6 +413,7 @@ def containment_lsh_pairs(
     target_recall: float = 0.95,
     floor_recall: float = 0.8,
     max_bucket: int = 200,
+    max_gap: int | None = None,
 ) -> DataFrame:
     """LSH Ensemble sketch tier for ASYMMETRIC containment dedup
     (Zhu et al., VLDB 2016) — the sub-quadratic candidate generator for
@@ -422,13 +445,18 @@ def containment_lsh_pairs(
     document-frequency pass by design (that pass IS the exact tier's
     shuffle), so the ``max_df`` posting filter does not apply. Pairs
     with size ratio beyond the last covered gap (16x at the defaults)
-    are the tier's documented truncation; SCALE.md.
+    are the tier's documented truncation; ``max_gap`` pins that cutoff
+    explicitly — raise it to chase wider-ratio pairs
+    (tweet-quoted-in-book) at best-effort recall, lower it to shed
+    probe rows; see :func:`_ensemble_gap_specs` and SCALE.md.
 
     Returns (d1, d2, shared, n1, n2, c1, c2), d1 < d2 — the
     :func:`containment_pairs` contract."""
     from pyspark import StorageLevel
 
-    specs = _ensemble_gap_specs(threshold, k, target_recall, floor_recall)
+    specs = _ensemble_gap_specs(
+        threshold, k, target_recall, floor_recall, max_gap
+    )
 
     # One corpus scan feeds four consumers (index bands, probe bands,
     # both verify sides) — persisted SERIALIZED with disk spill: the
@@ -493,6 +521,7 @@ def containment_store_build(
     target_recall: float = 0.95,
     floor_recall: float = 0.8,
     max_bucket: int = 200,
+    max_gap: int | None = None,
 ) -> None:
     """Build the PERSISTENT LSH-Ensemble store for INCREMENTAL
     containment dedup — the :func:`minhash_store_build` pattern applied
@@ -541,12 +570,15 @@ def containment_store_build(
                 "n": n, "k": k, "threshold": threshold,
                 "target_recall": target_recall,
                 "floor_recall": floor_recall, "max_bucket": max_bucket,
+                "max_gap": max_gap,
             },
             fh,
         )
     _containment_store_write(
         df, path, text_col, id_col, n, k,
-        _ensemble_gap_specs(threshold, k, target_recall, floor_recall),
+        _ensemble_gap_specs(
+            threshold, k, target_recall, floor_recall, max_gap
+        ),
     )
 
 
@@ -780,7 +812,12 @@ def _containment_store_meta(path: str) -> dict:
     import os
 
     with open(os.path.join(path, "_meta.json")) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # Stores persisted before the max_gap contract existed carry no
+    # such key; absent means the floor-derived cutoff (None) — the
+    # exact specs those stores were sketched with.
+    meta.setdefault("max_gap", None)
+    return meta
 
 
 def containment_store_append(
@@ -804,6 +841,7 @@ def containment_store_append(
         _ensemble_gap_specs(
             meta["threshold"], meta["k"],
             meta["target_recall"], meta["floor_recall"],
+            meta["max_gap"],
         ),
     )
 
@@ -838,6 +876,7 @@ def containment_probe_store(
     target_recall: float = 0.95,
     floor_recall: float = 0.8,
     max_bucket: int = 200,
+    max_gap: int | None = None,
 ) -> DataFrame:
     """Probe a :func:`containment_store_build` store with a NEW batch:
     candidates are (batch probes → store ∪ batch index) plus (store
@@ -875,6 +914,7 @@ def containment_probe_store(
         "n": n, "k": k, "threshold": threshold,
         "target_recall": target_recall,
         "floor_recall": floor_recall, "max_bucket": max_bucket,
+        "max_gap": max_gap,
     }
     if meta != called:
         raise ValueError(
@@ -883,7 +923,9 @@ def containment_probe_store(
             "with different parameters are incomparable (the probe "
             "would silently return zero candidates)"
         )
-    specs = _ensemble_gap_specs(threshold, k, target_recall, floor_recall)
+    specs = _ensemble_gap_specs(
+        threshold, k, target_recall, floor_recall, max_gap
+    )
     batch = _ensemble_docs(new_df, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -317,6 +317,82 @@ def test_containment_lsh_ensemble_gap_specs():
         kw = dict(threshold=t, target=target, floor=floor) | bad
         with pytest.raises(ValueError):
             _ensemble_gap_specs(kw["threshold"], k, kw["target"], kw["floor"])
+    # max_gap pins the cutoff explicitly: below the floor-derived bound
+    # it truncates (a prefix of the default specs — covered gaps keep
+    # their tuning), above it it extends best-effort with all k bands
+    # at r=1 (recall decays below the floor by construction; the
+    # caller opted in)
+    assert _ensemble_gap_specs(t, k, target, floor, max_gap=1) == specs[:2]
+    wide = _ensemble_gap_specs(t, k, target, floor, max_gap=6)
+    assert [g for g, _, _ in wide] == [0, 1, 2, 3, 4, 5, 6]
+    assert wide[: len(specs)] == specs
+    assert all((r, b) == (1, k) for _, r, b in wide[len(specs):])
+    for gap, r, b in wide[len(specs):]:
+        j = t / (1 + 2 ** (gap + 1) - t)
+        assert 1 - (1 - j**r) ** b < floor  # genuinely past the floor
+    with pytest.raises(ValueError):
+        _ensemble_gap_specs(t, k, target, floor, max_gap=-1)
+
+
+def test_containment_lsh_max_gap_truncation_contract(spark):
+    """The documented size-ratio cutoff, pinned with planted pairs PAST
+    it: short docs fully quoted inside pages with a >16x shingle-set
+    size ratio (gap >= 4 at the defaults). The default ensemble must
+    MISS them (the documented truncation — a probe only targets gaps
+    0..3), the exact :func:`containment_pairs` tier must find them (it
+    has no cutoff), and re-running the sketch with ``max_gap=5`` must
+    recover them (best-effort wide-gap coverage; detection probability
+    ~0.93 per pair at these sizes, deterministic here because xxhash64
+    and the corpus are fixed)."""
+    import random
+
+    from full_docker_etl_spark.operators.dedup import (
+        containment_lsh_pairs,
+        containment_pairs,
+    )
+
+    rng = random.Random(21)
+    words = [f"w{i}" for i in range(4000)]
+    rows = []
+    for d in range(3):  # short docs: ~46 distinct shingles (p=5)
+        rows.append(
+            (d, " ".join(rng.choice(words) for _ in range(50)))
+        )
+    for i in range(3):  # giant pages quoting doc i: >=1100 shingles
+        filler = " ".join(rng.choice(words) for _ in range(1100))
+        rows.append((100 + i, rows[i][1] + " " + filler))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_shingles(t):
+        toks = t.split()
+        return len({" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)})
+
+    import math
+
+    for i in range(3):  # the plant really is past the covered range
+        gap = math.floor(math.log2(n_shingles(rows[3 + i][1]))) - \
+            math.floor(math.log2(n_shingles(rows[i][1])))
+        assert gap >= 4, (i, gap)
+
+    planted = {(i, 100 + i) for i in range(3)}
+    default_pairs = {
+        (r.d1, r.d2)
+        for r in containment_lsh_pairs(df, "text", "doc_id").collect()
+    }
+    assert default_pairs & planted == set()  # documented truncation
+    exact_pairs = {
+        (r.d1, r.d2)
+        for r in containment_pairs(df, "text", "doc_id").collect()
+    }
+    assert planted <= exact_pairs  # the exact tier has no cutoff
+    wide_pairs = {
+        (r.d1, r.d2)
+        for r in containment_lsh_pairs(
+            df, "text", "doc_id", max_gap=5
+        ).collect()
+    }
+    assert planted <= wide_pairs  # max_gap recovers the wide-ratio pairs
+    assert wide_pairs <= exact_pairs  # precision still 1.0 (verified)
 
 
 def test_containment_lsh_finds_planted_quotations_values_exact(spark):
@@ -368,6 +444,54 @@ def test_containment_lsh_finds_planted_quotations_values_exact(spark):
     for i in range(10):
         assert (i, 100 + i) in got and got[(i, 100 + i)][3] == 1.0
         assert (i + 1, 100 + i) in got
+
+
+def test_containment_store_max_gap_meta_roundtrip(spark):
+    """max_gap is part of the sketch-parameter contract: a store built
+    with it persists it in _meta.json (append re-derives the same
+    specs; a probe with a different max_gap raises the loud mismatch),
+    and a store persisted BEFORE the knob existed (no max_gap key in
+    its meta) reads as the floor-derived default — the exact specs it
+    was sketched with — so pre-upgrade stores stay probe-able."""
+    import json
+    import os
+    import random
+    import tempfile
+
+    from full_docker_etl_spark.operators.dedup import (
+        containment_probe_store,
+        containment_store_append,
+        containment_store_build,
+    )
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(500)]
+    rows = [
+        (d, " ".join(rng.choice(words) for _ in range(60)))
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store, batch = df.where("doc_id < 15"), df.where("doc_id >= 15")
+
+    path = tempfile.mkdtemp(prefix="fde_cgap_") + "/store"
+    containment_store_build(store, path, "text", "doc_id", max_gap=5)
+    assert json.load(open(os.path.join(path, "_meta.json")))["max_gap"] == 5
+    containment_store_append(batch, path, "text", "doc_id")
+    with pytest.raises(ValueError, match="sketch-parameter mismatch"):
+        containment_probe_store(batch, path, "text", "doc_id").collect()
+    containment_probe_store(
+        batch, path, "text", "doc_id", max_gap=5
+    ).collect()
+
+    # pre-upgrade store: strip the key from its meta; probe at the
+    # defaults (max_gap=None) must still validate and run
+    old = tempfile.mkdtemp(prefix="fde_cgap_old_") + "/store"
+    containment_store_build(store, old, "text", "doc_id")
+    mpath = os.path.join(old, "_meta.json")
+    meta = json.load(open(mpath))
+    del meta["max_gap"]
+    json.dump(meta, open(mpath, "w"))
+    containment_probe_store(batch, old, "text", "doc_id").collect()
 
 
 def test_containment_store_probe_equals_batch_restricted_full_pairs(spark):
