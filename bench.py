@@ -34,6 +34,32 @@ import tempfile
 import time
 
 
+def host_snapshot() -> dict:
+    """Contention evidence stamped INTO the artifact: the r14 and r15
+    driver bench runs both landed in sessions where host-level load
+    (no engine process of ours) moved identical code 10-20%; the
+    adjudication lived in SCALE.md narrative. Recording the 1-minute
+    load average plus the kernel's CPU pressure-stall averages
+    (PSI avg60: fraction of the last 60 s any task was runnable but
+    not running) at bench start and end makes the
+    contaminated-session call a recorded field. Best-effort: absent
+    fields mean the facility isn't available, never an error."""
+    snap: dict = {}
+    try:
+        snap["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/pressure/cpu") as fh:
+            fields = dict(
+                kv.split("=") for kv in fh.readline().split()[1:]
+            )
+        snap["psi_cpu_some_avg60"] = float(fields["avg60"])
+    except (OSError, KeyError, ValueError, IndexError):
+        pass
+    return snap
+
+
 def default_detail_path() -> str:
     """Default detail-file location: OUTSIDE the repo (system temp dir)
     unless SPARK_GRAFT_BENCH_DETAIL says otherwise, so that a driver- or
@@ -165,6 +191,7 @@ def main() -> int:
             draws.append(time.perf_counter() - t0)
         return round(statistics.median(draws), 4)
 
+    host_start = host_snapshot()
     anchor_start = _anchor_sec()
     anchor_cpu_start = _anchor_cpu_sec()
 
@@ -197,6 +224,7 @@ def main() -> int:
 
     anchor_end = _anchor_sec()
     anchor_cpu_end = _anchor_cpu_sec()
+    host_end = host_snapshot()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     anchor = {
@@ -206,6 +234,10 @@ def main() -> int:
         "cpu_start_sec": anchor_cpu_start,
         "cpu_end_sec": anchor_cpu_end,
     }
+    # host contention at run boundaries (load average + PSI CPU
+    # stalls): the recorded basis for calling a run's session
+    # contaminated, instead of a post-hoc narrative
+    host = {"start": host_start, "end": host_end}
     # the anchor rides the stdout line too, so the driver's recorded
     # BENCH_r{N}.json is self-normalizing in bench_compare (VERDICT r13
     # #4: raw 1.058 vs anchored 1.010 was the divergence this kills)
@@ -217,6 +249,7 @@ def main() -> int:
         "cpus": cpus,
         "n_queries": len(timings),
         "anchor": anchor,
+        "host": host,
     }
 
     # Full per-query detail goes to the --out path (default: system temp

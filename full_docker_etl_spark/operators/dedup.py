@@ -25,6 +25,8 @@ representative (its SQL runs on DuckDB unchanged in spirit).
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,8 +96,14 @@ def _blocked_shared_counts(
     # distinct shingles is ~m²/2^64 (≈1e-7 at 10^6 shingles) — shared
     # counts are unaffected in practice. The hash is applied INSIDE the
     # per-doc array, so no string shingle ever leaves its source row —
-    # the first exchange already carries (doc_id, long). Cached: the
-    # frame feeds the df-filter, both join sides, and the size table.
+    # the first exchange already carries (doc_id, long). Persisted
+    # SERIALIZED with disk spill (the module convention for
+    # corpus-scale shingle frames — exploded (doc_id, sh) is
+    # O(corpus-shingles), where the deserialized default would pin
+    # executor heap): the frame feeds the df-filter, both join sides,
+    # and the size table.
+    from pyspark import StorageLevel
+
     sh = (
         shingle_arrays(df, text_col, id_col, n)
         .select(
@@ -104,7 +112,7 @@ def _blocked_shared_counts(
                 F.transform("sh_arr", lambda s: F.xxhash64(s))
             ).alias("sh"),
         )
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # The rare-shingle set is ~all distinct shingles (corpus-sized at
     # 100 TB), so it must NOT be hinted broadcast — max_df caps how
@@ -560,10 +568,8 @@ def containment_store_build(
     candidates (disjoint bucket spaces), admitting every duplicate."""
     import json
     import os
-    import shutil
 
-    shutil.rmtree(path, ignore_errors=True)  # a rebuild starts clean
-    os.makedirs(path, exist_ok=True)
+    _store_build_reset(path)  # guarded: empty dir or existing store only
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump(
             {
@@ -650,6 +656,29 @@ def _store_manifest_path(path: str) -> str:
     return os.path.join(path, "_manifest.json")
 
 
+def _store_build_reset(path: str) -> None:
+    """Clear ``path`` for a fresh ``*_store_build`` — guarded: only a
+    directory that is empty or LOOKS LIKE A STORE (carries
+    ``_meta.json`` or ``_manifest.json``) is deleted. An unconditional
+    rmtree would silently destroy whatever a mistyped path points at
+    (the pre-r16 behavior rewrote only known table subdirs, so the
+    blast radius of a bad path was bounded — keep it bounded)."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        entries = set(os.listdir(path))
+        if entries and not entries & {"_meta.json", "_manifest.json"}:
+            raise ValueError(
+                f"refusing to rebuild over {path}: the directory is "
+                "non-empty and carries no _meta.json/_manifest.json, so "
+                "it does not look like a sketch store — pass an empty "
+                "directory, an existing store, or delete it yourself"
+            )
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+
 def _store_batch_dir(path: str, table: str, batch_id: str) -> str:
     """The batch partition directory writes target directly: standard
     hive layout (``<table>/batch=<id>``), so reads of the table root
@@ -669,9 +698,11 @@ def _store_manifest(path: str) -> list[str]:
     mpath = _store_manifest_path(path)
     if not os.path.exists(mpath):
         raise FileNotFoundError(
-            f"no _manifest.json at {path} — not a committed store (a "
-            "build that crashed before publishing, or a pre-manifest "
-            "layout; rebuild with the store's *_store_build)"
+            f"no _manifest.json at {path} — not a committed store: "
+            "either a build that crashed before publishing (rebuild "
+            "with the store's *_store_build) or a pre-manifest layout "
+            "(fold it into one published batch, without re-sketching, "
+            "via the store's *_store_migrate)"
         )
     with open(mpath) as fh:
         return json.load(fh)["batches"]
@@ -692,20 +723,79 @@ def _store_manifest_write(path: str, batches: list[str]) -> None:
     os.replace(tmp, mpath)
 
 
+@_contextmanager
+def _store_manifest_lock(path: str):
+    """O_EXCL lockfile around every manifest read-modify-write. The
+    store contract is single-writer, but a VIOLATION must fail loudly:
+    without the lock, two concurrent appends would interleave their
+    read-modify-writes and silently drop one committed batch — data
+    loss with no error signal. The lock is held only across the
+    manifest update (microseconds; the heavy parquet writes happen
+    outside it). A writer that crashes inside the window leaves the
+    lockfile behind; the error names it so an operator can confirm no
+    writer is live and remove it."""
+    import os
+
+    lock = _store_manifest_path(path) + ".lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent store-manifest writer detected: {lock} exists. "
+            "The store contract is single-writer (serialize builds/"
+            "appends/compactions per store). If the previous writer "
+            "crashed mid-publish, confirm it is dead and remove the "
+            "lockfile."
+        ) from None
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def _store_manifest_publish(path: str, batch_id: str) -> None:
-    """Append ``batch_id`` to the committed set atomically.
-    Single-writer like the rest of build/append; concurrent appends to
-    ONE store are the caller's lock."""
+    """Append ``batch_id`` to the committed set atomically. The
+    read-modify-write runs under the O_EXCL manifest lock so a
+    violated single-writer contract raises instead of silently
+    dropping a concurrent append's batch."""
     import json
     import os
 
-    mpath = _store_manifest_path(path)
-    batches: list[str] = []
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            batches = json.load(fh)["batches"]
-    batches.append(batch_id)
-    _store_manifest_write(path, batches)
+    with _store_manifest_lock(path):
+        mpath = _store_manifest_path(path)
+        batches: list[str] = []
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                batches = json.load(fh)["batches"]
+        batches.append(batch_id)
+        _store_manifest_write(path, batches)
+
+
+def _store_manifest_replace(
+    path: str, expected: list[str], batches: list[str]
+) -> None:
+    """Compaction's manifest flip: REPLACE the committed set, but only
+    if it still equals the snapshot the compaction folded (``expected``)
+    — under the manifest lock, so an append that landed mid-compaction
+    raises here instead of being silently erased from the committed
+    set (its data would have survived on disk as an orphan, but no
+    reader would ever see it again)."""
+
+    with _store_manifest_lock(path):
+        current = _store_manifest(path)
+        if current != expected:
+            raise RuntimeError(
+                f"store manifest changed during compaction: expected "
+                f"{expected}, found {current} — a concurrent append "
+                "violated the single-writer contract; the compacted "
+                "batch was NOT published (re-run compaction)"
+            )
+        _store_manifest_write(path, batches)
 
 
 def _store_read_committed(spark: SparkSession, path: str, table: str):
@@ -724,10 +814,17 @@ def _store_read_committed(spark: SparkSession, path: str, table: str):
 def _store_vacuum(path: str, tables: tuple[str, ...]) -> list[str]:
     """Delete orphan ``batch=`` partitions (written by a build/append/
     compact that died before its manifest publish, or displaced by a
-    compaction — invisible to every reader but still on disk). Returns
-    the removed batch ids. Safe while probes run: committed partitions
-    are untouched, and orphans are by construction referenced by no
-    manifest."""
+    compaction — invisible to every NEW reader but still on disk).
+    Returns the removed batch ids.
+
+    Concurrency contract: CRASH orphans are referenced by no reader
+    ever, so vacuuming them is safe while probes run. COMPACTION-
+    DISPLACED partitions are different — a probe planned under the
+    pre-compaction manifest still reads them mid-scan, which is
+    exactly why ``*_store_compact`` defers their deletion to this
+    call: run vacuum only once probes planned before the last
+    compaction have drained (it is the deferred second half of
+    compaction)."""
     import os
     import shutil
 
@@ -743,6 +840,77 @@ def _store_vacuum(path: str, tables: tuple[str, ...]) -> list[str]:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
                 removed.add(entry[len(prefix):])
     return sorted(removed)
+
+
+def _store_migrate(path: str, tables: tuple[str, ...]) -> str:
+    """One-shot migration of a PRE-MANIFEST store layout (valid
+    ``_meta.json``, tables written flat at ``<path>/<table>``, no
+    ``_manifest.json``) into the batch-partitioned manifest layout:
+    every existing table file/partition-dir is MOVED (os.rename —
+    no data rewritten, no re-sketching) under a single fresh
+    ``batch=`` directory, then a manifest naming that one batch is
+    published. After migration the store reads, appends and compacts
+    exactly like one built by the current release.
+
+    Refuses to run on a store that already has a manifest (nothing to
+    migrate) or that already carries ``batch=`` directories without
+    one (a build/append crashed pre-publish, or a previous migration
+    died half-way — the safe recovery there is a rebuild, because
+    this helper cannot tell recoverable moves from orphaned data)."""
+    import json
+    import os
+    import uuid
+
+    if os.path.exists(_store_manifest_path(path)):
+        raise ValueError(
+            f"{path} already has a _manifest.json — nothing to migrate"
+        )
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        raise FileNotFoundError(
+            f"no _meta.json at {path} — not a sketch store"
+        )
+    prefix = f"{_STORE_BATCH_COL}="
+    for table in tables:
+        tdir = os.path.join(path, table)
+        if os.path.isdir(tdir) and any(
+            e.startswith(prefix) for e in os.listdir(tdir)
+        ):
+            raise ValueError(
+                f"{tdir} already contains {prefix} partitions but the "
+                "store has no manifest — a write or migration died "
+                "half-way; rebuild the store with its *_store_build"
+            )
+    batch_id = uuid.uuid4().hex[:12]
+    for table in tables:
+        tdir = os.path.join(path, table)
+        if not os.path.isdir(tdir):
+            continue
+        dest = os.path.join(tdir, f"{prefix}{batch_id}")
+        os.makedirs(dest)
+        for entry in os.listdir(tdir):
+            if entry == f"{prefix}{batch_id}":
+                continue
+            os.rename(os.path.join(tdir, entry), os.path.join(dest, entry))
+    _store_manifest_write(path, [batch_id])
+    return batch_id
+
+
+def containment_store_migrate(path: str) -> str:
+    """Fold a pre-manifest ensemble-store layout into one published
+    batch without re-sketching (see :func:`_store_migrate`)."""
+    return _store_migrate(path, _CONTAINMENT_TABLES)
+
+
+def minhash_store_migrate(path: str) -> str:
+    """Fold a pre-manifest MinHash-store layout into one published
+    batch without re-sketching (see :func:`_store_migrate`)."""
+    return _store_migrate(path, _MINHASH_TABLES)
+
+
+def substring_store_migrate(path: str) -> str:
+    """Fold a pre-manifest substring-store layout into one published
+    batch without re-fingerprinting (see :func:`_store_migrate`)."""
+    return _store_migrate(path, _SUBSTRING_TABLES)
 
 
 def containment_store_vacuum(path: str) -> list[str]:
@@ -773,12 +941,16 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     and publishes a manifest naming only the new batch — the same
     atomic ``os.replace`` as build/append, so a compaction that dies
     mid-write leaves the store exactly as it was (the half-written
-    batch is an unpublished orphan). Returns the displaced batch ids
-    after vacuuming them (the shared compaction contract — see
-    :func:`minhash_store_compact` / :func:`substring_store_compact`;
-    a vacuum crash leaves only invisible garbage a later
-    :func:`containment_store_vacuum` reclaims). No-op on a store with
-    ≤1 committed batch."""
+    batch is an unpublished orphan). Returns the displaced batch ids,
+    which are NOT deleted here: a probe planned under the
+    pre-compaction manifest still reads them mid-scan, so their files
+    must outlive the flip — reclaim them with
+    :func:`containment_store_vacuum` once such probes have drained
+    (the shared compaction contract — see :func:`minhash_store_compact`
+    / :func:`substring_store_compact`). Single-writer like
+    build/append; a concurrent append that lands mid-compaction makes
+    the final manifest flip raise rather than silently erase the
+    append. No-op on a store with ≤1 committed batch."""
     import uuid
 
     old = _store_manifest(path)
@@ -801,9 +973,9 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
         .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     # REPLACE the committed set (not extend): readers flip from the N
-    # old batches to the one compacted batch in a single os.replace.
-    _store_manifest_write(path, [batch_id])
-    _store_vacuum(path, _CONTAINMENT_TABLES)
+    # old batches to the one compacted batch in a single os.replace —
+    # guarded against a concurrent append having moved the manifest.
+    _store_manifest_replace(path, old, [batch_id])
     return list(old)
 
 
@@ -1228,10 +1400,8 @@ def substring_store_build(
     :func:`substring_store_vacuum` reclaims unpublished orphans."""
     import json
     import os
-    import shutil
 
-    shutil.rmtree(path, ignore_errors=True)  # a rebuild starts clean
-    os.makedirs(path, exist_ok=True)
+    _store_build_reset(path)  # guarded: empty dir or existing store only
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump({"n": n, "max_occ": max_occ, "n_buckets": n_buckets}, fh)
     _substring_store_write(df, path, text_col, id_col, n, n_buckets)
@@ -1313,29 +1483,40 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
     every committed batch into ONE: the log re-aggregated to a single
     coalesced segment, the fingerprints re-bucketed coalesced — the
     store is then equivalent to a fresh build of the same corpus
-    (pinned by a probe-equality test). Returns before/after file
-    counts.
+    (pinned by a probe-equality test). Returns before/after COMMITTED
+    file counts (the probe's serving cost; orphans awaiting vacuum are
+    excluded — they are read by no new plan).
 
     Crash safety is the build/append model, not a directory swap: the
     folded batch lands under a fresh ``batch=`` partition and the
     manifest REPLACE publishes it atomically (``os.replace``), so a
     compaction that dies mid-write leaves the store serving the old
     batches exactly as they were. The displaced batches become
-    orphans; this function vacuums them before returning (skip-safe:
-    a vacuum crash leaves only invisible garbage). Same single-writer
-    contract as build/append."""
+    orphans but are NOT deleted here — a probe planned under the
+    pre-compaction manifest still reads their files mid-scan; reclaim
+    them with :func:`substring_store_vacuum` once such probes drain.
+    Single-writer like build/append; a concurrent append landing
+    mid-compaction makes the manifest flip raise instead of silently
+    erasing it."""
     import glob as _glob
     import os
     import uuid
 
     def _files(sub):
+        committed = set(_store_manifest(path))
         return [
             f
+            for batch in committed
             for f in _glob.glob(
-                os.path.join(path, sub, "**", "*.parquet"), recursive=True
+                os.path.join(
+                    path, sub, f"{_STORE_BATCH_COL}={batch}", "**",
+                    "*.parquet",
+                ),
+                recursive=True,
             )
         ]
 
+    old = _store_manifest(path)
     before = {"fps": len(_files("fps")), "counts": len(_files("counts"))}
     batch_id = uuid.uuid4().hex[:12]
     (
@@ -1352,9 +1533,9 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
         .parquet(_store_batch_dir(path, "fps", batch_id))
     )
     # REPLACE the committed set (not extend): readers flip from the N
-    # old batches to the one folded batch in a single os.replace.
-    _store_manifest_write(path, [batch_id])
-    _store_vacuum(path, _SUBSTRING_TABLES)
+    # old batches to the one folded batch in a single os.replace —
+    # guarded against a concurrent append having moved the manifest.
+    _store_manifest_replace(path, old, [batch_id])
     return {
         "before": before,
         "after": {"fps": len(_files("fps")), "counts": len(_files("counts"))},
@@ -2305,10 +2486,8 @@ def minhash_store_build(
     :func:`minhash_store_vacuum` reclaims unpublished orphans."""
     import json
     import os
-    import shutil
 
-    shutil.rmtree(path, ignore_errors=True)  # a rebuild starts clean
-    os.makedirs(path, exist_ok=True)
+    _store_build_reset(path)  # guarded: empty dir or existing store only
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump({"n": n, "k": k, "bands": bands}, fh)
     _minhash_store_write(df, path, text_col, id_col, n, k, bands)
@@ -2448,8 +2627,12 @@ def minhash_store_compact(spark: SparkSession, path: str) -> list[str]:
     both tables rewrite under a fresh batch id and the manifest
     REPLACE publishes atomically, so a compaction that dies mid-write
     leaves the store serving the old batches verbatim. Returns the
-    displaced batch ids after vacuuming them. No-op on a store with ≤1
-    committed batch."""
+    displaced batch ids — NOT deleted here (probes planned under the
+    pre-compaction manifest still read them); reclaim with
+    :func:`minhash_store_vacuum` once those probes drain. A concurrent
+    append landing mid-compaction makes the manifest flip raise
+    instead of silently erasing it. No-op on a store with ≤1 committed
+    batch."""
     import uuid
 
     old = _store_manifest(path)
@@ -2461,8 +2644,7 @@ def minhash_store_compact(spark: SparkSession, path: str) -> list[str]:
             _store_read_committed(spark, path, table)
             .write.parquet(_store_batch_dir(path, table, batch_id))
         )
-    _store_manifest_write(path, [batch_id])
-    _store_vacuum(path, _MINHASH_TABLES)
+    _store_manifest_replace(path, old, [batch_id])
     return list(old)
 
 

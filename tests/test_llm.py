@@ -701,15 +701,30 @@ def test_containment_store_compact_folds_batches_same_results(spark):
         spark.read.parquet(path + "/counts").count()
     )
 
+    # plan a probe UNDER THE OLD MANIFEST before compacting — the race
+    # the deferred vacuum exists for: the flip must not pull committed
+    # files out from under an in-flight plan
+    inflight = D.containment_probe_store(batch, path, "text", "doc_id")
+
     displaced = D.containment_store_compact(spark, path)
     assert len(displaced) == 3
     assert len(D._store_manifest(path)) == 1
 
+    # the pre-compaction plan still serves (its files were displaced,
+    # not deleted) and a fresh plan sees the folded batch — identical
+    assert norm(inflight.collect()) == before
     after = norm(D.containment_probe_store(batch, path, "text", "doc_id").collect())
     assert after == before
 
-    # compact vacuumed the displaced batches itself (the shared
-    # compaction contract); a follow-up vacuum finds nothing left
+    # compaction DEFERS deletion of the displaced batches to an
+    # explicit vacuum (run once pre-compaction probes drain)
+    for table in ("docs", "bands", "counts"):
+        parts = [
+            e for e in os.listdir(os.path.join(path, table))
+            if e.startswith("batch=")
+        ]
+        assert len(parts) == 4  # folded + 3 displaced awaiting vacuum
+    assert D.containment_store_vacuum(path) == sorted(displaced)
     assert D.containment_store_vacuum(path) == []
     for table in ("docs", "bands", "counts"):
         parts = [
@@ -729,6 +744,130 @@ def test_containment_store_compact_folds_batches_same_results(spark):
         D.containment_probe_store(batch, path, "text", "doc_id").collect()
     ) == before
     assert D.containment_store_compact(spark, path) == []
+
+
+def test_store_manifest_lock_and_compact_replace_guard(spark, tmp_path):
+    """Single-writer violations must fail LOUDLY, never lose a batch:
+    (a) a manifest publish while another writer holds the lock raises
+    (without the lock, two concurrent appends' read-modify-writes
+    would silently drop one committed batch); (b) compaction's final
+    manifest flip raises if the manifest moved under it (a concurrent
+    append would otherwise be erased from the committed set); (c) a
+    crashed writer's stale lockfile produces the documented loud error
+    on the next publish, and removing it unblocks."""
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark)
+    path = str(tmp_path / "lstore")
+    D.containment_store_build(df.where("doc_id < 10"), path, "text", "doc_id")
+
+    lock = D._store_manifest_path(path) + ".lock"
+    open(lock, "w").write("424242")  # another writer mid-publish
+    with pytest.raises(RuntimeError, match="concurrent store-manifest"):
+        D.containment_store_append(
+            df.where("doc_id >= 10 and doc_id < 15"), path, "text", "doc_id"
+        )
+    os.unlink(lock)  # the documented operator recovery
+    D.containment_store_append(
+        df.where("doc_id >= 15 and doc_id < 20"), path, "text", "doc_id"
+    )
+    committed = D._store_manifest(path)
+    assert len(committed) == 2  # the failed append published nothing
+
+    # compaction raced by an append: the expected-manifest snapshot no
+    # longer matches -> the flip refuses, the committed set is intact
+    with pytest.raises(RuntimeError, match="changed during compaction"):
+        D._store_manifest_replace(path, ["not-the-manifest"], ["folded"])
+    assert D._store_manifest(path) == committed
+
+
+def test_store_build_reset_refuses_non_store_directory(spark, tmp_path):
+    """*_store_build clears its target — but only an empty directory
+    or one that looks like a store (_meta.json/_manifest.json); a path
+    mistakenly pointing at a directory holding other data must raise,
+    not silently destroy it."""
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=6, n_quotes=0)
+
+    precious = tmp_path / "precious"
+    precious.mkdir()
+    (precious / "thesis.txt").write_text("years of work")
+    with pytest.raises(ValueError, match="does not look like a sketch"):
+        D.containment_store_build(df, str(precious), "text", "doc_id")
+    assert (precious / "thesis.txt").read_text() == "years of work"
+
+    # an existing STORE rebuilds fine (both fresh-empty and over-store)
+    store = str(tmp_path / "store")
+    D.containment_store_build(df, store, "text", "doc_id")
+    D.containment_store_build(df, store, "text", "doc_id")
+    assert len(D._store_manifest(store)) == 1
+
+
+def test_store_migrate_pre_manifest_layout(spark, tmp_path):
+    """A store persisted by the pre-manifest release (flat tables, no
+    _manifest.json) is unreadable by design — the migrate helper folds
+    it into ONE published batch by MOVING files (no re-sketching), and
+    probes then serve identically to a store built by the current
+    release. A half-migrated layout (batch= dirs, no manifest)
+    refuses."""
+    import os
+    import shutil
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark)
+    store_docs, batch = df.where("doc_id % 5 != 0"), df.where("doc_id % 5 = 0")
+
+    ref = str(tmp_path / "ref")
+    D.containment_store_build(store_docs, ref, "text", "doc_id")
+    want = {
+        (min(r.d1, r.d2), max(r.d1, r.d2)): (r.shared, r.n1, r.n2)
+        if r.d1 <= r.d2 else (r.shared, r.n2, r.n1)
+        for r in D.containment_probe_store(
+            batch, ref, "text", "doc_id"
+        ).collect()
+    }
+
+    # forge the pre-manifest layout from a real store: flatten each
+    # table's single batch dir up a level, drop the manifest
+    old = str(tmp_path / "old")
+    shutil.copytree(ref, old)
+    os.unlink(D._store_manifest_path(old))
+    for table in D._CONTAINMENT_TABLES:
+        tdir = os.path.join(old, table)
+        (bdir,) = [e for e in os.listdir(tdir) if e.startswith("batch=")]
+        for entry in os.listdir(os.path.join(tdir, bdir)):
+            os.rename(
+                os.path.join(tdir, bdir, entry), os.path.join(tdir, entry)
+            )
+        os.rmdir(os.path.join(tdir, bdir))
+
+    with pytest.raises(FileNotFoundError, match="store_migrate"):
+        D.containment_probe_store(batch, old, "text", "doc_id").collect()
+    D.containment_store_migrate(old)
+    got = {
+        (min(r.d1, r.d2), max(r.d1, r.d2)): (r.shared, r.n1, r.n2)
+        if r.d1 <= r.d2 else (r.shared, r.n2, r.n1)
+        for r in D.containment_probe_store(
+            batch, old, "text", "doc_id"
+        ).collect()
+    }
+    assert got == want and want
+    # the migrated store appends/compacts like a native one
+    D.containment_store_append(batch, old, "text", "doc_id")
+    assert len(D._store_manifest(old)) == 2
+
+    # migrating twice, or migrating a half-written layout, refuses
+    with pytest.raises(ValueError, match="nothing to migrate"):
+        D.containment_store_migrate(old)
+    half = str(tmp_path / "half")
+    shutil.copytree(ref, half)
+    os.unlink(D._store_manifest_path(half))
+    with pytest.raises(ValueError, match="died half-way"):
+        D.containment_store_migrate(half)
 
 
 def test_containment_probe_cache_released_between_batches(spark):
@@ -1954,11 +2093,14 @@ def test_minhash_store_crash_retry_and_compact(spark, docs, tmp_path, monkeypatc
         D.minhash_probe_store(batch, path, "text", "doc_id").collect()
     ) == want
 
-    # compaction folds 2 committed batches into 1, probe unchanged
+    # compaction folds 2 committed batches into 1, probe unchanged;
+    # the displaced batches await an explicit vacuum (deferred so
+    # probes planned under the old manifest keep their files)
     assert len(D._store_manifest(path)) == 2
     displaced = D.minhash_store_compact(spark, path)
     assert len(displaced) == 2
     assert len(D._store_manifest(path)) == 1
+    assert set(D.minhash_store_vacuum(path)) == set(displaced)
     for table in ("sigs", "bands"):
         parts = [
             e for e in os.listdir(os.path.join(path, table))
