@@ -870,6 +870,53 @@ def test_store_migrate_pre_manifest_layout(spark, tmp_path):
         D.containment_store_migrate(half)
 
 
+def test_substring_store_migrate_nested_bucket_partitions(spark, tmp_path):
+    """The migrate helper must also handle a table whose pre-manifest
+    layout is itself hive-partitioned (substring /fps carries bkt=
+    subdirs): the moved layout becomes batch=<id>/bkt=<b>, exactly
+    what the current writer produces, and probe output matches a
+    native store byte for byte."""
+    import os
+    import shutil
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    docs = _quote_corpus(spark, seed=11)
+    store_docs = docs.where("doc_id % 5 != 0")
+    batch = docs.where("doc_id % 5 = 0")
+
+    ref = str(tmp_path / "ref")
+    D.substring_store_build(store_docs, ref, "text", "doc_id")
+    want = {
+        tuple(r)
+        for r in D.substring_probe_store(batch, ref, "text", "doc_id").collect()
+    }
+
+    old = str(tmp_path / "old")
+    shutil.copytree(ref, old)
+    os.unlink(D._store_manifest_path(old))
+    for table in D._SUBSTRING_TABLES:
+        tdir = os.path.join(old, table)
+        (bdir,) = [e for e in os.listdir(tdir) if e.startswith("batch=")]
+        for entry in os.listdir(os.path.join(tdir, bdir)):
+            os.rename(
+                os.path.join(tdir, bdir, entry), os.path.join(tdir, entry)
+            )
+        os.rmdir(os.path.join(tdir, bdir))
+    assert any(
+        e.startswith("bkt=") for e in os.listdir(os.path.join(old, "fps"))
+    )  # the forged layout really is the nested pre-manifest shape
+
+    D.substring_store_migrate(old)
+    got = {
+        tuple(r)
+        for r in D.substring_probe_store(batch, old, "text", "doc_id").collect()
+    }
+    assert got == want and want
+    D.substring_store_append(batch, old, "text", "doc_id")
+    assert len(D._store_manifest(old)) == 2
+
+
 def test_containment_probe_cache_released_between_batches(spark):
     """Round-15 review finding: containment_probe_store persisted the
     batch sketch but gave callers no way to release it, so repeated
