@@ -811,7 +811,9 @@ def _store_read_committed(spark: SparkSession, path: str, table: str):
     )
 
 
-def _store_vacuum(path: str, tables: tuple[str, ...]) -> list[str]:
+def _store_vacuum(
+    path: str, tables: tuple[str, ...], older_than_seconds: float = 0.0
+) -> list[str]:
     """Delete orphan ``batch=`` partitions (written by a build/append/
     compact that died before its manifest publish, or displaced by a
     compaction — invisible to every NEW reader but still on disk).
@@ -822,23 +824,38 @@ def _store_vacuum(path: str, tables: tuple[str, ...]) -> list[str]:
     DISPLACED partitions are different — a probe planned under the
     pre-compaction manifest still reads them mid-scan, which is
     exactly why ``*_store_compact`` defers their deletion to this
-    call: run vacuum only once probes planned before the last
-    compaction have drained (it is the deferred second half of
-    compaction)."""
+    call. Either run vacuum once probes planned before the last
+    compaction have drained, or pass ``older_than_seconds`` set to
+    your longest plausible probe duration: partitions whose directory
+    mtime is within the grace window are skipped (the retention
+    policy table formats use for the same displaced-file race), so a
+    scheduled ``vacuum(path, older_than_seconds=6*3600)`` is always
+    safe next to a probe fleet with a 6-hour SLA."""
     import os
     import shutil
+    import time
 
     committed = set(_store_manifest(path))
     removed: set[str] = set()
+    cutoff = time.time() - older_than_seconds
     prefix = f"{_STORE_BATCH_COL}="
     for table in tables:
         tdir = os.path.join(path, table)
         if not os.path.isdir(tdir):
             continue
         for entry in os.listdir(tdir):
-            if entry.startswith(prefix) and entry[len(prefix):] not in committed:
-                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
-                removed.add(entry[len(prefix):])
+            if not entry.startswith(prefix):
+                continue
+            if entry[len(prefix):] in committed:
+                continue
+            full = os.path.join(tdir, entry)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # inside the grace window — skip this run
+            except OSError:
+                continue  # raced away by a concurrent vacuum
+            shutil.rmtree(full, ignore_errors=True)
+            removed.add(entry[len(prefix):])
     return sorted(removed)
 
 
@@ -913,22 +930,28 @@ def substring_store_migrate(path: str) -> str:
     return _store_migrate(path, _SUBSTRING_TABLES)
 
 
-def containment_store_vacuum(path: str) -> list[str]:
-    """Vacuum the ensemble store's orphan batches (see
-    :func:`_store_vacuum`)."""
-    return _store_vacuum(path, _CONTAINMENT_TABLES)
+def containment_store_vacuum(
+    path: str, older_than_seconds: float = 0.0
+) -> list[str]:
+    """Vacuum the ensemble store's orphan batches (grace window and
+    concurrency contract: see :func:`_store_vacuum`)."""
+    return _store_vacuum(path, _CONTAINMENT_TABLES, older_than_seconds)
 
 
-def minhash_store_vacuum(path: str) -> list[str]:
-    """Vacuum the MinHash store's orphan batches (see
-    :func:`_store_vacuum`)."""
-    return _store_vacuum(path, _MINHASH_TABLES)
+def minhash_store_vacuum(
+    path: str, older_than_seconds: float = 0.0
+) -> list[str]:
+    """Vacuum the MinHash store's orphan batches (grace window and
+    concurrency contract: see :func:`_store_vacuum`)."""
+    return _store_vacuum(path, _MINHASH_TABLES, older_than_seconds)
 
 
-def substring_store_vacuum(path: str) -> list[str]:
-    """Vacuum the substring store's orphan batches (see
-    :func:`_store_vacuum`)."""
-    return _store_vacuum(path, _SUBSTRING_TABLES)
+def substring_store_vacuum(
+    path: str, older_than_seconds: float = 0.0
+) -> list[str]:
+    """Vacuum the substring store's orphan batches (grace window and
+    concurrency contract: see :func:`_store_vacuum`)."""
+    return _store_vacuum(path, _SUBSTRING_TABLES, older_than_seconds)
 
 
 def containment_store_compact(spark: SparkSession, path: str) -> list[str]:

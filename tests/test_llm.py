@@ -783,6 +783,34 @@ def test_store_manifest_lock_and_compact_replace_guard(spark, tmp_path):
     assert D._store_manifest(path) == committed
 
 
+def test_store_vacuum_grace_window(spark, tmp_path):
+    """vacuum(older_than_seconds=N) must skip displaced/orphan batches
+    younger than the grace window (the safe-next-to-a-probe-fleet
+    retention policy) and reclaim them once aged — here by backdating
+    the directory mtimes instead of sleeping."""
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=12, n_quotes=0)
+    path = str(tmp_path / "gstore")
+    D.minhash_store_build(df.where("doc_id < 6"), path, "text", "doc_id")
+    D.minhash_store_append(df.where("doc_id >= 6"), path, "text", "doc_id")
+    displaced = D.minhash_store_compact(spark, path)
+    assert len(displaced) == 2
+
+    # fresh displaced batches sit inside the window: nothing removed
+    assert D.minhash_store_vacuum(path, older_than_seconds=3600) == []
+    # age them past the window and the same call reclaims them
+    for table in D._MINHASH_TABLES:
+        for b in displaced:
+            d = os.path.join(path, table, f"batch={b}")
+            os.utime(d, (1_000_000_000, 1_000_000_000))
+    assert D.minhash_store_vacuum(path, older_than_seconds=3600) == sorted(
+        displaced
+    )
+
+
 def test_store_build_reset_refuses_non_store_directory(spark, tmp_path):
     """*_store_build clears its target — but only an empty directory
     or one that looks like a store (_meta.json/_manifest.json); a path
