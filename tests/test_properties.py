@@ -295,3 +295,62 @@ def test_coverage_md_totals_match_registry():
         n_oracle,
         n_reg - n_oracle,
     ), f"COVERAGE.md says {m.groups()}, registry has {n_reg}/{n_oracle}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    threshold=st.floats(min_value=0.05, max_value=1.0),
+    k=st.integers(min_value=8, max_value=128),
+    target=st.floats(min_value=0.5, max_value=0.99),
+    floor_frac=st.floats(min_value=0.1, max_value=1.0),
+    max_gap=st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
+)
+def test_ensemble_gap_specs_invariants(
+    threshold, k, target, floor_frac, max_gap
+):
+    """The containment-ensemble band tuning must satisfy its own
+    guarantees for ANY parameters, not just the pinned defaults:
+    consecutive gaps from 0; every derived scheme fits the signature
+    (b <= k//r) and meets the target at its gap's worst-case J; every
+    best-effort tail scheme uses all k bands at r=1 and (when the
+    floor governs, max_gap=None) still clears the floor; the first
+    uncovered gap is genuinely past the floor; and an explicit
+    max_gap yields exactly gaps 0..max_gap whose floor-covered prefix
+    matches the default tuning (the cutoff moves, the tuning of
+    covered gaps never does)."""
+    from full_docker_etl_spark.operators.dedup import _ensemble_gap_specs
+
+    floor = max(1e-6, min(target, floor_frac * target))
+    specs = _ensemble_gap_specs(threshold, k, target, floor, max_gap)
+
+    def j_min(gap):
+        return threshold / (1.0 + 2.0 ** (gap + 1) - threshold)
+
+    def detect(gap, r, b):
+        return 1.0 - (1.0 - min(1.0, j_min(gap) ** r)) ** b
+
+    assert [g for g, _, _ in specs] == list(range(len(specs)))
+    for gap, r, b in specs:
+        assert r in (8, 4, 2, 1) and 1 <= b <= k // r
+        if (r, b) != (1, k):
+            # derived scheme: meets the target by construction
+            assert detect(gap, r, b) >= target - 1e-9, (gap, r, b)
+        elif max_gap is None:
+            # floor-governed best-effort tail (could also be a derived
+            # r=1 scheme that needed exactly k bands — then it meets
+            # the target, which implies the floor)
+            assert detect(gap, r, b) >= floor - 1e-9, (gap, r, b)
+
+    if max_gap is None:
+        # terminated by the floor: the NEXT gap is genuinely past it
+        # even with every band at r=1
+        assert detect(len(specs), 1, k) < floor
+        assert len(specs) >= 1 or detect(0, 1, k) < floor
+    else:
+        assert len(specs) == max_gap + 1
+        default = _ensemble_gap_specs(threshold, k, target, floor, None)
+        n = min(len(specs), len(default))
+        assert specs[:n] == default[:n]
+        # extension past the floor bound is all-k r=1 best-effort
+        for gap, r, b in specs[len(default):]:
+            assert (r, b) == (1, k)
