@@ -2356,6 +2356,52 @@ def connected_components(
     return labels
 
 
+def connected_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "comp",
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Refresh duplicate-cluster labels after a BATCH of new near-dup
+    pairs without re-running :func:`connected_components` over the
+    historical pair set — the batch-arrival loop of an always-on
+    corpus: probe a persisted sketch store with the batch, get the
+    batch-touching pairs, fold them into the standing component
+    assignment.
+
+    The trick is that the existing (node, comp) labels ARE a
+    connectivity-preserving compression of the old graph: every old
+    component collapsed to a star around its min-id root (label rows
+    read as edges node→comp). CC over (star edges ∪ new pairs) then
+    equals CC over (old pairs ∪ new pairs) exactly — star edges keep
+    every old component connected and connect nothing that wasn't,
+    and min-label semantics agree because each star's root IS its
+    component's min id. Pinned by the equivalence unit test and the
+    registry oracle (``dedup_components_incremental`` checks the
+    incremental labels value-for-value against a recursive-CTE
+    transitive closure of ALL pairs).
+
+    Scale shape vs a from-scratch rerun: input is O(|corpus|) label
+    rows + O(|batch pairs|) new edges — the historical pair set
+    (O(pairs), the expensive thing a 100 TB corpus cannot re-derive
+    per batch) is never touched, and every old component enters with
+    diameter ≤ 2, so pointer-doubling rounds track the NEW chain
+    length only, not the accumulated graph's diameter. Nodes no new
+    pair touches keep their component (labels only merge downward
+    when bridged). Returns (node, comp) for every node in
+    ``labels`` ∪ ``new_pairs``."""
+    star = labels.select(
+        F.col(node_col).alias(a_col), F.col(comp_col).alias(b_col)
+    )
+    edges = new_pairs.select(a_col, b_col)
+    return connected_components(
+        star.unionByName(edges), a_col, b_col, max_iter
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     vec_col: str = "embedding",

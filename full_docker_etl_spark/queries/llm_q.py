@@ -2802,6 +2802,59 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@query(
+    "dedup_components_incremental",
+    oracle=f"""
+      WITH RECURSIVE pairs AS ({_jaccard_pairs_sql("documents")}),
+      sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION ALL
+              SELECT d2, d1 FROM pairs),
+      reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, w.r FROM sym s JOIN reach w ON s.dst = w.node
+      )
+      SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    """,
+)
+def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL duplicate-cluster refresh — the batch-arrival loop
+    of an always-on corpus: the standing 90% of documents already
+    carries component labels; the arriving 10% batch contributes only
+    its batch-touching pairs, and
+    :func:`~full_docker_etl_spark.operators.dedup.
+    connected_components_incremental` folds them into the labels via
+    the star compression (old components enter with diameter ≤ 2; the
+    historical pair set is never re-read). The ORACLE is a
+    recursive-CTE transitive closure over ALL pairs — the incremental
+    path is value-checked equal to the from-scratch answer, which is
+    exactly the operator's contract. Every pair either has both ends
+    in the standing corpus or touches the batch, so the node universes
+    coincide by construction."""
+    from pyspark import StorageLevel
+
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    # one blocked pair pass feeds both the historical and the
+    # batch-touching splits (persisted serialized like every
+    # corpus-scale shingle consumer; bench clears caches per query) —
+    # at 100 TB the splits instead come from the persisted sketch
+    # store: labels are standing state, new pairs are the store probe
+    pairs = jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
+    standing = connected_components(
+        pairs.where(~in_batch[0] & ~in_batch[1])
+    )
+    return connected_components_incremental(
+        standing, pairs.where(in_batch[0] | in_batch[1])
+    ).select("node", "comp")
+
+
 @query("ann_ivf_kmeans_topk")
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with TRAINED centroids: 3 Lloyd's rounds trained

@@ -54,20 +54,24 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # FIRST the nine r10-stale rows (text_substring_dedup,
 # text_substring_dedup_apply, text_tokens, union_by_name, and the five
 # win_* rows);
-# THEN 26 of the 27 r11-stale rows (agg_approx_percentiles ..
-# text_normalize in registration order; dedup_minhash is the one r11
-# row the pinned tier displaces — it opens the post-boundary order and
-# leads the r17 window);
+# THEN 25 of the 27 r11-stale rows (agg_approx_percentiles ..
+# sample_token_budget in registration order; text_normalize and
+# dedup_minhash are the two r11 rows the pinned tier plus this round's
+# new entrant displace — they open the post-boundary order and lead
+# the r17 window);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
-# sketch queries).
+# sketch queries);
+# THEN dedup_components_incremental (NEW this round, zero evidence —
+# policy puts never-sampled queries at the window close).
 # ROUND-17 PLAN (arithmetic verified against next_window.py at the r16
-# freeze): after r16 the staleness histogram is {r11: 1, r12: 31,
-# r13: 31, r14: 33, r15: 35, r16: 50}; the r17 window is dedup_minhash
-# (the lone r11 row) + the full 31-row r12 tier + the first 3 r13 rows
-# (registration order) + the 15 pinned rows. Run
-# tools/next_window.py --check before the r17 freeze; it must print
-# exactly that window.
+# freeze): after r16 the staleness histogram is {r11: 2, r12: 31,
+# r13: 31, r14: 33, r15: 35, r16: 50}; the r17 window is
+# text_normalize + dedup_minhash (the two r11 rows) + the full 31-row
+# r12 tier + the first 2 r13 rows (agg_salted, catalog_tables — unless
+# an r17 FORCE_NEXT or new query displaces them) + the 15 pinned rows.
+# Run tools/next_window.py --check before the r17 freeze; it must
+# print exactly that window.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -120,7 +124,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "profile_corpus",
     "sample_importance_dsir",
     "sample_token_budget",
-    "text_normalize",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -136,7 +139,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_semantic_verdict",
     "dedup_containment_lsh_recall",
     "dedup_containment_incremental_recall",
+    "dedup_components_incremental",
     # ---- window boundary (50) ----
+    "text_normalize",
     "dedup_minhash",
     "agg_count_distinct",
     "agg_multigrain",

@@ -1052,6 +1052,71 @@ def test_connected_components_long_chain_pointer_doubling(spark):
     assert set(got.values()) == {1} and len(got) == 100
 
 
+def test_connected_components_incremental_equals_full(spark):
+    """The batch-arrival refresh must equal a from-scratch CC over the
+    union graph, on a randomized split of a random graph (bridged
+    components, extended chains, brand-new nodes, untouched
+    components) — the star-compression argument checked empirically,
+    plus the star's O(1) diameter: two 50-node chains pre-labeled then
+    bridged by ONE new edge converge in a round budget far below
+    either chain's diameter."""
+    import random
+
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    rng = random.Random(13)
+    nodes = list(range(200))
+    all_pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    rng.shuffle(all_pairs)
+    old_pairs, new_pairs = all_pairs[:100], all_pairs[100:]
+    schema = "d1 long, d2 long"
+    labels = connected_components(spark.createDataFrame(old_pairs, schema))
+    inc = {
+        r.node: r.comp
+        for r in connected_components_incremental(
+            labels, spark.createDataFrame(new_pairs, schema)
+        ).collect()
+    }
+    full = {
+        r.node: r.comp
+        for r in connected_components(
+            spark.createDataFrame(all_pairs, schema)
+        ).collect()
+    }
+    assert inc == full and full
+
+    # two long pre-labeled chains bridged by one edge: the stars enter
+    # with diameter 2, so a tiny round budget suffices where a
+    # from-scratch run over the raw chains needs pointer doubling to
+    # cover diameter ~100
+    chains = [(i, i + 1) for i in range(1, 50)] + [
+        (i, i + 1) for i in range(100, 149)
+    ]
+    chain_labels = connected_components(
+        spark.createDataFrame(chains, schema)
+    )
+    bridged = {
+        r.node: r.comp
+        for r in connected_components_incremental(
+            chain_labels,
+            spark.createDataFrame([(50, 100)], schema),
+            max_iter=4,
+        ).collect()
+    }
+    assert set(bridged.values()) == {1} and len(bridged) == 100
+
+
 def test_kmeans_centroids_deterministic_and_balanced(spark, embs):
     """Two independent trainings converge to identical centroids
     (deterministic init + tie-breaks); every list is populated; the
