@@ -2248,28 +2248,37 @@ def connected_components(
     oracle-checkable against a recursive-CTE transitive closure."""
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    from full_docker_etl_spark.operators.util import release_checkpoint
+    from full_docker_etl_spark.operators.util import (
+        fresh_checkpoint,
+        release_checkpoint,
+    )
 
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = fresh_checkpoint(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     # Iterative algorithms MUST truncate lineage each round —
     # labels appears three times per iteration (neighbor join, merge,
     # convergence check), so the logical plan otherwise grows ~3^rounds
     # and the driver OOMs building plan trees long before any data
-    # does. localCheckpoint materializes AND cuts the plan; on a
-    # cluster with lineage-based recovery concerns, swap for
-    # checkpoint() with a checkpoint dir.
+    # does. fresh_checkpoint materializes, cuts the plan AND resets
+    # Catalyst size stats — a plain localCheckpoint carries the origin
+    # plan's estimate forward, and join-round chaining then compounds
+    # sizeInBytes multiplicatively until the driver drowns in BigInt
+    # arithmetic (acute when one call's labels feed the next call's
+    # input: connected_components_incremental). On a cluster with
+    # lineage-based recovery concerns, swap for checkpoint() with a
+    # checkpoint dir.
     # Seed with round one computed algebraically: from identity labels,
     # the first propagation is exactly min(self, neighbors) — one
     # groupBy instead of a join round.
-    labels = (
+    labels = fresh_checkpoint(
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
-        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Observation
 
@@ -2311,7 +2320,7 @@ def connected_components(
                 F.col("node").alias("j_node"), F.col("p_comp").alias("j_comp")
             )
             obs = Observation()
-            new_labels = (
+            new_labels = fresh_checkpoint(
                 prop.join(jump, prop["p_comp"] == jump["j_node"], "left")
                 .select(
                     "node",
@@ -2327,7 +2336,6 @@ def connected_components(
                         (F.col("comp") != F.col("prev_comp")).cast("long")
                     ).alias("changed"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = obs.get["changed"] or 0  # None on an empty graph
             # this round is materialized; the previous round's label

@@ -23,8 +23,51 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def fresh_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` that also RESETS Catalyst's size
+    statistics — REQUIRED wherever checkpointed frames chain through
+    joins (iterative rounds, and outputs fed back in as inputs).
+
+    ``Dataset.checkpoint`` propagates the ORIGIN plan's estimated
+    stats into the resulting LogicalRDD, and the default size-only
+    estimator MULTIPLIES child sizes through every join — so chaining
+    checkpoints through join rounds compounds ``sizeInBytes``
+    multiplicatively: the BigInt's digit count doubles per chained
+    round, and after a dozen chained rounds the DRIVER spends its
+    time inside ``BigInteger.multiply`` during estimation (measured
+    on 50-row inputs: connected-components rounds of 2 s → 10 s →
+    31 s → 147 s; a jstack shows Thread-3 burning minutes in
+    ``multiplyToomCook3``). Rebuilding the DataFrame from the
+    checkpointed ``InternalRow`` RDD (``internalCreateDataFrame`` —
+    zero data movement, the same persisted blocks) drops the origin
+    stats back to the conf-default leaf size: chained digit counts
+    stay flat (measured 19 → 19 per round instead of doubling).
+
+    Falls back to the plain checkpoint if the (package-private but
+    bytecode-public) JVM surface ever moves — correctness is
+    unaffected, only the chained-stats pathology returns. Use
+    :func:`release_checkpoint` to free the blocks; it follows the
+    rebuilt frame back to its checkpoint source."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        jspark = df.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        out = DataFrame(new_jdf, df.sparkSession)
+    except Exception:
+        return ck
+    # release_checkpoint must unpersist the ORIGINAL checkpointed RDD
+    # (the rebuilt plan's rdd is a wrapper over it; unpersisting the
+    # wrapper would free nothing)
+    out._fde_ckpt_source = ck
+    return out
+
+
 def release_checkpoint(df: DataFrame) -> None:
-    """Release the block storage behind a ``localCheckpoint``'d frame.
+    """Release the block storage behind a ``localCheckpoint``'d (or
+    :func:`fresh_checkpoint`'d) frame.
 
     Iterative operators truncate lineage with an eager localCheckpoint
     per round; the backing RDD blocks stay pinned in executor storage
@@ -36,10 +79,14 @@ def release_checkpoint(df: DataFrame) -> None:
     lineage), so it must never be referenced again.
 
     ``df`` must be the direct localCheckpoint result (its analyzed
-    plan is the LogicalRDD holding the persisted RDD); anything else
-    is left untouched. Best-effort: failures are swallowed — a leaked
-    block degrades performance, a raise here would fail a correct
-    query."""
+    plan is the LogicalRDD holding the persisted RDD) or a
+    :func:`fresh_checkpoint` result (followed back to its source);
+    anything else is left untouched. Best-effort: failures are
+    swallowed — a leaked block degrades performance, a raise here
+    would fail a correct query."""
+    src = getattr(df, "_fde_ckpt_source", None)
+    if src is not None:
+        df = src
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":

@@ -451,6 +451,113 @@ def test_streaming_incremental_dedup_against_sketch_store(spark):
     assert len(family_admitted) <= 3, family_admitted
 
 
+def test_streaming_incremental_cluster_labels_loop(spark):
+    """The GOVERNANCE flavor of the serving loop: instead of dropping
+    near-dups, every micro-batch probes the MinHash store, folds the
+    batch-touching pairs into the standing duplicate-cluster labels
+    with connected_components_incremental, and admits everything (the
+    corpus keeps all copies but knows its clusters). The final labels
+    must equal a from-scratch connected_components over the union of
+    every pair the loop saw — cross-batch transitivity included (a
+    family spanning three batches plus its seed lands in ONE cluster
+    labeled by the family's min id)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        minhash_probe_store,
+        minhash_store_append,
+        minhash_store_build,
+    )
+    from full_docker_etl_spark.operators.util import release_checkpoint
+
+    # DISJOINT per-family vocabulary: within a family only the trailing
+    # token differs (exact J≈0.78, inside the banding S-curve), across
+    # families zero shared shingles — the probe's est_jaccard filter is
+    # signature-level, so families sharing a shortish common prefix
+    # would probabilistically leak cross-family edges and merge all
+    # clusters into one blob
+    def fam_base(i):
+        return " ".join(f"f{i}w{j}" for j in range(11))
+
+    rows = []
+    for b in range(3):
+        for i in range(10):
+            doc_id = 100 * b + i
+            if i < 5:
+                text = f"{fam_base(i)} tail{b}"        # near-dup family i
+            else:
+                text = " ".join(f"w{doc_id}_{j}" for j in range(12))
+            rows.append((doc_id, text, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string, batch int")
+    seeds = spark.createDataFrame(
+        [(1000 + i, f"{fam_base(i)} tailseed") for i in range(5)],
+        "doc_id long, text string",
+    )
+    src = tempfile.mkdtemp(prefix="fde_sclust_src_")
+    for b in range(3):
+        df.where(F.col("batch") == b).drop("batch").write.mode(
+            "append"
+        ).parquet(src)
+
+    store = tempfile.mkdtemp(prefix="fde_sclust_st_") + "/s"
+    minhash_store_build(seeds, store, "text", "doc_id")
+    state = {
+        "labels": spark.createDataFrame([], "node long, comp long"),
+    }
+    seen_pairs: list[tuple[int, int]] = []
+
+    def apply_batch(batch_df, epoch_id):
+        batch_df = batch_df.cache()
+        pairs = (
+            minhash_probe_store(
+                batch_df, store, "text", "doc_id", threshold=0.5
+            )
+            .select("d1", "d2")
+            .cache()
+        )
+        seen_pairs.extend((r.d1, r.d2) for r in pairs.collect())
+        new_labels = connected_components_incremental(
+            state["labels"], pairs
+        )
+        # CC output is eagerly checkpointed; release the superseded
+        # round so standing state is ONE labels frame, not one per
+        # micro-batch since the stream started
+        release_checkpoint(state["labels"])
+        state["labels"] = new_labels
+        minhash_store_append(batch_df, store, "text", "doc_id")
+        pairs.unpersist()
+        batch_df.unpersist()
+
+    chk = tempfile.mkdtemp(prefix="fde_sclust_chk_")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream drain timed out"
+
+    got = {r.node: r.comp for r in state["labels"].collect()}
+    ref_pairs = spark.createDataFrame(seen_pairs, "d1 long, d2 long")
+    want = {
+        r.node: r.comp for r in connected_components(ref_pairs).collect()
+    }
+    assert got == want and want
+    # cross-batch transitivity: each family that fully paired spans
+    # batches 0-2 + its seed under ONE min-id label
+    for i in range(5):
+        members = {n for n, c in got.items() if c == i}
+        if {i, 100 + i, 200 + i, 1000 + i} <= set(got):
+            assert members == {i, 100 + i, 200 + i, 1000 + i}
+
+
 def test_streaming_incremental_containment_dedup_loop(spark):
     """The CONTAINMENT-store serving loop under Structured Streaming
     (the asymmetric tier's admit loop): each micro-batch probes the
