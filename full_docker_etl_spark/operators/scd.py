@@ -49,7 +49,14 @@ def scd2_apply(
     (write each result before applying the next batch — what any real
     pipeline does anyway): stacking the raw plans of repeated applies
     can trip Spark's PartitioningCollection same-numPartitions check
-    on the unioned full-outer outputs."""
+    on the unioned full-outer outputs. If chaining IN-MEMORY instead
+    (tests, micro-batch loops), materialize each result with
+    :func:`~full_docker_etl_spark.operators.util.fresh_checkpoint`,
+    not a plain ``localCheckpoint``: checkpoint carries the origin
+    plan's size estimate forward and the per-apply join then
+    compounds it multiplicatively — by a few dozen chained applies
+    the driver drowns in BigInteger stats arithmetic (the
+    connected-components chaining pathology; see fresh_checkpoint)."""
     ts = batch_ts if isinstance(batch_ts, Column) else F.lit(batch_ts)
     fresh = updates.select(
         key,

@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from full_docker_etl_spark.operators.util import fresh_checkpoint
 from full_docker_etl_spark.registry import query
 from full_docker_etl_spark.sources.catalog import load_table
 from full_docker_etl_spark.sources.sinks import (
@@ -576,8 +577,10 @@ def dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize between applies (the documented production pattern;
     # also sidesteps Spark's PartitioningCollection check on stacked
-    # full-outer plans)
-    h1 = h1.localCheckpoint()
+    # full-outer plans); fresh_checkpoint, not localCheckpoint — a
+    # plain checkpoint carries stats that compound through chained
+    # applies (see operators/util.py)
+    h1 = fresh_checkpoint(h1)
     h2 = scd2_apply(
         h1, batch(1997), "o_custkey",
         F.lit("1998-01-01").cast("timestamp"), ["n_orders", "top_prio"],
