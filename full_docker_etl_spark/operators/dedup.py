@@ -2410,6 +2410,50 @@ def connected_components_incremental(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    labels: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    comp_col: str = "comp",
+) -> DataFrame:
+    """Duplicate-cluster RESOLUTION with a quality policy: given the
+    corpus and its component labels (:func:`connected_components` /
+    :func:`connected_components_incremental`), keep exactly ONE row
+    per cluster — the first under ``order_cols`` (e.g.
+    ``[F.col("n_tokens").desc(), F.col("doc_id")]`` keeps the longest
+    copy, id as the deterministic tie-break). Documents absent from
+    ``labels`` (never paired) are singleton clusters and always kept,
+    labeled by their own id.
+
+    This is the policy step greedy min-id dedup skips: near-dup
+    clusters usually contain one full document and several truncated
+    or boilerplate-wrapped copies, and a training corpus wants the
+    best member kept, not the numerically smallest id. Scale shape:
+    one left join on the id and one hash-partitioned window
+    (partitionBy cluster, no global sort); clusters are small by
+    construction, so the per-partition sort is bounded.
+
+    Include the ordering columns in ``docs``; ties beyond
+    ``order_cols`` are broken by the id column (appended
+    automatically) so the result is deterministic and
+    oracle-checkable."""
+    lab = labels.select(
+        F.col(node_col).alias(id_col), F.col(comp_col).alias("_comp")
+    )
+    labeled = docs.join(lab, id_col, "left").withColumn(
+        "_comp", F.coalesce(F.col("_comp"), F.col(id_col))
+    )
+    w = Window.partitionBy("_comp").orderBy(*order_cols, F.col(id_col))
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed("_comp", comp_col)
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -2803,6 +2803,68 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_longest",
+    oracle=f"""
+      WITH RECURSIVE pairs AS ({_jaccard_pairs_sql("documents")}),
+      sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION ALL
+              SELECT d2, d1 FROM pairs),
+      reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, w.r FROM sym s JOIN reach w ON s.dst = w.node
+      ),
+      comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+      t AS (SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents WHERE text IS NOT NULL),
+      lab AS (SELECT t.doc_id,
+                     COALESCE(c.comp, t.doc_id) AS comp,
+                     t.n_tokens
+              FROM t LEFT JOIN comp c ON t.doc_id = c.node)
+      SELECT doc_id, comp, n_tokens
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY comp ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM lab)
+      WHERE rn = 1
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution with a QUALITY policy — the step
+    greedy min-id dedup skips: cluster the ≥0.8-Jaccard near-dup
+    graph (transitive, via pointer-doubling CC), then keep the
+    LONGEST member of each cluster (token count, id tie-break) —
+    near-dup clusters usually hold one full document plus truncated
+    or boilerplate-wrapped copies, and a training corpus wants the
+    best copy, not the smallest id. Unpaired documents are singleton
+    clusters and always kept. The oracle replays the whole pipeline
+    portably: recursive-CTE closure + the same ROW_NUMBER resolution."""
+    from pyspark.sql import Window
+
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        keep_best_per_cluster,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    )
+    comps = connected_components(pairs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return keep_best_per_cluster(
+        toks, comps, [F.col("n_tokens").desc()]
+    ).select("doc_id", "comp", "n_tokens")
+
+
+@query(
     "dedup_components_incremental",
     oracle=f"""
       WITH RECURSIVE pairs AS ({_jaccard_pairs_sql("documents")}),

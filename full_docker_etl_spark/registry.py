@@ -54,24 +54,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # FIRST the nine r10-stale rows (text_substring_dedup,
 # text_substring_dedup_apply, text_tokens, union_by_name, and the five
 # win_* rows);
-# THEN 25 of the 27 r11-stale rows (agg_approx_percentiles ..
-# sample_token_budget in registration order; text_normalize and
-# dedup_minhash are the two r11 rows the pinned tier plus this round's
-# new entrant displace — they open the post-boundary order and lead
-# the r17 window);
+# THEN 24 of the 27 r11-stale rows (agg_approx_percentiles ..
+# sample_importance_dsir in registration order; sample_token_budget,
+# text_normalize and dedup_minhash are the three r11 rows the pinned
+# tier plus this round's two new entrants displace — they open the
+# post-boundary order and lead the r17 window);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
 # sketch queries);
-# THEN dedup_components_incremental (NEW this round, zero evidence —
-# policy puts never-sampled queries at the window close).
+# THEN dedup_components_incremental and dedup_keep_longest (NEW this
+# round, zero evidence — policy puts never-sampled queries at the
+# window close).
 # ROUND-17 PLAN (arithmetic verified against next_window.py at the r16
-# freeze): after r16 the staleness histogram is {r11: 2, r12: 31,
-# r13: 31, r14: 33, r15: 35, r16: 50}; the r17 window is
-# text_normalize + dedup_minhash (the two r11 rows) + the full 31-row
-# r12 tier + the first 2 r13 rows (agg_salted, catalog_tables — unless
-# an r17 FORCE_NEXT or new query displaces them) + the 15 pinned rows.
-# Run tools/next_window.py --check before the r17 freeze; it must
-# print exactly that window.
+# freeze): after r16 the staleness histogram is {r11: 3, r12: 31,
+# r13: 31, r14: 33, r15: 35, r16: 52}; the r17 window is
+# sample_token_budget + text_normalize + dedup_minhash (the three r11
+# rows) + the full 31-row r12 tier + the first r13 row (agg_salted —
+# unless an r17 FORCE_NEXT or new query displaces it) + the 15 pinned
+# rows. Run tools/next_window.py --check before the r17 freeze; it
+# must print exactly that window.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -123,7 +124,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "mm_frame_sample",
     "profile_corpus",
     "sample_importance_dsir",
-    "sample_token_budget",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -140,7 +140,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_containment_lsh_recall",
     "dedup_containment_incremental_recall",
     "dedup_components_incremental",
+    "dedup_keep_longest",
     # ---- window boundary (50) ----
+    "sample_token_budget",
     "text_normalize",
     "dedup_minhash",
     "agg_count_distinct",

@@ -1117,6 +1117,35 @@ def test_connected_components_incremental_equals_full(spark):
     assert set(bridged.values()) == {1} and len(bridged) == 100
 
 
+def test_keep_best_per_cluster_policy(spark):
+    """Cluster resolution keeps the FIRST member under the caller's
+    ordering (longest here), ties broken by id; docs absent from the
+    labels frame are singletons labeled by their own id and always
+    kept."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10), (2, 30), (3, 30),   # cluster 1: 2 and 3 tie at 30
+            (7, 5),                       # cluster 7: alone in labels
+            (9, 99),                      # never paired: singleton
+        ],
+        "doc_id long, n_tokens long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "node long, comp long"
+    )
+    got = {
+        (r.doc_id, r.comp, r.n_tokens)
+        for r in keep_best_per_cluster(
+            docs, labels, [F.col("n_tokens").desc()]
+        ).collect()
+    }
+    assert got == {(2, 1, 30), (7, 7, 5), (9, 9, 99)}
+
+
 def test_kmeans_centroids_deterministic_and_balanced(spark, embs):
     """Two independent trainings converge to identical centroids
     (deterministic init + tie-breaks); every list is populated; the
