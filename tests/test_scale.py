@@ -324,3 +324,59 @@ def test_write_clustered_zorder_guards(spark, tmp_path):
         write_clustered_zorder(
             df, str(tmp_path / "o2"), ["k", "x", "y", "z"], bits=16
         )
+
+
+def test_fresh_checkpoint_resets_stats_and_releases(spark):
+    """fresh_checkpoint must break Catalyst size-stat propagation:
+    chaining checkpointed frames through joins with a PLAIN
+    localCheckpoint compounds sizeInBytes multiplicatively (digit
+    count ~doubles per chained round — the driver-melting
+    connected-components pathology), while fresh_checkpoint keeps the
+    leaf estimate flat. Pins the (bytecode-public) JVM surface the
+    reset rides on, so a PySpark upgrade that silently breaks it
+    fails here instead of re-surfacing as exponential round times.
+    Also: release_checkpoint must follow the rebuilt frame back to
+    its checkpoint source and actually free the persisted blocks."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.util import (
+        fresh_checkpoint,
+        release_checkpoint,
+    )
+
+    def digits(df):
+        return len(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    base = spark.createDataFrame([(i, i + 1) for i in range(8)], "a long, b long")
+
+    plain = base.localCheckpoint(eager=True)
+    fresh = fresh_checkpoint(base)
+    leaf = digits(fresh)
+    for _ in range(4):
+        plain = (
+            plain.join(plain.selectExpr("a AS a2", "b"), ["b"])
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        fresh = fresh_checkpoint(
+            fresh.join(fresh.selectExpr("a AS a2", "b"), ["b"]).select("a", "b")
+        )
+    assert digits(plain) > 4 * leaf  # the pathology, still real in Spark
+    assert digits(fresh) == leaf     # the reset holds round over round
+    # the rebuilt frame is NOT a silent fallback: the reset actually
+    # engaged (a fallback would return the plain-checkpoint digits)
+    assert getattr(fresh, "_fde_ckpt_source", None) is not None
+
+    # release follows the rebuilt frame to its source blocks
+    sc = spark.sparkContext
+    before = {rid for rid in sc._jsc.getPersistentRDDs().keys()}
+    keep = fresh_checkpoint(base.select((F.col("a") + 1).alias("a"), "b"))
+    added = {
+        rid for rid in sc._jsc.getPersistentRDDs().keys()
+    } - before
+    assert added  # the checkpoint pinned blocks
+    release_checkpoint(keep)
+    after = {rid for rid in sc._jsc.getPersistentRDDs().keys()}
+    assert not (added & after)  # and release unpinned exactly them
