@@ -181,3 +181,21 @@ def test_bench_compare_flags_only_past_normalized_envelope(tmp_path):
     assert "a   " in out.split("FLAG")[1]
     # z (zero-baseline) is excluded everywhere, not just the headline
     assert "z   " not in out
+
+
+def test_bench_compare_prints_host_context(tmp_path):
+    """r16+ artifacts carry loadavg/PSI snapshots at run boundaries;
+    the compare prints them as recorded contention context (never
+    auto-judged — a saturating bench generates PSI of its own) and
+    stays silent for pre-r16 artifacts without the field."""
+    old = {"queries": {"a": 1.0}}
+    new = {
+        "queries": {"a": 2.0},
+        "host": {
+            "start": {"loadavg_1m": 7.5, "psi_cpu_some_avg60": 0.4},
+            "end": {"loadavg_1m": 1.0},
+        },
+    }
+    out, _rc = _run(old, new, tmp_path)
+    assert "host[new]: start(load 7.5 psi 0.4) -> end(load 1.0)" in out
+    assert "host[old]" not in out

@@ -25,7 +25,7 @@ import sys
 
 def load(
     path: str,
-) -> tuple[dict[str, float], dict[str, tuple[float, float]]]:
+) -> tuple[dict[str, float], dict[str, tuple[float, float]], dict]:
     """Per-query timings plus the environment-drift anchors — the
     (start, end) median-of-3 pairs bench.py stamps into both the
     detail file and the stdout line, so driver BENCH_r{N}.json
@@ -38,7 +38,13 @@ def load(
     Pairs are returned raw: every run has a systematic warm-up
     gradient (the end draw lands ~2x faster than the start draw), so
     intra-run start/end agreement is NOT a meaningful stability test;
-    the caller compares the two runs' gradients instead."""
+    the caller compares the two runs' gradients instead. The third
+    element is the r16+ ``host`` snapshot (loadavg + PSI at run
+    boundaries; empty dict on older artifacts) — printed as recorded
+    contention context, not auto-judged: a saturating local[n] bench
+    generates PSI of its own, so the fields distinguish 'this session
+    was already loaded' from 'the run loaded it', which is exactly
+    the adjudication the r14/r15 rounds made by narrative."""
     data = json.load(open(path))
     parsed = data.get("parsed") or {}
     if "queries" in data and isinstance(data["queries"], dict):
@@ -55,9 +61,11 @@ def load(
             s, e = float(a[ks]), float(a[ke])
             if s > 0 and e > 0:
                 anchors[name] = (s, e)
+    host = data.get("host") or parsed.get("host") or {}
     return (
         {k: float(v) for k, v in q.items() if v is not None and v >= 0},
         anchors,
+        host,
     )
 
 
@@ -65,7 +73,27 @@ def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
-    (old, a_old), (new, a_new) = load(sys.argv[1]), load(sys.argv[2])
+    (old, a_old, h_old), (new, a_new, h_new) = (
+        load(sys.argv[1]),
+        load(sys.argv[2]),
+    )
+    for label, h in (("old", h_old), ("new", h_new)):
+        if h:
+            # recorded contention context (r16+ artifacts): start load
+            # predates the run's own pressure, so a high START value
+            # means the session was already contended before a single
+            # query was timed
+            def fmt(side):
+                d = h.get(side) or {}
+                la = d.get("loadavg_1m")
+                psi = d.get("psi_cpu_some_avg60")
+                parts = []
+                if la is not None:
+                    parts.append(f"load {la}")
+                if psi is not None:
+                    parts.append(f"psi {psi}")
+                return " ".join(parts) or "n/a"
+            print(f"host[{label}]: start({fmt('start')}) -> end({fmt('end')})")
     shared = sorted(set(old) & set(new))
     if not shared:
         print("no shared queries between the two artifacts")
