@@ -930,6 +930,83 @@ def substring_store_migrate(path: str) -> str:
     return _store_migrate(path, _SUBSTRING_TABLES)
 
 
+def _store_stats(path: str, tables: tuple[str, ...]) -> dict:
+    """Maintenance-decision snapshot for a persisted sketch store —
+    the input a scheduler needs to decide WHEN to compact (committed
+    batch count: each append adds a ``batch=`` partition to every
+    table, and probes pay per-batch file listing + a longer committed
+    ``isin`` prune) and whether a vacuum is due (orphan batches from
+    crashed writes or a prior compaction, with their oldest mtime so
+    an ``older_than_seconds`` grace can be chosen against the probe
+    fleet's SLA). Pure driver-side metadata (manifest + directory
+    listing + file census) — no Spark job, safe to poll.
+
+    Returns ``{committed_batches, orphan_batches, oldest_orphan_age_s,
+    tables: {<table>: {files, bytes}}}`` where the per-table census
+    covers COMMITTED partitions only (what a new probe actually
+    reads)."""
+    import glob as _glob
+    import os
+    import time
+
+    committed = _store_manifest(path)
+    committed_set = set(committed)
+    prefix = f"{_STORE_BATCH_COL}="
+    orphans: set[str] = set()
+    oldest: float | None = None
+    census: dict[str, dict] = {}
+    for table in tables:
+        tdir = os.path.join(path, table)
+        files = 0
+        size = 0
+        if os.path.isdir(tdir):
+            for entry in os.listdir(tdir):
+                if not entry.startswith(prefix):
+                    continue
+                bid = entry[len(prefix):]
+                full = os.path.join(tdir, entry)
+                if bid not in committed_set:
+                    orphans.add(bid)
+                    try:
+                        m = os.path.getmtime(full)
+                        oldest = m if oldest is None else min(oldest, m)
+                    except OSError:
+                        pass
+                    continue
+                for f in _glob.glob(
+                    os.path.join(full, "**", "*.parquet"), recursive=True
+                ):
+                    files += 1
+                    try:
+                        size += os.path.getsize(f)
+                    except OSError:
+                        pass
+        census[table] = {"files": files, "bytes": size}
+    return {
+        "committed_batches": len(committed),
+        "orphan_batches": len(orphans),
+        "oldest_orphan_age_s": (
+            None if oldest is None else max(0.0, time.time() - oldest)
+        ),
+        "tables": census,
+    }
+
+
+def containment_store_stats(path: str) -> dict:
+    """Ensemble-store maintenance snapshot (see :func:`_store_stats`)."""
+    return _store_stats(path, _CONTAINMENT_TABLES)
+
+
+def minhash_store_stats(path: str) -> dict:
+    """MinHash-store maintenance snapshot (see :func:`_store_stats`)."""
+    return _store_stats(path, _MINHASH_TABLES)
+
+
+def substring_store_stats(path: str) -> dict:
+    """Substring-store maintenance snapshot (see :func:`_store_stats`)."""
+    return _store_stats(path, _SUBSTRING_TABLES)
+
+
 def containment_store_vacuum(
     path: str, older_than_seconds: float = 0.0
 ) -> list[str]:

@@ -811,6 +811,41 @@ def test_store_vacuum_grace_window(spark, tmp_path):
     )
 
 
+def test_store_stats_maintenance_snapshot(spark, tmp_path):
+    """_store_stats must report exactly what a maintenance scheduler
+    needs: committed batch count grows with appends, the census covers
+    committed files only, compaction's displaced batches show up as
+    orphans with an age, and vacuum zeroes them."""
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=12, n_quotes=0)
+    path = str(tmp_path / "sstore")
+    D.minhash_store_build(df.where("doc_id < 6"), path, "text", "doc_id")
+    s1 = D.minhash_store_stats(path)
+    assert s1["committed_batches"] == 1 and s1["orphan_batches"] == 0
+    assert s1["tables"]["sigs"]["files"] > 0
+    assert s1["tables"]["sigs"]["bytes"] > 0
+
+    D.minhash_store_append(df.where("doc_id >= 6"), path, "text", "doc_id")
+    s2 = D.minhash_store_stats(path)
+    assert s2["committed_batches"] == 2
+    assert s2["tables"]["sigs"]["files"] > s1["tables"]["sigs"]["files"]
+
+    displaced = D.minhash_store_compact(spark, path)
+    s3 = D.minhash_store_stats(path)
+    assert s3["committed_batches"] == 1
+    assert s3["orphan_batches"] == len(displaced) == 2
+    assert s3["oldest_orphan_age_s"] is not None
+    assert s3["oldest_orphan_age_s"] >= 0.0
+    # census counts committed partitions only — orphans excluded
+    assert s3["tables"]["sigs"]["files"] < s2["tables"]["sigs"]["files"] + \
+        s1["tables"]["sigs"]["files"]
+
+    D.minhash_store_vacuum(path)
+    s4 = D.minhash_store_stats(path)
+    assert s4["orphan_batches"] == 0 and s4["oldest_orphan_age_s"] is None
+
+
 def test_store_build_reset_refuses_non_store_directory(spark, tmp_path):
     """*_store_build clears its target — but only an empty directory
     or one that looks like a store (_meta.json/_manifest.json); a path
