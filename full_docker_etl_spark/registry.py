@@ -45,34 +45,28 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-16 window (50 slots), computed by
-# tools/next_window.py (stalest-first policy; FORCE_NEXT empty this
-# round) from the r01..r15 evidence union, whose staleness histogram at
-# the r15 freeze was {r10: 9, r11: 27, r12: 31, r13: 31, r14: 33,
-# r15: 50} (the r14 comment's "only two r10 rows remain" undercounted
-# — NINE r10 rows remained, and they lead this window):
-# FIRST the nine r10-stale rows (text_substring_dedup,
-# text_substring_dedup_apply, text_tokens, union_by_name, and the five
-# win_* rows);
-# THEN 24 of the 27 r11-stale rows (agg_approx_percentiles ..
-# sample_importance_dsir in registration order; sample_token_budget,
-# text_normalize and dedup_minhash are the three r11 rows the pinned
-# tier plus this round's two new entrants displace — they open the
-# post-boundary order and lead the r17 window);
+# everything every round. Round-17 window (50 slots), computed by
+# tools/next_window.py (stalest-first policy; FORCE_NEXT empty at
+# rotation time) from the r01..r16 evidence union, whose staleness
+# histogram at the r16 freeze was {r11: 3, r12: 31, r13: 31, r14: 33,
+# r15: 35, r16: 50} — exactly what the r16 plan comment predicted:
+# FIRST the three r11-stale rows (sample_token_budget, text_normalize,
+# dedup_minhash — the rows the r16 pinned tier + two new entrants
+# displaced);
+# THEN the full 31-row r12 tier (agg_count_distinct .. xbrl_metrics in
+# staleness/name order, oracle-checked rows before the rows-only
+# dedup_simhash within the tier);
+# THEN the first r13 row (agg_salted);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
-# sketch queries);
-# THEN dedup_components_incremental and dedup_keep_longest (NEW this
-# round, zero evidence — policy puts never-sampled queries at the
-# window close).
-# ROUND-17 PLAN (arithmetic verified against next_window.py at the r16
-# freeze): after r16 the staleness histogram is {r11: 3, r12: 31,
-# r13: 31, r14: 33, r15: 35, r16: 52}; the r17 window is
-# sample_token_budget + text_normalize + dedup_minhash (the three r11
-# rows) + the full 31-row r12 tier + the first r13 row (agg_salted —
-# unless an r17 FORCE_NEXT or new query displaces it) + the 15 pinned
-# rows. Run tools/next_window.py --check before the r17 freeze; it
-# must print exactly that window.
+# sketch queries).
+# This matches the r16 plan comment word for word. NOTE: any query NEW
+# in round 17 has zero evidence and closes the window, displacing
+# agg_salted first, then the tier tail — re-run tools/next_window.py
+# after registering new queries and re-paste before freezing.
+# ROUND-18 PLAN: written at the r17 freeze once the round's new
+# queries are registered; run tools/next_window.py then and record the
+# verified arithmetic here.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -82,66 +76,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (a green sample of code that no longer exists proves nothing).
 # RESET this tuple when rotating for the round AFTER the changes ship.
 FORCE_NEXT: tuple[str, ...] = (
-    # RESET for round 16: all 14 r15 FORCE_NEXT rows drew fresh r15
-    # evidence ON the post-change code (the r15 window sampled them
-    # after the duplicate-key contract, store-atomicity retrofit and
-    # admitter rewrite shipped — verified by tools/next_window.py
-    # --check against CORRECTNESS_r15.json). Refill with any query
-    # whose SEMANTICS change during round 16 before freezing.
+    # Empty at the r17 rotation: FORCE_NEXT was already empty in r16
+    # (no semantics changes shipped r16 — the r16 window was pure
+    # staleness policy), so there is nothing to reset. Refill with any
+    # query whose SEMANTICS change during round 17 before freezing.
 )
 
 _SAMPLE_ORDER: tuple[str, ...] = (
-    "text_substring_dedup",
-    "text_substring_dedup_apply",
-    "text_tokens",
-    "union_by_name",
-    "win_lag_change",
-    "win_latest_per_group",
-    "win_moving_avg",
-    "win_rank_topn",
-    "win_running_total",
-    "agg_approx_percentiles",
-    "agg_cohort_retention",
-    "agg_cube",
-    "agg_daily",
-    "agg_funnel",
-    "agg_monthly",
-    "agg_unpivot",
-    "audit_referential",
-    "audit_split_contamination",
-    "curate_domains",
-    "dedup_components",
-    "dedup_jaccard",
-    "dedup_pipeline",
-    "dim_scd2",
-    "fn_arrays",
-    "fn_maps",
-    "join_pit",
-    "join_salted",
-    "join_star_revenue",
-    "jsonl_scan",
-    "mm_features",
-    "mm_frame_sample",
-    "profile_corpus",
-    "sample_importance_dsir",
-    "ann_ivf_recall",
-    "ann_ivf_kmeans_recall",
-    "ann_lsh_recall",
-    "ann_ivf_sq_recall",
-    "ann_ivf_pq_recall",
-    "ann_ivf_serve_consistency",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "dedup_incremental_recall",
-    "text_compression_verdict",
-    "join_fuzzy_recall",
-    "dedup_semantic_verdict",
-    "dedup_containment_lsh_recall",
-    "dedup_containment_incremental_recall",
-    "dedup_components_incremental",
-    "dedup_keep_longest",
-    # ---- window boundary (50) ----
     "sample_token_budget",
     "text_normalize",
     "dedup_minhash",
@@ -177,6 +118,22 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "xbrl_metrics",
     "dedup_simhash",
     "agg_salted",
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "ann_ivf_sq_recall",
+    "ann_ivf_pq_recall",
+    "ann_ivf_serve_consistency",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    "text_compression_verdict",
+    "join_fuzzy_recall",
+    "dedup_semantic_verdict",
+    "dedup_containment_lsh_recall",
+    "dedup_containment_incremental_recall",
+    # ---- window boundary (50) ----
     "catalog_tables",
     "column_max",
     "dedup_containment",
@@ -275,6 +232,41 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_substring_incremental",
     "text_tfidf",
     "xlsx_scan",
+    "agg_approx_percentiles",
+    "agg_cohort_retention",
+    "agg_cube",
+    "agg_daily",
+    "agg_funnel",
+    "agg_monthly",
+    "agg_unpivot",
+    "audit_referential",
+    "audit_split_contamination",
+    "curate_domains",
+    "dedup_components",
+    "dedup_components_incremental",
+    "dedup_jaccard",
+    "dedup_keep_longest",
+    "dedup_pipeline",
+    "dim_scd2",
+    "fn_arrays",
+    "fn_maps",
+    "join_pit",
+    "join_salted",
+    "join_star_revenue",
+    "jsonl_scan",
+    "mm_features",
+    "mm_frame_sample",
+    "profile_corpus",
+    "sample_importance_dsir",
+    "text_substring_dedup",
+    "text_substring_dedup_apply",
+    "text_tokens",
+    "union_by_name",
+    "win_lag_change",
+    "win_latest_per_group",
+    "win_moving_avg",
+    "win_rank_topn",
+    "win_running_total",
 )
 
 
