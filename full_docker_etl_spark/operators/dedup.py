@@ -569,6 +569,9 @@ def containment_store_build(
     import json
     import os
 
+    specs = _ensemble_gap_specs(
+        threshold, k, target_recall, floor_recall, max_gap
+    )
     _store_build_reset(path)  # guarded: empty dir or existing store only
     with open(os.path.join(path, "_meta.json"), "w") as fh:
         json.dump(
@@ -577,15 +580,20 @@ def containment_store_build(
                 "target_recall": target_recall,
                 "floor_recall": floor_recall, "max_bucket": max_bucket,
                 "max_gap": max_gap,
+                # The DERIVED band specs, persisted alongside the
+                # parameters they derive from: the probe's meta guard
+                # compares parameters, but the bucket space is built
+                # from the specs — if a future release's
+                # _ensemble_gap_specs derives different specs from the
+                # same parameters (a rounding-edge change: r15's
+                # log(1-p)→log1p(-p) flip could move a ceil()), probes
+                # against an old store must fail LOUDLY instead of
+                # silently losing index/probe bucket overlap.
+                "gap_specs": specs,
             },
             fh,
         )
-    _containment_store_write(
-        df, path, text_col, id_col, n, k,
-        _ensemble_gap_specs(
-            threshold, k, target_recall, floor_recall, max_gap
-        ),
-    )
+    _containment_store_write(df, path, text_col, id_col, n, k, specs)
 
 
 #: Manifest/partition column governing persisted-store visibility —
@@ -784,7 +792,19 @@ def _store_manifest_replace(
     — under the manifest lock, so an append that landed mid-compaction
     raises here instead of being silently erased from the committed
     set (its data would have survived on disk as an orphan, but no
-    reader would ever see it again)."""
+    reader would ever see it again).
+
+    After the flip, every DISPLACED ``batch=`` directory (committed
+    under ``expected``, absent from ``batches``) is touched
+    (``os.utime``) so its mtime records the moment it stopped being
+    visible — NOT the moment it was written. :func:`_store_vacuum`'s
+    grace window measures against that mtime, and displacement is the
+    instant the race it protects against (a probe planned under the
+    pre-flip manifest) starts its clock: without the touch, a
+    long-committed batch displaced by a just-finished compaction would
+    look ancient to ``older_than_seconds`` and be deleted out from
+    under an in-flight probe."""
+    import os
 
     with _store_manifest_lock(path):
         current = _store_manifest(path)
@@ -796,6 +816,20 @@ def _store_manifest_replace(
                 "batch was NOT published (re-run compaction)"
             )
         _store_manifest_write(path, batches)
+    displaced = set(expected) - set(batches)
+    if not displaced:
+        return
+    prefix = f"{_STORE_BATCH_COL}="
+    for entry in os.listdir(path):
+        tdir = os.path.join(path, entry)
+        if entry.startswith("_") or not os.path.isdir(tdir):
+            continue  # manifest/meta/lock files, not table dirs
+        for batch_id in displaced:
+            bdir = os.path.join(tdir, f"{prefix}{batch_id}")
+            try:
+                os.utime(bdir, None)  # grace clock starts NOW
+            except OSError:
+                pass  # table without this batch, or already vacuumed
 
 
 def _store_read_committed(spark: SparkSession, path: str, table: str):
@@ -828,9 +862,21 @@ def _store_vacuum(
     compaction have drained, or pass ``older_than_seconds`` set to
     your longest plausible probe duration: partitions whose directory
     mtime is within the grace window are skipped (the retention
-    policy table formats use for the same displaced-file race), so a
-    scheduled ``vacuum(path, older_than_seconds=6*3600)`` is always
-    safe next to a probe fleet with a 6-hour SLA."""
+    policy table formats use for the same displaced-file race). The
+    grace clock starts at DISPLACEMENT, not at write:
+    :func:`_store_manifest_replace` touches each displaced ``batch=``
+    directory the moment the manifest flips, so a years-old batch
+    displaced by a just-finished compaction still gets the full
+    window. With that contract, a scheduled
+    ``vacuum(path, older_than_seconds=6*3600)`` is safe next to a
+    probe fleet whose probes finish within 6 hours of being planned —
+    provided displaced dirs were touched at the flip (any store
+    compacted by this release; for partitions displaced by an OLDER
+    release's compaction the mtime is the write time, so drain probes
+    before the first vacuum after upgrading) and the filesystem
+    preserves directory mtimes (local disk and fuse mounts do;
+    object-store gateways that synthesize mtimes need the
+    drain-first discipline instead)."""
     import os
     import shutil
     import time
@@ -908,7 +954,12 @@ def _store_migrate(path: str, tables: tuple[str, ...]) -> str:
             if entry == f"{prefix}{batch_id}":
                 continue
             os.rename(os.path.join(tdir, entry), os.path.join(dest, entry))
-    _store_manifest_write(path, [batch_id])
+    # Under the manifest lock like every other manifest write: a
+    # build/append racing the one-shot migration violates the
+    # single-writer contract and must fail LOUDLY here, not interleave
+    # silently.
+    with _store_manifest_lock(path):
+        _store_manifest_write(path, [batch_id])
     return batch_id
 
 
@@ -1089,7 +1140,48 @@ def _containment_store_meta(path: str) -> dict:
     # such key; absent means the floor-derived cutoff (None) — the
     # exact specs those stores were sketched with.
     meta.setdefault("max_gap", None)
+    # Stores persisted before specs were recorded (pre-r17) carry no
+    # gap_specs; None relaxes _ensemble_store_specs to re-derivation.
+    meta.setdefault("gap_specs", None)
     return meta
+
+
+#: The containment-store parameter keys (what the probe's meta guard
+#: compares); gap_specs is DERIVED from these and validated separately.
+_CONTAINMENT_PARAM_KEYS = (
+    "n", "k", "threshold", "target_recall", "floor_recall",
+    "max_bucket", "max_gap",
+)
+
+
+def _ensemble_store_specs(meta: dict, path: str) -> list[tuple[int, int, int]]:
+    """The band specs a store's sketches were actually built with.
+
+    Re-derives from the persisted parameters and cross-checks against
+    the specs recorded at build time (``gap_specs`` in ``_meta.json``):
+    a mismatch means the spec-derivation code changed since the store
+    was built — its persisted bucket rows and a fresh batch's would
+    occupy subtly different band layouts, silently reducing
+    index/probe bucket overlap (lost recall with no error signal).
+    That must fail loudly. Pre-r17 stores recorded no specs; for them
+    the re-derivation is all there is (documented residual risk —
+    rebuild or migrate to pin them)."""
+    derived = _ensemble_gap_specs(
+        meta["threshold"], meta["k"],
+        meta["target_recall"], meta["floor_recall"], meta["max_gap"],
+    )
+    stored = meta.get("gap_specs")
+    if stored is not None and [list(s) for s in derived] != [
+        list(s) for s in stored
+    ]:
+        raise ValueError(
+            f"band-spec drift: store at {path} was built with gap specs "
+            f"{stored} but this release derives {derived} from the same "
+            "parameters — persisted and fresh sketches would occupy "
+            "different band layouts (silent recall loss). Rebuild the "
+            "store with *_store_build on this release."
+        )
+    return derived
 
 
 def containment_store_append(
@@ -1110,11 +1202,7 @@ def containment_store_append(
     _store_manifest(path)  # refuse to extend an uncommitted store
     _containment_store_write(
         df, path, text_col, id_col, meta["n"], meta["k"],
-        _ensemble_gap_specs(
-            meta["threshold"], meta["k"],
-            meta["target_recall"], meta["floor_recall"],
-            meta["max_gap"],
-        ),
+        _ensemble_store_specs(meta, path),  # drift-guarded vs _meta.json
     )
 
 
@@ -1188,16 +1276,15 @@ def containment_probe_store(
         "floor_recall": floor_recall, "max_bucket": max_bucket,
         "max_gap": max_gap,
     }
-    if meta != called:
+    stored_params = {key: meta[key] for key in _CONTAINMENT_PARAM_KEYS}
+    if stored_params != called:
         raise ValueError(
             f"sketch-parameter mismatch: store at {path} was built with "
-            f"{meta}, probe called with {called} — ensemble sketches "
-            "with different parameters are incomparable (the probe "
-            "would silently return zero candidates)"
+            f"{stored_params}, probe called with {called} — ensemble "
+            "sketches with different parameters are incomparable (the "
+            "probe would silently return zero candidates)"
         )
-    specs = _ensemble_gap_specs(
-        threshold, k, target_recall, floor_recall, max_gap
-    )
+    specs = _ensemble_store_specs(meta, path)  # drift-guarded
     batch = _ensemble_docs(new_df, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )

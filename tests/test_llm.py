@@ -811,6 +811,125 @@ def test_store_vacuum_grace_window(spark, tmp_path):
     )
 
 
+def test_store_vacuum_grace_clock_starts_at_displacement(spark, tmp_path):
+    """The vacuum grace window must measure from DISPLACEMENT, not
+    from write: a batch written long before the window but displaced
+    by a just-finished compaction is still inside an in-flight probe's
+    plan, so vacuum(older_than_seconds=SLA) must skip it. Pre-fix,
+    vacuum compared against the directory mtime = write time and
+    deleted such batches immediately (the r16 advice finding)."""
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=12, n_quotes=0)
+    path = str(tmp_path / "dstore")
+    D.minhash_store_build(df.where("doc_id < 6"), path, "text", "doc_id")
+    D.minhash_store_append(df.where("doc_id >= 6"), path, "text", "doc_id")
+    committed = D._store_manifest(path)
+    # backdate the COMMITTED batch dirs: written ages ago
+    for table in D._MINHASH_TABLES:
+        for b in committed:
+            os.utime(
+                os.path.join(path, table, f"batch={b}"),
+                (1_000_000_000, 1_000_000_000),
+            )
+    displaced = D.minhash_store_compact(spark, path)
+    assert sorted(displaced) == sorted(committed)
+    # the compaction flip touched the displaced dirs, so the grace
+    # window protects them despite their ancient write time
+    assert D.minhash_store_vacuum(path, older_than_seconds=3600) == []
+    for table in D._MINHASH_TABLES:
+        for b in displaced:
+            assert os.path.isdir(os.path.join(path, table, f"batch={b}"))
+    # once the displacement clock ages out, the same call reclaims
+    for table in D._MINHASH_TABLES:
+        for b in displaced:
+            os.utime(
+                os.path.join(path, table, f"batch={b}"),
+                (1_000_000_000, 1_000_000_000),
+            )
+    assert D.minhash_store_vacuum(path, older_than_seconds=3600) == sorted(
+        displaced
+    )
+
+
+def test_store_migrate_publishes_under_manifest_lock(tmp_path):
+    """_store_migrate's one-shot manifest publish honours the same
+    single-writer loud-failure contract as build/append/compact: a
+    concurrent writer's lockfile makes it raise instead of silently
+    interleaving (the r16 advice finding). Driver-side only — no
+    Spark session needed."""
+    import json
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    path = str(tmp_path / "mstore")
+    os.makedirs(path)
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n": 5, "k": 32, "bands": 8}, fh)
+    open(D._store_manifest_path(path) + ".lock", "w").write("424242")
+    with pytest.raises(RuntimeError, match="concurrent store-manifest"):
+        D.minhash_store_migrate(path)
+    assert not os.path.exists(D._store_manifest_path(path))
+    os.unlink(D._store_manifest_path(path) + ".lock")
+    batch = D.minhash_store_migrate(path)
+    assert D._store_manifest(path) == [batch]
+
+
+def test_containment_store_spec_drift_guard(spark, tmp_path):
+    """The derived band specs persist in _meta.json at build time and
+    are validated at probe AND append time: a store whose recorded
+    specs differ from what the current release derives (a future
+    rounding-edge change in _ensemble_gap_specs) fails LOUDLY instead
+    of silently losing index/probe bucket overlap (the r16 advice
+    finding). A pre-r17 store (no gap_specs key) stays probe-able on
+    the re-derivation path."""
+    import json
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark)
+    store_docs = df.where("doc_id % 5 != 0")
+    batch = df.where("doc_id % 5 = 0")
+    path = str(tmp_path / "spstore")
+    D.containment_store_build(store_docs, path, "text", "doc_id")
+
+    mpath = os.path.join(path, "_meta.json")
+    meta = json.load(open(mpath))
+    # build recorded exactly the specs the parameters derive
+    assert [tuple(s) for s in meta["gap_specs"]] == D._ensemble_gap_specs(
+        meta["threshold"], meta["k"],
+        meta["target_recall"], meta["floor_recall"], meta["max_gap"],
+    )
+
+    # simulate a derivation change: the store's recorded specs no
+    # longer match what this release derives -> probe and append raise
+    drifted = dict(meta)
+    drifted["gap_specs"] = [
+        [g, r, b + 1] for g, r, b in meta["gap_specs"]
+    ]
+    json.dump(drifted, open(mpath, "w"))
+    with pytest.raises(ValueError, match="band-spec drift"):
+        D.containment_probe_store(batch, path, "text", "doc_id").collect()
+    with pytest.raises(ValueError, match="band-spec drift"):
+        D.containment_store_append(batch, path, "text", "doc_id")
+
+    # pre-r17 store: no gap_specs recorded -> re-derivation path runs
+    legacy = dict(meta)
+    del legacy["gap_specs"]
+    json.dump(legacy, open(mpath, "w"))
+    D.containment_probe_store(batch, path, "text", "doc_id").collect()
+
+    # restore the true meta: probe serves normally again
+    json.dump(meta, open(mpath, "w"))
+    assert D.containment_probe_store(
+        batch, path, "text", "doc_id"
+    ).count() >= 0
+
+
 def test_store_stats_maintenance_snapshot(spark, tmp_path):
     """_store_stats must report exactly what a maintenance scheduler
     needs: committed batch count grows with appends, the census covers
