@@ -1058,6 +1058,123 @@ def substring_store_stats(path: str) -> dict:
     return _store_stats(path, _SUBSTRING_TABLES)
 
 
+def _store_maintain(
+    spark: SparkSession,
+    path: str,
+    *,
+    stats_fn,
+    compact_fn,
+    vacuum_fn,
+    max_batches: int,
+    probe_grace_seconds: float,
+) -> dict:
+    """THE maintenance policy loop over a persisted sketch store — the
+    documented consumer of :func:`_store_stats` that turns the r16
+    observability primitives into a schedulable action (run it from
+    the same cadence that drives the append loop, e.g. after every
+    N-th batch admission):
+
+    1. **Compact when the committed set exceeds the budget**
+       (``committed_batches > max_batches``): every append adds a
+       ``batch=`` partition per table, and probes pay per-batch file
+       listing, a longer manifest ``isin`` prune, and (containment/
+       substring) one additive counts partial per batch — the
+       small-file problem the reference hand-solved with 1000-row
+       insert batching (extractyfinance.py:196-212), solved here by
+       folding all committed batches into one. The budget trades
+       compaction I/O (a full store rewrite) against probe overhead;
+       ~16 keeps per-probe listing flat while compacting once per 16
+       appends — at 100 TB, size it so the rewrite amortizes over the
+       appends it absorbs.
+    2. **Vacuum with the probe fleet's grace**: orphans from crashed
+       writes and compaction-displaced partitions are reclaimed only
+       once ``probe_grace_seconds`` past their DISPLACEMENT mtime
+       (see :func:`_store_vacuum` — the clock starts when a partition
+       stops being visible, so grace ≥ the longest plausible probe
+       duration makes the deletion safe next to an in-flight fleet).
+       Pass the fleet's SLA, not 0 — 0 is only safe when no probe is
+       running.
+
+    Returns ``{before, compacted, displaced, vacuumed, after}`` —
+    the stats snapshots bracketing the actions, whether a compaction
+    ran, the batch ids it displaced, and the batch ids vacuum
+    reclaimed — so a scheduler can log exactly what maintenance did."""
+    before = stats_fn(path)
+    displaced: list[str] = []
+    compacted = False
+    if before["committed_batches"] > max_batches:
+        result = compact_fn(spark, path)
+        # containment/minhash compact return displaced ids; substring
+        # returns a before/after file census (displacement is implicit)
+        displaced = result if isinstance(result, list) else []
+        compacted = True
+    vacuumed = vacuum_fn(path, older_than_seconds=probe_grace_seconds)
+    return {
+        "before": before,
+        "compacted": compacted,
+        "displaced": displaced,
+        "vacuumed": vacuumed,
+        "after": stats_fn(path),
+    }
+
+
+def containment_store_maintain(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_batches: int = 16,
+    probe_grace_seconds: float = 6 * 3600.0,
+) -> dict:
+    """Scheduled stats→compact→vacuum policy pass over an ensemble
+    store (see :func:`_store_maintain`)."""
+    return _store_maintain(
+        spark, path,
+        stats_fn=containment_store_stats,
+        compact_fn=containment_store_compact,
+        vacuum_fn=containment_store_vacuum,
+        max_batches=max_batches,
+        probe_grace_seconds=probe_grace_seconds,
+    )
+
+
+def minhash_store_maintain(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_batches: int = 16,
+    probe_grace_seconds: float = 6 * 3600.0,
+) -> dict:
+    """Scheduled stats→compact→vacuum policy pass over a MinHash
+    store (see :func:`_store_maintain`)."""
+    return _store_maintain(
+        spark, path,
+        stats_fn=minhash_store_stats,
+        compact_fn=minhash_store_compact,
+        vacuum_fn=minhash_store_vacuum,
+        max_batches=max_batches,
+        probe_grace_seconds=probe_grace_seconds,
+    )
+
+
+def substring_store_maintain(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_batches: int = 16,
+    probe_grace_seconds: float = 6 * 3600.0,
+) -> dict:
+    """Scheduled stats→compact→vacuum policy pass over a substring
+    store (see :func:`_store_maintain`)."""
+    return _store_maintain(
+        spark, path,
+        stats_fn=substring_store_stats,
+        compact_fn=substring_store_compact,
+        vacuum_fn=substring_store_vacuum,
+        max_batches=max_batches,
+        probe_grace_seconds=probe_grace_seconds,
+    )
+
+
 def containment_store_vacuum(
     path: str, older_than_seconds: float = 0.0
 ) -> list[str]:

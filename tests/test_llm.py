@@ -965,6 +965,70 @@ def test_store_stats_maintenance_snapshot(spark, tmp_path):
     assert s4["orphan_batches"] == 0 and s4["oldest_orphan_age_s"] is None
 
 
+def test_store_maintain_policy_loop(spark, tmp_path):
+    """store_maintain is the documented consumer of *_store_stats —
+    an append loop drives stats→compact→vacuum end-to-end: below the
+    batch budget it's a no-op, above it compaction folds the committed
+    set to one batch, displaced partitions survive a grace-window
+    vacuum (in-flight probe safety) and are reclaimed once aged, and
+    probe results are invariant across the whole maintenance pass."""
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=20, n_quotes=4)
+    probe_batch = df.where("doc_id >= 16")
+    path = str(tmp_path / "pstore")
+    D.minhash_store_build(df.where("doc_id < 4"), path, "text", "doc_id")
+    for lo in (4, 8, 12):
+        D.minhash_store_append(
+            df.where(f"doc_id >= {lo} and doc_id < {lo + 4}"),
+            path, "text", "doc_id",
+        )
+
+    def probe_pairs():
+        return {
+            (min(r.d1, r.d2), max(r.d1, r.d2))
+            for r in D.minhash_probe_store(
+                probe_batch, path, "text", "doc_id"
+            ).collect()
+        }
+
+    want = probe_pairs()
+
+    # 4 committed batches, budget 8: nothing to do
+    r1 = D.minhash_store_maintain(spark, path, max_batches=8)
+    assert not r1["compacted"] and r1["vacuumed"] == []
+    assert r1["after"]["committed_batches"] == 4
+
+    # budget 3: compaction folds 4 -> 1; the displaced batches are
+    # inside the probe grace window, so vacuum must leave them on disk
+    r2 = D.minhash_store_maintain(
+        spark, path, max_batches=3, probe_grace_seconds=3600
+    )
+    assert r2["compacted"] and len(r2["displaced"]) == 4
+    assert r2["vacuumed"] == []
+    assert r2["after"]["committed_batches"] == 1
+    assert r2["after"]["orphan_batches"] == 4
+    assert probe_pairs() == want
+
+    # probes drained (simulated by ageing the displacement clock):
+    # the next scheduled pass reclaims the orphans, compacts nothing
+    for table in D._MINHASH_TABLES:
+        for b in r2["displaced"]:
+            os.utime(
+                os.path.join(path, table, f"batch={b}"),
+                (1_000_000_000, 1_000_000_000),
+            )
+    r3 = D.minhash_store_maintain(
+        spark, path, max_batches=3, probe_grace_seconds=3600
+    )
+    assert not r3["compacted"]
+    assert sorted(r3["vacuumed"]) == sorted(r2["displaced"])
+    assert r3["after"]["orphan_batches"] == 0
+    assert probe_pairs() == want and want
+
+
 def test_store_build_reset_refuses_non_store_directory(spark, tmp_path):
     """*_store_build clears its target — but only an empty directory
     or one that looks like a store (_meta.json/_manifest.json); a path
