@@ -34,6 +34,52 @@ import tempfile
 import time
 
 
+#: Contention thresholds for the bless gate and bench_compare's
+#: auto-labeling (VERDICT r16 #6). Calibrated from the recorded
+#: artifacts: every clean run this repo has committed started at
+#: loadavg ≤0.75 / PSI ≤0.05, while the contaminated driver runs
+#: started at load 10.84/PSI 0.82 (r16) and load ~6/PSI 0.49 (the
+#: r16 mid-session run) — 2.0 / 0.2 sit an order of magnitude above
+#: clean-start noise and far below every observed contamination.
+CONTENTION_LOAD_1M = 2.0
+CONTENTION_PSI_AVG60 = 0.2
+
+
+def is_contended(snap: dict) -> bool:
+    """Whether a host snapshot shows PRE-EXISTING contention. Only
+    meaningful for START snapshots: a saturating local[n] bench
+    generates load and PSI of its own, so end-of-run values are the
+    run's, not the session's. Missing fields read as not-contended
+    (best-effort facility, never an error)."""
+    return (
+        snap.get("loadavg_1m", 0.0) > CONTENTION_LOAD_1M
+        or snap.get("psi_cpu_some_avg60", 0.0) > CONTENTION_PSI_AVG60
+    )
+
+
+def bless_gate(snap: dict, out: str, force: bool = False) -> None:
+    """REFUSE to bless a contaminated measurement: an explicit
+    ``--out`` (anything but the temp-dir default) is the deliberate
+    act of producing a commit-grade BENCH_DETAIL, and a run that
+    STARTS on a contended host (see :func:`is_contended`) cannot be
+    one — the r14-r16 rounds each spent a SCALE.md narrative
+    adjudicating exactly this class after the fact. Fails fast,
+    before the session spins up, so the operator loses seconds, not
+    the full run. ``--force`` records the measurement anyway (the
+    artifact still carries the host field for bench_compare's
+    auto-label). Driver/default runs (temp-dir out) are never gated —
+    their artifacts are adjudicated downstream by the recorded
+    field."""
+    if force or out == default_detail_path() or not is_contended(snap):
+        return
+    raise SystemExit(
+        f"bench: REFUSING to bless a contended run: start host snapshot "
+        f"{snap} exceeds thresholds (loadavg_1m > {CONTENTION_LOAD_1M} "
+        f"or psi_cpu_some_avg60 > {CONTENTION_PSI_AVG60}). Re-run on a "
+        "quiet host, or pass --force to record it anyway."
+    )
+
+
 def host_snapshot() -> dict:
     """Contention evidence stamped INTO the artifact: the r14 and r15
     driver bench runs both landed in sessions where host-level load
@@ -78,7 +124,19 @@ def main() -> int:
         help="path for the full per-query detail JSON (default: system "
         "temp dir, so bench runs never dirty the repo tree)",
     )
+    parser.add_argument(
+        "--force",
+        action="store_true",
+        help="measure even when the start host snapshot shows "
+        "contention (the artifact still records the host field)",
+    )
     args = parser.parse_args()
+
+    # The START snapshot is taken before the session exists, so it is
+    # purely the SESSION'S pre-existing load — none of it ours — and
+    # the bless gate can fail fast instead of after a 4-minute run.
+    host_start = host_snapshot()
+    bless_gate(host_start, args.out, args.force)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)

@@ -2917,6 +2917,181 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("node", "comp")
 
 
+@query(
+    "dedup_batch_arrival",
+    oracle=f"""
+      WITH RECURSIVE pairs AS ({_jaccard_pairs_sql("documents")}),
+      sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION ALL
+              SELECT d2, d1 FROM pairs),
+      reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, w.r FROM sym s JOIN reach w ON s.dst = w.node
+      ),
+      comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+      t AS (SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   doc_id % 10 = 0 AS is_new
+            FROM documents WHERE text IS NOT NULL),
+      lab AS (SELECT t.doc_id,
+                     COALESCE(c.comp, t.doc_id) AS comp,
+                     t.n_tokens, t.is_new
+              FROM t LEFT JOIN comp c ON t.doc_id = c.node),
+      res AS (SELECT *, (ROW_NUMBER() OVER (
+                PARTITION BY comp ORDER BY n_tokens DESC, doc_id) = 1)
+                AS kept
+              FROM lab)
+      SELECT doc_id, comp, n_tokens, is_new, kept
+      FROM res
+      WHERE comp IN (SELECT comp FROM res WHERE is_new)
+    """,
+)
+def dedup_batch_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALWAYS-ON batch-arrival capstone — the full incremental
+    dedup serving loop composed end to end: new pairs from the
+    arriving batch → incremental component-label refresh
+    (:func:`~full_docker_etl_spark.operators.dedup.
+    connected_components_incremental` — standing labels are a star
+    compression of the old graph; the historical pair set is never
+    re-read) → quality-policy cluster resolution (keep the longest
+    member, id tie-break) — emitted for exactly the AFFECTED clusters
+    (those containing a batch document, singletons included): which
+    arriving documents to admit (``is_new AND kept``), which standing
+    winners they displace (``NOT is_new AND NOT kept``), and which
+    batch documents are duplicates to drop. The reference's
+    incremental batch semantics (transform_iqplus_news_dags.py:71-85
+    status-flag loop) at corpus-dedup scale.
+
+    At 100 TB the batch-touching pairs come from the persisted sketch
+    store probe (minhash_probe_store / containment_probe_store —
+    recall driver-checked by dedup_incremental_recall); here one
+    blocked EXACT pair pass feeds both splits so the ORACLE can replay
+    the whole loop portably: recursive-CTE closure over ALL pairs +
+    the same ROW_NUMBER resolution, restricted to batch-touching
+    clusters — value-checking that incremental refresh + resolution
+    equals the from-scratch answer on the affected set."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
+    standing = connected_components(
+        pairs.where(~in_batch[0] & ~in_batch[1])
+    )
+    labels = connected_components_incremental(
+        standing, pairs.where(in_batch[0] | in_batch[1])
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+    )
+    lab = toks.join(
+        labels.select(F.col("node").alias("doc_id"), "comp"),
+        "doc_id",
+        "left",
+    ).withColumn("comp", F.coalesce("comp", "doc_id"))
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    res = lab.withColumn("kept", F.row_number().over(w) == F.lit(1))
+    affected = res.where("is_new").select("comp").distinct()
+    return res.join(affected, "comp", "left_semi").select(
+        "doc_id", "comp", "n_tokens", "is_new", "kept"
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+      WITH RECURSIVE pairs AS ({_jaccard_pairs_sql("documents")}),
+      sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION ALL
+              SELECT d2, d1 FROM pairs),
+      reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, w.r FROM sym s JOIN reach w ON s.dst = w.node
+      ),
+      comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+      qt AS (SELECT doc_id,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                    regexp_split_to_array(trim(text), '\\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      qtok AS (SELECT * FROM (SELECT doc_id, y, unnest(toks) AS w FROM qt)
+               WHERE len(w) > 0),
+      cw AS (SELECT w, SUM(y) AS c_pos, COUNT(*) - SUM(y) AS c_neg
+             FROM qtok GROUP BY w),
+      tots AS (SELECT SUM(y) AS tot_pos, COUNT(*) - SUM(y) AS tot_neg,
+                      COUNT(DISTINCT w) AS v
+               FROM qtok),
+      prior AS (SELECT ln((SUM(y) + 1.0) / (COUNT(*) - SUM(y) + 1.0)) AS lp
+                FROM qt),
+      odds AS (SELECT w,
+                      ln((c_pos + 1.0) / (tot_pos + v))
+                        - ln((c_neg + 1.0) / (tot_neg + v)) AS lo
+               FROM cw CROSS JOIN tots),
+      score AS (SELECT qtok.doc_id,
+                       ROUND(SUM(lo) + ANY_VALUE(lp), 4) AS log_odds
+                FROM qtok JOIN odds USING (w) CROSS JOIN prior
+                GROUP BY qtok.doc_id),
+      lab AS (SELECT s.doc_id, COALESCE(c.comp, s.doc_id) AS comp,
+                     s.log_odds
+              FROM score s LEFT JOIN comp c ON s.doc_id = c.node)
+      SELECT doc_id, comp, log_odds
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY comp ORDER BY log_odds DESC, doc_id) AS rn
+            FROM lab)
+      WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution under a PLUGGABLE SCORED policy —
+    the FineWeb/CCNet-style "keep the best copy, not the longest":
+    :func:`~full_docker_etl_spark.operators.dedup.
+    keep_best_per_cluster` orders each near-dup cluster by an
+    arbitrary quality score, here the TRAINED Naive-Bayes log-odds
+    from the quality tier (the text_quality_classifier model —
+    add-1 multinomial NB seeded with lang='en' as the target domain),
+    so dedup resolution composes with quality scoring instead of the
+    length heuristic (``dedup_keep_longest`` stays the default
+    policy; this row pins the scored path). Ties in the 4-dp-rounded
+    score break by doc_id, keeping the winner deterministic and
+    oracle-checkable. The oracle replays the ENTIRE composition
+    portably: the recursive-CTE closure over all pairs + the
+    retrained-in-SQL classifier + the same ROW_NUMBER resolution."""
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_cluster,
+    )
+    from full_docker_etl_spark.operators.text import nb_quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    )
+    comps = connected_components(pairs)
+    scored = nb_quality_classifier(
+        docs.withColumn("y", (F.col("lang") == "en").cast("int")),
+        "text", "doc_id", "y",
+    ).select("doc_id", "log_odds")
+    return keep_best_per_cluster(
+        scored, comps, [F.col("log_odds").desc()]
+    ).select("doc_id", "comp", "log_odds")
+
+
 @query("ann_ivf_kmeans_topk")
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with TRAINED centroids: 3 Lloyd's rounds trained

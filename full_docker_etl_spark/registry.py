@@ -53,20 +53,29 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # FIRST the three r11-stale rows (sample_token_budget, text_normalize,
 # dedup_minhash — the rows the r16 pinned tier + two new entrants
 # displaced);
-# THEN the full 31-row r12 tier (agg_count_distinct .. xbrl_metrics in
-# staleness/name order, oracle-checked rows before the rows-only
-# dedup_simhash within the tier);
-# THEN the first r13 row (agg_salted);
+# THEN 30 of the 31-row r12 tier (agg_count_distinct .. xbrl_metrics
+# in staleness/name order; the rows-only dedup_simhash sorts last
+# within the tier and is displaced, with agg_salted, by this round's
+# two NEW queries — both open the post-boundary order and lead the
+# r18 window);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
-# sketch queries).
-# This matches the r16 plan comment word for word. NOTE: any query NEW
-# in round 17 has zero evidence and closes the window, displacing
-# agg_salted first, then the tier tail — re-run tools/next_window.py
-# after registering new queries and re-paste before freezing.
-# ROUND-18 PLAN: written at the r17 freeze once the round's new
-# queries are registered; run tools/next_window.py then and record the
-# verified arithmetic here.
+# sketch queries);
+# THEN dedup_batch_arrival and dedup_keep_best (NEW this round, zero
+# evidence — policy puts never-sampled queries at the window close).
+# The r16 plan comment predicted this window up to the two new
+# entrants (which its NOTE clause anticipated).
+# ROUND-18 PLAN (arithmetic verified by SIMULATING the r17 driver
+# stamps through next_window.proposed_order at the r17 rotation):
+# after r17 the staleness histogram becomes {r12: 1, r13: 31,
+# r14: 33, r15: 35, r16: 35, r17: 50}; the r18 window is
+# dedup_simhash (the lone r12 row) + all 31 r13 rows (agg_salted,
+# catalog_tables .. zip_xml_ingest in staleness/name order) + the
+# first 3 r14 rows (agg_approx_distinct, ann_cosine_topk,
+# ann_ivf_incremental) + the 15 pinned rows — unless r18 registers
+# new queries or FORCE_NEXT entries, which displace from the tail.
+# Run tools/next_window.py --check before the r18 freeze; it must
+# print exactly that window.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -116,8 +125,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "win_rank_family",
     "win_time_range",
     "xbrl_metrics",
-    "dedup_simhash",
-    "agg_salted",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -133,7 +140,11 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_semantic_verdict",
     "dedup_containment_lsh_recall",
     "dedup_containment_incremental_recall",
+    "dedup_batch_arrival",
+    "dedup_keep_best",
     # ---- window boundary (50) ----
+    "dedup_simhash",
+    "agg_salted",
     "catalog_tables",
     "column_max",
     "dedup_containment",

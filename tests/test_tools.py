@@ -185,9 +185,10 @@ def test_bench_compare_flags_only_past_normalized_envelope(tmp_path):
 
 def test_bench_compare_prints_host_context(tmp_path):
     """r16+ artifacts carry loadavg/PSI snapshots at run boundaries;
-    the compare prints them as recorded contention context (never
-    auto-judged — a saturating bench generates PSI of its own) and
-    stays silent for pre-r16 artifacts without the field."""
+    the compare prints them as recorded contention context and (r17)
+    auto-judges the START snapshot against bench.py's shared
+    thresholds — only the start, because a saturating bench generates
+    PSI of its own. Pre-r16 artifacts without the field stay silent."""
     old = {"queries": {"a": 1.0}}
     new = {
         "queries": {"a": 2.0},
@@ -198,4 +199,64 @@ def test_bench_compare_prints_host_context(tmp_path):
     }
     out, _rc = _run(old, new, tmp_path)
     assert "host[new]: start(load 7.5 psi 0.4) -> end(load 1.0)" in out
+    assert "CONTAMINATED" in out
     assert "host[old]" not in out
+
+
+def test_bench_compare_auto_labels_contaminated_flags(tmp_path):
+    """Flags raised against a run whose recorded host field shows a
+    pre-contended session are auto-labeled host-drift class (VERDICT
+    r16 #6) — the exit code still demands a clean re-measure, but the
+    adjudication the r14-r16 rounds made by narrative is now
+    mechanical. A clean-host run keeps the plain flag wording."""
+    old = {"queries": {"a": 2.0, "b": 2.0}}
+    new_contended = {
+        "queries": {"a": 9.0, "b": 2.0},
+        "host": {"start": {"loadavg_1m": 10.8,
+                           "psi_cpu_some_avg60": 0.82}},
+    }
+    out, rc = _run(old, new_contended, tmp_path)
+    assert rc == 1
+    assert "host-drift class by recorded field" in out
+    assert "the new run started contended" in out
+
+    new_clean = {
+        "queries": {"a": 9.0, "b": 2.0},
+        "host": {"start": {"loadavg_1m": 0.5,
+                           "psi_cpu_some_avg60": 0.02}},
+    }
+    out, rc = _run(old, new_clean, tmp_path)
+    assert rc == 1 and "FLAG" in out
+    assert "host-drift class" not in out
+
+
+def test_bench_contention_gate(monkeypatch):
+    """The bless gate (VERDICT r16 #6): an explicit --out run on a
+    pre-contended host must refuse fast; the temp-default (driver)
+    path and --force always proceed; missing host fields read as
+    not-contended."""
+    import pytest
+
+    sys.path.insert(0, str(REPO))
+    try:
+        import bench
+    finally:
+        sys.path.remove(str(REPO))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_DETAIL", raising=False)
+
+    assert not bench.is_contended({})
+    assert not bench.is_contended(
+        {"loadavg_1m": 0.72, "psi_cpu_some_avg60": 0.05}
+    )
+    assert bench.is_contended({"loadavg_1m": 10.84})
+    assert bench.is_contended({"psi_cpu_some_avg60": 0.82})
+
+    hot = {"loadavg_1m": 10.84, "psi_cpu_some_avg60": 0.82}
+    cold = {"loadavg_1m": 0.72, "psi_cpu_some_avg60": 0.02}
+    # deliberate bless on a contended host: refuse, name the numbers
+    with pytest.raises(SystemExit, match="REFUSING to bless"):
+        bench.bless_gate(hot, "BENCH_DETAIL.json")
+    # clean host, forced runs, and driver-default paths all proceed
+    bench.bless_gate(cold, "BENCH_DETAIL.json")
+    bench.bless_gate(hot, "BENCH_DETAIL.json", force=True)
+    bench.bless_gate(hot, bench.default_detail_path())

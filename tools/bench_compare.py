@@ -19,8 +19,13 @@ single draws uninformative.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import is_contended  # noqa: E402  (shared thresholds)
 
 
 def load(
@@ -77,12 +82,17 @@ def main() -> int:
         load(sys.argv[1]),
         load(sys.argv[2]),
     )
+    contaminated: dict[str, bool] = {}
     for label, h in (("old", h_old), ("new", h_new)):
         if h:
             # recorded contention context (r16+ artifacts): start load
             # predates the run's own pressure, so a high START value
             # means the session was already contended before a single
-            # query was timed
+            # query was timed — auto-judged against bench.py's shared
+            # thresholds (the r14-r16 by-narrative adjudication,
+            # retired into the recorded field)
+            contaminated[label] = is_contended(h.get("start") or {})
+
             def fmt(side):
                 d = h.get(side) or {}
                 la = d.get("loadavg_1m")
@@ -93,7 +103,13 @@ def main() -> int:
                 if psi is not None:
                     parts.append(f"psi {psi}")
                 return " ".join(parts) or "n/a"
-            print(f"host[{label}]: start({fmt('start')}) -> end({fmt('end')})")
+            tag = "  ** CONTAMINATED (pre-contended session) **" if (
+                contaminated[label]
+            ) else ""
+            print(
+                f"host[{label}]: start({fmt('start')}) -> "
+                f"end({fmt('end')}){tag}"
+            )
     shared = sorted(set(old) & set(new))
     if not shared:
         print("no shared queries between the two artifacts")
@@ -162,8 +178,21 @@ def main() -> int:
         if new[k] / (old[k] * drift) > 1.5 and new[k] - old[k] * drift > 1.0
     ]
     if flagged:
-        print("\nFLAG (>1.5x and >1 s after drift normalization — "
-              "re-measure in isolation before calling it real):")
+        if contaminated.get("new") or contaminated.get("old"):
+            # auto-label: one side's recorded host field shows the
+            # session was contended BEFORE any query was timed, so
+            # these flags are host-drift class by record, not code
+            # regressions — the clean-host re-measure is still owed,
+            # but the adjudication no longer needs a narrative
+            side = " and ".join(
+                s for s in ("old", "new") if contaminated.get(s)
+            )
+            print(f"\nFLAG [host-drift class by recorded field: the "
+                  f"{side} run started contended — re-measure on a "
+                  "quiet host before treating any of these as real]:")
+        else:
+            print("\nFLAG (>1.5x and >1 s after drift normalization — "
+                  "re-measure in isolation before calling it real):")
         for k in sorted(flagged, key=lambda k: old[k] - new[k]):
             print(f"  {k:32s} {old[k]:7.2f} -> {new[k]:7.2f}")
         return 1
