@@ -380,3 +380,31 @@ def test_fresh_checkpoint_resets_stats_and_releases(spark):
     release_checkpoint(keep)
     after = {rid for rid in sc._jsc.getPersistentRDDs().keys()}
     assert not (added & after)  # and release unpinned exactly them
+
+
+def test_project_only_checkpoint_chain_stats_stay_flat(spark):
+    """The r17 chained-checkpoint AUDIT's load-bearing premise (see
+    SCALE.md round-17 notes): the stats-compounding pathology needs a
+    JOIN between checkpointed rounds (the size estimator MULTIPLIES
+    join children), so a loop-carried plain localCheckpoint whose
+    chain is Project-only — bpe_merge_table's shape: each round
+    re-selects (freq, fold(syms)) from the previous checkpoint — keeps
+    sizeInBytes flat and does NOT need the fresh_checkpoint
+    conversion. If a Spark upgrade ever makes Project propagation
+    compound too, this fails and the BPE/IVM audit verdicts must be
+    revisited."""
+    def digits(df):
+        return len(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    cur = base.localCheckpoint(eager=True)
+    start = digits(cur)
+    for _ in range(6):
+        cur = cur.selectExpr("a", "b + 1 AS b").localCheckpoint(eager=True)
+    # linear propagation: six chained rounds stay at the leaf estimate
+    # (vs the join chain, whose digit count ~doubles per round)
+    assert digits(cur) <= start + 1
