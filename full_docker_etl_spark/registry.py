@@ -53,29 +53,30 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # FIRST the three r11-stale rows (sample_token_budget, text_normalize,
 # dedup_minhash — the rows the r16 pinned tier + two new entrants
 # displaced);
-# THEN 30 of the 31-row r12 tier (agg_count_distinct .. xbrl_metrics
-# in staleness/name order; the rows-only dedup_simhash sorts last
-# within the tier and is displaced, with agg_salted, by this round's
-# two NEW queries — both open the post-boundary order and lead the
-# r18 window);
+# THEN 29 of the 31-row r12 tier (agg_count_distinct .. win_time_range
+# in staleness/name order; xbrl_metrics and the rows-only
+# dedup_simhash sort last within the tier and are displaced, with
+# agg_salted, by this round's three NEW queries — all three open the
+# post-boundary order and lead the r18 window);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
 # sketch queries);
-# THEN dedup_batch_arrival and dedup_keep_best (NEW this round, zero
-# evidence — policy puts never-sampled queries at the window close).
-# The r16 plan comment predicted this window up to the two new
+# THEN dedup_batch_arrival, dedup_keep_best and dedup_store_maintain
+# (NEW this round, zero evidence — policy puts never-sampled queries
+# at the window close).
+# The r16 plan comment predicted this window up to the three new
 # entrants (which its NOTE clause anticipated).
 # ROUND-18 PLAN (arithmetic verified by SIMULATING the r17 driver
 # stamps through next_window.proposed_order at the r17 rotation):
-# after r17 the staleness histogram becomes {r12: 1, r13: 31,
+# after r17 the staleness histogram becomes {r12: 2, r13: 31,
 # r14: 33, r15: 35, r16: 35, r17: 50}; the r18 window is
-# dedup_simhash (the lone r12 row) + all 31 r13 rows (agg_salted,
-# catalog_tables .. zip_xml_ingest in staleness/name order) + the
-# first 3 r14 rows (agg_approx_distinct, ann_cosine_topk,
-# ann_ivf_incremental) + the 15 pinned rows — unless r18 registers
-# new queries or FORCE_NEXT entries, which displace from the tail.
-# Run tools/next_window.py --check before the r18 freeze; it must
-# print exactly that window.
+# xbrl_metrics + dedup_simhash (the two leftover r12 rows) + all 31
+# r13 rows (agg_salted, catalog_tables .. zip_xml_ingest in
+# staleness/name order) + the first 2 r14 rows (agg_approx_distinct,
+# ann_cosine_topk) + the 15 pinned rows — unless r18 registers new
+# queries or FORCE_NEXT entries, which displace from the tail. Run
+# tools/next_window.py --check before the r18 freeze; it must print
+# exactly that window.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -124,7 +125,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "text_quality_classifier",
     "win_rank_family",
     "win_time_range",
-    "xbrl_metrics",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -142,7 +142,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_containment_incremental_recall",
     "dedup_batch_arrival",
     "dedup_keep_best",
+    "dedup_store_maintain",
     # ---- window boundary (50) ----
+    "xbrl_metrics",
     "dedup_simhash",
     "agg_salted",
     "catalog_tables",
