@@ -1067,6 +1067,7 @@ def _store_maintain(
     vacuum_fn,
     max_batches: int,
     probe_grace_seconds: float,
+    max_committed_files: int | None = None,
 ) -> dict:
     """THE maintenance policy loop over a persisted sketch store — the
     documented consumer of :func:`_store_stats` that turns the r16
@@ -1095,6 +1096,13 @@ def _store_maintain(
        Pass the fleet's SLA, not 0 — 0 is only safe when no probe is
        running.
 
+    ``max_committed_files`` (optional) is the second compaction
+    trigger: total committed parquet files across tables (the
+    ``_store_stats`` census — what every probe's scan actually
+    lists/opens) exceeding the budget compacts even when the batch
+    count is inside its own — the wide-batch small-file case, e.g. a
+    few appends that each wrote hundreds of bucket files.
+
     Returns ``{before, compacted, displaced, vacuumed, after}`` —
     the stats snapshots bracketing the actions, whether a compaction
     ran, the batch ids it displaced, and the batch ids vacuum
@@ -1102,7 +1110,11 @@ def _store_maintain(
     before = stats_fn(path)
     displaced: list[str] = []
     compacted = False
-    if before["committed_batches"] > max_batches:
+    committed_files = sum(t["files"] for t in before["tables"].values())
+    if before["committed_batches"] > max_batches or (
+        max_committed_files is not None
+        and committed_files > max_committed_files
+    ):
         result = compact_fn(spark, path)
         # containment/minhash compact return displaced ids; substring
         # returns a before/after file census (displacement is implicit)
@@ -1124,6 +1136,7 @@ def containment_store_maintain(
     *,
     max_batches: int = 16,
     probe_grace_seconds: float = 6 * 3600.0,
+    max_committed_files: int | None = None,
 ) -> dict:
     """Scheduled stats→compact→vacuum policy pass over an ensemble
     store (see :func:`_store_maintain`)."""
@@ -1134,6 +1147,7 @@ def containment_store_maintain(
         vacuum_fn=containment_store_vacuum,
         max_batches=max_batches,
         probe_grace_seconds=probe_grace_seconds,
+        max_committed_files=max_committed_files,
     )
 
 
@@ -1143,6 +1157,7 @@ def minhash_store_maintain(
     *,
     max_batches: int = 16,
     probe_grace_seconds: float = 6 * 3600.0,
+    max_committed_files: int | None = None,
 ) -> dict:
     """Scheduled stats→compact→vacuum policy pass over a MinHash
     store (see :func:`_store_maintain`)."""
@@ -1153,6 +1168,7 @@ def minhash_store_maintain(
         vacuum_fn=minhash_store_vacuum,
         max_batches=max_batches,
         probe_grace_seconds=probe_grace_seconds,
+        max_committed_files=max_committed_files,
     )
 
 
@@ -1162,6 +1178,7 @@ def substring_store_maintain(
     *,
     max_batches: int = 16,
     probe_grace_seconds: float = 6 * 3600.0,
+    max_committed_files: int | None = None,
 ) -> dict:
     """Scheduled stats→compact→vacuum policy pass over a substring
     store (see :func:`_store_maintain`)."""
@@ -1172,6 +1189,7 @@ def substring_store_maintain(
         vacuum_fn=substring_store_vacuum,
         max_batches=max_batches,
         probe_grace_seconds=probe_grace_seconds,
+        max_committed_files=max_committed_files,
     )
 
 

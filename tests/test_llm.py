@@ -1028,6 +1028,24 @@ def test_store_maintain_policy_loop(spark, tmp_path):
     assert r3["after"]["orphan_batches"] == 0
     assert probe_pairs() == want and want
 
+    # the file-count budget is the second compaction trigger: one
+    # committed batch, but a census over the probe budget -> compact
+    # fires (a no-op fold at 1 batch), and a generous budget doesn't
+    files_now = sum(
+        t["files"] for t in r3["after"]["tables"].values()
+    )
+    r4 = D.minhash_store_maintain(
+        spark, path, max_batches=8, probe_grace_seconds=3600,
+        max_committed_files=files_now - 1,
+    )
+    assert r4["compacted"]
+    r5 = D.minhash_store_maintain(
+        spark, path, max_batches=8, probe_grace_seconds=3600,
+        max_committed_files=files_now * 100,
+    )
+    assert not r5["compacted"]
+    assert probe_pairs() == want
+
 
 def test_store_build_reset_refuses_non_store_directory(spark, tmp_path):
     """*_store_build clears its target — but only an empty directory
