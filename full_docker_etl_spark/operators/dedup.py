@@ -1115,10 +1115,14 @@ def _store_maintain(
         max_committed_files is not None
         and committed_files > max_committed_files
     ):
-        result = compact_fn(spark, path)
-        # containment/minhash compact return displaced ids; substring
-        # returns a before/after file census (displacement is implicit)
-        displaced = result if isinstance(result, list) else []
+        # displaced = the manifest diff across the flip, computed here
+        # rather than from compact_fn's return value (containment/
+        # minhash return the displaced ids but substring returns a
+        # file census — the diff is uniform across all three)
+        pre = _store_manifest(path)
+        compact_fn(spark, path)
+        post = set(_store_manifest(path))
+        displaced = [b for b in pre if b not in post]
         compacted = True
     vacuumed = vacuum_fn(path, older_than_seconds=probe_grace_seconds)
     return {
