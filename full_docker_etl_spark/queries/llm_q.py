@@ -3090,13 +3090,21 @@ def dedup_batch_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left",
     ).withColumn("comp", F.coalesce("comp", "doc_id"))
+    # one hash exchange on comp serves BOTH window functions (the
+    # resolution row_number and the cluster-touches-batch flag) — a
+    # semi-join against a distinct of the is_new comps would recompute
+    # the window subtree and add two more exchanges for the same rows
     w = Window.partitionBy("comp").orderBy(
         F.col("n_tokens").desc(), F.col("doc_id")
     )
-    res = lab.withColumn("kept", F.row_number().over(w) == F.lit(1))
-    affected = res.where("is_new").select("comp").distinct()
-    return res.join(affected, "comp", "left_semi").select(
-        "doc_id", "comp", "n_tokens", "is_new", "kept"
+    w_all = Window.partitionBy("comp")
+    return (
+        lab.withColumn("kept", F.row_number().over(w) == F.lit(1))
+        .withColumn(
+            "_affected", F.max(F.col("is_new").cast("int")).over(w_all)
+        )
+        .where(F.col("_affected") == 1)
+        .select("doc_id", "comp", "n_tokens", "is_new", "kept")
     )
 
 
