@@ -249,7 +249,13 @@ def main() -> int:
             draws.append(time.perf_counter() - t0)
         return round(statistics.median(draws), 4)
 
-    host_start = host_snapshot()
+    # host_start stays the PRE-SESSION snapshot taken before the gate
+    # (top of main): by this point the warm-up has been loading all
+    # cores for a minute and a fresh loadavg_1m would read as OUR OWN
+    # pressure — the r17 run that motivated this recorded start 3.61
+    # on a host that was at 0.86 when the process launched, which
+    # bench_compare's auto-label would then (wrongly) call a
+    # pre-contended session.
     anchor_start = _anchor_sec()
     anchor_cpu_start = _anchor_cpu_sec()
 
