@@ -667,6 +667,117 @@ def test_streaming_incremental_containment_dedup_loop(spark):
     assert len(quote_admitted) <= 3, quote_admitted
 
 
+def test_streaming_dedup_loop_with_inline_maintenance(spark):
+    """The always-on loop RUNNING ITS OWN maintenance: the MinHash
+    streaming admit loop with a `minhash_store_maintain(max_batches=2,
+    probe_grace_seconds=0)` pass inside every foreachBatch — the
+    production shape where maintenance shares the ingest cadence
+    instead of a separate scheduler. Must admit EXACTLY the same set
+    as the maintenance-free sequential run (compaction and vacuum are
+    invisible to probes) while holding the committed-batch count at
+    the budget the whole way (the store never accumulates per-append
+    partitions). Grace 0 is safe here because foreachBatch serializes
+    probes and maintenance — the in-flight-probe case is covered by
+    the displacement-clock tests in test_llm.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import (
+        minhash_probe_store,
+        minhash_store_append,
+        minhash_store_build,
+        minhash_store_maintain,
+        minhash_store_stats,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for b in range(4):
+        for i in range(8):
+            doc_id = 100 * b + i
+            if i < 4:
+                text = f"{base} shared{i} tail{b}"
+            else:
+                text = " ".join(f"w{doc_id}_{j}" for j in range(12))
+            rows.append((doc_id, text, b))
+    df = spark.createDataFrame(rows, "doc_id long, text string, batch int")
+    seeds = spark.createDataFrame(
+        [(1000 + i, f"{base} shared{i} tailseed") for i in range(4)],
+        "doc_id long, text string",
+    )
+    src = tempfile.mkdtemp(prefix="fde_smaint_src_")
+    for b in range(4):
+        df.where(F.col("batch") == b).drop("batch").write.mode(
+            "append"
+        ).parquet(src)
+
+    def dup_ids_of(batch_df, store_root):
+        return (
+            minhash_probe_store(
+                batch_df, store_root, "text", "doc_id", threshold=0.5
+            )
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+        )
+
+    # sequential reference WITHOUT maintenance
+    ref = tempfile.mkdtemp(prefix="fde_smaint_ref_") + "/s"
+    minhash_store_build(seeds, ref, "text", "doc_id")
+    expected = set()
+    for b in range(4):
+        batch_df = df.where(F.col("batch") == b).drop("batch").cache()
+        keep = batch_df.join(
+            dup_ids_of(batch_df, ref), "doc_id", "left_anti"
+        ).cache()
+        expected |= {r.doc_id for r in keep.select("doc_id").collect()}
+        minhash_store_append(keep, ref, "text", "doc_id")
+        batch_df.unpersist()
+        keep.unpersist()
+
+    # streamed run WITH inline maintenance every micro-batch
+    store = tempfile.mkdtemp(prefix="fde_smaint_st_") + "/s"
+    minhash_store_build(seeds, store, "text", "doc_id")
+    admitted: list[int] = []
+    committed_trace: list[int] = []
+
+    def apply_batch(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        batch_df = batch_df.cache()
+        keep = batch_df.join(
+            dup_ids_of(batch_df, store), "doc_id", "left_anti"
+        ).cache()
+        admitted.extend(r.doc_id for r in keep.select("doc_id").collect())
+        minhash_store_append(keep, store, "text", "doc_id")
+        minhash_store_maintain(
+            s, store, max_batches=2, probe_grace_seconds=0.0
+        )
+        committed_trace.append(
+            minhash_store_stats(store)["committed_batches"]
+        )
+        batch_df.unpersist()
+        keep.unpersist()
+
+    chk = tempfile.mkdtemp(prefix="fde_smaint_chk_")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream drain timed out"
+
+    assert set(admitted) == expected
+    # the budget held at every cadence point: never more than
+    # max_batches committed after a maintenance pass
+    assert committed_trace and all(c <= 2 for c in committed_trace)
+    s = minhash_store_stats(store)
+    assert s["orphan_batches"] == 0  # vacuum kept pace with compaction
+
+
 def test_streaming_incremental_substring_dedup_loop(spark):
     """The substring-store serving loop under Structured Streaming:
     each micro-batch probes the persisted fingerprint store for
