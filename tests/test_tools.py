@@ -230,6 +230,38 @@ def test_bench_compare_auto_labels_contaminated_flags(tmp_path):
     assert "host-drift class" not in out
 
 
+def test_next_window_plan_next_simulation():
+    """--plan-next simulates the current window's driver stamps and
+    prints the FOLLOWING round's window (the registry plan-comment
+    arithmetic, automated): the lead must contain no pinned rows and
+    no row from the current window (those were just stamped — the
+    entire point of rotation), and lead + pinned must fill the
+    window."""
+    import re
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "next_window.py"),
+         "--plan-next"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr
+    m = re.search(r"window = (\d+) lead rows \+ (\d+) pinned", res.stdout)
+    assert m and int(m.group(1)) + int(m.group(2)) == 50
+    lead = re.findall(r"^#   (\S+) \(r", res.stdout, re.M)
+    assert len(lead) == int(m.group(1))
+    sys.path.insert(0, str(REPO))
+    try:
+        from full_docker_etl_spark.registry import _SAMPLE_ORDER
+    finally:
+        sys.path.remove(str(REPO))
+    current = set(_SAMPLE_ORDER[:50])
+    assert not (set(lead) & current)
+    assert not any(
+        n.endswith(("_recall", "_consistency", "_verdict")) for n in lead
+    )
+
+
 def test_bench_contention_gate(monkeypatch):
     """The bless gate (VERDICT r16 #6): an explicit --out run on a
     pre-contended host must refuse fast; the temp-default (driver)

@@ -146,6 +146,32 @@ def main() -> int:
         print(f"  may leave:    {extra}")
         return 1
 
+    if "--plan-next" in sys.argv:
+        # The ROUND-AFTER-NEXT's window, simulated: stamp the proposed
+        # window as sampled by (newest round + 1) and re-run the
+        # policy — this is the arithmetic the registry's "next round
+        # plan" comment must record at each freeze, automated (it was
+        # hand-simulated in r16/r17; a hand slip wrote a wrong 33-row
+        # claim in an intermediate r17 comment before simulation
+        # caught it).
+        nxt = dict(latest)
+        rnd = max(latest.values(), default=0) + 1
+        for n in order[:WINDOW]:
+            nxt[n] = rnd
+        by_round = {}
+        for n in registered:
+            by_round[nxt.get(n, 0)] = by_round.get(nxt.get(n, 0), 0) + 1
+        future = proposed_order(registered, nxt, rows_only, ())[:WINDOW]
+        lead = [n for n in future if not n.endswith(PIN_SUFFIXES)]
+        print(f"# post-r{rnd} staleness: {dict(sorted(by_round.items()))}")
+        print(f"# r{rnd + 1} window = {len(lead)} lead rows + "
+              f"{WINDOW - len(lead)} pinned; lead (in order):")
+        for n in lead:
+            print(f"#   {n} (r{nxt.get(n, 0) or 'never'})")
+        print("# (new queries / FORCE_NEXT registered next round "
+              "displace from the tail)")
+        return 0
+
     by_round: dict[int, int] = {}
     for n in registered:
         by_round[latest.get(n, 0)] = by_round.get(latest.get(n, 0), 0) + 1
