@@ -45,38 +45,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotation cycles every query through the sampled window so each gets
 # periodic external evidence on current code, while the locally-mirrored
 # full-coverage parity gate (tests/test_oracle_parity.py) keeps covering
-# everything every round. Round-17 window (50 slots), computed by
+# everything every round. Round-18 window (50 slots), computed by
 # tools/next_window.py (stalest-first policy; FORCE_NEXT empty at
-# rotation time) from the r01..r16 evidence union, whose staleness
-# histogram at the r16 freeze was {r11: 3, r12: 31, r13: 31, r14: 33,
-# r15: 35, r16: 50} — exactly what the r16 plan comment predicted:
-# FIRST the three r11-stale rows (sample_token_budget, text_normalize,
-# dedup_minhash — the rows the r16 pinned tier + two new entrants
-# displaced);
-# THEN 29 of the 31-row r12 tier (agg_count_distinct .. win_time_range
-# in staleness/name order; xbrl_metrics and the rows-only
-# dedup_simhash sort last within the tier and are displaced, with
-# agg_salted, by this round's three NEW queries — all three open the
-# post-boundary order and lead the r18 window);
+# rotation time) from the r01..r17 evidence union, whose staleness
+# histogram at the r17 freeze was {r12: 2, r13: 31, r14: 33, r15: 35,
+# r16: 35, r17: 50} — exactly what the r17 plan comment predicted:
+# FIRST the two leftover r12 rows (xbrl_metrics + the rows-only
+# dedup_simhash);
+# THEN all 31 r13 rows (agg_salted, catalog_tables .. zip_xml_ingest
+# in staleness/name order);
+# THEN the first 2 r14 rows (agg_approx_distinct, ann_cosine_topk);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
-# sketch queries);
-# THEN dedup_batch_arrival, dedup_keep_best and dedup_store_maintain
-# (NEW this round, zero evidence — policy puts never-sampled queries
-# at the window close).
-# The r16 plan comment predicted this window up to the three new
-# entrants (which its NOTE clause anticipated).
-# ROUND-18 PLAN (arithmetic verified by SIMULATING the r17 driver
-# stamps through next_window.proposed_order at the r17 rotation):
-# after r17 the staleness histogram becomes {r12: 2, r13: 31,
-# r14: 33, r15: 35, r16: 35, r17: 50}; the r18 window is
-# xbrl_metrics + dedup_simhash (the two leftover r12 rows) + all 31
-# r13 rows (agg_salted, catalog_tables .. zip_xml_ingest in
-# staleness/name order) + the first 2 r14 rows (agg_approx_distinct,
-# ann_cosine_topk) + the 15 pinned rows — unless r18 registers new
-# queries or FORCE_NEXT entries, which displace from the tail. Run
-# tools/next_window.py --check before the r18 freeze; it must print
-# exactly that window.
+# sketch queries).
+# New queries registered during round 18 displace from the tail (the
+# policy puts never-sampled queries at the window close); the rotation
+# is re-run and re-pasted when that happens.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -86,64 +70,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (a green sample of code that no longer exists proves nothing).
 # RESET this tuple when rotating for the round AFTER the changes ship.
 FORCE_NEXT: tuple[str, ...] = (
-    # Empty at the r17 rotation: FORCE_NEXT was already empty in r16
-    # (no semantics changes shipped r16 — the r16 window was pure
-    # staleness policy), so there is nothing to reset. Refill with any
-    # query whose SEMANTICS change during round 17 before freezing.
+    # Empty at the r18 rotation: the r17 window sampled only queries
+    # whose code was final at the r17 freeze, so there is nothing to
+    # reset. Refill with any query whose SEMANTICS change during
+    # round 18 before freezing.
 )
 
+# staleness: {12: 2, 13: 31, 14: 33, 15: 35, 16: 35, 17: 50} (0 = never sampled)
 _SAMPLE_ORDER: tuple[str, ...] = (
-    "sample_token_budget",
-    "text_normalize",
-    "dedup_minhash",
-    "agg_count_distinct",
-    "agg_multigrain",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_yearly",
-    "audit_k_anonymity",
-    "conform_schema",
-    "csv_scan",
-    "curate_adaptive_cutoff",
-    "filter_eq",
-    "filter_in",
-    "mm_resize",
-    "pipeline_curate",
-    "pipeline_curate_llm",
-    "profile_correlations",
-    "profile_histogram",
-    "profile_skew",
-    "profile_source_quality",
-    "profile_table",
-    "sample_balanced_shards",
-    "sample_epoch_shuffle",
-    "sample_negatives",
-    "text_bpe_merges",
-    "text_bpe_tokenize",
-    "text_pii_scrub",
-    "text_quality_classifier",
-    "win_rank_family",
-    "win_time_range",
-    "ann_ivf_recall",
-    "ann_ivf_kmeans_recall",
-    "ann_lsh_recall",
-    "ann_ivf_sq_recall",
-    "ann_ivf_pq_recall",
-    "ann_ivf_serve_consistency",
-    "dedup_minhash_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_recall",
-    "dedup_incremental_recall",
-    "text_compression_verdict",
-    "join_fuzzy_recall",
-    "dedup_semantic_verdict",
-    "dedup_containment_lsh_recall",
-    "dedup_containment_incremental_recall",
-    "dedup_batch_arrival",
-    "dedup_keep_best",
-    "dedup_store_maintain",
-    # ---- window boundary (50) ----
     "xbrl_metrics",
     "dedup_simhash",
     "agg_salted",
@@ -179,6 +113,22 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "zip_xml_ingest",
     "agg_approx_distinct",
     "ann_cosine_topk",
+    "ann_ivf_recall",
+    "ann_ivf_kmeans_recall",
+    "ann_lsh_recall",
+    "ann_ivf_sq_recall",
+    "ann_ivf_pq_recall",
+    "ann_ivf_serve_consistency",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_recall",
+    "dedup_incremental_recall",
+    "text_compression_verdict",
+    "join_fuzzy_recall",
+    "dedup_semantic_verdict",
+    "dedup_containment_lsh_recall",
+    "dedup_containment_incremental_recall",
+    # ---- window boundary (50) ----
     "ann_ivf_incremental",
     "join_semi",
     "limit_one",
@@ -280,6 +230,41 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "win_moving_avg",
     "win_rank_topn",
     "win_running_total",
+    "agg_count_distinct",
+    "agg_multigrain",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_yearly",
+    "audit_k_anonymity",
+    "conform_schema",
+    "csv_scan",
+    "curate_adaptive_cutoff",
+    "dedup_batch_arrival",
+    "dedup_keep_best",
+    "dedup_store_maintain",
+    "filter_eq",
+    "filter_in",
+    "mm_resize",
+    "pipeline_curate",
+    "pipeline_curate_llm",
+    "profile_correlations",
+    "profile_histogram",
+    "profile_skew",
+    "profile_source_quality",
+    "profile_table",
+    "sample_balanced_shards",
+    "sample_epoch_shuffle",
+    "sample_negatives",
+    "sample_token_budget",
+    "text_bpe_merges",
+    "text_bpe_tokenize",
+    "text_normalize",
+    "text_pii_scrub",
+    "text_quality_classifier",
+    "win_rank_family",
+    "win_time_range",
+    "dedup_minhash",
 )
 
 
