@@ -696,10 +696,17 @@ def _store_batch_dir(path: str, table: str, batch_id: str) -> str:
     return f"{path}/{table}/{_STORE_BATCH_COL}={batch_id}"
 
 
-def _store_manifest(path: str) -> list[str]:
-    """Committed batch ids, oldest first. A store written before the
-    manifest existed (or whose build died pre-publish) has none —
-    fail loudly rather than read unpublished partitions."""
+def _store_manifest_load(path: str) -> dict:
+    """Full manifest document: ``{"batches": [...], "displaced":
+    {batch_id: epoch_seconds}}``. The ``displaced`` map records the
+    moment each compaction-displaced batch stopped being visible —
+    written ATOMICALLY with the manifest flip that displaced it, so
+    the vacuum grace clock does not depend on directory mtimes
+    surviving the filesystem (object-store gateways synthesize them).
+    Manifests written before the map existed load with ``displaced``
+    defaulting empty (their orphans fall back to the mtime clock).
+    A store with no manifest at all fails loudly rather than read
+    unpublished partitions."""
     import json
     import os
 
@@ -713,13 +720,23 @@ def _store_manifest(path: str) -> list[str]:
             "via the store's *_store_migrate)"
         )
     with open(mpath) as fh:
-        return json.load(fh)["batches"]
+        doc = json.load(fh)
+    doc.setdefault("displaced", {})
+    return doc
 
 
-def _store_manifest_write(path: str, batches: list[str]) -> None:
-    """Publish the committed set atomically (write sibling tmp,
-    ``os.replace`` — readers see the old or the new list, never a torn
-    file)."""
+def _store_manifest(path: str) -> list[str]:
+    """Committed batch ids, oldest first (see
+    :func:`_store_manifest_load` for the full document)."""
+    return _store_manifest_load(path)["batches"]
+
+
+def _store_manifest_write(
+    path: str, batches: list[str], displaced: dict[str, float] | None = None
+) -> None:
+    """Publish the committed set (and the displaced-at stamp map)
+    atomically (write sibling tmp, ``os.replace`` — readers see the
+    old or the new document, never a torn file)."""
     import json
     import os
     import uuid
@@ -727,7 +744,7 @@ def _store_manifest_write(path: str, batches: list[str]) -> None:
     mpath = _store_manifest_path(path)
     tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        json.dump({"batches": batches}, fh)
+        json.dump({"batches": batches, "displaced": displaced or {}}, fh)
     os.replace(tmp, mpath)
 
 
@@ -770,18 +787,18 @@ def _store_manifest_publish(path: str, batch_id: str) -> None:
     """Append ``batch_id`` to the committed set atomically. The
     read-modify-write runs under the O_EXCL manifest lock so a
     violated single-writer contract raises instead of silently
-    dropping a concurrent append's batch."""
-    import json
+    dropping a concurrent append's batch (the displaced-at stamp map
+    rides along unchanged)."""
     import os
 
     with _store_manifest_lock(path):
-        mpath = _store_manifest_path(path)
         batches: list[str] = []
-        if os.path.exists(mpath):
-            with open(mpath) as fh:
-                batches = json.load(fh)["batches"]
+        displaced: dict[str, float] = {}
+        if os.path.exists(_store_manifest_path(path)):
+            doc = _store_manifest_load(path)
+            batches, displaced = doc["batches"], doc["displaced"]
         batches.append(batch_id)
-        _store_manifest_write(path, batches)
+        _store_manifest_write(path, batches, displaced)
 
 
 def _store_manifest_replace(
@@ -794,20 +811,34 @@ def _store_manifest_replace(
     set (its data would have survived on disk as an orphan, but no
     reader would ever see it again).
 
-    After the flip, every DISPLACED ``batch=`` directory (committed
-    under ``expected``, absent from ``batches``) is touched
-    (``os.utime``) so its mtime records the moment it stopped being
-    visible — NOT the moment it was written. :func:`_store_vacuum`'s
-    grace window measures against that mtime, and displacement is the
-    instant the race it protects against (a probe planned under the
-    pre-flip manifest) starts its clock: without the touch, a
-    long-committed batch displaced by a just-finished compaction would
-    look ancient to ``older_than_seconds`` and be deleted out from
-    under an in-flight probe."""
-    import os
+    Every DISPLACED batch id (committed under ``expected``, absent
+    from ``batches``) gets a displaced-at stamp recorded in the
+    manifest's ``displaced`` map IN THE SAME ATOMIC WRITE as the flip:
+    :func:`_store_vacuum`'s grace window measures against that stamp,
+    and displacement is the instant the race it protects against (a
+    probe planned under the pre-flip manifest) starts its clock.
+    Because stamp and flip are one ``os.replace``, there is no window
+    in which a batch is an orphan but its grace clock still reads its
+    write time — no crash between flip and stamp can exist, and the
+    clock survives filesystems that do not preserve directory mtimes
+    (object-store gateways). The displaced ``batch=`` directories are
+    ALSO touched (``os.utime``) BEFORE the flip, inside the lock,
+    while they are still committed (vacuum skips committed batches
+    regardless of mtime): external tools that only look at mtimes see
+    a fresh clock by the instant the dirs become orphans, and a crash
+    before the flip leaves the store untouched — committed batches
+    with refreshed mtimes, no published change.
 
+    Stamps for batch ids whose directories are gone from every table
+    (reclaimed by a past vacuum) are pruned here, under the same lock,
+    so the map is bounded by the orphans actually on disk."""
+    import os
+    import time
+
+    prefix = f"{_STORE_BATCH_COL}="
     with _store_manifest_lock(path):
-        current = _store_manifest(path)
+        doc = _store_manifest_load(path)
+        current = doc["batches"]
         if current != expected:
             raise RuntimeError(
                 f"store manifest changed during compaction: expected "
@@ -815,21 +846,35 @@ def _store_manifest_replace(
                 "violated the single-writer contract; the compacted "
                 "batch was NOT published (re-run compaction)"
             )
-        _store_manifest_write(path, batches)
-    displaced = set(expected) - set(batches)
-    if not displaced:
-        return
-    prefix = f"{_STORE_BATCH_COL}="
-    for entry in os.listdir(path):
-        tdir = os.path.join(path, entry)
-        if entry.startswith("_") or not os.path.isdir(tdir):
-            continue  # manifest/meta/lock files, not table dirs
-        for batch_id in displaced:
-            bdir = os.path.join(tdir, f"{prefix}{batch_id}")
-            try:
-                os.utime(bdir, None)  # grace clock starts NOW
-            except OSError:
-                pass  # table without this batch, or already vacuumed
+        displaced = set(expected) - set(batches)
+        table_dirs = [
+            os.path.join(path, entry)
+            for entry in os.listdir(path)
+            if not entry.startswith("_")
+            and os.path.isdir(os.path.join(path, entry))
+        ]
+        for tdir in table_dirs:
+            for batch_id in displaced:
+                try:
+                    # mtime fallback clock, refreshed pre-flip while
+                    # the batch is still committed (see docstring)
+                    os.utime(os.path.join(tdir, f"{prefix}{batch_id}"))
+                except OSError:
+                    pass  # table without this batch
+        on_disk = {
+            entry[len(prefix):]
+            for tdir in table_dirs
+            for entry in os.listdir(tdir)
+            if entry.startswith(prefix)
+        }
+        now = time.time()
+        stamps = {
+            bid: ts
+            for bid, ts in doc["displaced"].items()
+            if bid in on_disk  # prune stamps for vacuumed batches
+        }
+        stamps.update({bid: now for bid in displaced})
+        _store_manifest_write(path, batches, stamps)
 
 
 def _store_read_committed(spark: SparkSession, path: str, table: str):
@@ -860,28 +905,31 @@ def _store_vacuum(
     exactly why ``*_store_compact`` defers their deletion to this
     call. Either run vacuum once probes planned before the last
     compaction have drained, or pass ``older_than_seconds`` set to
-    your longest plausible probe duration: partitions whose directory
-    mtime is within the grace window are skipped (the retention
-    policy table formats use for the same displaced-file race). The
-    grace clock starts at DISPLACEMENT, not at write:
-    :func:`_store_manifest_replace` touches each displaced ``batch=``
-    directory the moment the manifest flips, so a years-old batch
-    displaced by a just-finished compaction still gets the full
-    window. With that contract, a scheduled
+    your longest plausible probe duration: partitions inside the
+    grace window are skipped (the retention policy table formats use
+    for the same displaced-file race). The grace clock starts at
+    DISPLACEMENT, not at write: :func:`_store_manifest_replace`
+    records a displaced-at stamp in the manifest's ``displaced`` map
+    in the same atomic write as the flip, and that stamp — not the
+    filesystem — is what this grace measures against, so a years-old
+    batch displaced by a just-finished compaction still gets the full
+    window, even on object-store gateways that synthesize directory
+    mtimes. With that contract, a scheduled
     ``vacuum(path, older_than_seconds=6*3600)`` is safe next to a
-    probe fleet whose probes finish within 6 hours of being planned —
-    provided displaced dirs were touched at the flip (any store
-    compacted by this release; for partitions displaced by an OLDER
-    release's compaction the mtime is the write time, so drain probes
-    before the first vacuum after upgrading) and the filesystem
-    preserves directory mtimes (local disk and fuse mounts do;
-    object-store gateways that synthesize mtimes need the
-    drain-first discipline instead)."""
+    probe fleet whose probes finish within 6 hours of being planned.
+    Orphans WITHOUT a stamp fall back to the directory mtime: crash
+    orphans (never committed, so no probe ever reads them — the
+    mtime is their write time, conservative) and partitions displaced
+    by a pre-stamp release's compaction (mtime = touch-at-flip on
+    mtime-preserving filesystems; on gateways that synthesize mtimes,
+    drain probes before the first vacuum after upgrading)."""
     import os
     import shutil
     import time
 
-    committed = set(_store_manifest(path))
+    doc = _store_manifest_load(path)
+    committed = set(doc["batches"])
+    stamps = doc["displaced"]
     removed: set[str] = set()
     cutoff = time.time() - older_than_seconds
     prefix = f"{_STORE_BATCH_COL}="
@@ -892,16 +940,20 @@ def _store_vacuum(
         for entry in os.listdir(tdir):
             if not entry.startswith(prefix):
                 continue
-            if entry[len(prefix):] in committed:
+            bid = entry[len(prefix):]
+            if bid in committed:
                 continue
             full = os.path.join(tdir, entry)
-            try:
-                if os.path.getmtime(full) > cutoff:
-                    continue  # inside the grace window — skip this run
-            except OSError:
-                continue  # raced away by a concurrent vacuum
+            clock = stamps.get(bid)
+            if clock is None:
+                try:
+                    clock = os.path.getmtime(full)
+                except OSError:
+                    continue  # raced away by a concurrent vacuum
+            if clock > cutoff:
+                continue  # inside the grace window — skip this run
             shutil.rmtree(full, ignore_errors=True)
-            removed.add(entry[len(prefix):])
+            removed.add(bid)
     return sorted(removed)
 
 
@@ -1000,7 +1052,9 @@ def _store_stats(path: str, tables: tuple[str, ...]) -> dict:
     import os
     import time
 
-    committed = _store_manifest(path)
+    doc = _store_manifest_load(path)
+    committed = doc["batches"]
+    stamps = doc["displaced"]
     committed_set = set(committed)
     prefix = f"{_STORE_BATCH_COL}="
     orphans: set[str] = set()
@@ -1018,11 +1072,16 @@ def _store_stats(path: str, tables: tuple[str, ...]) -> dict:
                 full = os.path.join(tdir, entry)
                 if bid not in committed_set:
                     orphans.add(bid)
-                    try:
-                        m = os.path.getmtime(full)
+                    # same clock precedence as _store_vacuum: the
+                    # manifest's displaced-at stamp, mtime fallback
+                    m = stamps.get(bid)
+                    if m is None:
+                        try:
+                            m = os.path.getmtime(full)
+                        except OSError:
+                            m = None
+                    if m is not None:
                         oldest = m if oldest is None else min(oldest, m)
-                    except OSError:
-                        pass
                     continue
                 for f in _glob.glob(
                     os.path.join(full, "**", "*.parquet"), recursive=True

@@ -783,13 +783,24 @@ def test_store_manifest_lock_and_compact_replace_guard(spark, tmp_path):
     assert D._store_manifest(path) == committed
 
 
+def _backdate_displaced_stamps(
+    path, batch_ids, ts: float = 1_000_000_000.0
+) -> None:
+    """Age the manifest's displaced-at stamps (simulates the vacuum
+    grace window elapsing without sleeping)."""
+    from full_docker_etl_spark.operators import dedup as D
+
+    doc = D._store_manifest_load(path)
+    for b in batch_ids:
+        doc["displaced"][b] = ts
+    D._store_manifest_write(path, doc["batches"], doc["displaced"])
+
+
 def test_store_vacuum_grace_window(spark, tmp_path):
     """vacuum(older_than_seconds=N) must skip displaced/orphan batches
     younger than the grace window (the safe-next-to-a-probe-fleet
     retention policy) and reclaim them once aged — here by backdating
-    the directory mtimes instead of sleeping."""
-    import os
-
+    the manifest's displaced-at stamps instead of sleeping."""
     from full_docker_etl_spark.operators import dedup as D
 
     df = _quote_corpus(spark, n_docs=12, n_quotes=0)
@@ -799,13 +810,13 @@ def test_store_vacuum_grace_window(spark, tmp_path):
     displaced = D.minhash_store_compact(spark, path)
     assert len(displaced) == 2
 
+    # the flip stamped every displaced id in the manifest, atomically
+    doc = D._store_manifest_load(path)
+    assert sorted(doc["displaced"]) == sorted(displaced)
     # fresh displaced batches sit inside the window: nothing removed
     assert D.minhash_store_vacuum(path, older_than_seconds=3600) == []
     # age them past the window and the same call reclaims them
-    for table in D._MINHASH_TABLES:
-        for b in displaced:
-            d = os.path.join(path, table, f"batch={b}")
-            os.utime(d, (1_000_000_000, 1_000_000_000))
+    _backdate_displaced_stamps(path, displaced)
     assert D.minhash_store_vacuum(path, older_than_seconds=3600) == sorted(
         displaced
     )
@@ -836,13 +847,98 @@ def test_store_vacuum_grace_clock_starts_at_displacement(spark, tmp_path):
             )
     displaced = D.minhash_store_compact(spark, path)
     assert sorted(displaced) == sorted(committed)
-    # the compaction flip touched the displaced dirs, so the grace
-    # window protects them despite their ancient write time
+    # the flip stamped displacement time in the manifest, so the grace
+    # window protects the batches despite their ancient write time
     assert D.minhash_store_vacuum(path, older_than_seconds=3600) == []
     for table in D._MINHASH_TABLES:
         for b in displaced:
             assert os.path.isdir(os.path.join(path, table, f"batch={b}"))
     # once the displacement clock ages out, the same call reclaims
+    _backdate_displaced_stamps(path, displaced)
+    assert D.minhash_store_vacuum(path, older_than_seconds=3600) == sorted(
+        displaced
+    )
+
+
+def test_store_vacuum_grace_survives_synthesized_mtimes(spark, tmp_path):
+    """The displacement clock must live in the MANIFEST, not the
+    filesystem: on an object-store gateway that synthesizes directory
+    mtimes, the touch-at-flip is lost, so a grace window measured by
+    mtime could reclaim a just-displaced batch under an in-flight
+    probe. Here the displaced dirs' mtimes are forced ANCIENT after
+    the flip (the worst synthesized value) — vacuum must still honor
+    the manifest stamp and skip them."""
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=12, n_quotes=0)
+    path = str(tmp_path / "sstore")
+    D.minhash_store_build(df.where("doc_id < 6"), path, "text", "doc_id")
+    D.minhash_store_append(df.where("doc_id >= 6"), path, "text", "doc_id")
+    displaced = D.minhash_store_compact(spark, path)
+    # simulate an mtime-destroying filesystem: every displaced dir
+    # reads ancient, only the manifest stamp knows the flip was now
+    for table in D._MINHASH_TABLES:
+        for b in displaced:
+            os.utime(
+                os.path.join(path, table, f"batch={b}"),
+                (1_000_000_000, 1_000_000_000),
+            )
+    assert D.minhash_store_vacuum(path, older_than_seconds=3600) == []
+    # stats uses the same clock precedence: the orphans read fresh
+    st = D.minhash_store_stats(path)
+    assert st["orphan_batches"] == len(displaced)
+    assert st["oldest_orphan_age_s"] < 3600
+
+
+def test_store_manifest_displaced_stamps_pruned(spark, tmp_path):
+    """Stamps for batches a past vacuum reclaimed are pruned at the
+    next compaction flip (same lock, same atomic write), so the
+    displaced map stays bounded by the orphans actually on disk."""
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=18, n_quotes=0)
+    path = str(tmp_path / "pstore")
+    D.minhash_store_build(df.where("doc_id < 6"), path, "text", "doc_id")
+    D.minhash_store_append(
+        df.where("doc_id >= 6 AND doc_id < 12"), path, "text", "doc_id"
+    )
+    first = D.minhash_store_compact(spark, path)
+    _backdate_displaced_stamps(path, first)
+    assert D.minhash_store_vacuum(path, older_than_seconds=3600) == sorted(
+        first
+    )
+    # reclaimed ids still carry stamps until the next flip prunes them
+    assert sorted(D._store_manifest_load(path)["displaced"]) == sorted(first)
+    D.minhash_store_append(df.where("doc_id >= 12"), path, "text", "doc_id")
+    second = D.minhash_store_compact(spark, path)
+    doc = D._store_manifest_load(path)
+    assert sorted(doc["displaced"]) == sorted(second)  # first's pruned
+
+
+def test_store_vacuum_pre_stamp_manifest_falls_back_to_mtime(
+    spark, tmp_path
+):
+    """A manifest written before the displaced map existed (bare
+    ``{"batches": [...]}``) must still load, and its orphans must
+    fall back to the directory-mtime grace clock."""
+    import json
+    import os
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    df = _quote_corpus(spark, n_docs=12, n_quotes=0)
+    path = str(tmp_path / "ostore")
+    D.minhash_store_build(df.where("doc_id < 6"), path, "text", "doc_id")
+    D.minhash_store_append(df.where("doc_id >= 6"), path, "text", "doc_id")
+    displaced = D.minhash_store_compact(spark, path)
+    # rewrite the manifest in the pre-stamp schema
+    doc = D._store_manifest_load(path)
+    with open(D._store_manifest_path(path), "w") as fh:
+        json.dump({"batches": doc["batches"]}, fh)
+    # fresh mtimes (the touch-at-flip) keep the orphans inside grace
+    assert D.minhash_store_vacuum(path, older_than_seconds=3600) == []
     for table in D._MINHASH_TABLES:
         for b in displaced:
             os.utime(
@@ -1014,12 +1110,7 @@ def test_store_maintain_policy_loop(spark, tmp_path):
 
     # probes drained (simulated by ageing the displacement clock):
     # the next scheduled pass reclaims the orphans, compacts nothing
-    for table in D._MINHASH_TABLES:
-        for b in r2["displaced"]:
-            os.utime(
-                os.path.join(path, table, f"batch={b}"),
-                (1_000_000_000, 1_000_000_000),
-            )
+    _backdate_displaced_stamps(path, r2["displaced"])
     r3 = D.minhash_store_maintain(
         spark, path, max_batches=3, probe_grace_seconds=3600
     )
