@@ -1017,8 +1017,56 @@ def _store_migrate(path: str, tables: tuple[str, ...]) -> str:
 
 def containment_store_migrate(path: str) -> str:
     """Fold a pre-manifest ensemble-store layout into one published
-    batch without re-sketching (see :func:`_store_migrate`)."""
-    return _store_migrate(path, _CONTAINMENT_TABLES)
+    batch without re-sketching (see :func:`_store_migrate`), then pin
+    the derived band specs into ``_meta.json`` (pre-r17 stores carry
+    none — see :func:`containment_store_pin_specs` for exactly what
+    the pin does and does not guarantee)."""
+    batch = _store_migrate(path, _CONTAINMENT_TABLES)
+    containment_store_pin_specs(path)
+    return batch
+
+
+def containment_store_pin_specs(path: str) -> list[tuple[int, int, int]]:
+    """Pin the band specs of a store whose ``_meta.json`` predates
+    spec recording (pre-r17): derive them from the persisted
+    parameters with THIS release's :func:`_ensemble_gap_specs` and
+    write them back, so the drift guard in
+    :func:`_ensemble_store_specs` is active from now on. One-shot
+    closer for already-migrated stores; new builds and
+    :func:`containment_store_migrate` pin automatically.
+
+    What the pin guarantees — and what it cannot: it freezes the
+    CURRENT derivation so any FUTURE change to the spec-derivation
+    code fails loudly at probe/append time instead of silently losing
+    index/probe bucket overlap. It cannot retroactively detect drift
+    that happened BEFORE pinning (a store sketched by a release whose
+    derivation already differed); if the building release is unknown,
+    a rebuild is the only airtight fix. Idempotent: a store whose
+    specs are already pinned is returned unchanged (never
+    overwritten — that would erase the very record the guard checks).
+
+    The ``_meta.json`` rewrite is atomic (sibling tmp + ``os.replace``)
+    and runs under the store's manifest lock: metadata writes obey the
+    same single-writer loud-failure contract as manifest writes."""
+    import json
+    import os
+    import uuid
+
+    meta = _containment_store_meta(path)
+    if meta.get("gap_specs") is not None:
+        return [tuple(s) for s in meta["gap_specs"]]
+    specs = _ensemble_gap_specs(
+        meta["threshold"], meta["k"],
+        meta["target_recall"], meta["floor_recall"], meta["max_gap"],
+    )
+    meta["gap_specs"] = specs
+    mpath = os.path.join(path, "_meta.json")
+    with _store_manifest_lock(path):
+        tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, mpath)
+    return specs
 
 
 def minhash_store_migrate(path: str) -> str:

@@ -1199,10 +1199,27 @@ def test_store_migrate_pre_manifest_layout(spark, tmp_path):
                 os.path.join(tdir, bdir, entry), os.path.join(tdir, entry)
             )
         os.rmdir(os.path.join(tdir, bdir))
+    # pre-r17 _meta.json recorded no gap_specs — strip them so the
+    # migration's pin step has real work to do
+    import json
+
+    with open(os.path.join(old, "_meta.json")) as fh:
+        old_meta = json.load(fh)
+    pinned_specs = old_meta.pop("gap_specs")
+    with open(os.path.join(old, "_meta.json"), "w") as fh:
+        json.dump(old_meta, fh)
 
     with pytest.raises(FileNotFoundError, match="store_migrate"):
         D.containment_probe_store(batch, old, "text", "doc_id").collect()
     D.containment_store_migrate(old)
+    # migration pinned the derived specs: the drift guard is active on
+    # the migrated store, matching what the reference store was built
+    # with (same release, same parameters)
+    assert D._containment_store_meta(old)["gap_specs"] == pinned_specs
+    # pinning again is an idempotent no-op on the recorded specs
+    assert [
+        list(s) for s in D.containment_store_pin_specs(old)
+    ] == pinned_specs
     got = {
         (min(r.d1, r.d2), max(r.d1, r.d2)): (r.shared, r.n1, r.n2)
         if r.d1 <= r.d2 else (r.shared, r.n2, r.n1)
