@@ -166,6 +166,63 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT-Jaccard verification of sketch candidate pairs — the
+    verify half of every LSH serving loop (probe emits candidates,
+    verify computes the true measure on candidates ONLY). Returns
+    ``(d1, d2, shared, n1, n2, jaccard)`` for candidate pairs whose
+    exact n-gram Jaccard clears ``threshold`` — by construction a
+    SUBSET of :func:`jaccard_pairs`' output over the same corpus, so
+    downstream cluster resolution can only FRAGMENT true clusters
+    (sketch recall < 1), never falsely merge distinct documents (a
+    sketch false positive dies here). That subset property is what
+    the probe-fed arrival capstone's no-false-drop verdict rests on.
+
+    Scale shape: shingle arrays are computed for CANDIDATE endpoints
+    only (semi-join against the candidate id set — never the corpus),
+    the candidate list is bounded by the probe's band-bucket caps,
+    and the per-pair intersection is in-row array arithmetic. The
+    candidate side is assumed small relative to the corpus (it is a
+    probe output); the id semi-join broadcasts it."""
+    cand = candidates.select("d1", "d2").distinct()
+    ids = (
+        cand.select(F.col("d1").alias("_vid"))
+        .unionByName(cand.select(F.col("d2").alias("_vid")))
+        .distinct()
+    )
+    needed = df.join(
+        F.broadcast(ids), F.col(id_col) == F.col("_vid"), "left_semi"
+    )
+    sh = shingle_arrays(needed, text_col, id_col, n)
+    a1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh_arr").alias("_a1"))
+    a2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh_arr").alias("_a2"))
+    shared = F.size(F.array_intersect(F.col("_a1"), F.col("_a2")))
+    n1, n2 = F.size("_a1"), F.size("_a2")
+    return (
+        cand.join(a1, "d1")
+        .join(a2, "d2")
+        .select(
+            "d1",
+            "d2",
+            shared.alias("shared"),
+            n1.alias("n1"),
+            n2.alias("n2"),
+            # try_divide: both-empty candidates (0/0) yield NULL and
+            # fall out of the threshold filter instead of an ANSI
+            # divide-by-zero error
+            F.try_divide(shared, n1 + n2 - shared).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -2860,6 +2917,60 @@ def keep_best_per_cluster(
         labeled.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        .withColumnRenamed("_comp", comp_col)
+    )
+
+
+def resolve_arrival(
+    docs: DataFrame,
+    labels: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    comp_col: str = "comp",
+    is_new_col: str = "is_new",
+) -> DataFrame:
+    """Batch-arrival cluster resolution under a PLUGGABLE quality
+    policy — the decision step of the always-on dedup serving loop:
+    given the corpus rows (carrying the ordering columns and a boolean
+    ``is_new_col`` marking the arriving batch) and the refreshed
+    component labels (:func:`connected_components_incremental` after
+    the batch's pairs folded in), emit every member of every AFFECTED
+    cluster (one containing a batch document; unpaired documents are
+    singletons labeled by their own id) with a ``kept`` flag: the
+    first row under ``order_cols`` (id appended as the deterministic
+    tie-break) wins its cluster. ``is_new AND kept`` = admit the
+    arrival; ``NOT is_new AND NOT kept`` = the standing winner it
+    displaces; ``is_new AND NOT kept`` = duplicate to drop.
+
+    The policy is the ordering: ``[F.col("n_tokens").desc()]`` keeps
+    the longest copy (the default heuristic),
+    ``[F.col("log_odds").desc()]`` keeps the best copy under a trained
+    quality score (the FineWeb-shaped loop) — same plan either way.
+
+    Scale shape: one left join on the id and ONE hash exchange on the
+    cluster key serving BOTH window functions (the resolution
+    row_number and the cluster-touches-batch flag) — a semi-join
+    against a distinct of the is_new clusters would recompute the
+    window subtree and add two more exchanges for the same rows.
+    Clusters are small by construction, so the per-partition sort is
+    bounded; no global sort anywhere."""
+    lab = labels.select(
+        F.col(node_col).alias(id_col), F.col(comp_col).alias("_comp")
+    )
+    labeled = docs.join(lab, id_col, "left").withColumn(
+        "_comp", F.coalesce(F.col("_comp"), F.col(id_col))
+    )
+    w = Window.partitionBy("_comp").orderBy(*order_cols, F.col(id_col))
+    w_all = Window.partitionBy("_comp")
+    return (
+        labeled.withColumn("kept", F.row_number().over(w) == F.lit(1))
+        .withColumn(
+            "_affected",
+            F.max(F.col(is_new_col).cast("int")).over(w_all),
+        )
+        .where(F.col("_affected") == 1)
+        .drop("_affected")
         .withColumnRenamed("_comp", comp_col)
     )
 

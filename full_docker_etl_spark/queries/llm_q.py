@@ -3052,19 +3052,21 @@ def dedup_batch_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     status-flag loop) at corpus-dedup scale.
 
     At 100 TB the batch-touching pairs come from the persisted sketch
-    store probe (minhash_probe_store / containment_probe_store —
-    recall driver-checked by dedup_incremental_recall); here one
-    blocked EXACT pair pass feeds both splits so the ORACLE can replay
-    the whole loop portably: recursive-CTE closure over ALL pairs +
-    the same ROW_NUMBER resolution, restricted to batch-touching
-    clusters — value-checking that incremental refresh + resolution
-    equals the from-scratch answer on the affected set."""
+    store probe (minhash_probe_store / containment_probe_store — the
+    probe-fed composition is driver-checked by dedup_arrival_probe);
+    here one blocked EXACT pair pass feeds both splits so the ORACLE
+    can replay the whole loop portably: recursive-CTE closure over ALL
+    pairs + the same ROW_NUMBER resolution, restricted to
+    batch-touching clusters — value-checking that incremental refresh
+    + resolution equals the from-scratch answer on the affected set.
+    The resolution policy is pluggable (operators/dedup.py
+    resolve_arrival); dedup_arrival_policy pins the scored variant."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     from full_docker_etl_spark.operators.dedup import (
         connected_components,
         connected_components_incremental,
+        resolve_arrival,
     )
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -3085,27 +3087,9 @@ def dedup_batch_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         (F.col("doc_id") % 10 == 0).alias("is_new"),
     )
-    lab = toks.join(
-        labels.select(F.col("node").alias("doc_id"), "comp"),
-        "doc_id",
-        "left",
-    ).withColumn("comp", F.coalesce("comp", "doc_id"))
-    # one hash exchange on comp serves BOTH window functions (the
-    # resolution row_number and the cluster-touches-batch flag) — a
-    # semi-join against a distinct of the is_new comps would recompute
-    # the window subtree and add two more exchanges for the same rows
-    w = Window.partitionBy("comp").orderBy(
-        F.col("n_tokens").desc(), F.col("doc_id")
-    )
-    w_all = Window.partitionBy("comp")
-    return (
-        lab.withColumn("kept", F.row_number().over(w) == F.lit(1))
-        .withColumn(
-            "_affected", F.max(F.col("is_new").cast("int")).over(w_all)
-        )
-        .where(F.col("_affected") == 1)
-        .select("doc_id", "comp", "n_tokens", "is_new", "kept")
-    )
+    return resolve_arrival(
+        toks, labels, [F.col("n_tokens").desc()]
+    ).select("doc_id", "comp", "n_tokens", "is_new", "kept")
 
 
 @query(
@@ -3185,6 +3169,241 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(
         scored, comps, [F.col("log_odds").desc()]
     ).select("doc_id", "comp", "log_odds")
+
+
+@query(
+    "dedup_arrival_policy",
+    oracle=f"""
+      WITH RECURSIVE pairs AS ({_jaccard_pairs_sql("documents")}),
+      sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              UNION ALL
+              SELECT d2, d1 FROM pairs),
+      reach(node, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, w.r FROM sym s JOIN reach w ON s.dst = w.node
+      ),
+      comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+      qt AS (SELECT doc_id,
+                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                    regexp_split_to_array(trim(text), '\\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      qtok AS (SELECT * FROM (SELECT doc_id, y, unnest(toks) AS w FROM qt)
+               WHERE len(w) > 0),
+      cw AS (SELECT w, SUM(y) AS c_pos, COUNT(*) - SUM(y) AS c_neg
+             FROM qtok GROUP BY w),
+      tots AS (SELECT SUM(y) AS tot_pos, COUNT(*) - SUM(y) AS tot_neg,
+                      COUNT(DISTINCT w) AS v
+               FROM qtok),
+      prior AS (SELECT ln((SUM(y) + 1.0) / (COUNT(*) - SUM(y) + 1.0)) AS lp
+                FROM qt),
+      odds AS (SELECT w,
+                      ln((c_pos + 1.0) / (tot_pos + v))
+                        - ln((c_neg + 1.0) / (tot_neg + v)) AS lo
+               FROM cw CROSS JOIN tots),
+      score AS (SELECT qtok.doc_id,
+                       ROUND(SUM(lo) + ANY_VALUE(lp), 4) AS log_odds
+                FROM qtok JOIN odds USING (w) CROSS JOIN prior
+                GROUP BY qtok.doc_id),
+      lab AS (SELECT s.doc_id, COALESCE(c.comp, s.doc_id) AS comp,
+                     s.log_odds, s.doc_id % 10 = 0 AS is_new
+              FROM score s LEFT JOIN comp c ON s.doc_id = c.node),
+      res AS (SELECT *, (ROW_NUMBER() OVER (
+                PARTITION BY comp ORDER BY log_odds DESC, doc_id) = 1)
+                AS kept
+              FROM lab)
+      SELECT doc_id, comp, log_odds, is_new, kept
+      FROM res
+      WHERE comp IN (SELECT comp FROM res WHERE is_new)
+    """,
+)
+def dedup_arrival_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-arrival capstone under the SCORED resolution policy —
+    ``dedup_batch_arrival``'s loop (new pairs → incremental
+    component-label refresh → cluster resolution on the affected
+    clusters) with the keep-longest heuristic swapped for the TRAINED
+    Naive-Bayes quality log-odds (``dedup_keep_best``'s policy),
+    through the same pluggable :func:`~full_docker_etl_spark.
+    operators.dedup.resolve_arrival` operator: admit/displace/drop
+    decisions now follow "keep the best copy", the FineWeb-shaped
+    serving loop end to end. Emits every member of every
+    batch-touching cluster with its score and the kept flag. The
+    oracle replays the ENTIRE composition portably: recursive-CTE
+    closure + the classifier retrained in SQL + the same ROW_NUMBER
+    resolution, restricted to affected clusters."""
+    from pyspark import StorageLevel
+
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        resolve_arrival,
+    )
+    from full_docker_etl_spark.operators.text import nb_quality_classifier
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    pairs = jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
+    standing = connected_components(
+        pairs.where(~in_batch[0] & ~in_batch[1])
+    )
+    labels = connected_components_incremental(
+        standing, pairs.where(in_batch[0] | in_batch[1])
+    )
+    scored = nb_quality_classifier(
+        docs.withColumn("y", (F.col("lang") == "en").cast("int")),
+        "text", "doc_id", "y",
+    ).select(
+        "doc_id", "log_odds", (F.col("doc_id") % 10 == 0).alias("is_new")
+    )
+    return resolve_arrival(
+        scored, labels, [F.col("log_odds").desc()]
+    ).select("doc_id", "comp", "log_odds", "is_new", "kept")
+
+
+@query(
+    "dedup_arrival_probe",
+    oracle=f"""
+      WITH pairs AS (
+        {_jaccard_pairs_sql(_MINHASH_SLICE_SQL)}
+      )
+      SELECT COUNT(*) AS n_exact, TRUE AS pair_recall_ok,
+             TRUE AS no_false_drops, TRUE AS drop_recall_ok
+      FROM pairs WHERE d1 % 10 = 0 OR d2 % 10 = 0
+    """,
+)
+def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-arrival loop FED FROM THE PERSISTED SKETCH STORE —
+    the true 100 TB serving composition, driver-checked as a verdict
+    row: the standing corpus lands in a MinHash store (build + append
+    — the real admission loop), the arriving batch PROBES it
+    (batch×store and batch×batch candidates only; store×store never
+    regenerated), candidates pass EXACT-Jaccard verification
+    (:func:`~full_docker_etl_spark.operators.dedup.
+    jaccard_verify_pairs` — computed on candidates only, so sketch
+    false positives die before clustering), and the verified pairs
+    drive incremental component refresh + keep-longest resolution.
+    Judged against the EXACT-pair arrival loop (dedup_batch_arrival's
+    semantics on the same judge slice):
+
+    - ``pair_recall_ok``: the store probe finds ≥90% of the exact
+      ≥0.8-Jaccard batch-touching pairs (whose count ``n_exact`` the
+      oracle recomputes portably);
+    - ``no_false_drops``: every document the probe-fed loop drops is
+      also dropped by the exact loop — guaranteed-by-construction
+      (verified pairs are a SUBSET of exact pairs, so probe clusters
+      only fragment exact clusters and each fragment winner is beaten
+      by the exact winner too); a violation means the verify step
+      admitted a false pair;
+    - ``drop_recall_ok``: the probe-fed loop performs ≥90% of the
+      exact loop's drops (missed pairs can only leave extra fragment
+      winners standing).
+
+    A store-format, probe-join, verify, incremental-CC or resolution
+    regression flips a boolean red."""
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from full_docker_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        jaccard_verify_pairs,
+        minhash_probe_store,
+        minhash_store_append,
+        minhash_store_build,
+        resolve_arrival,
+    )
+
+    docs = _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    standing_docs = docs.where(F.col("doc_id") % 10 != 0)
+    path = tempfile.mkdtemp(prefix="fde_mharr_") + "/store"
+    minhash_store_build(
+        standing_docs.where(F.col("doc_id") % 2 == 0), path, "text", "doc_id"
+    )
+    minhash_store_append(
+        standing_docs.where(F.col("doc_id") % 2 == 1), path, "text", "doc_id"
+    )
+    cand = minhash_probe_store(
+        batch, path, "text", "doc_id", threshold=0.5
+    ).select(
+        F.least("d1", "d2").alias("d1"),
+        F.greatest("d1", "d2").alias("d2"),
+    )
+    verified = jaccard_verify_pairs(
+        docs, cand, "text", "doc_id", n=5, threshold=0.8
+    ).select("d1", "d2")
+    exact_all = jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
+    exact_batch = exact_all.where(in_batch[0] | in_batch[1]).select(
+        "d1", "d2"
+    )
+    standing_labels = connected_components(
+        exact_all.where(~in_batch[0] & ~in_batch[1])
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+    )
+    order = [F.col("n_tokens").desc()]
+    probe_drops = (
+        resolve_arrival(
+            toks, connected_components_incremental(standing_labels, verified),
+            order,
+        )
+        .where(~F.col("kept"))
+        .select("doc_id")
+    )
+    exact_drops = (
+        resolve_arrival(
+            toks,
+            connected_components_incremental(standing_labels, exact_batch),
+            order,
+        )
+        .where(~F.col("kept"))
+        .select("doc_id")
+    )
+    pair_stats = (
+        exact_batch.join(
+            verified.withColumn("_hit", F.lit(1)), ["d1", "d2"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n_exact"),
+            F.count("_hit").alias("_n_found"),
+        )
+    )
+    drop_stats = (
+        exact_drops.withColumn("_e", F.lit(1))
+        .join(
+            probe_drops.withColumn("_p", F.lit(1)), "doc_id", "full_outer"
+        )
+        .agg(
+            F.count("_e").alias("_n_ed"),
+            F.count(F.when(F.col("_e").isNotNull() & F.col("_p").isNotNull(), 1))
+            .alias("_n_both"),
+            F.count(F.when(F.col("_e").isNull() & F.col("_p").isNotNull(), 1))
+            .alias("_n_false"),
+        )
+    )
+    # two one-row scalar frames: broadcast nested-loop of single rows,
+    # the classifier-scalar pattern the plan gate permits
+    return pair_stats.crossJoin(drop_stats).select(
+        F.col("_n_exact").cast("long").alias("n_exact"),
+        (F.col("_n_found") >= F.lit(0.9) * F.col("_n_exact")).alias(
+            "pair_recall_ok"
+        ),
+        (F.col("_n_false") == 0).alias("no_false_drops"),
+        (F.col("_n_both") >= F.lit(0.9) * F.col("_n_ed")).alias(
+            "drop_recall_ok"
+        ),
+    )
 
 
 @query("ann_ivf_kmeans_topk")

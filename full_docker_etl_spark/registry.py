@@ -54,13 +54,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # dedup_simhash);
 # THEN all 31 r13 rows (agg_salted, catalog_tables .. zip_xml_ingest
 # in staleness/name order);
-# THEN the first 2 r14 rows (agg_approx_distinct, ann_cosine_topk);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
-# sketch queries).
-# New queries registered during round 18 displace from the tail (the
-# policy puts never-sampled queries at the window close); the rotation
-# is re-run and re-pasted when that happens.
+# sketch queries);
+# THEN dedup_arrival_policy and dedup_arrival_probe (NEW this round,
+# zero evidence — policy puts never-sampled queries at the window
+# close). The two new entrants displaced the first 2 r14 rows
+# (agg_approx_distinct, ann_cosine_topk) the r17 plan comment had
+# penciled in — exactly the displacement that comment anticipated.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -76,7 +77,7 @@ FORCE_NEXT: tuple[str, ...] = (
     # round 18 before freezing.
 )
 
-# staleness: {12: 2, 13: 31, 14: 33, 15: 35, 16: 35, 17: 50} (0 = never sampled)
+# staleness: {0: 2, 12: 2, 13: 31, 14: 33, 15: 35, 16: 35, 17: 50} (0 = never sampled)
 _SAMPLE_ORDER: tuple[str, ...] = (
     "xbrl_metrics",
     "dedup_simhash",
@@ -111,8 +112,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_sliding",
     "stream_tumbling",
     "zip_xml_ingest",
-    "agg_approx_distinct",
-    "ann_cosine_topk",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -128,7 +127,11 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_semantic_verdict",
     "dedup_containment_lsh_recall",
     "dedup_containment_incremental_recall",
+    "dedup_arrival_policy",
+    "dedup_arrival_probe",
     # ---- window boundary (50) ----
+    "agg_approx_distinct",
+    "ann_cosine_topk",
     "ann_ivf_incremental",
     "join_semi",
     "limit_one",

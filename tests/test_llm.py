@@ -1490,6 +1490,96 @@ def test_keep_best_per_cluster_policy(spark):
     assert got == {(2, 1, 30), (7, 7, 5), (9, 9, 99)}
 
 
+def test_resolve_arrival_policy_pluggable(spark):
+    """Batch-arrival resolution emits EVERY member of every
+    batch-touching cluster with a kept flag (winner = first under the
+    caller's ordering, id tie-break; arriving singletons kept;
+    untouched clusters absent), and the policy is the ordering: the
+    same labels resolve differently under keep-longest vs a score."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import resolve_arrival
+
+    docs = spark.createDataFrame(
+        [
+            # cluster 1: standing 1 (long, low score), arriving 10
+            (1, 30, 0.1, False), (10, 20, 0.9, True),
+            # cluster 2: standing only — untouched, must not appear
+            (2, 50, 0.5, False), (3, 40, 0.4, False),
+            # arriving never-paired singleton
+            (30, 7, 0.2, True),
+        ],
+        "doc_id long, n_tokens long, score double, is_new boolean",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (10, 1), (2, 2), (3, 2)], "node long, comp long"
+    )
+    longest = {
+        (r.doc_id, r.comp, r.kept)
+        for r in resolve_arrival(
+            docs, labels, [F.col("n_tokens").desc()]
+        ).collect()
+    }
+    assert longest == {
+        (1, 1, True), (10, 1, False),   # standing winner beats arrival
+        (30, 30, True),                  # singleton arrival admitted
+    }
+    scored = {
+        (r.doc_id, r.comp, r.kept)
+        for r in resolve_arrival(
+            docs, labels, [F.col("score").desc()]
+        ).collect()
+    }
+    assert scored == {
+        (1, 1, False), (10, 1, True),   # arrival displaces the winner
+        (30, 30, True),
+    }
+
+
+def test_jaccard_verify_pairs_subset_of_exact(spark):
+    """The verify half of the probe loop: candidates are judged by
+    EXACT n-gram Jaccard, so false candidates die and the output is a
+    subset of jaccard_pairs over the same corpus — the no-false-merge
+    property the probe-fed arrival capstone rests on."""
+    from full_docker_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_verify_pairs,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(300)]
+    base = [
+        " ".join(rng.choice(words) for _ in range(60)) for _ in range(10)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # plant near-copies: append a couple of words — high Jaccard
+    rows += [(100 + i, t + " zz yy") for i, t in enumerate(base[:4])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in jaccard_pairs(
+            docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+        ).collect()
+    }
+    assert exact  # the planted near-copies pair with their bases
+    # candidates: every true pair PLUS forged false pairs
+    truth = list(exact)
+    cand = spark.createDataFrame(
+        truth + [(0, 7), (3, 11), (5, 19)], "d1 long, d2 long"
+    )
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in jaccard_verify_pairs(
+            docs, cand, "text", "doc_id", n=5, threshold=0.8
+        ).collect()
+    }
+    assert set(got) == set(exact)  # false candidates filtered, none lost
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-9
+
+
 def test_kmeans_centroids_deterministic_and_balanced(spark, embs):
     """Two independent trainings converge to identical centroids
     (deterministic init + tie-breaks); every list is populated; the
