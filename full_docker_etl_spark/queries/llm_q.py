@@ -3962,3 +3962,122 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_mismatch") == 0).alias("inc_ok"),
         )
     )
+
+
+@query(
+    "ann_ivf_maintain",
+    oracle="""
+      SELECT CAST(5 * LEAST(10, (SELECT COUNT(*) FROM embeddings))
+                  AS BIGINT) AS n_served,
+             TRUE AS maintained_ok, TRUE AS serve_ok
+    """,
+)
+def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index MAINTENANCE parity with the sketch-store tier — the
+    ``dedup_store_maintain`` shape for the IVF serving index: the
+    append loop that keeps an always-on index current
+    (``ann_ivf_incremental``) also accumulates small files (every
+    partition-scoped merge writes up to a task-count of files into
+    each touched ``centroid=`` list) and old snapshots; maintenance
+    here is the VersionedTable's own policy surface — ``compact``
+    (rewrite only over-budget lists to one file each, untouched lists
+    hardlinked, atomic pointer swap) with snapshot GC riding every
+    commit (``keep_versions`` retention). ``maintained_ok`` pins the
+    policy outcome: compaction committed, every live ``centroid=``
+    list within the one-file budget, retained snapshots within the
+    retention depth. ``serve_ok`` pins that maintenance changed
+    NOTHING a probe can see: the compacted lists serve EXACTLY the
+    from-scratch in-memory ivf_topk answer over the full corpus on
+    the same centroids — same (qid, vec_id, cos_sim, rank)
+    quadruples, none missing, none extra. A compaction that dropped
+    or duplicated list rows, resurrected a GC'd snapshot, or broke
+    the atomic publish flips a boolean red."""
+    import os
+    import tempfile
+
+    from full_docker_etl_spark.operators.similarity import (
+        _norm,
+        _score_and_rank,
+        assign_nearest,
+    )
+    from full_docker_etl_spark.sources.sinks import VersionedTable
+
+    queries, corpus = _ann_query_corpus(spark, sf_dir)
+    cents = _first_k_centroids(corpus)
+    assigned = assign_nearest(
+        corpus.withColumn("_cn", _norm(F.col("embedding"))),
+        "embedding",
+        cents,
+        1,
+    ).localCheckpoint(eager=True)
+
+    root = tempfile.mkdtemp(prefix="fde_ivf_maint_") + "/lists"
+    table = VersionedTable(
+        root, keep_versions=2, partition_by=("centroid",)
+    )
+    table.overwrite(assigned.where(F.col("vec_id") % 5 != 0))
+    # TWO merge arrivals — the real append cadence; each rewrites the
+    # touched lists with task-count files, fragmenting them
+    for rem in (0, 5):
+        table.merge(
+            assigned.where(F.col("vec_id") % 10 == rem),
+            keys=["vec_id", "centroid"],
+        )
+    compact_version = table.compact(spark, max_files_per_partition=1)
+
+    def _census() -> tuple[int, int]:
+        """(max parquet files per live centroid= list, snapshots)."""
+        vdir = os.path.join(root, "_versions")
+        live = os.path.join(vdir, table.current_version())
+        worst = 0
+        for entry in os.listdir(live):
+            sub = os.path.join(live, entry)
+            if os.path.isdir(sub) and entry.startswith("centroid="):
+                worst = max(
+                    worst,
+                    sum(
+                        1
+                        for f in os.listdir(sub)
+                        if f.endswith(".parquet")
+                        and not f.startswith((".", "_"))
+                    ),
+                )
+        return worst, sum(
+            1 for e in os.listdir(vdir)
+            if os.path.isdir(os.path.join(vdir, e))
+        )
+
+    worst_files, n_snapshots = _census()
+    maintained_ok = (
+        compact_version is not None
+        and worst_files <= 1
+        and n_snapshots <= 2
+    )
+
+    lists = table.read(spark)
+    probed = assign_nearest(
+        queries.withColumn("_qn", _norm(F.col("qvec"))), "qvec", cents, 6
+    )
+    cand = F.broadcast(probed).join(lists, "centroid").where(
+        F.col("qid") != F.col("vec_id")
+    )
+    served = _score_and_rank(cand, 5, "qid", "vec_id", "qvec", "embedding")
+    mem = ivf_topk(
+        queries, corpus, k=5, n_centroids=16, nprobe=6, centroids=cents
+    ).select("qid", "vec_id", "cos_sim", "rank")
+    s = served.withColumn("_s", F.lit(1))
+    m = mem.withColumn("_m", F.lit(1))
+    return (
+        s.join(m, ["qid", "vec_id", "cos_sim", "rank"], "full_outer")
+        .agg(
+            F.count("_s").alias("_n_served"),
+            F.count(
+                F.when(F.col("_s").isNull() | F.col("_m").isNull(), 1)
+            ).alias("_n_mismatch"),
+        )
+        .select(
+            F.col("_n_served").cast("long").alias("n_served"),
+            F.lit(bool(maintained_ok)).alias("maintained_ok"),
+            (F.col("_n_mismatch") == 0).alias("serve_ok"),
+        )
+    )

@@ -52,16 +52,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # r16: 35, r17: 50} — exactly what the r17 plan comment predicted:
 # FIRST the two leftover r12 rows (xbrl_metrics + the rows-only
 # dedup_simhash);
-# THEN all 31 r13 rows (agg_salted, catalog_tables .. zip_xml_ingest
-# in staleness/name order);
+# THEN 30 of the 31 r13 rows (agg_salted, catalog_tables ..
+# stream_tumbling in staleness/name order; zip_xml_ingest sorts last
+# within the tier and is displaced by this round's new queries);
 # THEN every *_recall/*_consistency/*_verdict row (15, pinned in EVERY
 # window — the oracle-checked external evidence for the rows-only
 # sketch queries);
-# THEN dedup_arrival_policy and dedup_arrival_probe (NEW this round,
-# zero evidence — policy puts never-sampled queries at the window
-# close). The two new entrants displaced the first 2 r14 rows
-# (agg_approx_distinct, ann_cosine_topk) the r17 plan comment had
-# penciled in — exactly the displacement that comment anticipated.
+# THEN dedup_arrival_policy, dedup_arrival_probe and ann_ivf_maintain
+# (NEW this round, zero evidence — policy puts never-sampled queries
+# at the window close). The three new entrants displaced the first 2
+# r14 rows (agg_approx_distinct, ann_cosine_topk) the r17 plan
+# comment had penciled in, plus zip_xml_ingest — exactly the
+# displacement that comment anticipated.
 # tools/next_window.py --check verifies this window against the
 # policy; run it before freezing. Names absent from this list keep
 # their registration (import) order after it; names listed but not
@@ -77,7 +79,7 @@ FORCE_NEXT: tuple[str, ...] = (
     # round 18 before freezing.
 )
 
-# staleness: {0: 2, 12: 2, 13: 31, 14: 33, 15: 35, 16: 35, 17: 50} (0 = never sampled)
+# staleness: {0: 3, 12: 2, 13: 31, 14: 33, 15: 35, 16: 35, 17: 50} (0 = never sampled)
 _SAMPLE_ORDER: tuple[str, ...] = (
     "xbrl_metrics",
     "dedup_simhash",
@@ -111,7 +113,6 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_sliding",
     "stream_tumbling",
-    "zip_xml_ingest",
     "ann_ivf_recall",
     "ann_ivf_kmeans_recall",
     "ann_lsh_recall",
@@ -129,7 +130,9 @@ _SAMPLE_ORDER: tuple[str, ...] = (
     "dedup_containment_incremental_recall",
     "dedup_arrival_policy",
     "dedup_arrival_probe",
+    "ann_ivf_maintain",
     # ---- window boundary (50) ----
+    "zip_xml_ingest",
     "agg_approx_distinct",
     "ann_cosine_topk",
     "ann_ivf_incremental",
