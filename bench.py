@@ -34,27 +34,15 @@ import tempfile
 import time
 
 
-#: Contention thresholds for the bless gate and bench_compare's
-#: auto-labeling (VERDICT r16 #6). Calibrated from the recorded
-#: artifacts: every clean run this repo has committed started at
-#: loadavg ≤0.75 / PSI ≤0.05, while the contaminated driver runs
-#: started at load 10.84/PSI 0.82 (r16) and load ~6/PSI 0.49 (the
-#: r16 mid-session run) — 2.0 / 0.2 sit an order of magnitude above
-#: clean-start noise and far below every observed contamination.
-CONTENTION_LOAD_1M = 2.0
-CONTENTION_PSI_AVG60 = 0.2
-
-
-def is_contended(snap: dict) -> bool:
-    """Whether a host snapshot shows PRE-EXISTING contention. Only
-    meaningful for START snapshots: a saturating local[n] bench
-    generates load and PSI of its own, so end-of-run values are the
-    run's, not the session's. Missing fields read as not-contended
-    (best-effort facility, never an error)."""
-    return (
-        snap.get("loadavg_1m", 0.0) > CONTENTION_LOAD_1M
-        or snap.get("psi_cpu_some_avg60", 0.0) > CONTENTION_PSI_AVG60
-    )
+# Thresholds + snapshot live in the package (ADVICE r17: a generically
+# named top-level module is silently shadowable); re-exported here for
+# existing importers (tests, tooling invoked as `from bench import …`).
+from full_docker_etl_spark.contention import (  # noqa: F401
+    CONTENTION_LOAD_PER_CORE,
+    CONTENTION_PSI_AVG60,
+    host_snapshot,
+    is_contended,
+)
 
 
 def bless_gate(snap: dict, out: str, force: bool = False) -> None:
@@ -74,36 +62,11 @@ def bless_gate(snap: dict, out: str, force: bool = False) -> None:
         return
     raise SystemExit(
         f"bench: REFUSING to bless a contended run: start host snapshot "
-        f"{snap} exceeds thresholds (loadavg_1m > {CONTENTION_LOAD_1M} "
-        f"or psi_cpu_some_avg60 > {CONTENTION_PSI_AVG60}). Re-run on a "
-        "quiet host, or pass --force to record it anyway."
+        f"{snap} exceeds thresholds (loadavg_1m > "
+        f"{CONTENTION_LOAD_PER_CORE}/core or psi_cpu_some_avg60 > "
+        f"{CONTENTION_PSI_AVG60}). Re-run on a quiet host, or pass "
+        "--force to record it anyway."
     )
-
-
-def host_snapshot() -> dict:
-    """Contention evidence stamped INTO the artifact: the r14 and r15
-    driver bench runs both landed in sessions where host-level load
-    (no engine process of ours) moved identical code 10-20%; the
-    adjudication lived in SCALE.md narrative. Recording the 1-minute
-    load average plus the kernel's CPU pressure-stall averages
-    (PSI avg60: fraction of the last 60 s any task was runnable but
-    not running) at bench start and end makes the
-    contaminated-session call a recorded field. Best-effort: absent
-    fields mean the facility isn't available, never an error."""
-    snap: dict = {}
-    try:
-        snap["loadavg_1m"] = round(os.getloadavg()[0], 2)
-    except OSError:
-        pass
-    try:
-        with open("/proc/pressure/cpu") as fh:
-            fields = dict(
-                kv.split("=") for kv in fh.readline().split()[1:]
-            )
-        snap["psi_cpu_some_avg60"] = float(fields["avg60"])
-    except (OSError, KeyError, ValueError, IndexError):
-        pass
-    return snap
 
 
 def default_detail_path() -> str:

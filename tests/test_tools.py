@@ -292,3 +292,52 @@ def test_bench_contention_gate(monkeypatch):
     bench.bless_gate(cold, "BENCH_DETAIL.json")
     bench.bless_gate(hot, "BENCH_DETAIL.json", force=True)
     bench.bless_gate(hot, bench.default_detail_path())
+
+
+def test_contention_load_threshold_scales_per_core(monkeypatch):
+    """ADVICE r17: the load threshold is per-core, not absolute — the
+    same loadavg that means a saturated 2-core host means a quiet
+    64-core one. PSI stays absolute (kernel-normalized)."""
+    from full_docker_etl_spark import contention as C
+
+    monkeypatch.setattr(C.os, "cpu_count", lambda: 32)
+    assert not C.is_contended({"loadavg_1m": 1.9})   # < 2.0 = 32*0.0625
+    assert C.is_contended({"loadavg_1m": 2.1})
+    monkeypatch.setattr(C.os, "cpu_count", lambda: 2)
+    assert C.is_contended({"loadavg_1m": 1.9})       # saturated 2-core
+    assert not C.is_contended({"loadavg_1m": 0.1})
+    # PSI threshold independent of core count
+    assert C.is_contended({"psi_cpu_some_avg60": 0.25})
+    assert not C.is_contended({"psi_cpu_some_avg60": 0.15})
+
+
+def test_bench_compare_adjudicate_labels_drift_vs_real(monkeypatch):
+    """--adjudicate's verdict arithmetic: HEAD at-or-faster than the
+    old commit in the same session = session-drift; HEAD slower past
+    the tight envelope (>1.25x and >1 s) = REAL. The worktree and
+    bench subprocesses are stubbed — this pins the labeling, not the
+    plumbing."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare_mod", str(SCRIPT)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.setattr(
+        mod.subprocess, "run", lambda *a, **k: type(
+            "R", (), {"stdout": "", "returncode": 0}
+        )()
+    )
+    sides = iter(
+        [
+            {"q_drift": 10.0, "q_real": 2.0, "q_gone": -1.0},   # old
+            {"q_drift": 4.0, "q_real": 6.0, "q_gone": 1.0},     # HEAD
+        ]
+    )
+    monkeypatch.setattr(
+        mod, "_bench_subset", lambda repo, names: next(sides)
+    )
+    real = mod.adjudicate("deadbeef", ["q_drift", "q_real", "q_gone"])
+    assert real == ["q_real"]

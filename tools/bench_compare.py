@@ -8,24 +8,39 @@ Accepts either shape the repo produces:
 
 Usage:
     python tools/bench_compare.py BENCH_r11.json BENCH_DETAIL.json
+    python tools/bench_compare.py OLD.json NEW.json --adjudicate <commit>
 
 Prints the shared-query median ratio (the round-over-round headline),
 the biggest movers in both directions, and flags regressions that are
 both large relative (>1.5x) and absolute (>1 s) — the threshold below
 which the documented first-touch variance envelope (SCALE.md) makes
 single draws uninformative.
-"""
+
+``--adjudicate <old-commit>`` automates the session-drift A/B that
+every flagged round (r12, r16, r17 — 18/18 flags each time) has run by
+hand: check the old commit out into a temp worktree, bench EXACTLY the
+flagged subset there, bench the same subset at HEAD minutes later in
+the SAME session, and label each flag ``session-drift`` (HEAD is as
+fast or faster than the old code under identical conditions) or
+``REAL`` (HEAD is slower than the old code in the same session — the
+only comparison that isolates code from environment). Prints a
+paste-ready markdown block for SCALE.md. Exit code: 1 only if a REAL
+flag survives."""
 
 from __future__ import annotations
 
 import json
 import os
 import statistics
+import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import is_contended  # noqa: E402  (shared thresholds)
+# shared thresholds come from the PACKAGE module (ADVICE r17: the
+# top-level bench.py is generically named and silently shadowable)
+from full_docker_etl_spark.contention import is_contended  # noqa: E402
 
 
 def load(
@@ -74,13 +89,83 @@ def load(
     )
 
 
+def _bench_subset(repo_dir: str, names: list[str]) -> dict[str, float]:
+    """Run ``bench.py`` restricted to ``names`` in ``repo_dir`` and
+    return its per-query seconds (parsed from the stdout JSON line —
+    subset runs never write the detail file, so nothing is clobbered).
+    The subset order is the caller's and is identical on both sides of
+    an A/B, so per-family first-touch cost (SCALE.md envelope) lands
+    on the same member in both runs."""
+    env = dict(os.environ, BENCH_QUERIES=",".join(names))
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=repo_dir, env=env, capture_output=True, text=True, check=True,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    return {
+        k: float(v) for k, v in json.loads(line)["queries"].items()
+    }
+
+
+def adjudicate(old_commit: str, flagged: list[str]) -> list[str]:
+    """The session-drift A/B, automated (VERDICT r17 #6): bench the
+    flagged subset on ``old_commit`` in a temp git worktree, then the
+    SAME subset at HEAD minutes later in the SAME session — the only
+    comparison that isolates code from environment (cross-session
+    artifacts drift 20-50% with session state on this host; recorded
+    r12/r16/r17). Prints a paste-ready markdown block for SCALE.md and
+    returns the queries whose flags survive as REAL regressions (HEAD
+    slower than the old code under identical conditions: >1.25x and
+    >1 s — tighter than the cross-session envelope because the A/B
+    removes the drift term)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wt = os.path.join(tempfile.mkdtemp(prefix="bench_ab_"), "old")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, old_commit],
+        cwd=root, check=True, capture_output=True,
+    )
+    try:
+        old_t = _bench_subset(wt, flagged)
+        new_t = _bench_subset(root, flagged)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=root, check=False, capture_output=True,
+        )
+    real: list[str] = []
+    print(f"\n### Same-session A/B: {old_commit[:12]} (worktree) vs HEAD")
+    print(f"| query | {old_commit[:12]} s | HEAD s | verdict |")
+    print("|---|---|---|---|")
+    for k in flagged:
+        o, n = old_t.get(k), new_t.get(k)
+        if o is None or n is None or o < 0 or n < 0:
+            verdict = "no-measurement"
+        elif n > o * 1.25 and n - o > 1.0:
+            verdict = "REAL regression"
+            real.append(k)
+        else:
+            verdict = "session-drift (resolved)"
+        print(f"| {k} | {o} | {n} | {verdict} |")
+    tot_o = sum(v for v in old_t.values() if v >= 0)
+    tot_n = sum(v for v in new_t.values() if v >= 0)
+    print(f"| **total** | **{tot_o:.2f}** | **{tot_n:.2f}** | "
+          f"{'REAL regressions above' if real else 'all drift'} |")
+    return real
+
+
 def main() -> int:
-    if len(sys.argv) != 3:
+    argv = list(sys.argv[1:])
+    old_commit = None
+    if "--adjudicate" in argv:
+        i = argv.index("--adjudicate")
+        old_commit = argv[i + 1]
+        del argv[i:i + 2]
+    if len(argv) != 2:
         print(__doc__)
         return 2
     (old, a_old, h_old), (new, a_new, h_new) = (
-        load(sys.argv[1]),
-        load(sys.argv[2]),
+        load(argv[0]),
+        load(argv[1]),
     )
     contaminated: dict[str, bool] = {}
     for label, h in (("old", h_old), ("new", h_new)):
@@ -195,6 +280,15 @@ def main() -> int:
                   "re-measure in isolation before calling it real):")
         for k in sorted(flagged, key=lambda k: old[k] - new[k]):
             print(f"  {k:32s} {old[k]:7.2f} -> {new[k]:7.2f}")
+        if old_commit:
+            real = adjudicate(old_commit, sorted(flagged))
+            if real:
+                print(f"\n{len(real)} REAL regression(s) survive the "
+                      f"same-session A/B: {real}")
+                return 1
+            print("\nall flags adjudicated as session drift — no real "
+                  "regressions")
+            return 0
         return 1
     print("\nno regressions past the variance envelope")
     return 0
