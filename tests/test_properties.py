@@ -354,3 +354,56 @@ def test_ensemble_gap_specs_invariants(
         # extension past the floor bound is all-k r=1 best-effort
         for gap, r, b in specs[len(default):]:
             assert (r, b) == (1, k)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        max_size=30,
+    ),
+    mask=st.lists(st.booleans(), min_size=30, max_size=30),
+    scores=st.lists(st.integers(0, 5), min_size=16, max_size=16),
+)
+@settings(max_examples=300, deadline=None)
+def test_verified_subset_pairs_never_false_drop(edges, mask, scores):
+    """The graph-theoretic claim dedup_arrival_probe's no-false-drop
+    verdict rests on (jaccard_verify_pairs output ⊆ exact pairs ⇒
+    probe-side resolution drops ⊆ exact-side drops): dropping edges
+    from a pair graph only REFINES its components, and each
+    fragment's winner under any fixed total order is beaten by its
+    containing exact-component's winner — so every fragment non-winner
+    is an exact non-winner too. Checked over random graphs, random
+    edge subsets and random (tie-heavy) score functions with the same
+    id tie-break the operator uses."""
+    nodes = range(16)
+
+    def components(es):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        groups: dict[int, set] = {}
+        for n in nodes:
+            groups.setdefault(find(n), set()).add(n)
+        return groups.values()
+
+    def drops(es):
+        out = set()
+        for comp in components(es):
+            # first under (score desc, id asc) — the operator's order
+            winner = min(comp, key=lambda n: (-scores[n], n))
+            out |= comp - {winner}
+        return out
+
+    exact = [e for e in edges]
+    subset = [e for e, keep in zip(exact, mask) if keep]
+    assert drops(subset) <= drops(exact)
