@@ -33,7 +33,13 @@ Checked invariants, every cycle:
     once both ends are in the store, the documented permanent-miss
     class of incremental sketch serving).
 
-Usage: python tools/soak_arrival_probe.py [sf_dir]
+Usage: python tools/soak_arrival_probe.py [sf_dir] [--store minhash|containment]
+
+``--store containment`` drives the SAME loop through the
+LSH-Ensemble containment store (built/probed at threshold 0.8: a
+Jaccard>=0.8 pair always has containment >= 0.8, so the ensemble's
+candidate set covers the Jaccard truth and the exact-Jaccard verify
+step reduces it to the same verified-subset shape).
 """
 
 from __future__ import annotations
@@ -47,22 +53,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:]]
+    store_kind = "minhash"
+    if "--store" in args:
+        i = args.index("--store")
+        store_kind = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    from full_docker_etl_spark.operators import dedup as D
     from full_docker_etl_spark.operators.dedup import (
         connected_components,
         connected_components_incremental,
         jaccard_pairs,
         jaccard_verify_pairs,
         keep_best_per_cluster,
-        minhash_probe_store,
-        minhash_store_append,
-        minhash_store_build,
-        minhash_store_maintain,
     )
+
+    if store_kind == "minhash":
+        store_build = D.minhash_store_build
+        store_append = D.minhash_store_append
+        store_maintain = D.minhash_store_maintain
+
+        def store_probe(batch, path):
+            return D.minhash_probe_store(
+                batch, path, "text", "doc_id", threshold=0.5
+            )
+    elif store_kind == "containment":
+        def store_build(df, path, text_col, id_col):
+            D.containment_store_build(df, path, text_col, id_col,
+                                      threshold=0.8)
+        store_append = D.containment_store_append
+        store_maintain = D.containment_store_maintain
+
+        def store_probe(batch, path):
+            return D.containment_probe_store(
+                batch, path, "text", "doc_id", threshold=0.8
+            )
+    else:
+        raise SystemExit(f"unknown --store {store_kind}")
     from full_docker_etl_spark.session import default_parallelism, get_spark
     from full_docker_etl_spark.sources.catalog import load_table
 
@@ -89,9 +121,10 @@ def main() -> int:
     standing_pred = tier >= 5  # initial corpus: tiers 5..9
     path = tempfile.mkdtemp(prefix="fde_soak_arr_") + "/store"
 
+    print(f"store family: {store_kind}")
     t0 = time.perf_counter()
     standing = docs.where(standing_pred)
-    minhash_store_build(standing, path, "text", "doc_id")
+    store_build(standing, path, "text", "doc_id")
     exact0 = jaccard_pairs(
         standing, "text", "doc_id", n=5, threshold=0.8, max_df=1000
     )
@@ -112,9 +145,7 @@ def main() -> int:
         toks = toks_all.join(corpus.select("doc_id"), "doc_id", "left_semi")
 
         c0 = time.perf_counter()
-        cand = minhash_probe_store(
-            batch, path, "text", "doc_id", threshold=0.5
-        ).select(
+        cand = store_probe(batch, path).select(
             F.least("d1", "d2").alias("d1"),
             F.greatest("d1", "d2").alias("d2"),
         )
@@ -156,8 +187,8 @@ def main() -> int:
         all_ok &= ok
 
         c2 = time.perf_counter()
-        minhash_store_append(batch, path, "text", "doc_id")
-        maint = minhash_store_maintain(
+        store_append(batch, path, "text", "doc_id")
+        maint = store_maintain(
             spark, path, max_batches=2, probe_grace_seconds=0.0
         )
         admit_s = time.perf_counter() - c2
