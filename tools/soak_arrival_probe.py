@@ -33,13 +33,22 @@ Checked invariants, every cycle:
     once both ends are in the store, the documented permanent-miss
     class of incremental sketch serving).
 
-Usage: python tools/soak_arrival_probe.py [sf_dir] [--store minhash|containment]
+Usage: python tools/soak_arrival_probe.py [sf_dir]
+           [--store minhash|containment] [--policy keep_longest|keep_best]
 
 ``--store containment`` drives the SAME loop through the
 LSH-Ensemble containment store (built/probed at threshold 0.8: a
 Jaccard>=0.8 pair always has containment >= 0.8, so the ensemble's
 candidate set covers the Jaccard truth and the exact-Jaccard verify
 step reduces it to the same verified-subset shape).
+
+``--policy keep_best`` resolves clusters on the trained NB quality
+log-odds instead of token length (the FineWeb-shaped loop the
+registered ``dedup_arrival_policy`` query pins for one arrival):
+the classifier RETRAINS on the corpus seen so far at every arrival —
+both the incremental and the from-scratch side score with the same
+freshly-trained model, so the comparison still isolates the
+clustering path.
 """
 
 from __future__ import annotations
@@ -59,6 +68,13 @@ def main() -> int:
         i = args.index("--store")
         store_kind = args[i + 1]
         del args[i:i + 2]
+    policy = "keep_longest"
+    if "--policy" in args:
+        i = args.index("--policy")
+        policy = args[i + 1]
+        del args[i:i + 2]
+    if policy not in ("keep_longest", "keep_best"):
+        raise SystemExit(f"unknown --policy {policy}")
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark import StorageLevel
@@ -107,7 +123,7 @@ def main() -> int:
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
-        .select("doc_id", "text")
+        .select("doc_id", "text", "lang")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     toks_all = docs.select(
@@ -117,11 +133,32 @@ def main() -> int:
         .alias("n_tokens"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    def score_frame(corpus):
+        """Per-doc resolution attributes + ordering for the policy:
+        keep-longest orders on token count; keep-best retrains the NB
+        quality classifier on the corpus seen so far and orders on its
+        log-odds (both sides of the comparison reuse ONE scored frame,
+        so the model is identical across incremental and scratch)."""
+        if policy == "keep_longest":
+            attrs = toks_all.join(
+                corpus.select("doc_id"), "doc_id", "left_semi"
+            )
+            return attrs, [F.col("n_tokens").desc()]
+        from full_docker_etl_spark.operators.text import (
+            nb_quality_classifier,
+        )
+
+        scored = nb_quality_classifier(
+            corpus.withColumn("y", (F.col("lang") == "en").cast("int")),
+            "text", "doc_id", "y",
+        ).select("doc_id", "log_odds").localCheckpoint(eager=True)
+        return scored, [F.col("log_odds").desc()]
+
     tier = F.col("doc_id") % 10
     standing_pred = tier >= 5  # initial corpus: tiers 5..9
     path = tempfile.mkdtemp(prefix="fde_soak_arr_") + "/store"
 
-    print(f"store family: {store_kind}")
+    print(f"store family: {store_kind}; policy: {policy}")
     t0 = time.perf_counter()
     standing = docs.where(standing_pred)
     store_build(standing, path, "text", "doc_id")
@@ -135,14 +172,13 @@ def main() -> int:
     )
 
     seen_pred = standing_pred
-    order = [F.col("n_tokens").desc()]
     all_ok = True
     for t in range(5):
         batch_pred = tier == t
         batch = docs.where(batch_pred)
         seen_pred = seen_pred | batch_pred
         corpus = docs.where(seen_pred)
-        toks = toks_all.join(corpus.select("doc_id"), "doc_id", "left_semi")
+        toks, order = score_frame(corpus)
 
         c0 = time.perf_counter()
         cand = store_probe(batch, path).select(
