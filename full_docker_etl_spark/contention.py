@@ -28,18 +28,20 @@ CONTENTION_LOAD_PER_CORE = 0.0625
 CONTENTION_PSI_AVG60 = 0.2
 
 
-def _load_threshold() -> float:
-    return CONTENTION_LOAD_PER_CORE * (os.cpu_count() or 1)
-
-
 def is_contended(snap: dict) -> bool:
     """Whether a host snapshot shows PRE-EXISTING contention. Only
     meaningful for START snapshots: a saturating local[n] bench
     generates load and PSI of its own, so end-of-run values are the
-    run's, not the session's. Missing fields read as not-contended
-    (best-effort facility, never an error)."""
+    run's, not the session's. The load threshold normalizes by the
+    RECORDING host's core count (the snapshot's ``cpus`` field, r18+)
+    so a recorded artifact adjudicated on a different machine is
+    judged against the machine that produced the number; snapshots
+    from before the field existed fall back to the evaluating host's
+    count (this repo's artifacts are all same-host). Missing fields
+    read as not-contended (best-effort facility, never an error)."""
+    cores = snap.get("cpus") or os.cpu_count() or 1
     return (
-        snap.get("loadavg_1m", 0.0) > _load_threshold()
+        snap.get("loadavg_1m", 0.0) > CONTENTION_LOAD_PER_CORE * cores
         or snap.get("psi_cpu_some_avg60", 0.0) > CONTENTION_PSI_AVG60
     )
 
@@ -55,6 +57,12 @@ def host_snapshot() -> dict:
     contaminated-session call a recorded field. Best-effort: absent
     fields mean the facility isn't available, never an error."""
     snap: dict = {}
+    # the denominator for per-core load normalization travels WITH the
+    # measurement, so adjudicating a recorded artifact on a
+    # different-sized machine judges against the recording host
+    cores = os.cpu_count()
+    if cores:
+        snap["cpus"] = cores
     try:
         snap["loadavg_1m"] = round(os.getloadavg()[0], 2)
     except OSError:

@@ -173,24 +173,45 @@ def jaccard_verify_pairs(
     id_col: str,
     n: int = 5,
     threshold: float = 0.8,
+    rare: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT-Jaccard verification of sketch candidate pairs — the
     verify half of every LSH serving loop (probe emits candidates,
     verify computes the true measure on candidates ONLY). Returns
     ``(d1, d2, shared, n1, n2, jaccard)`` for candidate pairs whose
-    exact n-gram Jaccard clears ``threshold`` — by construction a
-    SUBSET of :func:`jaccard_pairs`' output over the same corpus, so
-    downstream cluster resolution can only FRAGMENT true clusters
-    (sketch recall < 1), never falsely merge distinct documents (a
-    sketch false positive dies here). That subset property is what
-    the probe-fed arrival capstone's no-false-drop verdict rests on.
+    exact n-gram Jaccard clears ``threshold``.
+
+    MEASURE CONTRACT (load-bearing for the no-false-drop argument):
+    by default the Jaccard is over ALL distinct shingles — the raw
+    similarity. :func:`jaccard_pairs` measures over the RARE-filtered
+    universe (shingles with corpus df ≤ ``max_df`` — its posting-list
+    cap drops boilerplate shingles from both the blocking AND the
+    measured sizes), so the two agree EXACTLY wherever the cap is
+    inactive (no shingle's corpus df exceeds ``max_df`` — true on any
+    judge slice bounded below the cap, which is how the
+    ``dedup_arrival_probe`` verdict stays deterministic at every
+    corpus size), and on a cap-active corpus the raw verify can admit
+    boilerplate-heavy pairs the blocked measure attenuates — it errs
+    toward MORE dedup, against the true similarity, never less. A
+    caller that needs verification in EXACT agreement with the
+    blocked measure (e.g. to compare against a `jaccard_pairs` truth
+    tier on a cap-active corpus) passes ``rare`` — the
+    (``sh``: xxhash64 of shingle) frame of in-cap shingles, the same
+    frame the blocked pass derives — and verification then computes
+    the identical filtered measure on candidates only. With either
+    measure the output is a SUBSET of the same-measure exact pair
+    set, so downstream cluster resolution can only FRAGMENT true
+    clusters (sketch recall < 1), never falsely merge documents the
+    measure calls distinct.
 
     Scale shape: shingle arrays are computed for CANDIDATE endpoints
     only (semi-join against the candidate id set — never the corpus),
     the candidate list is bounded by the probe's band-bucket caps,
     and the per-pair intersection is in-row array arithmetic. The
     candidate side is assumed small relative to the corpus (it is a
-    probe output); the id semi-join broadcasts it."""
+    probe output); the id semi-join broadcasts it. ``rare`` is
+    corpus-sized at 100 TB and therefore NOT broadcast — the filter
+    join is hash-partitioned on the shingle key."""
     cand = candidates.select("d1", "d2").distinct()
     ids = (
         cand.select(F.col("d1").alias("_vid"))
@@ -201,6 +222,22 @@ def jaccard_verify_pairs(
         F.broadcast(ids), F.col(id_col) == F.col("_vid"), "left_semi"
     )
     sh = shingle_arrays(needed, text_col, id_col, n)
+    if rare is not None:
+        # blocked-measure mode: hash like _blocked_shared_counts, keep
+        # only in-cap shingles, refold to per-doc sets. A doc with NO
+        # in-cap shingles drops out entirely — consistent with the
+        # blocked pass, which has no size row for it either.
+        sh = (
+            sh.select(
+                "doc_id",
+                F.explode(
+                    F.transform("sh_arr", lambda s: F.xxhash64(s))
+                ).alias("sh"),
+            )
+            .join(rare.select("sh"), "sh")
+            .groupBy("doc_id")
+            .agg(F.collect_set("sh").alias("sh_arr"))
+        )
     a1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh_arr").alias("_a1"))
     a2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh_arr").alias("_a2"))
     shared = F.size(F.array_intersect(F.col("_a1"), F.col("_a2")))
@@ -1109,16 +1146,20 @@ def containment_store_pin_specs(path: str) -> list[tuple[int, int, int]]:
     import os
     import uuid
 
-    meta = _containment_store_meta(path)
-    if meta.get("gap_specs") is not None:
-        return [tuple(s) for s in meta["gap_specs"]]
-    specs = _ensemble_gap_specs(
-        meta["threshold"], meta["k"],
-        meta["target_recall"], meta["floor_recall"], meta["max_gap"],
-    )
-    meta["gap_specs"] = specs
     mpath = os.path.join(path, "_meta.json")
+    # read + already-pinned check + rewrite ALL inside the lock: a
+    # pre-lock read would let two racing pinners (or a pin racing any
+    # future meta writer) both pass the None check and the loser's
+    # stale copy clobber the winner's write
     with _store_manifest_lock(path):
+        meta = _containment_store_meta(path)
+        if meta.get("gap_specs") is not None:
+            return [tuple(s) for s in meta["gap_specs"]]
+        specs = _ensemble_gap_specs(
+            meta["threshold"], meta["k"],
+            meta["target_recall"], meta["floor_recall"], meta["max_gap"],
+        )
+        meta["gap_specs"] = specs
         tmp = f"{mpath}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
@@ -2906,6 +2947,29 @@ def keep_best_per_cluster(
     ``order_cols`` are broken by the id column (appended
     automatically) so the result is deterministic and
     oracle-checkable."""
+    return (
+        _cluster_ranked(docs, labels, order_cols, id_col, node_col, comp_col)
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed("_comp", comp_col)
+    )
+
+
+def _cluster_ranked(
+    docs: DataFrame,
+    labels: DataFrame,
+    order_cols: list,
+    id_col: str,
+    node_col: str,
+    comp_col: str,
+) -> DataFrame:
+    """Shared resolution prefix for :func:`keep_best_per_cluster` and
+    :func:`resolve_arrival`: label every doc (absent from ``labels`` =
+    singleton labeled by its own id), rank within each ``_comp``
+    cluster under ``order_cols`` with the id appended as the
+    deterministic tie-break. ONE definition so the singleton-labeling
+    and tie-break semantics cannot silently diverge between the
+    winners-only and the arrival-decision views."""
     lab = labels.select(
         F.col(node_col).alias(id_col), F.col(comp_col).alias("_comp")
     )
@@ -2913,12 +2977,7 @@ def keep_best_per_cluster(
         "_comp", F.coalesce(F.col("_comp"), F.col(id_col))
     )
     w = Window.partitionBy("_comp").orderBy(*order_cols, F.col(id_col))
-    return (
-        labeled.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-        .withColumnRenamed("_comp", comp_col)
-    )
+    return labeled.withColumn("_rn", F.row_number().over(w))
 
 
 def resolve_arrival(
@@ -2954,17 +3013,14 @@ def resolve_arrival(
     against a distinct of the is_new clusters would recompute the
     window subtree and add two more exchanges for the same rows.
     Clusters are small by construction, so the per-partition sort is
-    bounded; no global sort anywhere."""
-    lab = labels.select(
-        F.col(node_col).alias(id_col), F.col(comp_col).alias("_comp")
-    )
-    labeled = docs.join(lab, id_col, "left").withColumn(
-        "_comp", F.coalesce(F.col("_comp"), F.col(id_col))
-    )
-    w = Window.partitionBy("_comp").orderBy(*order_cols, F.col(id_col))
+    bounded; no global sort anywhere. The labeling + ranking prefix
+    is :func:`_cluster_ranked` — shared with
+    :func:`keep_best_per_cluster` so the two views cannot diverge."""
     w_all = Window.partitionBy("_comp")
     return (
-        labeled.withColumn("kept", F.row_number().over(w) == F.lit(1))
+        _cluster_ranked(docs, labels, order_cols, id_col, node_col, comp_col)
+        .withColumn("kept", F.col("_rn") == F.lit(1))
+        .drop("_rn")
         .withColumn(
             "_affected",
             F.max(F.col(is_new_col).cast("int")).over(w_all),

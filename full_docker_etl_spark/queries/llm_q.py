@@ -3291,10 +3291,16 @@ def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       ≥0.8-Jaccard batch-touching pairs (whose count ``n_exact`` the
       oracle recomputes portably);
     - ``no_false_drops``: every document the probe-fed loop drops is
-      also dropped by the exact loop — guaranteed-by-construction
-      (verified pairs are a SUBSET of exact pairs, so probe clusters
-      only fragment exact clusters and each fragment winner is beaten
-      by the exact winner too); a violation means the verify step
+      also dropped by the exact loop — on the judge slice this is
+      guaranteed by construction: the slice is bounded (~625 docs)
+      below jaccard_pairs' max_df cap at ANY corpus size, so the
+      blocked exact measure and the raw verify measure coincide and
+      verified pairs are a strict SUBSET of exact pairs (probe
+      clusters only fragment exact clusters; each fragment winner is
+      beaten by the exact winner too). On a cap-active corpus the raw
+      verify can admit boilerplate-only pairs the blocked measure
+      attenuates — pass ``rare`` to jaccard_verify_pairs there (see
+      its measure contract); a violation HERE means the verify step
       admitted a false pair;
     - ``drop_recall_ok``: the probe-fed loop performs ≥90% of the
       exact loop's drops (missed pairs can only leave extra fragment
@@ -4023,7 +4029,6 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             assigned.where(F.col("vec_id") % 10 == rem),
             keys=["vec_id", "centroid"],
         )
-    compact_version = table.compact(spark, max_files_per_partition=1)
 
     def _census() -> tuple[int, int]:
         """(max parquet files per live centroid= list, snapshots)."""
@@ -4047,9 +4052,15 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             if os.path.isdir(os.path.join(vdir, e))
         )
 
+    pre_files, _ = _census()
+    compact_version = table.compact(spark, max_files_per_partition=1)
     worst_files, n_snapshots = _census()
     maintained_ok = (
-        compact_version is not None
+        # a no-op compaction (every list already within budget) is the
+        # policy WORKING, not a red row — compact() deliberately
+        # declines the commit so a clean index never churns snapshots;
+        # require the commit only when the pre-census showed real work
+        (compact_version is not None or pre_files <= 1)
         and worst_files <= 1
         and n_snapshots <= 2
     )

@@ -275,6 +275,12 @@ def test_bench_contention_gate(monkeypatch):
     finally:
         sys.path.remove(str(REPO))
     monkeypatch.delenv("SPARK_GRAFT_BENCH_DETAIL", raising=False)
+    # the absolute loadavg fixtures below assume the recorded 32-core
+    # calibration; pin the evaluating host's view so the test is not
+    # coupled to whatever machine runs the suite
+    from full_docker_etl_spark import contention as C
+
+    monkeypatch.setattr(C.os, "cpu_count", lambda: 32)
 
     assert not bench.is_contended({})
     assert not bench.is_contended(
@@ -309,6 +315,17 @@ def test_contention_load_threshold_scales_per_core(monkeypatch):
     # PSI threshold independent of core count
     assert C.is_contended({"psi_cpu_some_avg60": 0.25})
     assert not C.is_contended({"psi_cpu_some_avg60": 0.15})
+    # a snapshot recorded elsewhere carries its own core count, and
+    # that denominator BEATS the evaluating host's (cross-host
+    # adjudication judges against the machine that produced the
+    # number): 1.9 is clean for the 32-core recorder even though the
+    # 2-core evaluator would call it contended, and vice versa
+    monkeypatch.setattr(C.os, "cpu_count", lambda: 2)
+    assert not C.is_contended({"loadavg_1m": 1.9, "cpus": 32})
+    monkeypatch.setattr(C.os, "cpu_count", lambda: 32)
+    assert C.is_contended({"loadavg_1m": 1.9, "cpus": 2})
+    # host_snapshot stamps the denominator into new artifacts
+    assert C.host_snapshot().get("cpus") == 32
 
 
 def test_bench_compare_adjudicate_labels_drift_vs_real(monkeypatch):
@@ -340,4 +357,6 @@ def test_bench_compare_adjudicate_labels_drift_vs_real(monkeypatch):
         mod, "_bench_subset", lambda repo, names: next(sides)
     )
     real = mod.adjudicate("deadbeef", ["q_drift", "q_real", "q_gone"])
-    assert real == ["q_real"]
+    # q_gone produced no measurement on one side: NOT resolved — it
+    # must survive alongside the real regression so the exit stays loud
+    assert real == ["q_real", "q_gone"]

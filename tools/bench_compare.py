@@ -89,22 +89,37 @@ def load(
     )
 
 
+#: Queries per A/B bench invocation: bench.py truncates its stdout
+#: line to ~1800 chars by dropping the FASTEST entries, so an
+#: unchunked large flag set would come back partial and the missing
+#: queries would silently read as unmeasured. 8 queries + the base
+#: host/anchor fields sit far under the limit.
+_AB_CHUNK = 8
+
+
 def _bench_subset(repo_dir: str, names: list[str]) -> dict[str, float]:
     """Run ``bench.py`` restricted to ``names`` in ``repo_dir`` and
     return its per-query seconds (parsed from the stdout JSON line —
     subset runs never write the detail file, so nothing is clobbered).
-    The subset order is the caller's and is identical on both sides of
-    an A/B, so per-family first-touch cost (SCALE.md envelope) lands
-    on the same member in both runs."""
-    env = dict(os.environ, BENCH_QUERIES=",".join(names))
-    proc = subprocess.run(
-        [sys.executable, "bench.py"],
-        cwd=repo_dir, env=env, capture_output=True, text=True, check=True,
-    )
-    line = proc.stdout.strip().splitlines()[-1]
-    return {
-        k: float(v) for k, v in json.loads(line)["queries"].items()
-    }
+    Chunked at ``_AB_CHUNK`` per invocation so the stdout line can
+    never truncate entries away. The chunking (and order within each
+    chunk) is identical on both sides of an A/B, so per-family
+    first-touch cost (SCALE.md envelope) lands on the same member in
+    both runs."""
+    out: dict[str, float] = {}
+    for i in range(0, len(names), _AB_CHUNK):
+        chunk = names[i:i + _AB_CHUNK]
+        env = dict(os.environ, BENCH_QUERIES=",".join(chunk))
+        proc = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=repo_dir, env=env, capture_output=True, text=True,
+            check=True,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out.update(
+            {k: float(v) for k, v in json.loads(line)["queries"].items()}
+        )
+    return out
 
 
 def adjudicate(old_commit: str, flagged: list[str]) -> list[str]:
@@ -139,7 +154,10 @@ def adjudicate(old_commit: str, flagged: list[str]) -> list[str]:
     for k in flagged:
         o, n = old_t.get(k), new_t.get(k)
         if o is None or n is None or o < 0 or n < 0:
-            verdict = "no-measurement"
+            # a flag the A/B could not measure is NOT resolved — count
+            # it with the survivors so the exit code stays loud
+            verdict = "no-measurement (UNRESOLVED)"
+            real.append(k)
         elif n > o * 1.25 and n - o > 1.0:
             verdict = "REAL regression"
             real.append(k)
@@ -158,6 +176,9 @@ def main() -> int:
     old_commit = None
     if "--adjudicate" in argv:
         i = argv.index("--adjudicate")
+        if i + 1 >= len(argv):
+            print(__doc__)
+            return 2
         old_commit = argv[i + 1]
         del argv[i:i + 2]
     if len(argv) != 2:
@@ -283,8 +304,8 @@ def main() -> int:
         if old_commit:
             real = adjudicate(old_commit, sorted(flagged))
             if real:
-                print(f"\n{len(real)} REAL regression(s) survive the "
-                      f"same-session A/B: {real}")
+                print(f"\n{len(real)} flag(s) survive the same-session "
+                      f"A/B as REAL or unmeasured: {real}")
                 return 1
             print("\nall flags adjudicated as session drift — no real "
                   "regressions")

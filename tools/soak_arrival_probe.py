@@ -25,8 +25,11 @@ FIVE arrival tiers with store maintenance riding every cycle:
          — compaction + vacuum inside the loop, the always-on cadence
 
 Checked invariants, every cycle:
-  - drops(incremental) SUBSET-OF drops(scratch) — no false drop, the
-    verified-subset construction's guarantee;
+  - drops(incremental) SUBSET-OF drops(scratch) — no false drop; the
+    verified-subset argument holds wherever jaccard_pairs' max_df cap
+    is inactive (no shingle's corpus df exceeds 1000 — true of the
+    sf0.1 documents table; on a cap-active corpus pass the rare
+    frame to jaccard_verify_pairs, see its measure contract);
   - kept-set recall >= 0.9 (drops performed vs the exact loop's);
   - exact kept-set equality is REPORTED (it held on every recorded
     run; a miss is legal — a probe-missed pair is never re-probed
