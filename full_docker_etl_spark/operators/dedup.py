@@ -1426,6 +1426,147 @@ def substring_store_vacuum(
     return _store_vacuum(path, _SUBSTRING_TABLES, older_than_seconds)
 
 
+#: Shingle document-frequency store: one additive table.
+_DF_TABLES = ("counts",)
+
+
+def df_store_build(
+    df: DataFrame, path: str, text_col: str, id_col: str, n: int = 5
+) -> None:
+    """Build the PERSISTED shingle document-frequency store — the
+    corpus-df side-state that makes blocked-measure verification
+    exact on a cap-active corpus (:func:`jaccard_verify_pairs`'s
+    ``rare`` input; see its measure contract): (sh: xxhash64 of
+    n-gram shingle, cnt: number of docs containing it), stored as
+    ADDITIVE per-batch partials under the same batch-partitioned
+    atomic-manifest layout as every other incremental sketch store.
+    Document frequency is additive under the single-admission
+    contract (a doc enters the corpus through exactly one admitted
+    batch — the contract the arrival loop already maintains), so an
+    append writes ONLY its batch's partial and readers sum; no
+    rewrite, no read-modify-write, crash-orphans invisible, retried
+    appends can never double-count (the shared store discipline:
+    :func:`containment_store_build`)."""
+    import json
+    import os
+
+    _store_build_reset(path)
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"n": n}, fh)
+    _df_store_write(df, path, text_col, id_col, n)
+
+
+def _df_store_write(
+    df: DataFrame, path: str, text_col: str, id_col: str, n: int
+) -> None:
+    import uuid
+
+    batch_id = uuid.uuid4().hex[:12]
+    (
+        shingle_arrays(df, text_col, id_col, n)
+        .select(
+            F.explode(
+                F.transform("sh_arr", lambda s: F.xxhash64(s))
+            ).alias("sh")
+        )
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.parquet(_store_batch_dir(path, "counts", batch_id))
+    )
+    _store_manifest_publish(path, batch_id)
+
+
+def df_store_append(
+    df: DataFrame, path: str, text_col: str, id_col: str
+) -> None:
+    """Admit a batch's df partial using the STORE'S OWN shingle width
+    (from ``_meta.json`` — the caller cannot desynchronize it). Same
+    visibility contract as every store append: the partial lands
+    under a fresh ``batch=`` partition and exists only once the
+    manifest publish succeeds."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    _store_manifest(path)  # refuse to extend an uncommitted store
+    _df_store_write(df, path, text_col, id_col, meta["n"])
+
+
+def df_store_rare(
+    spark: SparkSession, path: str, max_df: int
+) -> DataFrame:
+    """The in-cap shingle frame (``sh``) for
+    :func:`jaccard_verify_pairs`'s ``rare`` parameter: committed
+    partials summed, filtered to corpus df ≤ ``max_df`` — exactly the
+    rare set :func:`_blocked_shared_counts` derives from a full
+    corpus pass, served incrementally from the store instead.
+    Corpus-sized at 100 TB (it is ~all distinct shingles): consumed
+    through a hash-partitioned join, never broadcast."""
+    return (
+        _store_read_committed(spark, path, "counts")
+        .groupBy("sh")
+        .agg(F.sum("cnt").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("sh")
+    )
+
+
+def df_store_compact(spark: SparkSession, path: str) -> list[str]:
+    """Fold every committed df partial into ONE summed partial (the
+    shared compaction contract: displaced batches returned, deletion
+    deferred to :func:`df_store_vacuum`; atomic flip guarded against
+    concurrent appends). No-op on ≤1 committed batch."""
+    import uuid
+
+    old = _store_manifest(path)
+    if len(old) <= 1:
+        return []
+    batch_id = uuid.uuid4().hex[:12]
+    (
+        _store_read_committed(spark, path, "counts")
+        .groupBy("sh")
+        .agg(F.sum("cnt").alias("cnt"))
+        .write.parquet(_store_batch_dir(path, "counts", batch_id))
+    )
+    _store_manifest_replace(path, old, [batch_id])
+    return list(old)
+
+
+def df_store_vacuum(
+    path: str, older_than_seconds: float = 0.0
+) -> list[str]:
+    """Vacuum the df store's orphan batches (grace window and
+    concurrency contract: see :func:`_store_vacuum`)."""
+    return _store_vacuum(path, _DF_TABLES, older_than_seconds)
+
+
+def df_store_stats(path: str) -> dict:
+    """DF-store maintenance snapshot (see :func:`_store_stats`)."""
+    return _store_stats(path, _DF_TABLES)
+
+
+def df_store_maintain(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_batches: int = 16,
+    probe_grace_seconds: float = 6 * 3600.0,
+    max_committed_files: int | None = None,
+) -> dict:
+    """Scheduled stats→compact→vacuum policy pass over a df store
+    (see :func:`_store_maintain`)."""
+    return _store_maintain(
+        spark, path,
+        stats_fn=df_store_stats,
+        compact_fn=df_store_compact,
+        vacuum_fn=df_store_vacuum,
+        max_batches=max_batches,
+        probe_grace_seconds=probe_grace_seconds,
+        max_committed_files=max_committed_files,
+    )
+
+
 def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     """Fold every committed batch into ONE (the small-file reclaim for
     a store that has absorbed many incremental appends — at 100 TB a

@@ -1645,6 +1645,87 @@ def test_jaccard_verify_pairs_rare_mode_matches_blocked_measure(spark):
     assert blocked == {(10, 11)}  # agrees with jaccard_pairs exactly
 
 
+def test_df_store_incremental_rare_serves_blocked_verification(
+    spark, tmp_path
+):
+    """The persisted shingle-DF store: additive per-batch partials sum
+    to the exact corpus document frequencies (single-admission
+    contract), so `df_store_rare` equals the rare set a full corpus
+    pass derives — and feeding it to jaccard_verify_pairs makes
+    blocked-measure verification exact on a cap-active corpus WITHOUT
+    rescanning the corpus per batch. Maintenance (compact-at-budget +
+    vacuum) must leave the served rare set untouched."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    uniq = " ".join(f"u{i}" for i in range(12))
+    rows = [(i, boiler) for i in range(6)]
+    rows += [(10, uniq), (11, uniq + " zz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    max_df = 3
+
+    path = str(tmp_path / "dfstore")
+    # three admission batches — build + two appends
+    D.df_store_build(
+        docs.where("doc_id % 3 = 0"), path, "text", "doc_id", n=5
+    )
+    for rem in (1, 2):
+        D.df_store_append(
+            docs.where(f"doc_id % 3 = {rem}"), path, "text", "doc_id"
+        )
+
+    # the full-pass truth: hashed shingle dfs over the whole corpus
+    truth = (
+        D.shingle_arrays(docs, "text", "doc_id", 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform("sh_arr", lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    want_rare = {r.sh for r in truth.collect()}
+    got_rare = {
+        r.sh for r in D.df_store_rare(spark, path, max_df).collect()
+    }
+    assert got_rare == want_rare and want_rare
+
+    # the served rare set makes verification agree with jaccard_pairs
+    cand = spark.createDataFrame([(0, 1), (10, 11)], "d1 long, d2 long")
+    blocked = {
+        (r.d1, r.d2)
+        for r in D.jaccard_verify_pairs(
+            docs, cand, "text", "doc_id", n=5, threshold=0.8,
+            rare=D.df_store_rare(spark, path, max_df),
+        ).collect()
+    }
+    exact = {
+        (r.d1, r.d2)
+        for r in D.jaccard_pairs(
+            docs, "text", "doc_id", n=5, threshold=0.8, max_df=max_df
+        ).collect()
+    }
+    assert blocked == exact == {(10, 11)}
+
+    # maintenance folds 3 partials to 1 and reclaims displaced
+    # batches without changing what the store serves
+    r = D.df_store_maintain(
+        spark, path, max_batches=1, probe_grace_seconds=0.0
+    )
+    assert r["compacted"] and sorted(r["vacuumed"]) == sorted(
+        r["displaced"]
+    )
+    assert r["after"]["committed_batches"] == 1
+    assert {
+        r_.sh for r_ in D.df_store_rare(spark, path, max_df).collect()
+    } == want_rare
+
+
 def test_kmeans_centroids_deterministic_and_balanced(spark, embs):
     """Two independent trainings converge to identical centroids
     (deterministic init + tie-breaks); every list is populated; the
