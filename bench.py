@@ -285,15 +285,18 @@ def main() -> int:
     # stdout gets ONE compact line that must survive the driver's
     # 2000-char stdout tail (round 2's full-dict line overflowed it and
     # parsed as null). Slowest queries first; truncate if needed.
-    # ONLY full runs may write the detail file — a BENCH_QUERIES-subset
-    # debug run would otherwise clobber the judged full-suite evidence
-    # with a partial total under the same metric name.
-    if not subset:
+    # A BENCH_QUERIES-subset run writes the detail ONLY to an EXPLICIT
+    # --out (never the default path — a subset debug run must not
+    # clobber the judged full-suite evidence with a partial total under
+    # the same metric name); the subset detail records which queries
+    # ran so tooling reading it (bench_compare's A/B) gets complete,
+    # untruncated timings without parsing the capped stdout line.
+    if not subset or args.out != default_detail_path():
+        detail = {**base, "queries": timings}
+        if subset:
+            detail["subset"] = names
         with open(args.out, "w") as fh:
-            json.dump(
-                {**base, "queries": timings},
-                fh, indent=1, sort_keys=True,
-            )
+            json.dump(detail, fh, indent=1, sort_keys=True)
         print(f"bench: detail written to {args.out}", file=sys.stderr)
 
     ordered = sorted(timings.items(), key=lambda kv: -kv[1])

@@ -71,6 +71,26 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
     )
 
 
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Per-doc DISTINCT n-gram shingles as exploded ``(doc_id, sh)``
+    rows with ``sh`` = xxhash64 of the shingle string — THE shared
+    measure-space every set-overlap consumer must agree on
+    (:func:`_blocked_shared_counts`'s blocking+sizes,
+    :func:`jaccard_verify_pairs`' blocked mode, the df store's
+    partials). ONE definition so the sites cannot silently diverge on
+    hashing or normalization — the rare-mode agreement contract
+    depends on all of them hashing identically. Unpersisted: callers
+    persist when they fan out."""
+    return shingle_arrays(df, text_col, id_col, n).select(
+        "doc_id",
+        F.explode(
+            F.transform("sh_arr", lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+
+
 def _blocked_shared_counts(
     df: DataFrame,
     text_col: str,
@@ -104,15 +124,8 @@ def _blocked_shared_counts(
     # and the size table.
     from pyspark import StorageLevel
 
-    sh = (
-        shingle_arrays(df, text_col, id_col, n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform("sh_arr", lambda s: F.xxhash64(s))
-            ).alias("sh"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _hashed_shingles(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     # The rare-shingle set is ~all distinct shingles (corpus-sized at
     # 100 TB), so it must NOT be hinted broadcast — max_df caps how
@@ -223,21 +236,24 @@ def jaccard_verify_pairs(
     )
     sh = shingle_arrays(needed, text_col, id_col, n)
     if rare is not None:
-        # blocked-measure mode: hash like _blocked_shared_counts, keep
-        # only in-cap shingles, refold to per-doc sets. A doc with NO
-        # in-cap shingles drops out entirely — consistent with the
-        # blocked pass, which has no size row for it either.
+        # blocked-measure mode: the SHARED hashed-shingle space
+        # (:func:`_hashed_shingles`) filtered to in-cap shingles,
+        # refolded to per-doc sets. A doc with NO in-cap shingles
+        # drops out entirely — consistent with the blocked pass,
+        # which has no size row for it either.
         sh = (
-            sh.select(
-                "doc_id",
-                F.explode(
-                    F.transform("sh_arr", lambda s: F.xxhash64(s))
-                ).alias("sh"),
-            )
+            _hashed_shingles(needed, text_col, id_col, n)
             .join(rare.select("sh"), "sh")
             .groupBy("doc_id")
             .agg(F.collect_set("sh").alias("sh_arr"))
         )
+    # the per-doc frame feeds BOTH pair sides: persist so neither the
+    # shingle compute nor (rare mode) the corpus-sized rare join runs
+    # twice — candidate-bounded, so the footprint is small (the
+    # module's _blocked_shared_counts convention)
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     a1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh_arr").alias("_a1"))
     a2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh_arr").alias("_a2"))
     shared = F.size(F.array_intersect(F.col("_a1"), F.col("_a2")))
@@ -1463,12 +1479,7 @@ def _df_store_write(
 
     batch_id = uuid.uuid4().hex[:12]
     (
-        shingle_arrays(df, text_col, id_col, n)
-        .select(
-            F.explode(
-                F.transform("sh_arr", lambda s: F.xxhash64(s))
-            ).alias("sh")
-        )
+        _hashed_shingles(df, text_col, id_col, n)
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .write.parquet(_store_batch_dir(path, "counts", batch_id))
@@ -1494,15 +1505,36 @@ def df_store_append(
 
 
 def df_store_rare(
-    spark: SparkSession, path: str, max_df: int
+    spark: SparkSession, path: str, max_df: int, n: int
 ) -> DataFrame:
     """The in-cap shingle frame (``sh``) for
     :func:`jaccard_verify_pairs`'s ``rare`` parameter: committed
     partials summed, filtered to corpus df ≤ ``max_df`` — exactly the
     rare set :func:`_blocked_shared_counts` derives from a full
     corpus pass, served incrementally from the store instead.
+
+    ``n`` is the shingle width the CALLER will verify with, VALIDATED
+    against the store's ``_meta.json``: a mismatch would otherwise
+    fail silently — the rare frame would hold hashes of a different
+    gram space, the verify join would match nothing, every candidate
+    pair would drop, and all near-dups would be admitted with no
+    error (the same silent-zero-candidates class the containment
+    store's probe-time meta guard exists for).
+
     Corpus-sized at 100 TB (it is ~all distinct shingles): consumed
     through a hash-partitioned join, never broadcast."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta["n"] != n:
+        raise ValueError(
+            f"shingle-width mismatch: df store at {path} was built "
+            f"with n={meta['n']} but the caller will verify with "
+            f"n={n} — the rare frame would hash a different gram "
+            "space and verification would silently return zero pairs"
+        )
     return (
         _store_read_committed(spark, path, "counts")
         .groupBy("sh")

@@ -1691,7 +1691,7 @@ def test_df_store_incremental_rare_serves_blocked_verification(
     )
     want_rare = {r.sh for r in truth.collect()}
     got_rare = {
-        r.sh for r in D.df_store_rare(spark, path, max_df).collect()
+        r.sh for r in D.df_store_rare(spark, path, max_df, 5).collect()
     }
     assert got_rare == want_rare and want_rare
 
@@ -1701,7 +1701,7 @@ def test_df_store_incremental_rare_serves_blocked_verification(
         (r.d1, r.d2)
         for r in D.jaccard_verify_pairs(
             docs, cand, "text", "doc_id", n=5, threshold=0.8,
-            rare=D.df_store_rare(spark, path, max_df),
+            rare=D.df_store_rare(spark, path, max_df, 5),
         ).collect()
     }
     exact = {
@@ -1722,8 +1722,14 @@ def test_df_store_incremental_rare_serves_blocked_verification(
     )
     assert r["after"]["committed_batches"] == 1
     assert {
-        r_.sh for r_ in D.df_store_rare(spark, path, max_df).collect()
+        r_.sh for r_ in D.df_store_rare(spark, path, max_df, 5).collect()
     } == want_rare
+
+    # the shingle-width guard: asking for a different gram space than
+    # the store was built with must fail LOUDLY, not return a frame
+    # that silently matches nothing
+    with pytest.raises(ValueError, match="shingle-width mismatch"):
+        D.df_store_rare(spark, path, max_df, 7)
 
 
 def test_kmeans_centroids_deterministic_and_balanced(spark, embs):

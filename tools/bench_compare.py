@@ -89,37 +89,35 @@ def load(
     )
 
 
-#: Queries per A/B bench invocation: bench.py truncates its stdout
-#: line to ~1800 chars by dropping the FASTEST entries, so an
-#: unchunked large flag set would come back partial and the missing
-#: queries would silently read as unmeasured. 8 queries + the base
-#: host/anchor fields sit far under the limit.
-_AB_CHUNK = 8
-
-
 def _bench_subset(repo_dir: str, names: list[str]) -> dict[str, float]:
     """Run ``bench.py`` restricted to ``names`` in ``repo_dir`` and
-    return its per-query seconds (parsed from the stdout JSON line —
-    subset runs never write the detail file, so nothing is clobbered).
-    Chunked at ``_AB_CHUNK`` per invocation so the stdout line can
-    never truncate entries away. The chunking (and order within each
-    chunk) is identical on both sides of an A/B, so per-family
+    return its per-query seconds, read from an explicit temp ``--out``
+    detail file — complete and untruncated regardless of flag-set
+    size (the capped stdout line drops the fastest entries), and ONE
+    session per side so the old/new measurements stay minutes apart
+    (the drift argument's window). ``--force`` because the A/B is a
+    RELATIVE same-session comparison — contention hits both sides
+    alike — while the bless gate protects absolute blessings. The
+    subset order is identical on both sides, so per-family
     first-touch cost (SCALE.md envelope) lands on the same member in
     both runs."""
-    out: dict[str, float] = {}
-    for i in range(0, len(names), _AB_CHUNK):
-        chunk = names[i:i + _AB_CHUNK]
-        env = dict(os.environ, BENCH_QUERIES=",".join(chunk))
-        proc = subprocess.run(
-            [sys.executable, "bench.py"],
+    fd, out_path = tempfile.mkstemp(prefix="bench_ab_", suffix=".json")
+    os.close(fd)
+    try:
+        env = dict(os.environ, BENCH_QUERIES=",".join(names))
+        subprocess.run(
+            [sys.executable, "bench.py", "--out", out_path, "--force"],
             cwd=repo_dir, env=env, capture_output=True, text=True,
             check=True,
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        out.update(
-            {k: float(v) for k, v in json.loads(line)["queries"].items()}
-        )
-    return out
+        with open(out_path) as fh:
+            detail = json.load(fh)
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+    return {k: float(v) for k, v in detail["queries"].items()}
 
 
 def adjudicate(old_commit: str, flagged: list[str]) -> list[str]:
