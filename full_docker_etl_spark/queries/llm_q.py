@@ -67,21 +67,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
 
 
-def _blocked_counts_cte(rel: str) -> str:
+def _blocked_counts_cte(rel: str, max_df: int = 1000) -> str:
     """The set-overlap oracle family's SHARED CTE prefix (mirror of
     operators/dedup._blocked_shared_counts): per candidate pair the
     shared distinct-shingle count + both docs' set sizes over relation
     ``rel`` (must expose doc_id, text). Jaccard and containment
     oracles append only their measure-specific SELECT — one copy of
     the shingle/blocking SQL, so a tokenization fix can never
-    desynchronize the two."""
+    desynchronize the two. ``max_df`` is the posting-list cap (the
+    engine default 1000; the df-store verdict lowers it so the cap is
+    ACTIVE on its judge slice)."""
     return f"""
       WITH t AS (SELECT doc_id,
                         regexp_split_to_array(trim(text), '\\s+') AS toks
                  FROM {rel}),
       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
              FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-4, 0))) AS i) g),
-      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+      rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}),
       shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
       shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
@@ -1167,6 +1169,118 @@ def dedup_store_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(bool(maintained_ok)).alias("maintained_ok"),
         )
+    )
+
+
+@query(
+    "dedup_df_verify",
+    oracle=_blocked_counts_cte(_MINHASH_SLICE_SQL, max_df=16) + """
+      SELECT COUNT(*) AS n_pairs, TRUE AS agree_ok, TRUE AS maintained_ok
+      FROM (SELECT d1, d2
+            FROM shared JOIN sizes s1 ON d1 = s1.doc_id
+                        JOIN sizes s2 ON d2 = s2.doc_id
+            WHERE CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) >= 0.8)
+    """,
+)
+def dedup_df_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOURTH persisted store family at serving shape,
+    driver-checked: the shingle document-frequency store built
+    INCREMENTALLY (build + two appends — per-batch additive df
+    partials under the shared atomic-manifest discipline), maintained
+    by one policy pass (compact past budget + vacuum the displaced
+    partials, grace 0), and then SERVED — ``df_store_rare`` yields the
+    in-cap shingle frame that makes ``jaccard_verify_pairs``' blocked
+    measure exact without a per-batch corpus rescan (the 100 TB answer
+    to raw-vs-blocked measure divergence on a cap-active corpus: df is
+    additive under the single-admission contract, so the store keeps
+    corpus df current while each arrival touches only its own batch).
+
+    Runs on the deterministic judge slice with the cap LOWERED to
+    max_df=16 so it is ACTIVE there (the engine default 1000 never
+    binds on a ~625-doc slice and would make the blocked measure
+    degenerate to raw): blocking AND measured sizes really drop
+    boilerplate shingles, exercising the exact store-vs-fullpass
+    agreement the family exists for. ``n_pairs`` is the portable
+    external check — the oracle recomputes the max_df=16
+    blocked-Jaccard ≥0.8 pair count from raw shingle strings in SQL;
+    ``agree_ok`` pins EXACT set equality (both anti-join directions
+    empty) between the store-served verification and the one-pass
+    ``jaccard_pairs`` truth at the same cap; ``maintained_ok`` pins
+    the policy outcome (compacted to one committed batch, zero
+    orphans). A partial that double-counted a retried append, a
+    compaction that dropped a df row, a vacuum that reclaimed a
+    committed partial, or a width-desynced rare frame flips a boolean
+    and fails the driver's hash compare."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.dedup import (
+        _hashed_shingles,
+        df_store_append,
+        df_store_build,
+        df_store_maintain,
+        df_store_rare,
+        jaccard_verify_pairs,
+    )
+
+    docs = _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
+    path = tempfile.mkdtemp(prefix="fde_dfstore_") + "/store"
+    df_store_build(
+        docs.where(F.col("doc_id") % 3 == 0), path, "text", "doc_id", n=5
+    )
+    for rem in (1, 2):
+        df_store_append(
+            docs.where(F.col("doc_id") % 3 == rem), path, "text", "doc_id"
+        )
+    r = df_store_maintain(
+        spark, path, max_batches=1, probe_grace_seconds=0.0
+    )
+    maintained_ok = (
+        r["compacted"]
+        and sorted(r["vacuumed"]) == sorted(r["displaced"])
+        and r["after"]["committed_batches"] == 1
+        and r["after"]["orphan_batches"] == 0
+    )
+    rare = df_store_rare(spark, path, max_df=16, n=5)
+    # Serving-shape candidate generation: block on the STORE-served
+    # in-cap shingles (never the full posting list). Persist the
+    # rare-filtered shingle frame — it feeds both self-join sides
+    # (the _blocked_shared_counts convention).
+    from pyspark import StorageLevel
+
+    sh = (
+        _hashed_shingles(docs, "text", "doc_id", 5)
+        .join(rare, "sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        sh.select(F.col("doc_id").alias("d1"), "sh")
+        .join(sh.select(F.col("doc_id").alias("d2"), "sh"), "sh")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    verified = jaccard_verify_pairs(
+        docs, cand, "text", "doc_id", n=5, threshold=0.8, rare=rare
+    ).select("d1", "d2", F.lit(1).alias("_s"))
+    direct = jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.8, max_df=16
+    ).select("d1", "d2", F.lit(1).alias("_e"))
+    both = direct.join(verified, ["d1", "d2"], "full_outer")
+    return both.agg(
+        F.count("_s").alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_e").isNull() | F.col("_s").isNull(), 1
+                ).otherwise(0)
+            )
+            == 0,
+            F.lit(True),  # empty slice: agreement holds vacuously
+        ).alias("agree_ok"),
+    ).select(
+        "n_pairs",
+        "agree_ok",
+        F.lit(bool(maintained_ok)).alias("maintained_ok"),
     )
 
 
