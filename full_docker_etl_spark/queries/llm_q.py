@@ -1172,10 +1172,57 @@ def dedup_store_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The planted BOILERPLATE cohort for the df-store verdict: 20
+# synthetic docs (ids -1..-20, below every real doc_id) sharing a
+# 40-token boilerplate prefix and differing only in a 2-token unique
+# tail. Every planted-planted pair has RAW 5-gram Jaccard 36/40 = 0.9
+# (36 boiler-interior shingles shared, 38 per doc) — 190 false
+# "near-dup" pairs under the raw measure — while under the BLOCKED
+# measure at max_df=16 the boiler shingles (df = 20 > 16) are dropped
+# and each doc keeps only its 2 unique tail shingles: blocked Jaccard
+# 0, zero pairs. Token spellings are deliberately unnatural
+# (xqboil*/xqtail*) so no 5-gram can collide with corpus text. Pure
+# literal construction — the DuckDB oracle rebuilds it verbatim, and
+# it is deterministic at every scale factor (the natural corpus'
+# shingle df tops out at 4, so no NATURAL cap is active anywhere in
+# the testdata; the cohort is what puts the cap genuinely in play).
+_DF_BOILER = " ".join(f"xqboil{j}" for j in range(40))
+_DF_VERIFY_CORPUS_SQL = f"""(
+  SELECT doc_id, text FROM {_MINHASH_SLICE_SQL}
+  UNION ALL
+  SELECT CAST(-(i + 1) AS BIGINT) AS doc_id,
+         '{_DF_BOILER} xqtail' || CAST(i AS VARCHAR) || 'a xqtail'
+           || CAST(i AS VARCHAR) || 'b' AS text
+  FROM generate_series(0, 19) AS t(i)
+)"""
+
+
+def _df_verify_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of ``_DF_VERIFY_CORPUS_SQL`` (keep in lockstep —
+    the driver compares them value-by-value): the deterministic judge
+    slice plus the planted boilerplate cohort."""
+    planted = spark.range(20).select(
+        (-(F.col("id") + 1)).alias("doc_id"),
+        F.concat(
+            F.lit(_DF_BOILER + " xqtail"),
+            F.col("id").cast("string"),
+            F.lit("a xqtail"),
+            F.col("id").cast("string"),
+            F.lit("b"),
+        ).alias("text"),
+    )
+    return (
+        _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+
+
 @query(
     "dedup_df_verify",
-    oracle=_blocked_counts_cte(_MINHASH_SLICE_SQL, max_df=16) + """
-      SELECT COUNT(*) AS n_pairs, TRUE AS agree_ok, TRUE AS maintained_ok
+    oracle=_blocked_counts_cte(_DF_VERIFY_CORPUS_SQL, max_df=16) + """
+      SELECT COUNT(*) AS n_pairs, TRUE AS agree_ok,
+             TRUE AS no_boiler_merge_ok, TRUE AS maintained_ok
       FROM (SELECT d1, d2
             FROM shared JOIN sizes s1 ON d1 = s1.doc_id
                         JOIN sizes s2 ON d2 = s2.doc_id
@@ -1195,22 +1242,25 @@ def dedup_df_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive under the single-admission contract, so the store keeps
     corpus df current while each arrival touches only its own batch).
 
-    Runs on the deterministic judge slice with the cap LOWERED to
-    max_df=16 so it is ACTIVE there (the engine default 1000 never
-    binds on a ~625-doc slice and would make the blocked measure
-    degenerate to raw): blocking AND measured sizes really drop
-    boilerplate shingles, exercising the exact store-vs-fullpass
-    agreement the family exists for. ``n_pairs`` is the portable
-    external check — the oracle recomputes the max_df=16
-    blocked-Jaccard ≥0.8 pair count from raw shingle strings in SQL;
+    Runs on the judge slice PLUS the planted boilerplate cohort (see
+    ``_DF_VERIFY_CORPUS_SQL``) with the cap at max_df=16 — ACTIVE
+    against the cohort by construction: its 190 planted pairs sit at
+    raw Jaccard 0.9 on shared boilerplate alone, and the blocked
+    measure must exclude EVERY one (their boiler shingles carry
+    df = 20 > 16; the natural corpus' df tops out at 4, so the real
+    slice pairs pass through both measures unchanged). ``n_pairs`` is
+    the portable external check — the oracle recomputes the cap-active
+    blocked-Jaccard ≥0.8 pair count from raw shingle strings in SQL,
+    so a df partial that double-counted a retried append, a compaction
+    that dropped or duplicated a df row, a vacuum that reclaimed a
+    committed partial, or a broken rare filter (boiler falls in-cap →
+    +190 pairs) shifts the count and fails the driver's hash compare.
     ``agree_ok`` pins EXACT set equality (both anti-join directions
     empty) between the store-served verification and the one-pass
-    ``jaccard_pairs`` truth at the same cap; ``maintained_ok`` pins
-    the policy outcome (compacted to one committed batch, zero
-    orphans). A partial that double-counted a retried append, a
-    compaction that dropped a df row, a vacuum that reclaimed a
-    committed partial, or a width-desynced rare frame flips a boolean
-    and fails the driver's hash compare."""
+    ``jaccard_pairs`` truth at the same cap; ``no_boiler_merge_ok``
+    pins the headline property by name — no admitted pair joins two
+    cohort docs; ``maintained_ok`` pins the policy outcome (compacted
+    to one committed batch, zero orphans)."""
     import tempfile
 
     from full_docker_etl_spark.operators.dedup import (
@@ -1222,14 +1272,19 @@ def dedup_df_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_verify_pairs,
     )
 
-    docs = _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
+    docs = _df_verify_corpus(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="fde_dfstore_") + "/store"
+    # pmod, not %: planted ids are negative and Spark's % keeps the
+    # dividend's sign — a plain % 3 split would never admit them and
+    # silently break the single-admission contract
     df_store_build(
-        docs.where(F.col("doc_id") % 3 == 0), path, "text", "doc_id", n=5
+        docs.where(F.pmod("doc_id", F.lit(3)) == 0),
+        path, "text", "doc_id", n=5,
     )
     for rem in (1, 2):
         df_store_append(
-            docs.where(F.col("doc_id") % 3 == rem), path, "text", "doc_id"
+            docs.where(F.pmod("doc_id", F.lit(3)) == rem),
+            path, "text", "doc_id",
         )
     r = df_store_maintain(
         spark, path, max_batches=1, probe_grace_seconds=0.0
@@ -1242,9 +1297,11 @@ def dedup_df_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rare = df_store_rare(spark, path, max_df=16, n=5)
     # Serving-shape candidate generation: block on the STORE-served
-    # in-cap shingles (never the full posting list). Persist the
-    # rare-filtered shingle frame — it feeds both self-join sides
-    # (the _blocked_shared_counts convention).
+    # in-cap shingles (never the full posting list) — the cohort docs
+    # share no in-cap shingle, so its 190 raw-similar pairs are never
+    # even candidates. Persist the rare-filtered shingle frame — it
+    # feeds both self-join sides (the _blocked_shared_counts
+    # convention).
     from pyspark import StorageLevel
 
     sh = (
@@ -1275,11 +1332,24 @@ def dedup_df_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             )
             == 0,
-            F.lit(True),  # empty slice: agreement holds vacuously
+            F.lit(True),  # empty corpus: agreement holds vacuously
         ).alias("agree_ok"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_s").isNotNull()
+                    & (F.col("d1") < 0)
+                    & (F.col("d2") < 0),
+                    1,
+                ).otherwise(0)
+            )
+            == 0,
+            F.lit(True),
+        ).alias("no_boiler_merge_ok"),
     ).select(
         "n_pairs",
         "agree_ok",
+        "no_boiler_merge_ok",
         F.lit(bool(maintained_ok)).alias("maintained_ok"),
     )
 

@@ -1732,6 +1732,59 @@ def test_df_store_incremental_rare_serves_blocked_verification(
         D.df_store_rare(spark, path, max_df, 7)
 
 
+def test_df_verify_cohort_puts_the_cap_in_play(spark, sf_dir):
+    """dedup_df_verify's premise, pinned against the real testdata:
+    the natural corpus' shingle df never exceeds the 16 cap (measured:
+    tops out at 4 at every SF), so WITHOUT the planted boilerplate
+    cohort the blocked measure would silently degenerate to raw and
+    the query would stop exercising the df filter. With the cohort:
+    (a) the store-served df really carries the boiler shingles over
+    the cap, (b) the raw measure admits all 190 cohort pairs at ≥0.8,
+    and (c) the blocked measure — served from the store — admits
+    none. If a testdata regeneration ever introduces natural df > 16,
+    (a) still holds and the query stays valid; this test's point is
+    that the divergence the verdict guards is REAL, not vacuous."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators import dedup as D
+    from full_docker_etl_spark.queries.llm_q import _df_verify_corpus
+
+    corpus = _df_verify_corpus(spark, sf_dir)
+    cohort = corpus.where("doc_id < 0")
+    assert cohort.count() == 20
+
+    # (a) boiler shingles exceed the cap in the true corpus df
+    dfs = (
+        D._hashed_shingles(corpus, "text", "doc_id", 5)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    over = dfs.where("df > 16").count()
+    assert over >= 36  # the boiler-interior shingles, df = 20
+
+    # (b) raw measure: every cohort pair is a false near-dup
+    cand = (
+        cohort.select(F.col("doc_id").alias("d1"))
+        .crossJoin(cohort.select(F.col("doc_id").alias("d2")))
+        .where("d1 < d2")
+    )
+    raw = D.jaccard_verify_pairs(
+        corpus, cand, "text", "doc_id", n=5, threshold=0.8
+    )
+    assert raw.count() == 190
+
+    # (c) blocked measure from a built store: none survive
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="fde_dfcap_") + "/store"
+    D.df_store_build(corpus, path, "text", "doc_id", n=5)
+    rare = D.df_store_rare(spark, path, max_df=16, n=5)
+    blocked = D.jaccard_verify_pairs(
+        corpus, cand, "text", "doc_id", n=5, threshold=0.8, rare=rare
+    )
+    assert blocked.count() == 0
+
+
 def test_kmeans_centroids_deterministic_and_balanced(spark, embs):
     """Two independent trainings converge to identical centroids
     (deterministic init + tie-breaks); every list is populated; the
