@@ -778,6 +778,120 @@ def test_streaming_dedup_loop_with_inline_maintenance(spark):
     assert s["orphan_batches"] == 0  # vacuum kept pace with compaction
 
 
+def test_streaming_df_store_tracks_corpus_df_with_inline_maintenance(
+    spark,
+):
+    """The df store (fourth persisted family) under Structured
+    Streaming: each micro-batch appends ITS OWN df partial —
+    single-admission holds because a doc enters through exactly one
+    micro-batch — and runs `df_store_maintain(max_batches=2)` inline,
+    the production cadence where maintenance rides ingest. The
+    property that makes this family interesting across a stream: a
+    shingle's corpus df ACCUMULATES over batches, so its cap status
+    flips mid-stream (the planted boiler sits at df 2 after batch 0 —
+    in-cap — and at df 8 after the drain — over the max_df=5 cap).
+    After the drain the store-served rare frame must equal the rare
+    set a full corpus pass derives, blocked verification served from
+    the streamed store must exclude the boiler pairs exactly as the
+    one-pass truth does, the committed-batch budget must hold at
+    every cadence point, and vacuum must keep pace with compaction."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import (
+        _hashed_shingles,
+        df_store_build,
+        df_store_append,
+        df_store_maintain,
+        df_store_rare,
+        df_store_stats,
+        jaccard_verify_pairs,
+    )
+
+    boiler = " ".join(f"q{i}" for i in range(10))
+    rows = []
+    for b in range(4):
+        for i in range(2):  # 2 boiler docs per batch -> final df 8
+            rows.append((100 * b + i, f"{boiler} t{b}x{i} t{b}y{i}", b))
+        for i in range(2, 6):  # unique filler
+            rows.append(
+                (100 * b + i,
+                 " ".join(f"u{b}_{i}_{j}" for j in range(12)), b)
+            )
+    df = spark.createDataFrame(rows, "doc_id long, text string, batch int")
+    corpus = df.drop("batch")
+    max_df = 5
+
+    src = tempfile.mkdtemp(prefix="fde_sdf_src_")
+    for b in range(4):
+        df.where(F.col("batch") == b).drop("batch").write.mode(
+            "append"
+        ).parquet(src)
+
+    store = tempfile.mkdtemp(prefix="fde_sdf_st_") + "/s"
+    committed_trace: list[int] = []
+    built: list[bool] = []
+
+    def apply_batch(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        if not built:
+            df_store_build(batch_df, store, "text", "doc_id", n=5)
+            built.append(True)
+        else:
+            df_store_append(batch_df, store, "text", "doc_id")
+        df_store_maintain(s, store, max_batches=2,
+                          probe_grace_seconds=0.0)
+        committed_trace.append(df_store_stats(store)["committed_batches"])
+
+    chk = tempfile.mkdtemp(prefix="fde_sdf_chk_")
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream drain timed out"
+
+    # streamed partials sum to the full-pass corpus df
+    want_rare = {
+        r.sh
+        for r in _hashed_shingles(corpus, "text", "doc_id", 5)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .collect()
+    }
+    got_rare = {
+        r.sh for r in df_store_rare(spark, store, max_df, 5).collect()
+    }
+    assert got_rare == want_rare and want_rare
+
+    # the boiler crossed the cap mid-stream: served blocked
+    # verification excludes its pairs, raw admits them
+    bids = [100 * b + i for b in range(4) for i in range(2)]
+    cand = spark.createDataFrame(
+        [(x, y) for x in bids for y in bids if x < y], "d1 long, d2 long"
+    )
+    raw_n = jaccard_verify_pairs(
+        corpus, cand, "text", "doc_id", n=5, threshold=0.5
+    ).count()
+    blocked_n = jaccard_verify_pairs(
+        corpus, cand, "text", "doc_id", n=5, threshold=0.5,
+        rare=df_store_rare(spark, store, max_df, 5),
+    ).count()
+    assert raw_n > 0 and blocked_n == 0
+
+    # maintenance held the budget at every cadence point, vacuum
+    # kept pace
+    assert committed_trace and all(c <= 2 for c in committed_trace)
+    s = df_store_stats(store)
+    assert s["orphan_batches"] == 0
+
+
 def test_streaming_incremental_substring_dedup_loop(spark):
     """The substring-store serving loop under Structured Streaming:
     each micro-batch probes the persisted fingerprint store for
