@@ -105,19 +105,33 @@ def _bench_subset(repo_dir: str, names: list[str]) -> dict[str, float]:
     os.close(fd)
     try:
         env = dict(os.environ, BENCH_QUERIES=",".join(names))
-        subprocess.run(
+        res = subprocess.run(
             [sys.executable, "bench.py", "--out", out_path, "--force"],
             cwd=repo_dir, env=env, capture_output=True, text=True,
             check=True,
         )
-        with open(out_path) as fh:
-            detail = json.load(fh)
+        try:
+            with open(out_path) as fh:
+                detail = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            # the OLD side of an A/B may predate subset-detail-to---out
+            # (pre-r18 bench.py exits 0 but leaves the temp file
+            # empty): fall back to the capped stdout JSON line, the
+            # contract of that era. A flagged query the capped line
+            # dropped simply stays unmeasured and surfaces as
+            # "no-measurement (UNRESOLVED)" — loud, never silent.
+            detail = {}
+            for line in reversed(res.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    detail = json.loads(line)
+                    break
     finally:
         try:
             os.unlink(out_path)
         except OSError:
             pass
-    return {k: float(v) for k, v in detail["queries"].items()}
+    return {k: float(v) for k, v in detail.get("queries", {}).items()}
 
 
 def adjudicate(old_commit: str, flagged: list[str]) -> list[str]:
