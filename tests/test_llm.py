@@ -1732,6 +1732,96 @@ def test_df_store_incremental_rare_serves_blocked_verification(
         D.df_store_rare(spark, path, max_df, 7)
 
 
+def test_df_store_append_crash_retry_no_double_count(spark, monkeypatch):
+    """The crash-orphan retry-equivalence contract, completed for the
+    FOURTH store family. The df family's hazard is DOUBLE-COUNTING,
+    not lost candidates: its partials are additive (readers SUM), so
+    a retried append that also summed a crashed attempt's partial
+    would inflate df and push borderline shingles over the cap —
+    silently shrinking the rare set and dropping true pairs from
+    blocked verification with no error anywhere. The corpus plants a
+    boiler sitting EXACTLY at the cap (df 3 = max_df, in-cap) whose
+    entire df lives in the appended batch: a double-count reads df 6,
+    evicts it, and the rare-set equality below fails. A partial whose
+    manifest publish died must be invisible to readers, a retry must
+    re-land cleanly, and vacuum must reclaim exactly the orphan."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    boiler = " ".join(f"cb{i}" for i in range(8))
+    rows = [(i, " ".join(f"ua{i}_{j}" for j in range(10))) for i in range(4)]
+    rows += [(10 + i, f"{boiler} ct{i}x ct{i}y") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    half_a = docs.where("doc_id < 4")   # unique fillers: the build
+    half_b = docs.where("doc_id >= 4")  # all boiler docs: the append
+    max_df = 3
+
+    def rare_of(path):
+        return {r.sh for r in D.df_store_rare(spark, path, max_df, 5).collect()}
+
+    # reference: the same store built without any crash — the
+    # boiler-interior shingles (shared by all three boiler docs,
+    # df exactly 3 = cap) must be IN the served rare set
+    ref = tempfile.mkdtemp(prefix="fde_dfref_") + "/store"
+    D.df_store_build(half_a, ref, "text", "doc_id", n=5)
+    D.df_store_append(half_b, ref, "text", "doc_id")
+    want = rare_of(ref)
+    shared_boiler = {
+        r.sh
+        for r in D._hashed_shingles(
+            docs.where("doc_id = 10"), "text", "doc_id", 5
+        ).collect()
+    } & {
+        r.sh
+        for r in D._hashed_shingles(
+            docs.where("doc_id = 11"), "text", "doc_id", 5
+        ).collect()
+    }
+    assert shared_boiler and shared_boiler <= want
+
+    path = tempfile.mkdtemp(prefix="fde_dfatomic_") + "/store"
+    D.df_store_build(half_a, path, "text", "doc_id", n=5)
+    before_crash = rare_of(path)
+
+    # crash the append AFTER the partial lands, BEFORE the publish
+    real_publish = D._store_manifest_publish
+
+    def boom(p, batch_id):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(D, "_store_manifest_publish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        D.df_store_append(half_b, path, "text", "doc_id")
+    monkeypatch.setattr(D, "_store_manifest_publish", real_publish)
+
+    # the orphan partial is on disk but readers cannot sum it: the
+    # served rare set is unchanged from the pre-crash store
+    committed = set(D._store_manifest(path))
+    on_disk = {
+        e.split("=", 1)[1]
+        for e in os.listdir(os.path.join(path, "counts"))
+        if e.startswith("batch=")
+    }
+    orphans = on_disk - committed
+    assert len(orphans) == 1
+    assert rare_of(path) == before_crash
+    assert shared_boiler.isdisjoint(before_crash)
+
+    # retried append: df must equal the crash-free store exactly — a
+    # double-count would read the boiler at df 6 > 3 and evict it
+    D.df_store_append(half_b, path, "text", "doc_id")
+    assert rare_of(path) == want
+
+    # vacuum reclaims exactly the orphan, and the store still serves
+    removed = D.df_store_vacuum(path)
+    assert set(removed) == orphans
+    assert rare_of(path) == want
+
+
 def test_df_verify_cohort_puts_the_cap_in_play(spark, sf_dir):
     """dedup_df_verify's premise, pinned against the real testdata:
     the natural corpus' shingle df never exceeds the 16 cap (measured:
