@@ -217,6 +217,20 @@ def jaccard_verify_pairs(
     clusters (sketch recall < 1), never falsely merge documents the
     measure calls distinct.
 
+    CROSS-EPOCH caveat (observed live, tools/soak_arrival_probe.py
+    --measure blocked at sf0.1): the subset property is per POINT IN
+    TIME. The blocked measure depends on corpus df, so it DRIFTS as
+    a corpus grows — a shingle crossing the cap retroactively
+    removes itself from the measured universe, and a pair that
+    cleared the threshold under an earlier epoch's measure can fall
+    below it under a later one. An arrival loop that accumulates
+    verified pairs across epochs (and by design never re-reads them)
+    must therefore be judged against the REPLAYED union of per-epoch
+    exact pair sets, not a one-shot final-measure truth — against
+    the replay the subset argument holds exactly per epoch and
+    drops(incremental) remains a subset of drops(truth). The raw
+    measure is corpus-independent and has no such epoch structure.
+
     Scale shape: shingle arrays are computed for CANDIDATE endpoints
     only (semi-join against the candidate id set — never the corpus),
     the candidate list is bounded by the probe's band-bucket caps,

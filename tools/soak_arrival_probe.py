@@ -38,12 +38,46 @@ Checked invariants, every cycle:
 
 Usage: python tools/soak_arrival_probe.py [sf_dir]
            [--store minhash|containment] [--policy keep_longest|keep_best]
+           [--measure raw|blocked]
 
 ``--store containment`` drives the SAME loop through the
 LSH-Ensemble containment store (built/probed at threshold 0.8: a
 Jaccard>=0.8 pair always has containment >= 0.8, so the ensemble's
 candidate set covers the Jaccard truth and the exact-Jaccard verify
 step reduces it to the same verified-subset shape).
+
+``--measure blocked`` runs the loop at a CAP-ACTIVE corpus measure
+(max_df=3 — the sf0.1 documents table's shingle df tops out at 4, so
+the cap genuinely binds) with the verify step fed from a persisted
+df store that rides the loop: the batch's df partial is admitted
+BEFORE the verify (every doc's shingles count toward corpus df
+whether dedup later keeps it or not — single-admission holds because
+each doc arrives in exactly one batch), so ``df_store_rare`` serves
+the EXACT corpus df at every arrival without a corpus rescan, and
+each arrival's blocked verify measure equals that arrival's
+``jaccard_pairs`` measure identically. df_store_maintain rides every
+cycle alongside the sketch store's maintenance.
+
+MEASURE DRIFT — why the truth is a REPLAY, not a one-shot: the
+blocked measure is NOT time-monotone. Corpus growth pushes shingles
+over the cap, so a pair that cleared >=0.8 under arrival t's measure
+can fall below it under arrival t+k's (its blocking shingles left
+the measured universe) — and the incremental loop, which by design
+never re-reads historical pairs, keeps it. Verifying every arrival
+against a ONE-SHOT final-measure truth therefore reports "false
+drops" that are really the measure moving under the loop (first
+observed live: 2/5000 docs at sf0.1, max_df=3 — the run is kept in
+SCALE.md). The correct truth for a drifting measure is the replayed
+union truth(t) = truth(t-1) UNION pairs(corpus_t, measure_t) — the
+same replay the ``dedup_batch_arrival`` oracle performs — against
+which the verified-subset argument holds EXACTLY per epoch: each
+arrival's verified pairs are a subset of that arrival's exact pair
+set, so the union dominates and no false drop is possible without a
+real defect (store corruption, df double-count, sketch admitting a
+sub-threshold pair). In raw mode the measure is corpus-independent,
+the per-epoch pair sets are nested restrictions of the final one,
+and the replayed union EQUALS the one-shot truth — so the replay is
+the strictly more general truth and both modes use it.
 
 ``--policy keep_best`` resolves clusters on the trained NB quality
 log-odds instead of token length (the FineWeb-shaped loop the
@@ -78,6 +112,18 @@ def main() -> int:
         del args[i:i + 2]
     if policy not in ("keep_longest", "keep_best"):
         raise SystemExit(f"unknown --policy {policy}")
+    measure = "raw"
+    if "--measure" in args:
+        i = args.index("--measure")
+        measure = args[i + 1]
+        del args[i:i + 2]
+    if measure not in ("raw", "blocked"):
+        raise SystemExit(f"unknown --measure {measure}")
+    # raw mode: the engine-default cap, inactive on the sf0.1 corpus
+    # (shingle df tops out at 4) — verify and truth agree trivially.
+    # blocked mode: max_df=3 makes the cap ACTIVE; the df store serves
+    # the exact corpus df to the verify step.
+    max_df = 1000 if measure == "raw" else 3
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark import StorageLevel
@@ -160,13 +206,19 @@ def main() -> int:
     tier = F.col("doc_id") % 10
     standing_pred = tier >= 5  # initial corpus: tiers 5..9
     path = tempfile.mkdtemp(prefix="fde_soak_arr_") + "/store"
+    df_path = tempfile.mkdtemp(prefix="fde_soak_df_") + "/dfstore"
 
-    print(f"store family: {store_kind}; policy: {policy}")
+    print(
+        f"store family: {store_kind}; policy: {policy}; "
+        f"measure: {measure} (max_df={max_df})"
+    )
     t0 = time.perf_counter()
     standing = docs.where(standing_pred)
     store_build(standing, path, "text", "doc_id")
+    if measure == "blocked":
+        D.df_store_build(standing, df_path, "text", "doc_id", n=5)
     exact0 = jaccard_pairs(
-        standing, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+        standing, "text", "doc_id", n=5, threshold=0.8, max_df=max_df
     )
     labels = connected_components(exact0).localCheckpoint(eager=True)
     print(
@@ -175,6 +227,11 @@ def main() -> int:
     )
 
     seen_pred = standing_pred
+    # the replayed-union truth (see the module docstring's MEASURE
+    # DRIFT note): the union of each epoch's exact pair set under
+    # that epoch's measure — equal to the one-shot truth in raw mode,
+    # the only sound truth in blocked mode
+    truth_pairs = exact0.select("d1", "d2").localCheckpoint(eager=True)
     all_ok = True
     for t in range(5):
         batch_pred = tier == t
@@ -184,12 +241,20 @@ def main() -> int:
         toks, order = score_frame(corpus)
 
         c0 = time.perf_counter()
+        # blocked mode: admit the batch's df partial BEFORE the
+        # verify — corpus df counts every doc seen (kept or dropped),
+        # so the store now serves the EXACT df of `corpus` and the
+        # blocked verify measure equals the from-scratch truth's
+        rare = None
+        if measure == "blocked":
+            D.df_store_append(batch, df_path, "text", "doc_id")
+            rare = D.df_store_rare(spark, df_path, max_df, 5)
         cand = store_probe(batch, path).select(
             F.least("d1", "d2").alias("d1"),
             F.greatest("d1", "d2").alias("d2"),
         )
         verified = jaccard_verify_pairs(
-            corpus, cand, "text", "doc_id", n=5, threshold=0.8
+            corpus, cand, "text", "doc_id", n=5, threshold=0.8, rare=rare
         ).select("d1", "d2")
         labels = connected_components_incremental(
             labels, verified
@@ -203,10 +268,17 @@ def main() -> int:
         probe_s = time.perf_counter() - c0
 
         c1 = time.perf_counter()
-        exact_pairs = jaccard_pairs(
-            corpus, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+        truth_pairs = (
+            truth_pairs.unionByName(
+                jaccard_pairs(
+                    corpus, "text", "doc_id",
+                    n=5, threshold=0.8, max_df=max_df,
+                ).select("d1", "d2")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        scratch_labels = connected_components(exact_pairs)
+        scratch_labels = connected_components(truth_pairs)
         kept_scratch = {
             r.doc_id
             for r in keep_best_per_cluster(toks, scratch_labels, order)
@@ -230,6 +302,10 @@ def main() -> int:
         maint = store_maintain(
             spark, path, max_batches=2, probe_grace_seconds=0.0
         )
+        if measure == "blocked":
+            D.df_store_maintain(
+                spark, df_path, max_batches=2, probe_grace_seconds=0.0
+            )
         admit_s = time.perf_counter() - c2
         print(
             f"arrival {t}: kept {len(kept_inc)}/{len(corpus_ids)} "
