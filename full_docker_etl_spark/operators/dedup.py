@@ -1613,6 +1613,126 @@ def df_store_maintain(
     )
 
 
+def df_store_crossings(
+    spark: SparkSession, path: str, max_df: int, n: int
+) -> DataFrame:
+    """Shingles pushed OVER the cap by the most recently committed
+    batch — the incremental enumeration of MEASURE SHRINK: ``sh``
+    rows whose summed corpus df now exceeds ``max_df`` while the df
+    EXCLUDING the latest committed partial did not. Corpus df is
+    monotone under the single-admission contract (partials only
+    accumulate), so between two epochs the in-cap universe changes
+    exactly on these shingles — they are the complete set an
+    epoch-aware serving loop must revalidate retained pairs against
+    (:func:`revalidate_pairs`; the cross-epoch caveat on
+    :func:`jaccard_verify_pairs`). Computed from the committed
+    partials alone — never a corpus rescan.
+
+    Call BEFORE maintenance at each admission (append → crossings →
+    revalidate → maintain): compaction deliberately folds the
+    per-batch history away, after which the latest-batch delta is
+    gone. On a store whose manifest holds a single batch (fresh
+    build, or just-compacted with no newer append) there is no
+    "previous epoch" and the result is empty. Same shingle-width
+    guard as :func:`df_store_rare` — a mismatched ``n`` would hash a
+    different gram space and silently cross nothing."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta["n"] != n:
+        raise ValueError(
+            f"shingle-width mismatch: df store at {path} was built "
+            f"with n={meta['n']} but the caller revalidates with "
+            f"n={n} — the crossing set would hash a different gram "
+            "space and revalidation would silently skip everything"
+        )
+    batches = _store_manifest(path)
+    if len(batches) <= 1:
+        return (
+            spark.createDataFrame([], "sh long")
+        )
+    latest = batches[-1]
+    counts = spark.read.parquet(f"{path}/counts").where(
+        F.col(_STORE_BATCH_COL).isin(batches)
+    )
+    agg = counts.groupBy("sh").agg(
+        F.sum("cnt").alias("_total"),
+        F.sum(
+            F.when(F.col(_STORE_BATCH_COL) == latest, F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).alias("_latest"),
+    )
+    return agg.where(
+        (F.col("_total") > max_df)
+        & (F.col("_total") - F.col("_latest") <= max_df)
+    ).select("sh")
+
+
+def revalidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    crossings: DataFrame,
+    rare: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Epoch revalidation of a RETAINED edge set under measure shrink
+    (the mechanism the measure-drift discovery calls for — see the
+    cross-epoch caveat on :func:`jaccard_verify_pairs`): given the
+    pairs an incremental loop has accumulated, the shingles that just
+    crossed the cap (:func:`df_store_crossings`) and the CURRENT
+    in-cap frame, return the pairs still valid under the current
+    measure — re-verifying ONLY the affected ones.
+
+    A pair's blocked measure is a function of its two docs' in-cap
+    shingle sets, and the in-cap universe changed exactly on the
+    crossing shingles — so a pair neither of whose endpoints CONTAINS
+    a crossing shingle has a byte-identical measure and passes
+    through unread (the bounded-work claim: endpoint shingling is
+    candidate-bounded via the same semi-join as
+    :func:`jaccard_verify_pairs`, never the corpus; re-verification
+    touches only edges owning a crossed shingle). Applied at every
+    admission, induction keeps the whole retained set current: edges
+    verified at epoch t are valid under measure_t, and each later
+    epoch re-checks exactly those whose measure moved. The surviving
+    set is therefore a SUBSET of the CURRENT one-shot exact pair set
+    — restoring the no-false-drop argument against a present-measure
+    truth that the unrevalidated loop only holds against the
+    replayed-union truth. Returns ``(d1, d2)``."""
+    cand = pairs.select("d1", "d2").distinct()
+    ids = (
+        cand.select(F.col("d1").alias("_vid"))
+        .unionByName(cand.select(F.col("d2").alias("_vid")))
+        .distinct()
+    )
+    endpoint_sh = _hashed_shingles(
+        df.join(
+            F.broadcast(ids), F.col(id_col) == F.col("_vid"), "left_semi"
+        ),
+        text_col, id_col, n,
+    )
+    affected_ids = (
+        endpoint_sh.join(crossings.select("sh"), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    a1 = affected_ids.select(F.col("doc_id").alias("d1"))
+    a2 = affected_ids.select(F.col("doc_id").alias("d2"))
+    affected = cand.join(a1, "d1", "left_semi").unionByName(
+        cand.join(a2, "d2", "left_semi")
+    ).distinct()
+    unaffected = cand.join(affected, ["d1", "d2"], "left_anti")
+    survivors = jaccard_verify_pairs(
+        df, affected, text_col, id_col,
+        n=n, threshold=threshold, rare=rare,
+    ).select("d1", "d2")
+    return unaffected.unionByName(survivors)
+
+
 def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     """Fold every committed batch into ONE (the small-file reclaim for
     a store that has absorbed many incremental appends — at 100 TB a

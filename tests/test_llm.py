@@ -1822,6 +1822,90 @@ def test_df_store_append_crash_retry_no_double_count(spark, monkeypatch):
     assert rare_of(path) == want
 
 
+def test_df_store_crossings_and_revalidation(spark):
+    """The measure-drift mechanism end to end: an append pushes the
+    boiler over the cap; df_store_crossings enumerates EXACTLY the
+    boiler-interior shingles from the store's partials (no corpus
+    rescan); revalidate_pairs re-verifies only the affected edge
+    (both endpoints carry a crossed shingle) and drops it — its
+    blocked Jaccard fell from 11/13 to 5/7 when the boiler left the
+    measured universe — while the control edge (no crossed shingle,
+    measure byte-identical) passes through unread. Also pins: empty
+    crossings on a single-batch store, and the shingle-width guard."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators import dedup as D
+
+    B = " ".join(f"rv{i}" for i in range(10))      # the boiler
+    C = " ".join(f"rc{i}" for i in range(5))       # shared content
+    DD = " ".join(f"rd{i}" for i in range(12))     # control content
+    rows = [
+        (1, f"{B} {C} ru1"),
+        (2, f"{B} {C} ru2"),
+        (3, f"{B} " + " ".join(f"rf3_{j}" for j in range(8))),
+        (8, f"{DD} ru8"),
+        (9, f"{DD} ru9"),
+    ]
+    batch2 = [(4, f"{B} " + " ".join(f"rf4_{j}" for j in range(8)))]
+    docs = spark.createDataFrame(rows + batch2, "doc_id long, text string")
+    max_df = 3
+
+    path = tempfile.mkdtemp(prefix="fde_dfcross_") + "/store"
+    D.df_store_build(
+        docs.where("doc_id != 4"), path, "text", "doc_id", n=5
+    )
+
+    # single-batch store: no previous epoch, nothing crosses
+    assert D.df_store_crossings(spark, path, max_df, 5).count() == 0
+
+    # epoch-1 measure: both edges valid (boiler df 3 = cap, in-cap)
+    rare1 = D.df_store_rare(spark, path, max_df, 5)
+    edges = spark.createDataFrame([(1, 2), (8, 9)], "d1 long, d2 long")
+    v1 = {
+        (r.d1, r.d2)
+        for r in D.jaccard_verify_pairs(
+            docs, edges, "text", "doc_id", n=5, threshold=0.8, rare=rare1
+        ).collect()
+    }
+    assert v1 == {(1, 2), (8, 9)}
+
+    # the append pushes the boiler to df 4 > 3
+    D.df_store_append(docs.where("doc_id = 4"), path, "text", "doc_id")
+    crossings = D.df_store_crossings(spark, path, max_df, 5)
+    boiler_interior = {
+        r.sh
+        for r in D._hashed_shingles(
+            spark.createDataFrame([(0, B)], "doc_id long, text string"),
+            "text", "doc_id", 5,
+        ).collect()
+    }
+    assert {r.sh for r in crossings.collect()} == boiler_interior
+
+    # revalidation drops exactly the boiler-carried edge
+    rare2 = D.df_store_rare(spark, path, max_df, 5)
+    retained = {
+        (r.d1, r.d2)
+        for r in D.revalidate_pairs(
+            docs, edges, "text", "doc_id", crossings, rare2,
+            n=5, threshold=0.8,
+        ).collect()
+    }
+    assert retained == {(8, 9)}
+    # and the surviving set is a subset of the CURRENT one-shot truth
+    now = {
+        (r.d1, r.d2)
+        for r in D.jaccard_pairs(
+            docs, "text", "doc_id", n=5, threshold=0.8, max_df=max_df
+        ).collect()
+    }
+    assert retained <= now
+
+    with pytest.raises(ValueError, match="shingle-width mismatch"):
+        D.df_store_crossings(spark, path, max_df, 7)
+
+
 def test_df_verify_cohort_puts_the_cap_in_play(spark, sf_dir):
     """dedup_df_verify's premise, pinned against the real testdata:
     the natural corpus' shingle df never exceeds the 16 cap (measured:
