@@ -91,11 +91,12 @@ def _blocked_counts_cte(rel: str, max_df: int = 1000) -> str:
                  GROUP BY 1, 2)"""
 
 
-def _jaccard_pairs_sql(rel: str) -> str:
+def _jaccard_pairs_sql(rel: str, max_df: int = 1000) -> str:
     """DuckDB SQL for 5-gram Jaccard ≥0.8 pairs over relation ``rel``
     — shared by the standalone pair query, the end-to-end dedup
-    pipeline oracle, and the CC/recall oracles."""
-    return _blocked_counts_cte(rel) + """
+    pipeline oracle, and the CC/recall oracles. ``max_df`` lowers the
+    posting-list cap for the cap-active df-store verdicts."""
+    return _blocked_counts_cte(rel, max_df) + """
       SELECT d1, d2, shared, s1.n AS n1, s2.n AS n2,
              CAST(shared AS DOUBLE) / (s1.n + s2.n - shared) AS jaccard
       FROM shared JOIN sizes s1 ON d1 = s1.doc_id
@@ -1351,6 +1352,201 @@ def dedup_df_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree_ok",
         "no_boiler_merge_ok",
         F.lit(bool(maintained_ok)).alias("maintained_ok"),
+    )
+
+
+# The TWO-EPOCH cohort for the measure-drift verdict: boiler Q
+# (40 tokens, xrboil*) across 20 docs (ids -101..-120) arriving in
+# two waves of 10. After wave one Q's df is 10 <= 16: IN cap, so the
+# 45 wave-one pairs verify at blocked Jaccard 0.9. Wave two lifts Q
+# to df 20 > 16: the 36 Q-interior shingles CROSS the cap, the
+# measure shrinks, and every Q pair falls to blocked Jaccard 0 —
+# stale edges an epoch-aware loop must drop. Natural slice pairs
+# carry no crossed shingle (natural df tops out at 4) and must pass
+# through revalidation unread. Pure literal construction, rebuilt
+# verbatim by the oracle; epoch membership is an id predicate
+# (doc_id >= -110), so the SQL can compute per-epoch dfs.
+_DF_DRIFT_BOILER = " ".join(f"xrboil{j}" for j in range(40))
+_DF_DRIFT_PLANTED_SQL = f"""
+  SELECT CAST(-(101 + i) AS BIGINT) AS doc_id,
+         '{_DF_DRIFT_BOILER} xrtail' || CAST(i AS VARCHAR) || 'a xrtail'
+           || CAST(i AS VARCHAR) || 'b' AS text
+  FROM generate_series(0, 19) AS t(i)
+"""
+_DF_DRIFT_CORPUS2_SQL = f"""(
+  SELECT doc_id, text FROM {_MINHASH_SLICE_SQL}
+  UNION ALL {_DF_DRIFT_PLANTED_SQL}
+)"""
+_DF_DRIFT_CORPUS1_SQL = f"""(
+  SELECT doc_id, text FROM {_DF_DRIFT_CORPUS2_SQL} WHERE doc_id >= -110
+)"""
+_DF_DRIFT_CROSSINGS_SQL = f"""
+  WITH t AS (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS toks
+             FROM {_DF_DRIFT_CORPUS2_SQL}),
+  sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+         FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-4, 0))) AS i) g),
+  d AS (SELECT shingle, COUNT(*) AS total,
+               COUNT(*) FILTER (WHERE doc_id >= -110) AS old
+        FROM sh GROUP BY 1)
+  SELECT shingle FROM d WHERE total > 16 AND old <= 16
+"""
+
+
+def _df_drift_corpora(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Spark mirror of the drift-cohort SQL (keep in lockstep): the
+    natural slice, wave one of the planted cohort, wave two."""
+    planted = spark.range(20).select(
+        (-(F.col("id") + 101)).alias("doc_id"),
+        F.concat(
+            F.lit(_DF_DRIFT_BOILER + " xrtail"),
+            F.col("id").cast("string"),
+            F.lit("a xrtail"),
+            F.col("id").cast("string"),
+            F.lit("b"),
+        ).alias("text"),
+    )
+    slice_docs = _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir).select(
+        "doc_id", "text"
+    )
+    return (
+        slice_docs,
+        planted.where(F.col("doc_id") >= -110),
+        planted.where(F.col("doc_id") < -110),
+    )
+
+
+@query(
+    "dedup_df_revalidate",
+    oracle=f"""
+      SELECT
+        (SELECT COUNT(*) FROM ({_DF_DRIFT_CROSSINGS_SQL})) AS n_crossings,
+        (SELECT COUNT(*) FROM (
+           {_jaccard_pairs_sql(_DF_DRIFT_CORPUS1_SQL, max_df=16)}
+         )) AS n_before,
+        (SELECT COUNT(*) FROM (
+           {_jaccard_pairs_sql(_DF_DRIFT_CORPUS2_SQL, max_df=16)}
+         )) AS n_retained,
+        TRUE AS agree_ok
+    """,
+)
+def dedup_df_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE-DRIFT REVALIDATION at serving shape, driver-checked —
+    the full epoch loop the blocked measure's cross-epoch caveat
+    (jaccard_verify_pairs docstring) demands, composed from the df
+    store: epoch 1 builds the store (slice + wave one of the planted
+    cohort), serves its in-cap frame, blocks candidates on it and
+    verifies the epoch's edge set (45 cohort pairs at blocked 0.9 —
+    the boiler df 10 is still IN cap — plus the natural slice pairs);
+    epoch 2 admits wave two, `df_store_crossings` enumerates the 36
+    boiler-interior shingles the new partial pushed over the cap FROM
+    THE STORE'S PARTIALS ALONE (no corpus rescan), and
+    `revalidate_pairs` re-verifies only the crossing-touched edges —
+    every cohort pair drops (its measure fell to 0 when the boiler
+    left the in-cap universe), every natural pair passes through
+    unread, and the surviving set must EQUAL the one-shot
+    present-measure truth exactly.
+
+    All four columns are externally recomputed: the oracle derives
+    the crossing count from raw shingle strings with per-epoch dfs
+    (an id predicate selects epoch-1 docs), and the before/after pair
+    counts from the two epochs' blocked measures — so a store partial
+    that double-counts (crossings appear early), a crossings query
+    that misses the latest-batch delta, or a revalidation that reads
+    the wrong measure shifts a count; ``agree_ok`` pins exact set
+    equality (both anti-join directions) between the revalidated edge
+    set and the present-measure truth. This is the 100 TB drift
+    answer at query shape: revalidation work scales with the
+    crossing-touched edges, never the corpus."""
+    import tempfile
+
+    from full_docker_etl_spark.operators.dedup import (
+        _hashed_shingles,
+        df_store_append,
+        df_store_build,
+        df_store_crossings,
+        df_store_rare,
+        jaccard_verify_pairs,
+        revalidate_pairs,
+    )
+    from pyspark import StorageLevel
+
+    slice_docs, wave1, wave2 = _df_drift_corpora(spark, sf_dir)
+    corpus1 = slice_docs.unionByName(wave1)
+    corpus2 = corpus1.unionByName(wave2)
+    path = tempfile.mkdtemp(prefix="fde_dfdrift_") + "/store"
+    df_store_build(slice_docs, path, "text", "doc_id", n=5)
+    df_store_append(wave1, path, "text", "doc_id")
+
+    def blocked_pairs(corpus, rare):
+        sh = (
+            _hashed_shingles(corpus, "text", "doc_id", 5)
+            .join(rare, "sh")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cand = (
+            sh.select(F.col("doc_id").alias("d1"), "sh")
+            .join(sh.select(F.col("doc_id").alias("d2"), "sh"), "sh")
+            .where(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+        return jaccard_verify_pairs(
+            corpus, cand, "text", "doc_id", n=5, threshold=0.8, rare=rare
+        ).select("d1", "d2")
+
+    # epoch 1: serve + verify this epoch's edges. Each small frame is
+    # localCheckpoint'ed — edges/crossings/retained/truth are each
+    # consumed by several downstream operators, and without the
+    # lineage cut every consumer would re-execute the whole epoch's
+    # candidate+verify pipeline (measured: ~8x the runtime).
+    rare1 = df_store_rare(spark, path, max_df=16, n=5)
+    edges = blocked_pairs(corpus1, rare1).localCheckpoint(eager=True)
+
+    # epoch 2: admit, enumerate crossings from the partials, shrink
+    df_store_append(wave2, path, "text", "doc_id")
+    crossings = df_store_crossings(
+        spark, path, max_df=16, n=5
+    ).localCheckpoint(eager=True)
+    rare2 = df_store_rare(spark, path, max_df=16, n=5)
+    retained = revalidate_pairs(
+        corpus2, edges, "text", "doc_id", crossings, rare2,
+        n=5, threshold=0.8,
+    ).localCheckpoint(eager=True)
+
+    # present-measure truth, served the same way
+    truth = blocked_pairs(corpus2, rare2).localCheckpoint(eager=True)
+    both = (
+        retained.select("d1", "d2", F.lit(1).alias("_r"))
+        .join(
+            truth.select("d1", "d2", F.lit(1).alias("_t")),
+            ["d1", "d2"], "full_outer",
+        )
+    )
+    verdict = both.agg(
+        F.count("_r").alias("n_retained"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_r").isNull() | F.col("_t").isNull(), 1
+                ).otherwise(0)
+            )
+            == 0,
+            F.lit(True),
+        ).alias("agree_ok"),
+    ).withColumn("_k", F.lit(1))
+    n_cross = crossings.agg(
+        F.count(F.lit(1)).alias("n_crossings")
+    ).withColumn("_k", F.lit(1))
+    n_before = edges.agg(F.count(F.lit(1)).alias("n_before")).withColumn(
+        "_k", F.lit(1)
+    )
+    return (
+        n_cross.join(n_before, "_k")
+        .join(verdict, "_k")
+        .select("n_crossings", "n_before", "n_retained", "agree_ok")
     )
 
 
