@@ -26,6 +26,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from full_docker_etl_spark.operators.util import spread
+
 
 @dataclass(frozen=True)
 class GrainSpec:
@@ -117,8 +119,12 @@ def aggregate_grain(df: DataFrame, spec: GrainSpec, grain: str) -> DataFrame:
     only shuffle is on (series, period_key) — the natural key.
     """
     period = F.date_format(F.col(spec.ts), _PERIOD_FMT[grain]).alias("period_key")
+    # spread: the per-row date_format + 21-agg partial aggregation is
+    # the stage's cost, and a single-row-group fact file arrives as ONE
+    # scan partition — serializing it on one core. At real scale the
+    # scan already has >= cores partitions and this is a no-op.
     out = (
-        df.groupBy(F.col(spec.series).alias("series"), period)
+        spread(df).groupBy(F.col(spec.series).alias("series"), period)
         .agg(*grain_aggs(spec))
         .withColumn("agg_type", F.lit(grain))
         .withColumn(
@@ -140,7 +146,9 @@ def daily_grain(df: DataFrame, spec: GrainSpec) -> DataFrame:
         F.date_format(F.col(spec.ts), "yyyy-MM-dd").alias("period_key"),
         F.lit("day").alias("agg_type"),
     ] + [col.alias(name) for name, col in spec.measures.items()]
-    return df.select(*cols).distinct()
+    # spread before the map-side distinct for the same single-scan-
+    # partition reason as aggregate_grain (no-op at real scale)
+    return spread(df).select(*cols).distinct()
 
 
 def multigrain_sql(view: str, spec_sql: dict[str, str]) -> str:

@@ -708,8 +708,14 @@ def dsir_importance(
             ),
             F.lit(n_buckets),
         )
+        # spread: the gram explosion + per-gram md5 bucketing is the
+        # pass's CPU, and a single-row-group corpus file arrives as
+        # ONE scan partition — one core would hash every gram. No-op
+        # at real scale (operators/util.spread).
+        from full_docker_etl_spark.operators.util import spread
+
         return (
-            df.where(F.col(text_col).isNotNull())
+            spread(df.where(F.col(text_col).isNotNull()))
             .select(F.col(id_col).alias("_did"), F.explode(g).alias("_g"))
             .select("_did", bkt.alias("_bkt"))
         )

@@ -387,7 +387,16 @@ def ivf_build_lists(
         centroids.select("centroid", "cvec"),
         n_assign,
     )
-    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    # Route by the list key before the partitioned write (the
+    # write.distribution-mode=hash idiom, optimization guide §6): an
+    # unclustered input writes one file per (task × touched list) —
+    # task-count small files in every centroid= directory, which both
+    # fragments the serve-path scan and multiplies commit overhead.
+    # One hash exchange of (id, vec, norm) rows buys one file per
+    # list per write task group.
+    assigned.repartition(F.col("centroid")).write.mode(
+        "overwrite"
+    ).partitionBy("centroid").parquet(path)
 
 
 def ivf_probe_lists(

@@ -19,6 +19,7 @@ from full_docker_etl_spark.operators.multigrain import (
     daily_grain,
     multigrain_sql,
 )
+from full_docker_etl_spark.operators.util import spread
 from full_docker_etl_spark.registry import query
 from full_docker_etl_spark.sources.catalog import load_table
 
@@ -160,7 +161,14 @@ def agg_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle, vs. the reference's three groupBys + union
     (``TransForm_Load_Yfinance.py:330-342``). At 100 TB this is the
     dominant cost difference."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # spread: the base CTE's three per-row date_formats + the Expand +
+    # partial aggregation all run in the scan stage, and a single-row-
+    # group fact file is ONE scan partition — one core does the whole
+    # map side. No-op at real scale (scan already >= cores partitions);
+    # the plan keeps its single parquet scan (tests/test_plans.py).
+    spread(load_table(spark, sf_dir, "lineitem")).createOrReplaceTempView(
+        "lineitem"
+    )
     return spark.sql(
         _multigrain_query(lambda col, fmt: f"date_format({col}, '{_SPARK_FMT[fmt]}')")
     )
@@ -233,7 +241,7 @@ def serve_incremental_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2001-09-01").cast("timestamp")
 
     def build(df: DataFrame) -> DataFrame:
-        df.createOrReplaceTempView("__ivm_fact")
+        spread(df).createOrReplaceTempView("__ivm_fact")
         return spark.sql(
             multigrain_sql(
                 "__ivm_fact",

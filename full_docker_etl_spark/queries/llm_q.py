@@ -749,7 +749,21 @@ def _judge_slice(docs_all: DataFrame, memo_key: str | None = None) -> DataFrame:
         " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5)
     )
     bucket = F.conv(F.substring(F.md5(prefix), 1, 8), 16, 10).cast("long")
-    return docs_all.where(bucket % m == 0)
+    # The slice is MATERIALIZED once per call (spread + eager
+    # localCheckpoint, ~625 rows): every consumer query fans it into
+    # several subtrees (store build/append, probe, exact tier, token
+    # projections), and without the cut each subtree re-runs the
+    # corpus scan + md5-bucket filter — at 100 TB that is N corpus
+    # scans for one query. The spread matters independently: a
+    # single-row-group documents file arrives as ONE scan partition,
+    # so every downstream per-row stage (shingling, 32-hash minhash
+    # folds, verification) would run on one core; checkpointing the
+    # spread frame pins the parallel layout for all consumers.
+    # Per-invocation only — the bench/suite sweeps persisted RDDs
+    # between queries, so nothing survives a query's own run.
+    from full_docker_etl_spark.operators.util import fresh_checkpoint, spread
+
+    return fresh_checkpoint(spread(docs_all.where(bucket % m == 0)))
 
 
 @query(
@@ -874,7 +888,13 @@ def _quotation_corpus(docs: DataFrame) -> DataFrame:
         .where(F.col("_m") == 2)
         .select((-(F.col("g") + 1)).cast("long").alias("doc_id"), "text")
     )
-    return slim.unionByName(agg)
+    # Materialized once per call (the _judge_slice convention): both
+    # containment verdicts fan this corpus into several consumers
+    # (store build/append, probe, exact tier), and without the cut
+    # each one re-runs the window + aggregator construction.
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
+
+    return fresh_checkpoint(slim.unionByName(agg))
 
 
 _QUOTATION_CORPUS_SQL = f"""(
@@ -1212,7 +1232,13 @@ def _df_verify_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("b"),
         ).alias("text"),
     )
-    return (
+    # Materialized once per call: dedup_df_verify fans this corpus
+    # into six consumers (build, two appends, candidate shingles,
+    # verify endpoints, exact tier); the planted range is cheap but
+    # the union would otherwise replan per consumer.
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
+
+    return fresh_checkpoint(
         _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
         .select("doc_id", "text")
         .unionByName(planted)
@@ -1473,9 +1499,15 @@ def dedup_df_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
+
     slice_docs, wave1, wave2 = _df_drift_corpora(spark, sf_dir)
-    corpus1 = slice_docs.unionByName(wave1)
-    corpus2 = corpus1.unionByName(wave2)
+    # Each epoch corpus feeds several consumers (store writes, blocked
+    # candidate generation, two verify passes, revalidation endpoints);
+    # materialize the tiny unions once instead of replanning the
+    # slice∪planted subtree per consumer (the _judge_slice convention).
+    corpus1 = fresh_checkpoint(slice_docs.unionByName(wave1))
+    corpus2 = fresh_checkpoint(corpus1.unionByName(wave2))
     path = tempfile.mkdtemp(prefix="fde_dfdrift_") + "/store"
     df_store_build(slice_docs, path, "text", "doc_id", n=5)
     df_store_append(wave1, path, "text", "doc_id")
@@ -2290,7 +2322,16 @@ def _ann_query_corpus(spark, sf_dir):
         .limit(10)
         .drop("__h")
     )
-    return queries, embs.select("vec_id", "embedding")
+    # spread the corpus side: every ANN tier's heavy per-row stage
+    # (hyperplane sketch folds, PQ/SQ encodes, centroid argmax, brute
+    # scoring) runs where the corpus is partitioned, and the
+    # single-row-group embeddings file arrives as ONE scan partition —
+    # measured as whole ANN queries executing on one core (5 tasks for
+    # a multi-second query). No-op at real scale, where the corpus
+    # scan already has >= cores partitions (operators/util.spread).
+    from full_docker_etl_spark.operators.util import spread
+
+    return queries, spread(embs.select("vec_id", "embedding"))
 
 
 def _ann_recall_verdict(
@@ -4305,12 +4346,18 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # modulus — the build (4/5) and the incremental batch (1/5) reuse
     # the same materialized routing instead of each recomputing
     # assign_nearest over its slice (round-8 perf watch)
+    # routed by centroid BEFORE the checkpoint: the snapshot writes
+    # below are partitioned by centroid, and an unclustered input
+    # writes one file per (task × touched list) — the small-file swamp
+    # ann_ivf_maintain exists to clean up. Clustering the index build
+    # by its list key is the write.distribution-mode=hash idiom
+    # (optimization guide §6); the probe side is untouched.
     assigned = assign_nearest(
         corpus.withColumn("_cn", _norm(F.col("embedding"))),
         "embedding",
         cents,
         1,
-    ).localCheckpoint(eager=True)
+    ).repartition(F.col("centroid")).localCheckpoint(eager=True)
 
     table = VersionedTable(
         tempfile.mkdtemp(prefix="fde_ivf_inc_") + "/lists",
@@ -4390,12 +4437,17 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     cents = _first_k_centroids(corpus)
+    # routed by centroid before the checkpoint (the ann_ivf_incremental
+    # clustering rationale); the merge arrivals below still fragment
+    # the touched lists — keep ∪ upserts writes from task-count
+    # partitions — so the compaction this query exists to exercise
+    # still has real work on a fresh index.
     assigned = assign_nearest(
         corpus.withColumn("_cn", _norm(F.col("embedding"))),
         "embedding",
         cents,
         1,
-    ).localCheckpoint(eager=True)
+    ).repartition(F.col("centroid")).localCheckpoint(eager=True)
 
     root = tempfile.mkdtemp(prefix="fde_ivf_maint_") + "/lists"
     table = VersionedTable(
