@@ -36,6 +36,24 @@ from pyspark.sql import functions as F
 from full_docker_etl_spark.operators.util import spread as _spread
 
 
+def _rebalanced(df: DataFrame, *cols: str) -> DataFrame:
+    """AQE-sized layout for every persisted-store WRITE (optimization
+    guide §6: coalesce on write / REBALANCE before the write). The
+    compute side of a store pass is deliberately spread across cores
+    (see :func:`~full_docker_etl_spark.operators.util.spread`), so an
+    unrebalanced write lands one file per (task × hive directory) —
+    for a judge-slice-sized batch that is ~32 near-empty files per
+    table per append, and the probe then pays listing + per-file open
+    for every one of them (measured: store probes reading 100+ file
+    committed sets as ~200-task scan jobs). REBALANCE keys the
+    exchange by the hive partition columns (when given) and lets AQE
+    split/coalesce to the advisory partition size — a tiny batch
+    lands as one file per directory, a 100 TB batch still fans out to
+    advisory-sized files, and a skewed directory is SPLIT rather than
+    serialized. No-op semantics: row→file placement only."""
+    return df.hint("rebalance", *[F.col(c) for c in cols])
+
+
 def content_hash(col: Column) -> Column:
     """Stable content fingerprint for exact dedup. sha2-256 — collision
     probability at 100 TB (~1e11 docs) is ~1e-55; safe as identity."""
@@ -765,17 +783,21 @@ def _containment_store_write(
     docs = _ensemble_docs(df, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    docs.write.parquet(_store_batch_dir(path, "docs", batch_id))
+    _rebalanced(docs).write.parquet(
+        _store_batch_dir(path, "docs", batch_id)
+    )
     index = _ensemble_rows(docs, _ensemble_index_schemes(specs))
     bands = index.withColumn("side", F.lit("i")).unionByName(
         _ensemble_rows(docs, specs).withColumn("side", F.lit("p"))
     )
-    bands.write.partitionBy("side").parquet(
+    _rebalanced(bands, "side").write.partitionBy("side").parquet(
         _store_batch_dir(path, "bands", batch_id)
     )
     (
-        index.groupBy("p", "r", "band", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        _rebalanced(
+            index.groupBy("p", "r", "band", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     docs.unpersist()
@@ -1493,9 +1515,11 @@ def _df_store_write(
 
     batch_id = uuid.uuid4().hex[:12]
     (
-        _hashed_shingles(df, text_col, id_col, n)
-        .groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        _rebalanced(
+            _hashed_shingles(df, text_col, id_col, n)
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     _store_manifest_publish(path, batch_id)
@@ -1570,9 +1594,11 @@ def df_store_compact(spark: SparkSession, path: str) -> list[str]:
         return []
     batch_id = uuid.uuid4().hex[:12]
     (
-        _store_read_committed(spark, path, "counts")
-        .groupBy("sh")
-        .agg(F.sum("cnt").alias("cnt"))
+        _rebalanced(
+            _store_read_committed(spark, path, "counts")
+            .groupBy("sh")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
         .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     _store_manifest_replace(path, old, [batch_id])
@@ -1760,18 +1786,20 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
         return []
     batch_id = uuid.uuid4().hex[:12]
     (
-        _store_read_committed(spark, path, "docs")
+        _rebalanced(_store_read_committed(spark, path, "docs"))
         .write.parquet(_store_batch_dir(path, "docs", batch_id))
     )
     (
-        _store_read_committed(spark, path, "bands")
+        _rebalanced(_store_read_committed(spark, path, "bands"), "side")
         .write.partitionBy("side")
         .parquet(_store_batch_dir(path, "bands", batch_id))
     )
     (
-        _store_read_committed(spark, path, "counts")
-        .groupBy("p", "r", "band", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
+        _rebalanced(
+            _store_read_committed(spark, path, "counts")
+            .groupBy("p", "r", "band", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
         .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     # REPLACE the committed set (not extend): readers flip from the N
@@ -2262,12 +2290,13 @@ def _substring_store_write(
     batch_id = uuid.uuid4().hex[:12]
     fps = _bucketed_fps(df, text_col, id_col, n, n_buckets).cache()
     try:
-        fps.write.partitionBy("bkt").parquet(
+        _rebalanced(fps, "bkt").write.partitionBy("bkt").parquet(
             _store_batch_dir(path, "fps", batch_id)
         )
         (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            _rebalanced(
+                fps.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+            )
             .write.parquet(_store_batch_dir(path, "counts", batch_id))
         )
     finally:
@@ -2278,14 +2307,15 @@ def _substring_store_write(
 def _bucketed_fps(
     df: DataFrame, text_col: str, id_col: str, n: int, n_buckets: int
 ) -> DataFrame:
-    """Store-layout fingerprints: (doc_id, pos, fp, bkt) repartitioned
-    on the bucket key so each write task feeds few directories (32
-    tasks × n_buckets dirs of stragglers otherwise)."""
+    """Store-layout fingerprints: (doc_id, pos, fp, bkt). Directory
+    routing for the write is the write site's ``_rebalanced(fps,
+    "bkt")`` — AQE-sized, replacing the former fixed
+    ``repartition("bkt")`` whose partition count was the static
+    shuffle default regardless of batch size."""
     return (
         _positional_fps(df, text_col, id_col, n)
         .withColumnRenamed("_did", "doc_id")
         .withColumn("bkt", F.pmod(F.col("fp"), F.lit(n_buckets)))
-        .repartition("bkt")
     )
 
 
@@ -2358,15 +2388,15 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
     before = {"fps": len(_files("fps")), "counts": len(_files("counts"))}
     batch_id = uuid.uuid4().hex[:12]
     (
-        _read_store_table(spark, path, "counts")
-        .groupBy("fp")
-        .agg(F.sum("cnt").alias("cnt"))
-        .coalesce(1)
+        _rebalanced(
+            _read_store_table(spark, path, "counts")
+            .groupBy("fp")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
         .write.parquet(_store_batch_dir(path, "counts", batch_id))
     )
     (
-        _read_store_table(spark, path, "fps")
-        .repartition("bkt")
+        _rebalanced(_read_store_table(spark, path, "fps"), "bkt")
         .write.partitionBy("bkt")
         .parquet(_store_batch_dir(path, "fps", batch_id))
     )
@@ -3519,11 +3549,11 @@ def _minhash_store_write(
         shingle_arrays(df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
     )
     sig_dir = _store_batch_dir(path, "sigs", batch_id)
-    sig_arr.write.parquet(sig_dir)
+    _rebalanced(sig_arr).write.parquet(sig_dir)
     # read back THIS batch's directory only — the materialization
     # boundary, without listing (or filtering) the other batches
     stored = df.sparkSession.read.parquet(sig_dir)
-    _band_rows(stored, k, bands).write.parquet(
+    _rebalanced(_band_rows(stored, k, bands)).write.parquet(
         _store_batch_dir(path, "bands", batch_id)
     )
     _store_manifest_publish(path, batch_id)
@@ -3646,7 +3676,7 @@ def minhash_store_compact(spark: SparkSession, path: str) -> list[str]:
     batch_id = uuid.uuid4().hex[:12]
     for table in _MINHASH_TABLES:
         (
-            _store_read_committed(spark, path, table)
+            _rebalanced(_store_read_committed(spark, path, table))
             .write.parquet(_store_batch_dir(path, table, batch_id))
         )
     _store_manifest_replace(path, old, [batch_id])
