@@ -54,6 +54,31 @@ def _rebalanced(df: DataFrame, *cols: str) -> DataFrame:
     return df.hint("rebalance", *[F.col(c) for c in cols])
 
 
+def _overlap(*thunks) -> None:
+    """Run the independent write actions of ONE store pass concurrently
+    (optimization guide §2.6 — overlap independent jobs): the derived
+    tables of a batch (docs/bands/counts, fps/counts, the compaction
+    rewrites) share a persisted parent and no ordering constraint —
+    only the trailing manifest publish sequences visibility. Submitted
+    from a small thread pool, the scheduler back-fills one write's
+    straggler tail with the next write's tasks instead of leaving the
+    cluster idle between sequential ~1-task-deep actions. Concurrent
+    jobs over the same persisted parent are safe: block-level locking
+    makes the first arrival compute a partition and later arrivals
+    wait, so nothing is computed twice. All thunks are awaited (and the
+    first exception re-raised) before returning, so a crash still
+    leaves invisible orphans, never a half-published batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def content_hash(col: Column) -> Column:
     """Stable content fingerprint for exact dedup. sha2-256 — collision
     probability at 100 TB (~1e11 docs) is ~1e-55; safe as identity."""
@@ -783,22 +808,22 @@ def _containment_store_write(
     docs = _ensemble_docs(df, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    _rebalanced(docs).write.parquet(
-        _store_batch_dir(path, "docs", batch_id)
-    )
     index = _ensemble_rows(docs, _ensemble_index_schemes(specs))
     bands = index.withColumn("side", F.lit("i")).unionByName(
         _ensemble_rows(docs, specs).withColumn("side", F.lit("p"))
     )
-    _rebalanced(bands, "side").write.partitionBy("side").parquet(
-        _store_batch_dir(path, "bands", batch_id)
-    )
-    (
-        _rebalanced(
+    _overlap(
+        lambda: _rebalanced(docs).write.parquet(
+            _store_batch_dir(path, "docs", batch_id)
+        ),
+        lambda: _rebalanced(bands, "side")
+        .write.partitionBy("side")
+        .parquet(_store_batch_dir(path, "bands", batch_id)),
+        lambda: _rebalanced(
             index.groupBy("p", "r", "band", "bucket")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        .write.parquet(_store_batch_dir(path, "counts", batch_id))
+        .write.parquet(_store_batch_dir(path, "counts", batch_id)),
     )
     docs.unpersist()
     _store_manifest_publish(path, batch_id)
@@ -1785,22 +1810,20 @@ def containment_store_compact(spark: SparkSession, path: str) -> list[str]:
     if len(old) <= 1:
         return []
     batch_id = uuid.uuid4().hex[:12]
-    (
-        _rebalanced(_store_read_committed(spark, path, "docs"))
-        .write.parquet(_store_batch_dir(path, "docs", batch_id))
-    )
-    (
-        _rebalanced(_store_read_committed(spark, path, "bands"), "side")
+    _overlap(
+        lambda: _rebalanced(_store_read_committed(spark, path, "docs"))
+        .write.parquet(_store_batch_dir(path, "docs", batch_id)),
+        lambda: _rebalanced(
+            _store_read_committed(spark, path, "bands"), "side"
+        )
         .write.partitionBy("side")
-        .parquet(_store_batch_dir(path, "bands", batch_id))
-    )
-    (
-        _rebalanced(
+        .parquet(_store_batch_dir(path, "bands", batch_id)),
+        lambda: _rebalanced(
             _store_read_committed(spark, path, "counts")
             .groupBy("p", "r", "band", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        .write.parquet(_store_batch_dir(path, "counts", batch_id))
+        .write.parquet(_store_batch_dir(path, "counts", batch_id)),
     )
     # REPLACE the committed set (not extend): readers flip from the N
     # old batches to the one compacted batch in a single os.replace —
@@ -2290,14 +2313,14 @@ def _substring_store_write(
     batch_id = uuid.uuid4().hex[:12]
     fps = _bucketed_fps(df, text_col, id_col, n, n_buckets).cache()
     try:
-        _rebalanced(fps, "bkt").write.partitionBy("bkt").parquet(
-            _store_batch_dir(path, "fps", batch_id)
-        )
-        (
-            _rebalanced(
+        _overlap(
+            lambda: _rebalanced(fps, "bkt")
+            .write.partitionBy("bkt")
+            .parquet(_store_batch_dir(path, "fps", batch_id)),
+            lambda: _rebalanced(
                 fps.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .write.parquet(_store_batch_dir(path, "counts", batch_id))
+            .write.parquet(_store_batch_dir(path, "counts", batch_id)),
         )
     finally:
         fps.unpersist()
@@ -2387,18 +2410,16 @@ def substring_store_compact(spark: "SparkSession", path: str) -> dict:
     old = _store_manifest(path)
     before = {"fps": len(_files("fps")), "counts": len(_files("counts"))}
     batch_id = uuid.uuid4().hex[:12]
-    (
-        _rebalanced(
+    _overlap(
+        lambda: _rebalanced(
             _read_store_table(spark, path, "counts")
             .groupBy("fp")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        .write.parquet(_store_batch_dir(path, "counts", batch_id))
-    )
-    (
-        _rebalanced(_read_store_table(spark, path, "fps"), "bkt")
+        .write.parquet(_store_batch_dir(path, "counts", batch_id)),
+        lambda: _rebalanced(_read_store_table(spark, path, "fps"), "bkt")
         .write.partitionBy("bkt")
-        .parquet(_store_batch_dir(path, "fps", batch_id))
+        .parquet(_store_batch_dir(path, "fps", batch_id)),
     )
     # REPLACE the committed set (not extend): readers flip from the N
     # old batches to the one folded batch in a single os.replace —
@@ -3674,11 +3695,14 @@ def minhash_store_compact(spark: SparkSession, path: str) -> list[str]:
     if len(old) <= 1:
         return []
     batch_id = uuid.uuid4().hex[:12]
-    for table in _MINHASH_TABLES:
-        (
-            _rebalanced(_store_read_committed(spark, path, table))
-            .write.parquet(_store_batch_dir(path, table, batch_id))
-        )
+    _overlap(
+        *[
+            lambda table=table: _rebalanced(
+                _store_read_committed(spark, path, table)
+            ).write.parquet(_store_batch_dir(path, table, batch_id))
+            for table in _MINHASH_TABLES
+        ]
+    )
     _store_manifest_replace(path, old, [batch_id])
     return list(old)
 
