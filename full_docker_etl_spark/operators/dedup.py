@@ -115,7 +115,11 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
 
 
 def _hashed_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-doc DISTINCT n-gram shingles as exploded ``(doc_id, sh)``
     rows with ``sh`` = xxhash64 of the shingle string — THE shared
@@ -125,8 +129,9 @@ def _hashed_shingles(
     partials). ONE definition so the sites cannot silently diverge on
     hashing or normalization — the rare-mode agreement contract
     depends on all of them hashing identically. Unpersisted: callers
-    persist when they fan out."""
-    return shingle_arrays(df, text_col, id_col, n).select(
+    persist when they fan out. ``spread=False``: see
+    :func:`shingle_arrays`."""
+    return shingle_arrays(df, text_col, id_col, n, spread=spread).select(
         "doc_id",
         F.explode(
             F.transform("sh_arr", lambda s: F.xxhash64(s))
@@ -288,10 +293,16 @@ def jaccard_verify_pairs(
         .unionByName(cand.select(F.col("d2").alias("_vid")))
         .distinct()
     )
-    needed = df.join(
+    # spread the NARROW corpus side before the semi-join (the
+    # broadcast join preserves its partitioning), and build shingles
+    # with spread=False: spreading the joined frame instead would
+    # probe its partition count via .rdd, which under AQE executes the
+    # whole candidate/ids subtree once for the probe and again in the
+    # real action (see :func:`shingle_arrays`).
+    needed = _spread(df).join(
         F.broadcast(ids), F.col(id_col) == F.col("_vid"), "left_semi"
     )
-    sh = shingle_arrays(needed, text_col, id_col, n)
+    sh = shingle_arrays(needed, text_col, id_col, n, spread=False)
     if rare is not None:
         # blocked-measure mode: the SHARED hashed-shingle space
         # (:func:`_hashed_shingles`) filtered to in-cap shingles,
@@ -299,7 +310,7 @@ def jaccard_verify_pairs(
         # drops out entirely — consistent with the blocked pass,
         # which has no size row for it either.
         sh = (
-            _hashed_shingles(needed, text_col, id_col, n)
+            _hashed_shingles(needed, text_col, id_col, n, spread=False)
             .join(rare.select("sh"), "sh")
             .groupBy("doc_id")
             .agg(F.collect_set("sh").alias("sh_arr"))
@@ -1760,11 +1771,14 @@ def revalidate_pairs(
         .unionByName(cand.select(F.col("d2").alias("_vid")))
         .distinct()
     )
+    # corpus spread before the join, shingles built spread=False — the
+    # jaccard_verify_pairs rationale (the spread probe on a joined
+    # plan would double-execute the candidate subtree under AQE)
     endpoint_sh = _hashed_shingles(
-        df.join(
+        _spread(df).join(
             F.broadcast(ids), F.col(id_col) == F.col("_vid"), "left_semi"
         ),
-        text_col, id_col, n,
+        text_col, id_col, n, spread=False,
     )
     affected_ids = (
         endpoint_sh.join(crossings.select("sh"), "sh")
@@ -2777,11 +2791,26 @@ def word_ngrams(col: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+def shingle_arrays(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    spread: bool = True,
+) -> DataFrame:
     """Distinct n-gram shingles as ONE array column per document —
     the no-shuffle input shape for sketching (vs. the exploded
-    (doc, shingle) pairs the inverted-index join needs)."""
-    df = _spread(df)
+    (doc, shingle) pairs the inverted-index join needs).
+
+    ``spread=False`` is for callers whose input plan already contains
+    a join/shuffle: the spread probe reads the partition count via
+    ``df.rdd``, and under AQE that MATERIALIZES every query stage in
+    the plan — a joined input would execute its whole candidate
+    subtree once for the probe and again in the real action (measured
+    as duplicated 64-task jobs in the verify paths). Such callers
+    spread the narrow corpus side BEFORE their join instead."""
+    if spread:
+        df = _spread(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(F.col(text_col), n)).alias("sh_arr"),
