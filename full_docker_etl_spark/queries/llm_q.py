@@ -1548,7 +1548,9 @@ def dedup_df_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5, threshold=0.8,
     ).localCheckpoint(eager=True)
 
-    # present-measure truth, served the same way
+    # present-measure truth, served the same way (overlapping this
+    # with the revalidation pass in two threads measured a wash —
+    # both materializations saturate the same store-read stages)
     truth = blocked_pairs(corpus2, rare2).localCheckpoint(eager=True)
     both = (
         retained.select("d1", "d2", F.lit(1).alias("_r"))
@@ -3730,6 +3732,7 @@ def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     A store-format, probe-join, verify, incremental-CC or resolution
     regression flips a boolean red."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import StorageLevel
 
@@ -3780,23 +3783,27 @@ def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10 == 0).alias("is_new"),
     )
     order = [F.col("n_tokens").desc()]
-    probe_drops = (
-        resolve_arrival(
-            toks, connected_components_incremental(standing_labels, verified),
-            order,
+
+    # The probe-fed and exact-fed label refreshes are independent
+    # eager loops over the SAME materialized standing labels — their
+    # per-round cost is fixed scheduling latency, not CPU, so running
+    # them from two threads overlaps the latencies instead of summing
+    # them (optimization guide §2.6: overlap independent jobs).
+    def _drops(pairs):
+        return (
+            resolve_arrival(
+                toks,
+                connected_components_incremental(standing_labels, pairs),
+                order,
+            )
+            .where(~F.col("kept"))
+            .select("doc_id")
         )
-        .where(~F.col("kept"))
-        .select("doc_id")
-    )
-    exact_drops = (
-        resolve_arrival(
-            toks,
-            connected_components_incremental(standing_labels, exact_batch),
-            order,
-        )
-        .where(~F.col("kept"))
-        .select("doc_id")
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_probe = pool.submit(_drops, verified)
+        f_exact = pool.submit(_drops, exact_batch)
+        probe_drops, exact_drops = f_probe.result(), f_exact.result()
     pair_stats = (
         exact_batch.join(
             verified.withColumn("_hit", F.lit(1)), ["d1", "d2"], "left"
