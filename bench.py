@@ -224,6 +224,11 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
+        # label the query's jobs (optimization guide §1.5) so event
+        # logs / status-store dumps attribute work to the query; the
+        # description is thread-local and costs nothing in the timed
+        # region
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.perf_counter()
         try:
             df = specs[name].fn(spark, sf_dir)
@@ -232,6 +237,8 @@ def main() -> int:
         except Exception as exc:  # a failing query must not kill the bench
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            spark.sparkContext.setJobDescription(None)
         # Operators cache intra-query intermediates (shingle tables,
         # LSH signatures) and never unpersist — across 78 queries the
         # accumulated cache pressures the JVM and skews late queries.
