@@ -3750,30 +3750,55 @@ def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 10 == 0)
     standing_docs = docs.where(F.col("doc_id") % 10 != 0)
     path = tempfile.mkdtemp(prefix="fde_mharr_") + "/store"
-    minhash_store_build(
-        standing_docs.where(F.col("doc_id") % 2 == 0), path, "text", "doc_id"
-    )
-    minhash_store_append(
-        standing_docs.where(F.col("doc_id") % 2 == 1), path, "text", "doc_id"
-    )
+    in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
+
+    # The store chain (build + append: four sequential writes plus
+    # manifest I/O) and the exact-tier chain (blocked pair pass +
+    # standing-component CC, an eager checkpoint loop) are independent
+    # until the label refreshes below consume both; each is a run of
+    # sub-second jobs separated by driver-side planning gaps, so two
+    # threads overlap the latencies (guide §2.6). Unlike the rejected
+    # exact-tier overlap in the one-shot recall queries (see
+    # OPTIMIZATION_r18.md), BOTH chains here are already eager — no
+    # extra materializing action is introduced.
+    def _store_side():
+        minhash_store_build(
+            standing_docs.where(F.col("doc_id") % 2 == 0),
+            path, "text", "doc_id",
+        )
+        minhash_store_append(
+            standing_docs.where(F.col("doc_id") % 2 == 1),
+            path, "text", "doc_id",
+        )
+
+    def _exact_side():
+        exact_all = jaccard_pairs(
+            docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return exact_all, connected_components(
+            exact_all.where(~in_batch[0] & ~in_batch[1])
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_store = pool.submit(_store_side)
+        f_exact = pool.submit(_exact_side)
+        f_store.result()
+        exact_all, standing_labels = f_exact.result()
     cand = minhash_probe_store(
         batch, path, "text", "doc_id", threshold=0.5
     ).select(
         F.least("d1", "d2").alias("d1"),
         F.greatest("d1", "d2").alias("d2"),
     )
+    # persisted: the verified pair set seeds the probe-fed label
+    # refresh (an eager checkpoint materializes it) AND re-enters the
+    # final pair_stats join — without the persist the whole
+    # probe-join + verify subtree recomputes in the closing action
     verified = jaccard_verify_pairs(
         docs, cand, "text", "doc_id", n=5, threshold=0.8
-    ).select("d1", "d2")
-    exact_all = jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
+    ).select("d1", "d2").persist(StorageLevel.MEMORY_AND_DISK)
     exact_batch = exact_all.where(in_batch[0] | in_batch[1]).select(
         "d1", "d2"
-    )
-    standing_labels = connected_components(
-        exact_all.where(~in_batch[0] & ~in_batch[1])
     )
     toks = docs.select(
         "doc_id",
