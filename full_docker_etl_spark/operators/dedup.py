@@ -153,11 +153,11 @@ def _blocked_shared_counts(
     (d1, d2, shared, n1, n2). The measures differ only in the final
     arithmetic/filter.
 
-    Scale posture: the shingle self-join's fan-out is Σ df(s)² over
-    shingles; the ``max_df`` cap (drop shingles appearing in more
-    documents) bounds it at |shingles|·max_df² — the standard
-    posting-list cap. 5-gram shingles are distinctive enough that true
-    near-dups always share rare shingles.
+    Scale posture: the candidate fan-out is Σ df(s)² over shingles;
+    the ``max_df`` cap (drop shingles appearing in more documents)
+    bounds it at |shingles|·max_df² — the standard posting-list cap.
+    5-gram shingles are distinctive enough that true near-dups always
+    share rare shingles.
     """
     # Join/shuffle on a 64-bit shingle hash, not the ~45-char string:
     # smaller exchanges and cheaper comparisons. Collision risk over m
@@ -168,8 +168,8 @@ def _blocked_shared_counts(
     # SERIALIZED with disk spill (the module convention for
     # corpus-scale shingle frames — exploded (doc_id, sh) is
     # O(corpus-shingles), where the deserialized default would pin
-    # executor heap): the frame feeds the df-filter, both join sides,
-    # and the size table.
+    # executor heap): the frame feeds the df-filter and the join's
+    # probe side.
     from pyspark import StorageLevel
 
     sh = _hashed_shingles(df, text_col, id_col, n).persist(
@@ -180,20 +180,64 @@ def _blocked_shared_counts(
     # often a shingle may appear, not how many shingles exist. Both
     # sides are already hash-partitioned by `sh` from the groupBy, and
     # AQE still converts to broadcast at runtime when actually small.
+    # The count pass runs BEFORE any posting list is buffered: a
+    # boilerplate shingle with corpus df in the millions is counted
+    # (partial map-side aggregation, a few bytes per distinct shingle)
+    # and dropped — it never builds a million-element list in an
+    # aggregation buffer. That ordering is the 100 TB armor; only
+    # in-cap shingles (≤ max_df docs) reach the collect below.
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= max_df)
         .select("sh")
     )
-    sh = sh.join(rare, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    a = sh.select(F.col("doc_id").alias("d1"), "sh")
-    b = sh.select(F.col("doc_id").alias("d2"), "sh")
+    # POSTING LISTS instead of a shingle self-join (r18 optimization):
+    # after the rare filter the frame is grouped once per shingle into
+    # a bounded (≤ max_df) sorted doc list, and candidate pairs are
+    # generated IN-ROW from each list. The old a⋈b self-join planned
+    # its two sides as separate full-frame hash exchanges AND
+    # recomputed the rare join per side (projection aliases defeat
+    # exchange reuse) — measured as 3-4 extra full-corpus-shingle
+    # shuffle passes per evaluation. The posting form pays exactly one
+    # full-frame exchange (the rare join / groupBy share it: a
+    # shuffled join leaves the frame hash-partitioned by `sh`, so the
+    # collect_list collapses in place), then everything downstream is
+    # bounded by the cap. Persisted because BOTH the pair fan-out and
+    # the size table re-read it.
+    posts = (
+        sh.join(rare, "sh")
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # per-doc sizes over the SAME in-cap universe the pairs see:
+    # re-exploding the bounded lists costs one partial-aggregated
+    # exchange of (doc_id, count) partials — it replaces the old
+    # third full re-execution of the rare join
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    # in-row ordered pairs from the sorted list: element i pairs with
+    # every later element, so d1 < d2 by construction (ids are
+    # per-doc-distinct within a list). Worst case at the cap is
+    # max_df·(max_df-1)/2 structs in one row before the explode —
+    # ~500k pairs at the default cap, the same per-key fan-out the
+    # self-join produced inside one hash partition.
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size("ds") - i - F.lit(1)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "sh")
-        .where(F.col("d1") < F.col("d2"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .select("p.d1", "p.d2")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

@@ -282,6 +282,97 @@ def test_containment_pairs_catches_quotation_jaccard_misses(spark):
     )
 
 
+def test_blocked_shared_counts_match_self_join_reference(spark):
+    """The r18 posting-list rewrite of ``_blocked_shared_counts``
+    (bounded collect per rare shingle + in-row pair generation,
+    replacing the exploded a⋈b self-join) must be row-identical to
+    the self-join formulation it replaced — same candidate pair set,
+    same shared counts, same in-cap size table — INCLUDING at an
+    active ``max_df`` cap, where a dropped hot shingle must vanish
+    from both the pairing and the measured sizes."""
+    from pyspark.sql import functions as F
+
+    from full_docker_etl_spark.operators.dedup import (
+        _blocked_shared_counts,
+        _hashed_shingles,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    boiler = "b1 b2 b3 b4 b5"  # shared by EVERY doc → df = 6
+    rows = [
+        (1, f"{base} {boiler}"),
+        (2, f"{base} x9 {boiler}"),          # near-dup of 1
+        (3, f"{base} x9 y7 {boiler}"),       # near-dup of 1 and 2
+        (4, f"u1 u2 u3 u4 u5 u6 {boiler}"),  # only boilerplate shared
+        (5, f"u1 u2 u3 u4 u5 u6 z1 {boiler}"),
+        (6, f"v1 v2 v3 v4 v5 v6 v7 {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def reference(max_df):
+        """The pre-r18 formulation, verbatim: rare filter by join,
+        exploded self-join, separate size aggregation."""
+        sh = _hashed_shingles(df, "text", "doc_id", 3)
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("sh")
+        )
+        shf = sh.join(rare, "sh")
+        sizes = shf.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+        a = shf.select(F.col("doc_id").alias("d1"), "sh")
+        b = shf.select(F.col("doc_id").alias("d2"), "sh")
+        shared = (
+            a.join(b, "sh")
+            .where(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        s1 = sizes.select(
+            F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1")
+        )
+        s2 = sizes.select(
+            F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2")
+        )
+        return (
+            shared.join(s1, "d1")
+            .join(s2, "d2")
+            .select("d1", "d2", "shared", "n1", "n2")
+        )
+
+    for max_df in (1000, 5):  # cap inactive / cap drops the boilerplate
+        got = {
+            (r.d1, r.d2): (r.shared, r.n1, r.n2)
+            for r in _blocked_shared_counts(
+                df, "text", "doc_id", 3, max_df
+            ).collect()
+        }
+        want = {
+            (r.d1, r.d2): (r.shared, r.n1, r.n2)
+            for r in reference(max_df).collect()
+        }
+        assert got == want and got, f"max_df={max_df}: {got} != {want}"
+    # at the active cap the boilerplate-only pairs must be GONE (their
+    # only shared shingles were dropped), not merely attenuated:
+    # docs 4 and 6 share nothing but the boiler run (unlike 4/5,
+    # which also share the rare u-trigrams)
+    uncapped = {
+        (r.d1, r.d2)
+        for r in _blocked_shared_counts(
+            df, "text", "doc_id", 3, 1000
+        ).collect()
+    }
+    capped = {
+        (r.d1, r.d2)
+        for r in _blocked_shared_counts(df, "text", "doc_id", 3, 5).collect()
+    }
+    assert (4, 6) in uncapped and (4, 6) not in capped
+    assert (1, 2) in capped
+
+
 def test_containment_lsh_ensemble_gap_specs():
     """The per-gap band tuning is pure arithmetic — pin the defaults
     and re-derive the guarantees: every covered gap's worst-case
