@@ -3023,17 +3023,28 @@ def _simhash_blocked_candidates(
             F.lit(mask)
         )
 
-    keyed = None
+    # ONE scan + in-row array explode instead of a C(b, b-d)-branch
+    # union (r18): the union planned every combination as its own scan
+    # of the signature cache — ×2 join sides that was 2·C(b,b-d)
+    # cache scans and a C(b,b-d)·partitions-task map stage (320 tasks
+    # at the sf0.1 dial), plus a plan whose size grew with the table
+    # count (measured ~1.1 s of pure planning gap). The per-doc key
+    # set is just C(b,b-d) short expressions over one row, so it
+    # explodes from a single projection. Codegen-budget note (the
+    # :func:`_ensemble_rows` counter-example): that site measured the
+    # in-row form SLOWER because its 86 entries each hash a SLICE of a
+    # k-element array; here an entry is xxhash64 over ≤d+1 longs and
+    # the table count at any sane dial is ≤56, far under the budget.
+    entries = []
     for ci, combo in enumerate(combinations(range(b), b - d)):
         cols = [block(i) for i in combo]
         key = cols[0] if len(cols) == 1 else F.xxhash64(*cols)
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(ci).alias("combo"),
-            key.alias("bucket"),
+        entries.append(
+            F.struct(F.lit(ci).alias("combo"), key.alias("bucket"))
         )
-        keyed = part if keyed is None else keyed.unionByName(part)
+    keyed = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("_kb")
+    ).select("doc_id", "simhash", "_kb.combo", "_kb.bucket")
     a = keyed.select(
         F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "combo", "bucket"
     )
