@@ -510,14 +510,14 @@ def cosine_pairs_lsh(
         .withColumn("_n", _norm(F.col("vec")))
         .cache()
     )
-    banded = None
-    for b in range(bands):
-        part = sk.select(
-            "vid",
-            F.lit(b).alias("band"),
-            F.element_at("sks", b + 1).alias("bucket"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # the per-band sketch column IS the band array — posexplode emits
+    # exactly the rows the old per-band union built (band = 0-based
+    # position, bucket = that band's sketch), from ONE scan of the
+    # cache instead of `bands` scans per join side (r18; the
+    # _simhash_blocked_candidates rationale)
+    banded = sk.select(
+        "vid", F.posexplode("sks").alias("band", "bucket")
+    )
     a = banded.select(F.col("vid").alias("d1"), "band", "bucket")
     b_ = banded.select(F.col("vid").alias("d2"), "band", "bucket")
     pairs = (
