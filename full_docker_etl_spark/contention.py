@@ -75,4 +75,20 @@ def host_snapshot() -> dict:
         snap["psi_cpu_some_avg60"] = float(fields["avg60"])
     except (OSError, KeyError, ValueError, IndexError):
         pass
+    # Cumulative hypervisor CPU-steal counter (/proc/stat cpu col 8,
+    # USER_HZ ticks): the r18 sessions hit repeated co-tenant steal
+    # BURSTS that loadavg and PSI both miss entirely — a run can start
+    # at loadavg 0.11 / PSI 0.0 and still lose 600+ core-seconds to
+    # the hypervisor mid-run (observed: alphabetical neighbors
+    # text_bpe_* reading 2-7x their clean times while both start/end
+    # snapshots looked pristine). The counter is cumulative, so the
+    # START→END DELTA in a recorded artifact is the run's stolen
+    # core-time — the adjudication field for this contamination class.
+    try:
+        with open("/proc/stat") as fh:
+            first = fh.readline().split()
+        if first and first[0] == "cpu" and len(first) > 8:
+            snap["cpu_steal_ticks"] = int(first[8])
+    except (OSError, ValueError, IndexError):
+        pass
     return snap

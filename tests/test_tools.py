@@ -289,6 +289,21 @@ def test_bench_contention_gate(monkeypatch):
     assert bench.is_contended({"loadavg_1m": 10.84})
     assert bench.is_contended({"psi_cpu_some_avg60": 0.82})
 
+    # the steal counter is adjudication evidence, not a gate input:
+    # it must ride the snapshot (cumulative ticks, so START→END delta
+    # in an artifact is the run's stolen core-time) without ever
+    # flipping is_contended — steal bursts are judged by the recorded
+    # delta, a point-in-time counter value means nothing
+    import os.path
+
+    snap = C.host_snapshot()
+    if os.path.exists("/proc/stat"):
+        assert isinstance(snap.get("cpu_steal_ticks"), int)
+        assert snap["cpu_steal_ticks"] >= 0
+    assert not bench.is_contended(
+        {"loadavg_1m": 0.5, "cpu_steal_ticks": 10**12}
+    )
+
     hot = {"loadavg_1m": 10.84, "psi_cpu_some_avg60": 0.82}
     cold = {"loadavg_1m": 0.72, "psi_cpu_some_avg60": 0.02}
     # deliberate bless on a contended host: refuse, name the numbers
