@@ -3304,11 +3304,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds; the DuckDB oracle computes the same labels via a
     recursive-CTE transitive closure, so the iterative algorithm is
     value-checked end to end."""
+    from pyspark import StorageLevel
+
     from full_docker_etl_spark.operators.dedup import connected_components
 
+    # persisted (the batch_arrival/arrival_policy idiom): CC's
+    # symmetrizing union consumes `pairs` in both branches, and the
+    # pair tier's final (d1,d2) reduce would otherwise run once per
+    # branch — only the exchanges below it are reuse-deduplicated
     pairs = jaccard_pairs(
         _docs(spark, sf_dir), "text", "doc_id", n=5, threshold=0.8, max_df=1000
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return connected_components(pairs)
 
 
@@ -3350,7 +3356,7 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     best copy, not the smallest id. Unpaired documents are singleton
     clusters and always kept. The oracle replays the whole pipeline
     portably: recursive-CTE closure + the same ROW_NUMBER resolution."""
-    from pyspark.sql import Window
+    from pyspark import StorageLevel
 
     from full_docker_etl_spark.operators.dedup import (
         connected_components,
@@ -3359,9 +3365,11 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    # persisted: CC consumes `pairs` in both union branches (the
+    # dedup_components rationale)
     pairs = jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     comps = connected_components(pairs)
     toks = docs.select(
         "doc_id",
@@ -3574,6 +3582,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable. The oracle replays the ENTIRE composition
     portably: the recursive-CTE closure over all pairs + the
     retrained-in-SQL classifier + the same ROW_NUMBER resolution."""
+    from pyspark import StorageLevel
+
     from full_docker_etl_spark.operators.dedup import (
         connected_components,
         keep_best_per_cluster,
@@ -3581,9 +3591,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from full_docker_etl_spark.operators.text import nb_quality_classifier
 
     docs = _docs(spark, sf_dir)
+    # persisted: CC consumes `pairs` in both union branches (the
+    # dedup_components rationale)
     pairs = jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     comps = connected_components(pairs)
     scored = nb_quality_classifier(
         docs.withColumn("y", (F.col("lang") == "en").cast("int")),
