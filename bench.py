@@ -307,16 +307,25 @@ def main() -> int:
         print(f"bench: detail written to {args.out}", file=sys.stderr)
 
     ordered = sorted(timings.items(), key=lambda kv: -kv[1])
-    shown = [(n, round(t, 2)) for n, t in ordered]
+    # stdout-line timings round to 0.1 s (VERDICT r18 #7: the 1800-char
+    # cap made ~140/191 queries invisible to the driver's
+    # round-over-round comparison; at 0.1 s the rounding error is far
+    # inside the single-draw noise envelope). Failed queries keep -1.0.
+    shown = [(n, round(t, 1) if t >= 0 else t) for n, t in ordered]
+    # the stdout line drops the anchor/host sub-objects (~370 chars —
+    # they stay in the detail file verbatim, where bench_compare reads
+    # them) so roughly 2x more queries survive the cap; same
+    # metric/value/unit/sf/cpus/n_queries fields as every prior round
+    slim = {k: v for k, v in base.items() if k not in ("anchor", "host")}
     # the empty-queries line is the guaranteed-to-fit fallback: it must
     # win BOTH when timings is empty and when the truncation loop
     # drains shown without ever fitting (a drained loop must not leave
     # the last oversized candidate in `line`)
-    line = json.dumps({**base, "queries": {}, "omitted": len(timings)},
+    line = json.dumps({**slim, "queries": {}, "omitted": len(timings)},
                       separators=(",", ":"))
     while shown:
         cand = json.dumps(
-            {**base, "queries": dict(shown),
+            {**slim, "queries": dict(shown),
              "omitted": len(timings) - len(shown)},
             separators=(",", ":"),
         )

@@ -297,7 +297,15 @@ def test_bench_contention_gate(monkeypatch):
     import os.path
 
     snap = C.host_snapshot()
+    # gate on the same condition host_snapshot uses: the aggregate cpu
+    # line must actually carry a steal column (>8 fields) — a kernel
+    # without it legitimately omits the key (ADVICE r18)
+    has_steal_col = False
     if os.path.exists("/proc/stat"):
+        with open("/proc/stat") as fh:
+            first = fh.readline().split()
+        has_steal_col = bool(first) and first[0] == "cpu" and len(first) > 8
+    if has_steal_col:
         assert isinstance(snap.get("cpu_steal_ticks"), int)
         assert snap["cpu_steal_ticks"] >= 0
     assert not bench.is_contended(

@@ -59,11 +59,21 @@ def main() -> int:
 
     store = spark.sparkContext._jsc.sc().statusStore()
 
-    def _n_jobs() -> int:
-        return store.jobsList(None).size()
+    def _next_job_id() -> int:
+        # Watermark with max(jobId)+1, NOT the retained-list size: the
+        # status store evicts beyond spark.ui.retainedJobs, so once
+        # eviction starts size < next job id and prior reps' jobs leak
+        # into the current rep's attribution (ADVICE r18).
+        jobs = store.jobsList(None)
+        hi = -1
+        for i in range(jobs.size()):
+            jid = jobs.apply(i).jobId()
+            if jid > hi:
+                hi = jid
+        return hi + 1
 
     for rep in range(args.repeat):
-        before = _n_jobs()
+        before = _next_job_id()
         t0 = time.perf_counter()
         df = specs[args.query].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
