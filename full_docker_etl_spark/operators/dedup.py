@@ -50,8 +50,12 @@ def _rebalanced(df: DataFrame, *cols: str) -> DataFrame:
     split/coalesce to the advisory partition size — a tiny batch
     lands as one file per directory, a 100 TB batch still fans out to
     advisory-sized files, and a skewed directory is SPLIT rather than
-    serialized. No-op semantics: row→file placement only."""
-    return df.hint("rebalance", *[F.col(c) for c in cols])
+    serialized. No-op semantics: row→file placement only. (Shared
+    implementation: operators/util.rebalanced — the ANN list writes
+    use it too.)"""
+    from full_docker_etl_spark.operators.util import rebalanced
+
+    return rebalanced(df, *cols)
 
 
 def _overlap(*thunks) -> None:
@@ -139,6 +143,14 @@ def _hashed_shingles(
     )
 
 
+# Budget for the in-row posting-list pair generation: the DEFAULT cap's
+# worst case (1000·999/2 structs ≈ 8-16 MB in one row — measured fine).
+# A caller-raised max_df whose quadratic fan-out exceeds this budget
+# switches _blocked_shared_counts to the chunked generation, which
+# bounds EVERY generated row to ~this many structs regardless of cap.
+_PAIR_GEN_ROW_BUDGET = 1000 * 999 // 2
+
+
 def _blocked_shared_counts(
     df: DataFrame,
     text_col: str,
@@ -222,21 +234,63 @@ def _blocked_shared_counts(
     )
     # in-row ordered pairs from the sorted list: element i pairs with
     # every later element, so d1 < d2 by construction (ids are
-    # per-doc-distinct within a list). Worst case at the cap is
+    # per-doc-distinct within a list). Worst case at the default cap is
     # max_df·(max_df-1)/2 structs in one row before the explode —
-    # ~500k pairs at the default cap, the same per-key fan-out the
-    # self-join produced inside one hash partition.
-    pair_arr = F.flatten(
-        F.transform(
-            "ds",
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + F.lit(2), F.size("ds") - i - F.lit(1)),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
+    # ~500k pairs (~8-16 MB), the same per-key fan-out the self-join
+    # produced inside one hash partition. The cost is QUADRATIC in a
+    # caller-settable max_df, so a raised cap must not inflate single
+    # rows without bound (a 10k cap would build ~50M-struct rows — a
+    # §5 memory cliff the old self-join never had): past the
+    # default-cap budget the d1 index space is CHUNKED first (one
+    # intermediate row per w-wide slice of the list, w sized so every
+    # generated row stays within the same ~500k-struct budget), which
+    # spreads the fan-out across rows exactly like the self-join did
+    # while keeping the single-exchange shape.
+    if max_df * (max_df - 1) // 2 <= _PAIR_GEN_ROW_BUDGET:
+        pair_arr = F.flatten(
+            F.transform(
+                "ds",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + F.lit(2), F.size("ds") - i - F.lit(1)),
+                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+                ),
+            )
         )
-    )
+        pair_rows = posts.select(F.explode(pair_arr).alias("p"))
+    else:
+        w = max(1, _PAIR_GEN_ROW_BUDGET // max_df)
+        # d1 positions 0..size-2 (0-based) in chunks of w; the where()
+        # guards the sequence (Spark's sequence DESCENDS on a negative
+        # span — the word_ngrams trap), and a chunk's d1 slice may
+        # overrun into the final element, whose partner slice is then
+        # empty — no spurious pairs.
+        chunks = posts.where(F.size("ds") >= 2).select(
+            "ds",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.size("ds") - F.lit(2)) / F.lit(w)
+                    ).cast("int"),
+                )
+            ).alias("ci"),
+        )
+        chunk_pairs = F.flatten(
+            F.transform(
+                F.slice("ds", F.col("ci") * F.lit(w) + F.lit(1), F.lit(w)),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ds"),
+                        F.col("ci") * F.lit(w) + i + F.lit(2),
+                        F.size("ds"),
+                    ),
+                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+                ),
+            )
+        )
+        pair_rows = chunks.select(F.explode(chunk_pairs).alias("p"))
     shared = (
-        posts.select(F.explode(pair_arr).alias("p"))
+        pair_rows
         .select("p.d1", "p.d2")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("shared"))

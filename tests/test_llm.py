@@ -343,7 +343,14 @@ def test_blocked_shared_counts_match_self_join_reference(spark):
             .select("d1", "d2", "shared", "n1", "n2")
         )
 
-    for max_df in (1000, 5):  # cap inactive / cap drops the boilerplate
+    # 1000/5: cap inactive / cap drops the boilerplate (both take the
+    # in-row generation). 2000: past _PAIR_GEN_ROW_BUDGET — takes the
+    # CHUNKED pair generation (r19: bounds single-row width at
+    # caller-raised caps) and must stay row-identical to the reference.
+    from full_docker_etl_spark.operators.dedup import _PAIR_GEN_ROW_BUDGET
+
+    assert 2000 * 1999 // 2 > _PAIR_GEN_ROW_BUDGET  # chunked path taken
+    for max_df in (1000, 5, 2000):
         got = {
             (r.d1, r.d2): (r.shared, r.n1, r.n2)
             for r in _blocked_shared_counts(
@@ -355,6 +362,28 @@ def test_blocked_shared_counts_match_self_join_reference(spark):
             for r in reference(max_df).collect()
         }
         assert got == want and got, f"max_df={max_df}: {got} != {want}"
+    # multi-chunk coverage: shrink the budget so chunk width w = 1 and
+    # every 0-based d1 index of these 6-element lists lands in its OWN
+    # chunk — the maximal-chunking edge (last chunk holds only the
+    # final element, whose partner slice is empty)
+    import full_docker_etl_spark.operators.dedup as D
+
+    saved = D._PAIR_GEN_ROW_BUDGET
+    D._PAIR_GEN_ROW_BUDGET = 1
+    try:
+        got = {
+            (r.d1, r.d2): (r.shared, r.n1, r.n2)
+            for r in _blocked_shared_counts(
+                df, "text", "doc_id", 3, 1000
+            ).collect()
+        }
+    finally:
+        D._PAIR_GEN_ROW_BUDGET = saved
+    want = {
+        (r.d1, r.d2): (r.shared, r.n1, r.n2)
+        for r in reference(1000).collect()
+    }
+    assert got == want and got
     # at the active cap the boilerplate-only pairs must be GONE (their
     # only shared shingles were dropped), not merely attenuated:
     # docs 4 and 6 share nothing but the boiler run (unlike 4/5,
