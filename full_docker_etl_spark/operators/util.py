@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -21,6 +22,18 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def rebalanced(df: DataFrame, *cols: str) -> DataFrame:
+    """AQE-sized layout for a partitioned WRITE (optimization guide §6:
+    coalesce on write / REBALANCE before the write), keyed by the
+    partition columns when given. Unlike a hash ``repartition(col)``,
+    REBALANCE lets AQE coalesce a tiny batch to one file per directory,
+    fan a large batch out to advisory-sized files, AND split a skewed
+    key across writer tasks — a hash repartition serializes a hot key
+    (a hot IVF centroid, a hot hive partition) into ONE task at 100 TB.
+    No-op semantics: row→file placement only."""
+    return df.hint("rebalance", *[F.col(c) for c in cols])
 
 
 def fresh_checkpoint(df: DataFrame) -> DataFrame:
