@@ -3492,18 +3492,23 @@ def dedup_batch_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     + resolution equals the from-scratch answer on the affected set.
     The resolution policy is pluggable (operators/dedup.py
     resolve_arrival); dedup_arrival_policy pins the scored variant."""
-    from pyspark import StorageLevel
-
     from full_docker_etl_spark.operators.dedup import (
         connected_components,
         connected_components_incremental,
         resolve_arrival,
     )
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    pairs = jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # fresh_checkpoint, not persist (r19): the pair set feeds BOTH CC
+    # loops (standing + incremental), and with a persist every eager
+    # CC-round plan still carries the full posting-list pair pipeline
+    # — profiled as pure driver-planning gaps; the checkpoint cuts
+    # every downstream plan to a LogicalRDD at the same single
+    # materialization cost.
+    pairs = fresh_checkpoint(
+        jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000)
+    )
     in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
     standing = connected_components(
         pairs.where(~in_batch[0] & ~in_batch[1])
@@ -3666,19 +3671,20 @@ def dedup_arrival_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the ENTIRE composition portably: recursive-CTE
     closure + the classifier retrained in SQL + the same ROW_NUMBER
     resolution, restricted to affected clusters."""
-    from pyspark import StorageLevel
-
     from full_docker_etl_spark.operators.dedup import (
         connected_components,
         connected_components_incremental,
         resolve_arrival,
     )
     from full_docker_etl_spark.operators.text import nb_quality_classifier
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
 
     docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    pairs = jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # fresh_checkpoint, not persist: the dedup_batch_arrival rationale
+    # (both CC loops re-PLAN the pair pipeline under a persist)
+    pairs = fresh_checkpoint(
+        jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000)
+    )
     in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
     standing = connected_components(
         pairs.where(~in_batch[0] & ~in_batch[1])
@@ -3746,8 +3752,6 @@ def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import StorageLevel
-
     from full_docker_etl_spark.operators.dedup import (
         connected_components,
         connected_components_incremental,
@@ -3757,6 +3761,7 @@ def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_store_build,
         resolve_arrival,
     )
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
 
     docs = _judge_slice(_docs(spark, sf_dir), memo_key=sf_dir)
     batch = docs.where(F.col("doc_id") % 10 == 0)
@@ -3784,9 +3789,17 @@ def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _exact_side():
-        exact_all = jaccard_pairs(
-            docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # fresh_checkpoint, not persist (r19): the pair set feeds the
+        # standing CC, the exact-fed refresh and the closing stats —
+        # a persist caches the DATA but every consumer still PLANS
+        # through the full posting-list pair pipeline (profiled as a
+        # ~1.1 s pure driver-planning gap before the refresh burst);
+        # the checkpoint's LogicalRDD makes each downstream plan tiny.
+        exact_all = fresh_checkpoint(
+            jaccard_pairs(
+                docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
+            )
+        )
         return exact_all, connected_components(
             exact_all.where(~in_batch[0] & ~in_batch[1])
         )
@@ -3802,13 +3815,19 @@ def dedup_arrival_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("d1", "d2").alias("d1"),
         F.greatest("d1", "d2").alias("d2"),
     )
-    # persisted: the verified pair set seeds the probe-fed label
-    # refresh (an eager checkpoint materializes it) AND re-enters the
-    # final pair_stats join — without the persist the whole
-    # probe-join + verify subtree recomputes in the closing action
-    verified = jaccard_verify_pairs(
-        docs, cand, "text", "doc_id", n=5, threshold=0.8
-    ).select("d1", "d2").persist(StorageLevel.MEMORY_AND_DISK)
+    # fresh_checkpoint, not persist (r19): the verified pair set seeds
+    # the probe-fed label refresh AND re-enters the final pair_stats
+    # join — a persist would compute it once but leave the full
+    # probe-join + verify subtree in every consumer's logical plan
+    # (driver planning, profiled as the query's largest gaps); the
+    # eager checkpoint cuts all downstream plans to a LogicalRDD and
+    # materializes nothing extra (the refresh's own sym checkpoint
+    # would have materialized it immediately anyway)
+    verified = fresh_checkpoint(
+        jaccard_verify_pairs(
+            docs, cand, "text", "doc_id", n=5, threshold=0.8
+        ).select("d1", "d2")
+    )
     exact_batch = exact_all.where(in_batch[0] | in_batch[1]).select(
         "d1", "d2"
     )
@@ -4393,15 +4412,21 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # routed by centroid BEFORE the checkpoint: the snapshot writes
     # below are partitioned by centroid, and an unclustered input
     # writes one file per (task × touched list) — the small-file swamp
-    # ann_ivf_maintain exists to clean up. Clustering the index build
-    # by its list key is the write.distribution-mode=hash idiom
-    # (optimization guide §6); the probe side is untouched.
-    assigned = assign_nearest(
-        corpus.withColumn("_cn", _norm(F.col("embedding"))),
-        "embedding",
-        cents,
-        1,
-    ).repartition(F.col("centroid")).localCheckpoint(eager=True)
+    # ann_ivf_maintain exists to clean up. REBALANCE, not a hash
+    # repartition (VERDICT r18 #3): a hot centroid would hash to ONE
+    # writer task at 100 TB; the AQE rebalance coalesces a small batch
+    # per list and SPLITS a hot list. The probe side is untouched.
+    from full_docker_etl_spark.operators.util import rebalanced
+
+    assigned = rebalanced(
+        assign_nearest(
+            corpus.withColumn("_cn", _norm(F.col("embedding"))),
+            "embedding",
+            cents,
+            1,
+        ),
+        "centroid",
+    ).localCheckpoint(eager=True)
 
     table = VersionedTable(
         tempfile.mkdtemp(prefix="fde_ivf_inc_") + "/lists",
@@ -4482,16 +4507,22 @@ def ann_ivf_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _ann_query_corpus(spark, sf_dir)
     cents = _first_k_centroids(corpus)
     # routed by centroid before the checkpoint (the ann_ivf_incremental
-    # clustering rationale); the merge arrivals below still fragment
-    # the touched lists — keep ∪ upserts writes from task-count
-    # partitions — so the compaction this query exists to exercise
-    # still has real work on a fresh index.
-    assigned = assign_nearest(
-        corpus.withColumn("_cn", _norm(F.col("embedding"))),
-        "embedding",
-        cents,
-        1,
-    ).repartition(F.col("centroid")).localCheckpoint(eager=True)
+    # clustering rationale — rebalance, not hash: VERDICT r18 #3); the
+    # merge arrivals below still fragment the touched lists — keep ∪
+    # upserts writes from task-count partitions — so the compaction
+    # this query exists to exercise still has real work on a fresh
+    # index.
+    from full_docker_etl_spark.operators.util import rebalanced
+
+    assigned = rebalanced(
+        assign_nearest(
+            corpus.withColumn("_cn", _norm(F.col("embedding"))),
+            "embedding",
+            cents,
+            1,
+        ),
+        "centroid",
+    ).localCheckpoint(eager=True)
 
     root = tempfile.mkdtemp(prefix="fde_ivf_maint_") + "/lists"
     table = VersionedTable(
