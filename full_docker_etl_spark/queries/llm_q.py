@@ -1011,7 +1011,14 @@ def dedup_containment_incremental_recall(
     containment_store_append(
         rest.where(F.col("doc_id") % 2 == 0), path, "text", "doc_id"
     )
-    found = (
+    # fresh_checkpoint (r19): the probe candidate set is tiny (pairs of
+    # ids), but leaving it lazy makes the closing join-agg action plan
+    # probe ∪ exact as ONE tree — profiled as a ~1.3 s pure
+    # driver-planning gap; the checkpoint splits the plan at no extra
+    # pass (the probe subtree executed exactly once either way).
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
+
+    found = fresh_checkpoint(
         containment_probe_store(batch, path, "text", "doc_id")
         .select(
             F.least("d1", "d2").alias("d1"),
