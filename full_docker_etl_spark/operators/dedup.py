@@ -3696,25 +3696,33 @@ def _minhash_store_write(
     k: int,
     bands: int,
 ) -> None:
-    """Shared write half of minhash build/append: signatures land
-    first, then band rows derived by READING the just-written batch
-    back (a materialization boundary — the sketch fold computes once,
-    on disk, instead of replaying for the band projection), then the
-    atomic manifest publish makes both visible together."""
+    """Shared write half of minhash build/append: the signature frame
+    is computed ONCE into a persisted parent (the materialization
+    boundary the old write→read-back→write sequence provided — the
+    k-hash fold never replays for the band projection, and the cache
+    cut stops projection collapse re-inlining it, the
+    :func:`_band_rows` caveat), then the sigs and bands tables write
+    CONCURRENTLY from it (guide §2.6 — the containment-store
+    `_overlap` shape; the old sequential read-back paid an extra
+    listing + scan and left the cluster idle between the two writes),
+    and the atomic manifest publish makes both visible together."""
     import uuid
+
+    from pyspark import StorageLevel
 
     batch_id = uuid.uuid4().hex[:12]
     sig_arr = minhash_signature_array(
         shingle_arrays(df, text_col, id_col, n).where(F.size("sh_arr") > 0), k
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _overlap(
+        lambda: _rebalanced(sig_arr).write.parquet(
+            _store_batch_dir(path, "sigs", batch_id)
+        ),
+        lambda: _rebalanced(_band_rows(sig_arr, k, bands)).write.parquet(
+            _store_batch_dir(path, "bands", batch_id)
+        ),
     )
-    sig_dir = _store_batch_dir(path, "sigs", batch_id)
-    _rebalanced(sig_arr).write.parquet(sig_dir)
-    # read back THIS batch's directory only — the materialization
-    # boundary, without listing (or filtering) the other batches
-    stored = df.sparkSession.read.parquet(sig_dir)
-    _rebalanced(_band_rows(stored, k, bands)).write.parquet(
-        _store_batch_dir(path, "bands", batch_id)
-    )
+    sig_arr.unpersist()
     _store_manifest_publish(path, batch_id)
 
 

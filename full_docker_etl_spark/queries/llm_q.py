@@ -1084,7 +1084,13 @@ def dedup_incremental_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = docs.where(F.col("doc_id") % 10 != 0)
     path = tempfile.mkdtemp(prefix="fde_mhstore_") + "/store"
     minhash_store_build(store, path, "text", "doc_id")
-    found = (
+    # fresh_checkpoint (r19): keep the closing join-agg from planning
+    # probe ∪ exact as one tree (the dedup_containment_incremental_
+    # recall rationale — the probe subtree executes exactly once
+    # either way, the checkpoint just cuts the plan)
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
+
+    found = fresh_checkpoint(
         minhash_probe_store(batch, path, "text", "doc_id", threshold=0.5)
         .select(
             F.least("d1", "d2").alias("d1"),
@@ -1170,7 +1176,10 @@ def dedup_store_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         and r["after"]["committed_batches"] == 1
         and r["after"]["orphan_batches"] == 0
     )
-    found = (
+    # fresh_checkpoint (r19): the dedup_incremental_recall rationale
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
+
+    found = fresh_checkpoint(
         minhash_probe_store(batch, path, "text", "doc_id", threshold=0.5)
         .select(
             F.least("d1", "d2").alias("d1"),
