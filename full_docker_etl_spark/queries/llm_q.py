@@ -2357,7 +2357,14 @@ def _ann_recall_verdict(
 ) -> DataFrame:
     """Shared verdict tail for the ANN recall queries: count the exact
     top-k entries (oracle-recomputable) and flag whether the approx
-    tier found at least ``floor`` of them."""
+    tier found at least ``floor`` of them.
+
+    Examined and REJECTED (r19): checkpointing the approx side to
+    split the closing exact ∪ approx plan (the arrival/store-composite
+    plan-cut pattern) measured a wash-to-loss across two A/B draws —
+    unlike the composites, this plan is built and planned exactly ONCE,
+    so the split saves no repeated Catalyst work and the extra eager
+    action costs scheduling latency."""
     hits = approx.select("qid", "vec_id", F.lit(1).alias("_hit"))
     return (
         exact.select("qid", "vec_id")
