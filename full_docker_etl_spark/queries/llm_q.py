@@ -3624,11 +3624,29 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    comps = connected_components(pairs)
-    scored = nb_quality_classifier(
-        docs.withColumn("y", (F.col("lang") == "en").cast("int")),
-        "text", "doc_id", "y",
-    ).select("doc_id", "log_odds")
+    # The CC label loop (eager checkpoint rounds, latency-bound) and
+    # the NB training/scoring pipeline (compute-bound, consumed only
+    # by the final resolution join) are independent until that join —
+    # run them from two threads (guide §2.6, the dedup_arrival_probe
+    # 6a shape: the NB subtree executed exactly once either way, so
+    # the eager checkpoint adds no extra pass, and its jobs back-fill
+    # the CC rounds' driver gaps).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
+
+    def _scored():
+        return fresh_checkpoint(
+            nb_quality_classifier(
+                docs.withColumn("y", (F.col("lang") == "en").cast("int")),
+                "text", "doc_id", "y",
+            ).select("doc_id", "log_odds")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_comps = pool.submit(connected_components, pairs)
+        f_scored = pool.submit(_scored)
+        comps, scored = f_comps.result(), f_scored.result()
     return keep_best_per_cluster(
         scored, comps, [F.col("log_odds").desc()]
     ).select("doc_id", "comp", "log_odds")
@@ -3709,18 +3727,35 @@ def dedup_arrival_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8, max_df=1000)
     )
     in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
-    standing = connected_components(
-        pairs.where(~in_batch[0] & ~in_batch[1])
-    )
-    labels = connected_components_incremental(
-        standing, pairs.where(in_batch[0] | in_batch[1])
-    )
-    scored = nb_quality_classifier(
-        docs.withColumn("y", (F.col("lang") == "en").cast("int")),
-        "text", "doc_id", "y",
-    ).select(
-        "doc_id", "log_odds", (F.col("doc_id") % 10 == 0).alias("is_new")
-    )
+
+    # CC refresh chain (eager, latency-bound) overlapped with the NB
+    # training/scoring pipeline (compute-bound, consumed only by the
+    # final resolution) — the dedup_keep_best rationale.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _labels():
+        standing = connected_components(
+            pairs.where(~in_batch[0] & ~in_batch[1])
+        )
+        return connected_components_incremental(
+            standing, pairs.where(in_batch[0] | in_batch[1])
+        )
+
+    def _scored():
+        return fresh_checkpoint(
+            nb_quality_classifier(
+                docs.withColumn("y", (F.col("lang") == "en").cast("int")),
+                "text", "doc_id", "y",
+            ).select(
+                "doc_id", "log_odds",
+                (F.col("doc_id") % 10 == 0).alias("is_new"),
+            )
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_labels = pool.submit(_labels)
+        f_scored = pool.submit(_scored)
+        labels, scored = f_labels.result(), f_scored.result()
     return resolve_arrival(
         scored, labels, [F.col("log_odds").desc()]
     ).select("doc_id", "comp", "log_odds", "is_new", "kept")
