@@ -3434,21 +3434,24 @@ def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the operator's contract. Every pair either has both ends
     in the standing corpus or touches the batch, so the node universes
     coincide by construction."""
-    from pyspark import StorageLevel
-
     from full_docker_etl_spark.operators.dedup import (
         connected_components,
         connected_components_incremental,
     )
+    from full_docker_etl_spark.operators.util import fresh_checkpoint
 
     # one blocked pair pass feeds both the historical and the
-    # batch-touching splits (persisted serialized like every
-    # corpus-scale shingle consumer; bench clears caches per query) —
-    # at 100 TB the splits instead come from the persisted sketch
-    # store: labels are standing state, new pairs are the store probe
-    pairs = jaccard_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=5, threshold=0.8, max_df=1000
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # batch-touching splits — fresh_checkpoint, not persist (r19: the
+    # dedup_batch_arrival rationale — both CC loops re-PLAN the pair
+    # pipeline under a persist). At 100 TB the splits instead come
+    # from the persisted sketch store: labels are standing state, new
+    # pairs are the store probe
+    pairs = fresh_checkpoint(
+        jaccard_pairs(
+            _docs(spark, sf_dir), "text", "doc_id",
+            n=5, threshold=0.8, max_df=1000,
+        )
+    )
     in_batch = [F.col(c) % 10 == 0 for c in ("d1", "d2")]
     standing = connected_components(
         pairs.where(~in_batch[0] & ~in_batch[1])
