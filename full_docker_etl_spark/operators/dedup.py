@@ -151,6 +151,80 @@ def _hashed_shingles(
 _PAIR_GEN_ROW_BUDGET = 1000 * 999 // 2
 
 
+def _posting_pair_rows(posts: DataFrame, max_df: int) -> DataFrame:
+    """Candidate (d1, d2) rows — one per shared shingle, duplicates
+    included — generated IN-ROW from a per-shingle sorted doc-list
+    frame ``(sh, ds)`` (the r18 posting-list rewrite: the old sh⋈sh
+    self-join planned both sides as separate full-frame hash exchanges
+    and re-ran the upstream rare join per side). Element i pairs with
+    every later element, so d1 < d2 by construction (ids are
+    per-doc-distinct within a list). Factored out of
+    :func:`_blocked_shared_counts` (which counts the duplicates into
+    shared-shingle counts). NOTE (r19): applying this form to the
+    CANDIDATE-ONLY df-store consumers (replacing their persisted
+    sh⋈sh self-joins) measured a wash-to-loss in two A/B draws —
+    on a judge-slice-sized in-cap frame the persisted self-join is
+    already cheap, and the groupBy/collect/explode/distinct chain
+    costs more than the avoided second shuffle; those sites keep the
+    self-join.
+
+    Worst case at the default cap is max_df·(max_df-1)/2 structs in
+    one row before the explode — ~500k pairs (~8-16 MB), the same
+    per-key fan-out the self-join produced inside one hash partition.
+    The cost is QUADRATIC in a caller-settable max_df, so a raised cap
+    must not inflate single rows without bound (a 10k cap would build
+    ~50M-struct rows — a §5 memory cliff the old self-join never had):
+    past the default-cap budget the d1 index space is CHUNKED first
+    (one intermediate row per w-wide slice of the list, w sized so
+    every generated row stays within the same ~500k-struct budget),
+    which spreads the fan-out across rows exactly like the self-join
+    did while keeping the single-exchange shape."""
+    if max_df * (max_df - 1) // 2 <= _PAIR_GEN_ROW_BUDGET:
+        pair_arr = F.flatten(
+            F.transform(
+                "ds",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + F.lit(2), F.size("ds") - i - F.lit(1)),
+                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+                ),
+            )
+        )
+        pair_rows = posts.select(F.explode(pair_arr).alias("p"))
+    else:
+        w = max(1, _PAIR_GEN_ROW_BUDGET // max_df)
+        # d1 positions 0..size-2 (0-based) in chunks of w; the where()
+        # guards the sequence (Spark's sequence DESCENDS on a negative
+        # span — the word_ngrams trap), and a chunk's d1 slice may
+        # overrun into the final element, whose partner slice is then
+        # empty — no spurious pairs.
+        chunks = posts.where(F.size("ds") >= 2).select(
+            "ds",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.size("ds") - F.lit(2)) / F.lit(w)
+                    ).cast("int"),
+                )
+            ).alias("ci"),
+        )
+        chunk_pairs = F.flatten(
+            F.transform(
+                F.slice("ds", F.col("ci") * F.lit(w) + F.lit(1), F.lit(w)),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ds"),
+                        F.col("ci") * F.lit(w) + i + F.lit(2),
+                        F.size("ds"),
+                    ),
+                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+                ),
+            )
+        )
+        pair_rows = chunks.select(F.explode(chunk_pairs).alias("p"))
+    return pair_rows.select("p.d1", "p.d2")
+
+
 def _blocked_shared_counts(
     df: DataFrame,
     text_col: str,
@@ -232,66 +306,8 @@ def _blocked_shared_counts(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
-    # in-row ordered pairs from the sorted list: element i pairs with
-    # every later element, so d1 < d2 by construction (ids are
-    # per-doc-distinct within a list). Worst case at the default cap is
-    # max_df·(max_df-1)/2 structs in one row before the explode —
-    # ~500k pairs (~8-16 MB), the same per-key fan-out the self-join
-    # produced inside one hash partition. The cost is QUADRATIC in a
-    # caller-settable max_df, so a raised cap must not inflate single
-    # rows without bound (a 10k cap would build ~50M-struct rows — a
-    # §5 memory cliff the old self-join never had): past the
-    # default-cap budget the d1 index space is CHUNKED first (one
-    # intermediate row per w-wide slice of the list, w sized so every
-    # generated row stays within the same ~500k-struct budget), which
-    # spreads the fan-out across rows exactly like the self-join did
-    # while keeping the single-exchange shape.
-    if max_df * (max_df - 1) // 2 <= _PAIR_GEN_ROW_BUDGET:
-        pair_arr = F.flatten(
-            F.transform(
-                "ds",
-                lambda x, i: F.transform(
-                    F.slice(F.col("ds"), i + F.lit(2), F.size("ds") - i - F.lit(1)),
-                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-                ),
-            )
-        )
-        pair_rows = posts.select(F.explode(pair_arr).alias("p"))
-    else:
-        w = max(1, _PAIR_GEN_ROW_BUDGET // max_df)
-        # d1 positions 0..size-2 (0-based) in chunks of w; the where()
-        # guards the sequence (Spark's sequence DESCENDS on a negative
-        # span — the word_ngrams trap), and a chunk's d1 slice may
-        # overrun into the final element, whose partner slice is then
-        # empty — no spurious pairs.
-        chunks = posts.where(F.size("ds") >= 2).select(
-            "ds",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.floor(
-                        (F.size("ds") - F.lit(2)) / F.lit(w)
-                    ).cast("int"),
-                )
-            ).alias("ci"),
-        )
-        chunk_pairs = F.flatten(
-            F.transform(
-                F.slice("ds", F.col("ci") * F.lit(w) + F.lit(1), F.lit(w)),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ds"),
-                        F.col("ci") * F.lit(w) + i + F.lit(2),
-                        F.size("ds"),
-                    ),
-                    lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-                ),
-            )
-        )
-        pair_rows = chunks.select(F.explode(chunk_pairs).alias("p"))
     shared = (
-        pair_rows
-        .select("p.d1", "p.d2")
+        _posting_pair_rows(posts, max_df)
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
